@@ -1,0 +1,433 @@
+"""SURVEY.md §2 operator inventory mapped onto the driver's star schema.
+
+Each ``@query`` pairs an idiomatic-Spark plan with an ANSI-SQL oracle
+(DuckDB) over the same parquet. The mapping (FIXTURES.md §B): creators →
+``customer``, posts → ``orders``/``lineitem``, date windows →
+``o_orderdate``/``events.ts``, broadcast dims → ``nation``/literal dims.
+
+Plans are written scale-first: range predicates and projections sit
+directly on the scan (parquet pushdown), per-key work is one shuffle
+(groupBy or window on the key), small dims go through ``F.broadcast``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..config import AS_OF_ORDERS, AS_OF_ORDERS_SQL, RECENT_DAYS
+from ..functions import datetime_utils as dtu
+from ..functions.exact import (
+    davg,
+    dsum,
+    sql_davg,
+    sql_dstddev_samp,
+    sql_dsum,
+)
+from ..operators.windows import lag_gap_days, top_k_per_group
+from ..sources.readers import load_table
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# A4 — the single-pass multi-aggregate (TPC-H Q1 shape). The reference's
+# avg/sum engagement metrics (analyze_insta_enhanced.py:444-452) done as one
+# hash aggregate instead of ~10 list re-scans.
+# ---------------------------------------------------------------------------
+
+
+# Exact decimal operands: cast the RAW columns, multiply in the decimal
+# domain (see functions/exact.py rule 1). ext<1e8 → (10,2); disc/tax<10 →
+# (3,2); products stay well under precision 38 in both engines.
+_EXT = "CAST(l_extendedprice AS DECIMAL(10,2))"
+_ONE_MINUS_DISC = "(CAST('1.00' AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))"
+_ONE_PLUS_TAX = "(CAST('1.00' AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))"
+
+
+@query(
+    "a4_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum('l_quantity')} AS sum_qty,
+           {sql_dsum('l_extendedprice')} AS sum_base_price,
+           CAST(CAST(SUM({_EXT} * {_ONE_MINUS_DISC}) AS VARCHAR) AS DOUBLE)
+               AS sum_disc_price,
+           CAST(CAST(SUM({_EXT} * {_ONE_MINUS_DISC} * {_ONE_PLUS_TAX}) AS VARCHAR)
+               AS DOUBLE) AS sum_charge,
+           {sql_davg('l_quantity')} AS avg_qty,
+           {sql_davg('l_extendedprice')} AS avg_price,
+           {sql_davg('l_discount', 4)} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def a4_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 avg/sum metrics as one hash aggregate.
+
+    Reference: analyze_insta_enhanced.py:444-452 (avg_likes/avg_comments/
+    totals) — re-expressed as the classic pricing-summary shape. Filter is
+    on the scan (parquet min/max pushdown); Spark computes partial
+    aggregates map-side, so the shuffle carries one row per
+    (flag, status, partition) — this is the plan that survives 100 TB.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    ext = F.col("l_extendedprice").cast("decimal(10,2)")
+    one = F.lit("1.00").cast("decimal(3,2)")
+    disc_price = ext * (one - F.col("l_discount").cast("decimal(3,2)"))
+    charge = disc_price * (one + F.col("l_tax").cast("decimal(3,2)"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount", 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# K1 + A2 + F2 — the flagship: top-6 posts by interaction score within the
+# 90-day window, averaged into the headline engagement rate.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "k1_top6_er",
+    f"""
+    WITH recent AS (
+        SELECT o_custkey, o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_orderdate >= {AS_OF_ORDERS_SQL} - INTERVAL 90 DAY
+          AND o_orderdate < {AS_OF_ORDERS_SQL}
+    ), ranked AS (
+        SELECT *,
+               row_number() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey ASC
+               ) AS rn
+        FROM recent
+    )
+    SELECT c_custkey,
+           {sql_dsum('o_totalprice')} / COUNT(*) * 100.0
+               / GREATEST(c_acctbal, 1.0) AS avg_top6_er,
+           COUNT(*) AS n_top
+    FROM ranked JOIN customer ON c_custkey = o_custkey
+    WHERE rn <= 6
+    GROUP BY c_custkey, c_acctbal
+    """,
+)
+def k1_top6_er(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship (SURVEY.md §7.1): 90-day filter → per-creator top-6 by
+    score → avg ER, creators=customer / posts=orders.
+
+    Reference: filter analyze_insta_enhanced.py:1502-1514, interaction
+    score :1519-1523, top-6 slice + avg :1535-1541. One window shuffle on
+    the creator key, then the customer join (broadcast-able when the
+    ranked side is the big one); the date range prunes the scan.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    recent = orders.filter(
+        dtu.within_days_ts(F.col("o_orderdate"), AS_OF_ORDERS, RECENT_DAYS)
+    ).select("o_custkey", "o_orderkey", "o_totalprice")
+    top = top_k_per_group(
+        recent,
+        ["o_custkey"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        k=6,
+    )
+    # ER denominator (the creator's follower analog) is constant per group:
+    # factor it out and divide the exact numerator sum once — summing
+    # per-row double ratios is partition-order-dependent (exact.py rule 2).
+    avg_er = (
+        dsum("o_totalprice")
+        / F.count("*")
+        * 100.0
+        / F.greatest(F.col("c_acctbal"), F.lit(1.0))
+    )
+    return (
+        top.join(cust, top.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_acctbal")
+        .agg(
+            avg_er.alias("avg_top6_er"),
+            F.count("*").alias("n_top"),
+        )
+        .drop("c_acctbal")
+    )
+
+
+# ---------------------------------------------------------------------------
+# F2 — parameterized date-range filter (90-day window, pinned as_of).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "f2_recent_window",
+    f"""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+    FROM orders
+    WHERE o_orderdate >= {AS_OF_ORDERS_SQL} - INTERVAL 90 DAY
+      AND o_orderdate < {AS_OF_ORDERS_SQL}
+    """,
+)
+def f2_recent_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F2 — the 90-days-before-as_of row filter.
+
+    Reference: analyze_insta_enhanced.py:72-90 (parameterized, dead) and
+    :1502-1514 (90-day, live), with wall-clock now() replaced by pinned
+    as_of (Q8). The predicate is a closed range on the scan column →
+    parquet row-group pruning at scale.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.filter(
+        dtu.within_days_ts(F.col("o_orderdate"), AS_OF_ORDERS, RECENT_DAYS)
+    ).select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+
+
+# ---------------------------------------------------------------------------
+# J1 — the scraper's work-queue anti-join.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "j1_work_queue_anti_join",
+    """
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def j1_work_queue_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 — urls-not-yet-done anti-join (customers with no orders).
+
+    Reference: insta_scraper_enhanced.py:497-509 (input minus inputdone).
+    ``left_anti`` lets Catalyst pick broadcast-anti when the done side is
+    small; no driver-side set like the reference builds.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+# ---------------------------------------------------------------------------
+# J3 — users ⋈ posts equi-join.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "j3_users_posts_join",
+    """
+    SELECT c_custkey, c_mktsegment, o_orderkey, o_totalprice
+    FROM customer JOIN orders ON o_custkey = c_custkey
+    """,
+)
+def j3_users_posts_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 — pair each creator profile with their posts.
+
+    Reference: implicit same-directory pairing at
+    analyze_insta_enhanced.py:1713-1714. Inner equi-join on the creator
+    key — sort-merge at scale, broadcast if the profile side fits.
+    """
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+    return cust.join(orders, cust.c_custkey == orders.o_custkey).select(
+        "c_custkey", "c_mktsegment", "o_orderkey", "o_totalprice"
+    )
+
+
+# ---------------------------------------------------------------------------
+# A7 — frequency maps (count-by) as groupBy.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a7_frequency_map",
+    """
+    SELECT user_id, event_type, COUNT(*) AS cnt
+    FROM events
+    GROUP BY user_id, event_type
+    """,
+)
+def a7_frequency_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 — Counter-style frequency map (per user × event type).
+
+    Reference: Counter over locations/hours/hashtags
+    (analyze_insta_enhanced.py:189,222,1592-1602). groupBy-count with
+    map-side partial aggregation; the map lives as rows, not a dict.
+    """
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("user_id", "event_type").agg(F.count("*").alias("cnt"))
+
+
+# ---------------------------------------------------------------------------
+# A5 — stddev-based consistency score.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a5_consistency_score",
+    f"""
+    SELECT o_custkey,
+           GREATEST(0.0, 100.0 -
+               {sql_dstddev_samp('o_totalprice', 2)}
+               / GREATEST({sql_davg('o_totalprice')}, 0.1) * 100.0
+           ) AS consistency,
+           COUNT(*) AS n_posts
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 2
+    """,
+)
+def a5_consistency_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 — ``max(0, 100 - stdev/max(mean, 0.1)*100)`` per creator.
+
+    Reference: analyze_insta_enhanced.py:455-458 (statistics.stdev =
+    sample stddev, needs >=2 posts). Stddev is computed from exact
+    decimal sums (functions/exact.py) so the score is identical under any
+    partitioning — see dstddev_samp docstring.
+    """
+    from ..functions.exact import dstddev_samp
+
+    orders = load_table(spark, sf_dir, "orders")
+    consistency = F.greatest(
+        F.lit(0.0),
+        F.lit(100.0)
+        - dstddev_samp("o_totalprice", 2)
+        / F.greatest(davg("o_totalprice"), F.lit(0.1))
+        * 100.0,
+    )
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            consistency.alias("consistency"),
+            F.count("*").alias("n_posts"),
+        )
+        .filter(F.col("n_posts") >= 2)
+    )
+
+
+# ---------------------------------------------------------------------------
+# A11 + C4 — mean inter-post gap → posting-frequency bucket.
+# ---------------------------------------------------------------------------
+
+_C4_CASE_SQL = """
+        CASE WHEN avg_gap_days IS NULL THEN 'Unknown'
+             WHEN avg_gap_days < 0.5 THEN 'Multiple times daily'
+             WHEN avg_gap_days < 1 THEN 'Daily'
+             WHEN avg_gap_days < 2 THEN 'Every other day'
+             WHEN avg_gap_days < 7 THEN 'Weekly'
+             WHEN avg_gap_days < 14 THEN 'Bi-weekly'
+             ELSE 'Monthly or less' END
+"""
+
+
+@query(
+    "a11_post_gap_frequency",
+    f"""
+    WITH gaps AS (
+        SELECT o_custkey,
+               (epoch(o_orderdate) -
+                epoch(LEAD(o_orderdate) OVER (
+                    PARTITION BY o_custkey
+                    ORDER BY o_orderdate DESC, o_orderkey ASC))) / 86400.0
+                   AS gap_days
+        FROM orders
+    ), per_user AS (
+        SELECT o_custkey,
+               {sql_davg('gap_days', 6)} AS avg_gap_days,
+               COUNT(gap_days) AS n_gaps
+        FROM gaps
+        GROUP BY o_custkey
+    )
+    SELECT o_custkey, avg_gap_days, n_gaps,
+           {_C4_CASE_SQL} AS post_frequency
+    FROM per_user
+    """,
+)
+def a11_post_gap_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 + C4 — avg days between consecutive posts, bucketed.
+
+    Reference: gap mean analyze_insta_enhanced.py:465-473; buckets
+    :472-485. lag window over (creator, time desc) — one shuffle; the
+    bucket CASE is pure codegen.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    gaps = lag_gap_days(
+        orders.select("o_custkey", "o_orderkey", "o_orderdate"),
+        group_col="o_custkey",
+        ts_col="o_orderdate",
+        tiebreak="o_orderkey",
+    )
+    per_user = gaps.groupBy("o_custkey").agg(
+        davg("gap_days", 6).alias("avg_gap_days"),
+        F.count("gap_days").alias("n_gaps"),
+    )
+    bucket = (
+        F.when(F.col("avg_gap_days").isNull(), "Unknown")
+        .when(F.col("avg_gap_days") < 0.5, "Multiple times daily")
+        .when(F.col("avg_gap_days") < 1, "Daily")
+        .when(F.col("avg_gap_days") < 2, "Every other day")
+        .when(F.col("avg_gap_days") < 7, "Weekly")
+        .when(F.col("avg_gap_days") < 14, "Bi-weekly")
+        .otherwise("Monthly or less")
+    )
+    return per_user.select(
+        "o_custkey", "avg_gap_days", "n_gaps", bucket.alias("post_frequency")
+    )
+
+
+# ---------------------------------------------------------------------------
+# C1 — creator-size CASE classifier.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "c1_size_buckets",
+    """
+    SELECT CASE WHEN c_acctbal <= 0 THEN 'Unknown'
+                WHEN c_acctbal < 1000 THEN 'Nano'
+                WHEN c_acctbal < 3000 THEN 'Micro'
+                WHEN c_acctbal < 6000 THEN 'Mid-Tier'
+                WHEN c_acctbal < 9000 THEN 'Macro'
+                ELSE 'Mega' END AS size_bucket,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+    FROM customer
+    GROUP BY 1
+    """,
+)
+def c1_size_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1 — follower-count size classifier as a CASE chain.
+
+    Reference: analyze_insta_enhanced.py:1655-1678 (Nano<5k, Micro<50k,
+    Mid-Tier<500k, Macro<1M, Mega; 0→Unknown), band edges re-scaled to the
+    acctbal domain. Pure whole-stage-codegen CASE + hash agg.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    bucket = (
+        F.when(F.col("c_acctbal") <= 0, "Unknown")
+        .when(F.col("c_acctbal") < 1000, "Nano")
+        .when(F.col("c_acctbal") < 3000, "Micro")
+        .when(F.col("c_acctbal") < 6000, "Mid-Tier")
+        .when(F.col("c_acctbal") < 9000, "Macro")
+        .otherwise("Mega")
+    )
+    return (
+        cust.select(bucket.alias("size_bucket"), "c_acctbal")
+        .groupBy("size_bucket")
+        .agg(
+            F.count("*").alias("n_customers"),
+            dsum("c_acctbal").alias("total_bal"),
+        )
+    )

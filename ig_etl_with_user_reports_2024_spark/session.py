@@ -1,0 +1,56 @@
+"""SparkSession factory.
+
+Local testing runs a single JVM (``local[N]``); the configs below are the
+ones that also matter on a real cluster (AQE, shuffle partition sizing,
+UTC session timezone for oracle comparability, Arrow for the pandas-UDF
+slow path). Nothing here is local-mode-only except the master default.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "ig_etl_with_user_reports_2024_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession tuned for this engine.
+
+    On a real cluster, drop ``master`` and let spark-submit decide; every
+    other setting carries over. ``spark.sql.shuffle.partitions`` is sized to
+    local cores here — at 100 TB you would size it to ~2-3× total executor
+    cores (or rely on AQE coalescing, which is enabled).
+    """
+    if master is None:
+        master = os.environ.get(
+            "SPARK_GRAFT_MASTER", f"local[{os.environ.get('SPARK_GRAFT_CPUS', '*')}]"
+        )
+    if shuffle_partitions is None:
+        shuffle_partitions = DEFAULT_SHUFFLE_PARTITIONS
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # files.maxPartitionBytes default 128m is right for the big-cluster
+        # case; AQE handles the tiny local files.
+        .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
