@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from ig_etl_with_user_reports_2024_spark.plans import QUERIES
 
 # Importing these modules populates the registry.
+from ig_etl_with_user_reports_2024_spark.plans import star_aggregates  # noqa: F401
 from ig_etl_with_user_reports_2024_spark.plans import star_queries  # noqa: F401
 
 

@@ -21,6 +21,7 @@ from ..functions.exact import (
     davg,
     dsum,
     sql_davg,
+    sql_dec_to_double,
     sql_dstddev_samp,
     sql_dsum,
 )
@@ -431,3 +432,330 @@ def c1_size_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("c_acctbal").alias("total_bal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# F3 — 300-day recency flag (boolean column, not a filter).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "f3_recent_flag",
+    f"""
+    SELECT o_orderkey, o_custkey,
+           o_orderdate > {AS_OF_ORDERS_SQL} - INTERVAL 300 DAY AS is_recent
+    FROM orders
+    """,
+)
+def f3_recent_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 — per-collaboration 'is_recent' boolean (300-day window).
+
+    Reference: analyze_insta_enhanced.py:1280-1307. A projected predicate,
+    not a filter — downstream classifiers consume it.
+    """
+    import datetime as dt
+
+    orders = load_table(spark, sf_dir, "orders")
+    cutoff = AS_OF_ORDERS - dt.timedelta(days=300)
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_orderdate") > F.lit(cutoff)).alias("is_recent"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F4/F5 — categorical predicate filter (clips-only passes).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "f4_category_filter",
+    """
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    WHERE l_returnflag = 'R'
+    """,
+)
+def f4_category_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 — ``product_type == 'clips'`` equality filter (returnflag analog).
+
+    Reference: analyze_insta_enhanced.py:1149,1173,1203,1229 — four
+    separate passes in the reference; a single pushed-down predicate here
+    (shows up as PushedFilters in the scan at scale).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+
+
+# ---------------------------------------------------------------------------
+# F7 + Q6 — the fake-follower mixed window: numerator over the 20 most
+# recent rows, denominator over ALL rows (bug-for-bug faithful).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "f7_recent20_mixed_window",
+    f"""
+    WITH ranked AS (
+        SELECT o_custkey, o_totalprice,
+               row_number() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate DESC, o_orderkey ASC
+               ) AS rn
+        FROM orders
+    )
+    SELECT o_custkey,
+           {sql_dec_to_double("SUM(CASE WHEN rn <= 20 THEN CAST(o_totalprice AS DECIMAL(18,2)) END)")}
+               AS recent20_sum,
+           COUNT(*) AS n_all,
+           {sql_dec_to_double("SUM(CASE WHEN rn <= 20 THEN CAST(o_totalprice AS DECIMAL(18,2)) END)")}
+               / COUNT(*) AS mixed_rate
+    FROM ranked
+    GROUP BY o_custkey
+    """,
+)
+def f7_recent20_mixed_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 + Q6 — sum over the 20 most-recent posts divided by the count of
+    ALL posts.
+
+    Reference: analyze_insta_enhanced.py:267-277 slices ``edges[:20]`` for
+    likes/comments but divides by ``len(edges)`` — a real quirk (SURVEY.md
+    Q6), reproduced faithfully so the compat path hash-matches.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    ranked = top_k_per_group(
+        orders.select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"),
+        ["o_custkey"],
+        [F.col("o_orderdate").desc(), F.col("o_orderkey").asc()],
+        k=1 << 62,  # rank only; the filter is in the aggregate
+    )
+    recent_sum = F.sum(
+        F.when(F.col("rn") <= 20, F.col("o_totalprice")).cast("decimal(18,2)")
+    ).cast("double")
+    return ranked.groupBy("o_custkey").agg(
+        recent_sum.alias("recent20_sum"),
+        F.count("*").alias("n_all"),
+        (recent_sum / F.count("*")).alias("mixed_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F8 — stoplist + length filter on exploded tokens.
+# ---------------------------------------------------------------------------
+
+_STOPLIST = (
+    "the and for you your with this that are was will have has had can "
+    "could would should about just like what when where who how"
+).split()
+_STOPLIST_SQL = ", ".join(f"'{w}'" for w in _STOPLIST)
+
+
+@query(
+    "f8_stoplist_tokens",
+    f"""
+    WITH toks AS (
+        SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+        FROM documents
+    )
+    SELECT token, COUNT(*) AS cnt
+    FROM toks
+    WHERE length(token) >= 3 AND token NOT IN ({_STOPLIST_SQL})
+    GROUP BY token
+    """,
+)
+def f8_stoplist_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8 — mention stoplist/length filter on exploded tokens.
+
+    Reference: analyze_insta_enhanced.py:1314,1416,1600 (drop mentions
+    len<3 or in a 26-word stoplist). Explode → filter → count; the filter
+    runs before the shuffle so only surviving tokens move.
+    """
+    from ..functions.text import word_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(word_tokens(F.col("text"))).alias("token"))
+    return (
+        toks.filter((F.length("token") >= 3) & ~F.col("token").isin(_STOPLIST))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# J2 — substring theta-join against a broadcast dim, first match wins.
+# ---------------------------------------------------------------------------
+
+_J2_KEYWORDS = [
+    ("small", 1), ("red", 2), ("blue", 3), ("hot", 4), ("big", 5),
+    ("green", 6), ("widget", 7), ("gear", 8),
+]
+_J2_DIM_SQL = "(VALUES " + ", ".join(f"('{k}', {o})" for k, o in _J2_KEYWORDS) + ") dim(kw, ord)"
+
+
+@query(
+    "j2_first_match_theta_join",
+    f"""
+    SELECT p.p_partkey, min_by(dim.kw, dim.ord) AS matched_kw
+    FROM part p LEFT JOIN {_J2_DIM_SQL}
+      ON p.p_name LIKE '%' || dim.kw || '%'
+    GROUP BY p.p_partkey
+    """,
+)
+def j2_first_match_theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 — substring theta-join vs a small dim; FIRST match (dim order) wins.
+
+    Reference: analyze_insta_enhanced.py:199-218 — nested loop over the
+    cities list with ``break`` on first hit; dim-file order is the
+    tie-break (Q10). Here: broadcast theta-join + ``min_by`` on the
+    declaration-order column — same semantics, one pass, no driver loop.
+    """
+    part = load_table(spark, sf_dir, "part")
+    dim = spark.createDataFrame(_J2_KEYWORDS, "kw string, ord int")
+    joined = part.join(
+        F.broadcast(dim), F.col("p_name").contains(F.col("kw")), "left"
+    )
+    return joined.groupBy("p_partkey").agg(
+        F.min_by("kw", "ord").alias("matched_kw")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J4 + A10 — keyword-dim token join with per-source weights.
+# ---------------------------------------------------------------------------
+
+_J4_DIM = [
+    ("size", "small"), ("size", "big"), ("size", "large"), ("size", "mini"),
+    ("color", "red"), ("color", "blue"), ("color", "green"), ("color", "hot"),
+    ("mech", "widget"), ("mech", "gear"), ("mech", "bolt"), ("mech", "gizmo"),
+    ("grade", "economy"), ("grade", "standard"), ("grade", "promo"),
+]
+_J4_DIM_SQL = "(VALUES " + ", ".join(f"('{c}', '{k}')" for c, k in _J4_DIM) + ") kd(category, kw)"
+
+
+@query(
+    "j4_a10_keyword_scores",
+    f"""
+    WITH toks AS (
+        SELECT p_partkey, unnest(string_split(lower(p_name), ' ')) AS token,
+               2.0 AS weight
+        FROM part
+        UNION ALL
+        SELECT p_partkey, unnest(string_split(lower(p_type), ' ')) AS token,
+               1.0 AS weight
+        FROM part
+    )
+    SELECT p_partkey, kd.category, SUM(weight) AS score, COUNT(*) AS hits
+    FROM toks JOIN {_J4_DIM_SQL} ON toks.token = kd.kw
+    GROUP BY p_partkey, kd.category
+    """,
+)
+def j4_a10_keyword_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 + A10 — token-vs-keyword-dim join with source weights
+    (username 2.0 / bio 1.5 / name 1.0 in the reference), summed per
+    (entity, category).
+
+    Reference: membership loops analyze_insta_enhanced.py:1026 and the
+    weighted sums :1036-1062. Explode both token sources with their
+    weight, broadcast-join the keyword dim, one groupBy. Weights are
+    exact binary fractions, so the double sum is order-independent.
+    """
+    part = load_table(spark, sf_dir, "part")
+    name_toks = part.select(
+        "p_partkey",
+        F.explode(F.split(F.lower("p_name"), " ")).alias("token"),
+        F.lit(2.0).alias("weight"),
+    )
+    type_toks = part.select(
+        "p_partkey",
+        F.explode(F.split(F.lower("p_type"), " ")).alias("token"),
+        F.lit(1.0).alias("weight"),
+    )
+    dim = spark.createDataFrame(_J4_DIM, "category string, kw string")
+    return (
+        name_toks.unionAll(type_toks)
+        .join(F.broadcast(dim), F.col("token") == F.col("kw"))
+        .groupBy("p_partkey", "category")
+        .agg(F.sum("weight").alias("score"), F.count("*").alias("hits"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# J5 / SO1 — paginated-merge dedup, first occurrence wins.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "j5_page_merge_dedup",
+    """
+    WITH pages AS (
+        SELECT o_orderkey, o_totalprice, 1 AS page FROM orders
+        UNION ALL
+        SELECT o_orderkey, o_totalprice * 2, 2 AS page
+        FROM orders WHERE o_orderkey % 5 = 0
+    ), ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY o_orderkey ORDER BY page ASC
+        ) AS rn
+        FROM pages
+    )
+    SELECT o_orderkey, o_totalprice, page FROM ranked WHERE rn = 1
+    """,
+)
+def j5_page_merge_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 — merge paginated fetches, skipping ids already seen
+    (first-occurrence wins).
+
+    Reference: insta_scraper_enhanced.py:299-322 — nested-loop merge of
+    GraphQL pages keyed on node.id. Spark: union + row_number over the
+    arrival-order column (page) — dropDuplicates alone would not
+    guarantee WHICH duplicate survives (Q10).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    p1 = orders.select(
+        "o_orderkey", "o_totalprice", F.lit(1).alias("page")
+    )
+    p2 = (
+        orders.filter(F.col("o_orderkey") % 5 == 0)
+        .select("o_orderkey", (F.col("o_totalprice") * 2).alias("o_totalprice"),
+                F.lit(2).alias("page"))
+    )
+    merged = top_k_per_group(
+        p1.unionAll(p2), ["o_orderkey"], [F.col("page").asc()], k=1
+    )
+    return merged.select("o_orderkey", "o_totalprice", "page")
+
+
+@query(
+    "so1_first_occurrence_dedup",
+    """
+    WITH ranked AS (
+        SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
+               row_number() OVER (
+                   PARTITION BY l_orderkey
+                   ORDER BY l_linenumber ASC, l_partkey ASC, l_suppkey ASC
+               ) AS rn
+        FROM lineitem
+    )
+    SELECT l_orderkey, l_partkey, l_linenumber FROM ranked WHERE rn = 1
+    """,
+)
+def so1_first_occurrence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SO1 — first-occurrence dedup with an explicit arrival-order column.
+
+    Reference: seen-set loops (analyze_insta_enhanced.py:179-185,
+    1316-1323). ``dropDuplicates`` is nondeterministic about the survivor;
+    a row_number over the position column is the Q10-faithful form.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    # (orderkey, linenumber) is NOT unique in this data — extend the order
+    # to a total one or the surviving row is partition-dependent (Q10).
+    first = top_k_per_group(
+        li.select("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"),
+        ["l_orderkey"],
+        [F.col("l_linenumber").asc(), F.col("l_partkey").asc(), F.col("l_suppkey").asc()],
+        k=1,
+    )
+    return first.select("l_orderkey", "l_partkey", "l_linenumber")
