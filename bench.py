@@ -1,0 +1,84 @@
+"""Benchmark harness — the driver runs this per-round at sf0.1.
+
+Runs the headline queries end-to-end (scan → ... → noop sink, full
+materialization, no driver collect) on local[$SPARK_GRAFT_CPUS] against
+$SPARK_GRAFT_SF_DIR and prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"q": sec, ...}, "sf": <sf>}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "a4_pricing_summary",
+    "k1_top6_er",
+    "j3_users_posts_join",
+    "a11_post_gap_frequency",
+    "a12_split_half_trend",
+    "f7_recent20_mixed_window",
+    "k6_priority_cascade",
+    "c9_f9_niche_distribution",
+    "j2_first_match_theta_join",
+    "x2_x4_string_ops",
+    "st1_tumbling_window",
+    "st3_sessionization",
+    "dd1_exact_dedup",
+    "dd2_ngram_jaccard_pairs",
+    "dd3_minhash_lsh_pairs",
+    "ann1_cosine_topk",
+    "txt1_lang_id",
+    "txt2_quality_score",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    import __spark_entry__ as entry_mod
+    from ig_etl_with_user_reports_2024_spark.session import get_spark
+
+    spark = get_spark("bench")
+    qs = entry_mod.queries()
+
+    def run(name: str) -> float:
+        df = qs[name](spark, sf_dir)
+        t0 = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        return time.time() - t0
+
+    # warm-up: JIT + parquet footer caches on a small query
+    qs["k7_top5_preview"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        timings[name] = round(run(name), 3)
+
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = -1.0
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

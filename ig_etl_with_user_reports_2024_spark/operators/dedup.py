@@ -1,0 +1,316 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond the reference's surface (BASELINE.json north star): exact dedup,
+word-shingle Jaccard near-dup, MinHash+LSH, and SimHash — all expressed
+as DataFrame plans that scale:
+
+- exact: hash-groupBy (one shuffle on a 128-bit digest, no wide-row
+  comparison);
+- n-gram Jaccard: shingle explode → self-join on shingle → pair
+  intersection counts. Exact but quadratic in the worst case — the
+  correctness baseline for the approximate methods;
+- MinHash+LSH: per-doc signature (k univariate min-hashes) → band
+  buckets → candidates only within buckets → verify. The 100 TB path:
+  the self-join is on (band, bucket-hash), so work scales with true
+  near-duplicate density, not n²;
+- SimHash: 64-bit weighted bit-vote fingerprint; near-dups have small
+  Hamming distance, candidates via band-of-bits buckets.
+
+All helpers are pure column expressions (no Python UDFs): hashing uses
+``xxhash64``, folds use ``aggregate`` over arrays — JVM-side throughout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MERSENNE_PRIME = (1 << 61) - 1
+
+
+def normalized_words(text: Column) -> Column:
+    """Lowercased whitespace tokens — the canonical text for dedup."""
+    return F.filter(
+        F.split(F.trim(F.lower(text)), r"\s+"), lambda t: t != F.lit("")
+    )
+
+
+def word_shingles(words: Column, n: int = 3) -> Column:
+    """Distinct word n-grams joined with spaces.
+
+    ``transform(sequence(1, size-n+1), i -> words[i] .. words[i+n-1])`` —
+    the same construction is expressible in DuckDB for the oracle.
+    """
+    def shingle_at(i: Column) -> Column:
+        pieces = [F.element_at(words, i + j) for j in range(n)]
+        return F.concat_ws(" ", *pieces)
+
+    # guard: Spark sequence(1, 0) counts DOWN ([1,0]) instead of returning
+    # empty like DuckDB generate_series — short docs need the explicit case
+    idx = F.sequence(F.lit(1), F.size(words) - (n - 1))
+    return F.when(
+        F.size(words) >= n, F.array_distinct(F.transform(idx, shingle_at))
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str, order_cols: list[str], id_cols: list[str] | None = None
+) -> DataFrame:
+    """Exact dedup: md5 digest groupBy, first occurrence (order_cols) wins.
+
+    At 100 TB the shuffle carries (digest, order, ids) only — never the
+    document body; the digest is computed scan-side. Collision rate of a
+    128-bit digest at 10^12 docs is ~10^-13 — acceptable for dedup.
+    """
+    from .windows import top_k_per_group
+
+    digest = F.md5(F.col(text_col).cast("binary")).alias("content_digest")
+    keep = (id_cols or []) + order_cols
+    hashed = df.select(digest, *keep)
+    return top_k_per_group(
+        hashed,
+        ["content_digest"],
+        [F.col(c).asc() for c in order_cols],
+        k=1,
+    ).drop("rn")
+
+
+def shingle_pairs_jaccard(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Exact n-gram Jaccard near-duplicate pairs (a_id < b_id, sim >= t).
+
+    Plan: explode distinct shingles → self-equi-join on the shingle
+    (this is the only shuffle; Catalyst hash-partitions on the shingle
+    string) → count intersections per pair → join per-doc shingle counts
+    → Jaccard = |∩| / (|A|+|B|-|∩|).
+
+    Exact and oracle-checkable; at 100 TB use minhash_lsh (below) to
+    bound the candidate set, then verify candidates with this formula.
+    """
+    words = normalized_words(F.col(text_col))
+    sh = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(word_shingles(words, n)).alias("shingle"),
+    ).filter(F.col("shingle") != "")
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("a_id"), F.col("b.doc").alias("b_id"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc").alias("a_id"), F.col("n_shingles").alias("a_size"))
+    sb = sizes.select(F.col("doc").alias("b_id"), F.col("n_shingles").alias("b_size"))
+    jac = (
+        inter.join(sa, "a_id")
+        .join(sb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            (
+                F.col("n_common")
+                / (F.col("a_size") + F.col("b_size") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+    )
+    return jac.filter(F.col("jaccard") >= threshold)
+
+
+def _minhash_value(shingle: Column, a: int, b: int) -> Column:
+    """One universal-hash draw: ((a*x + b) mod p), x = xxhash64(shingle).
+
+    Arithmetic stays in signed-64 range: x is reduced mod p first and a,b
+    are < 2^20, so a*x' < 2^81 would overflow — instead reduce with two
+    multiplies in the 61-bit Mersenne field using double-width-free
+    splitting: (a * (x mod p)) mod p with a < 2^20 keeps products < 2^81…
+    Long overflow is avoided by reducing x to < 2^40 via a second xxhash
+    fold (sufficient spread for min-hash signatures).
+    """
+    x = F.pmod(F.xxhash64(shingle), F.lit(1 << 40))
+    return F.pmod(F.lit(a) * x + F.lit(b), F.lit(MERSENNE_PRIME))
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 32, n: int = 3
+) -> DataFrame:
+    """Per-doc MinHash signature: array of k min-over-shingles hashes.
+
+    One explode + one groupBy(doc) computing k ``min`` aggregates — a
+    single shuffle keyed on the doc id, signature size is k*8 bytes
+    regardless of document length (the property that makes this the
+    100 TB dedup path).
+    """
+    import random
+
+    rnd = random.Random(42)
+    coeffs = [(rnd.randrange(1, 1 << 20), rnd.randrange(0, 1 << 20)) for _ in range(num_hashes)]
+    words = normalized_words(F.col(text_col))
+    sh = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(word_shingles(words, n)).alias("shingle"),
+    ).filter(F.col("shingle") != "")
+    aggs = [
+        F.min(_minhash_value(F.col("shingle"), a, b)).alias(f"h{i}")
+        for i, (a, b) in enumerate(coeffs)
+    ]
+    sig = sh.groupBy("doc").agg(*aggs)
+    return sig.select(
+        "doc", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("signature")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    verify_threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash + LSH banding: candidate pairs from shared band-buckets,
+    verified with estimated Jaccard (signature agreement rate).
+
+    rows = bands, r = num_hashes/bands; P(candidate) ≈ 1-(1-s^r)^b — with
+    32 hashes / 8 bands (r=4) the S-curve crosses 0.5 near s≈0.55.
+    The band bucket is hash(band_id, sig slice), so the candidate join is
+    an equi-join on (band, bucket): shuffle size tracks duplicate density.
+    """
+    r = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, n)
+    band_rows = sig.select(
+        "doc",
+        "signature",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ":",
+                                F.lit(bi),
+                                *[
+                                    F.element_at(F.col("signature"), bi * r + j + 1)
+                                    for j in range(r)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc", "signature", "bb.band", "bb.bucket")
+    a = band_rows.alias("a")
+    b = band_rows.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("a_id"),
+            F.col("b.doc").alias("b_id"),
+            F.col("a.signature").alias("sig_a"),
+            F.col("b.signature").alias("sig_b"),
+        )
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    est = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+            lambda m: m,
+        )
+    ) / F.lit(float(num_hashes))
+    return cand.select("a_id", "b_id", est.alias("est_jaccard")).filter(
+        F.col("est_jaccard") >= verify_threshold
+    )
+
+
+SIMHASH_BITS = 63  # stay within signed-long range (1<<63 overflows)
+
+
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """63-bit SimHash fingerprint: weighted bit votes over token hashes.
+
+    Implemented as an array fold per document (no explode): for each bit
+    position, sum +1/-1 votes across tokens; the fingerprint packs the
+    vote signs. Bit positions are unrolled Python-side (shift amounts
+    must be literals for ``shiftright``); the per-token work is one
+    ``zip_with`` — a narrow projection, no shuffle at all.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(normalized_words(F.col(text_col))).alias("w"),
+    ).select("doc", F.xxhash64("w").alias("th"))
+    # one hash aggregate with 63 conditional sums — whole-stage codegen'd,
+    # far faster than a per-token array fold (the shuffle key is the doc id)
+    vote_aggs = [
+        F.sum(
+            F.when(
+                F.shiftright(F.col("th"), b).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    votes = toks.groupBy("doc").agg(*vote_aggs)
+    fingerprint = F.lit(0).cast("long")
+    for b in range(SIMHASH_BITS):
+        fingerprint = fingerprint + F.when(
+            F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return votes.select("doc", fingerprint.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 8
+) -> DataFrame:
+    """SimHash near-dup pairs via 4-band blocking (any 16-bit band equal →
+    candidate; Hamming <= max_hamming verified with bit_count).
+
+    A pair within Hamming distance 3 shares at least one of 4 bands
+    (pigeonhole); wider distances trade recall for the candidate bound.
+    """
+    sig = simhash64(df, id_col, text_col)
+    bands = sig.select(
+        "doc",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright(F.col("simhash"), i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("chunk"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bc"),
+    ).select("doc", "simhash", "bc.band", "bc.chunk")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("a_id"),
+            F.col("b.doc").alias("b_id"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.select("a_id", "b_id", hamming.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )

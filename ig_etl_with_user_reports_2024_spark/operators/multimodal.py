@@ -1,0 +1,116 @@
+"""Multimodal-column operators: opaque binary payloads + typed metadata.
+
+Beyond-reference family (BASELINE.json north star). The design for
+100 TB multimodal pipelines:
+
+- media travels as an opaque ``binary`` column with a typed metadata
+  struct alongside (mime, byte length, content digest) — Spark never
+  interprets the bytes except inside explicit decode operators;
+- decode / feature-extract / resize / frame-sample run as Arrow-batched
+  ``mapInPandas`` operators so the heavy per-item Python/C work is
+  amortized over columnar batches and parallelized by partition;
+- this container has no image/audio libraries, so the actual decoders
+  are STUBS: ``decode_media_batch`` raises ``NotImplementedError`` unless
+  ``fake=True``, in which case a deterministic hash-based decoder stands
+  in. The Spark-side plumbing — schema, batching, partitioning, UDF
+  signatures — is real and tested (tests/test_multimodal.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_META_SCHEMA = (
+    "doc_id bigint, mime string, n_bytes bigint, content_digest string"
+)
+
+DECODED_SCHEMA = (
+    "doc_id bigint, mime string, n_bytes bigint, width int, height int, "
+    "n_frames int, sample_rate int"
+)
+
+
+def with_media_columns(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
+    """Attach the typed metadata struct for an opaque binary payload.
+
+    Metadata is computed JVM-side (length/digest are codegen'd), so a
+    scan that only needs metadata never ships payload bytes to Python.
+    """
+    payload = F.col(payload_col)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        payload.alias("payload"),
+        F.struct(
+            F.lit("application/octet-stream").alias("mime"),
+            F.octet_length(payload).cast("bigint").alias("n_bytes"),
+            F.md5(payload).alias("content_digest"),
+        ).alias("media_meta"),
+    )
+
+
+def _fake_decode(doc_id: int, payload: bytes) -> tuple[int, int, int, int]:
+    """Deterministic stand-in decoder: dimensions derived from content
+    bytes so tests are stable and partition-independent."""
+    h = 0
+    for b in payload[:64]:
+        h = (h * 131 + b) & 0x7FFFFFFF
+    width = 64 + (h % 1920)
+    height = 64 + ((h >> 8) % 1080)
+    n_frames = 1 + ((h >> 16) % 240)
+    sample_rate = 8000 + ((h >> 4) % 40000)
+    return width, height, n_frames, sample_rate
+
+
+def decode_media_batch(
+    df: DataFrame, fake: bool = False, batch_label: str = "decode"
+) -> DataFrame:
+    """Decode operator over (doc_id, payload, media_meta) rows.
+
+    Runs as ``mapInPandas``: each Arrow batch of payloads is decoded in
+    one Python call — the shape a real libjpeg/ffmpeg decode would use.
+    ``fake=False`` raises NotImplementedError (no media libs in this
+    container); ``fake=True`` uses the deterministic stand-in.
+    """
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real media decoding requires image/audio libraries not "
+                    "present in this environment; pass fake=True for the "
+                    "deterministic stand-in decoder"
+                )
+            dims = [
+                _fake_decode(i, bytes(p)) for i, p in zip(pdf["doc_id"], pdf["payload"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "mime": [m["mime"] for m in pdf["media_meta"]],
+                    "n_bytes": [m["n_bytes"] for m in pdf["media_meta"]],
+                    "width": [d[0] for d in dims],
+                    "height": [d[1] for d in dims],
+                    "n_frames": [d[2] for d in dims],
+                    "sample_rate": [d[3] for d in dims],
+                }
+            )
+
+    return df.mapInPandas(decode, schema=DECODED_SCHEMA)
+
+
+def frame_sample_plan(decoded: DataFrame, every_n: int = 30) -> DataFrame:
+    """Frame-sampling plan: one output row per sampled frame index.
+
+    ``sequence`` + ``explode`` JVM-side — the expensive decode already
+    happened once per item; sampling is pure plan logic.
+    """
+    return decoded.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(F.col("n_frames") - 1, F.lit(0)), F.lit(every_n))
+        ).alias("frame_idx"),
+    )

@@ -1,0 +1,339 @@
+"""Beyond-reference pipeline operators wired to the driver testdata
+(documents / embeddings tables): dedup, similarity search, text analysis,
+multimodal plumbing. BASELINE.json north star — first-class components.
+
+Exact variants carry full DuckDB oracles; the approximate/scale variants
+(MinHash-LSH, SimHash, hyperplane-LSH ANN, rolling hash) are Spark-only
+(rows checks) with recall/consistency tests against their exact
+counterparts in tests/.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as dd
+from ..operators import multimodal as mm
+from ..operators import similarity as sim
+from ..operators import textops as tx
+from ..sources.readers import load_table
+from .registry import query
+
+# Shared DuckDB fragments (match operators/dedup.normalized_words and
+# word_shingles exactly).
+_WORDS_SQL = (
+    "list_filter(string_split_regex(lower(trim(text)), '\\s+'), w -> w <> '')"
+)
+_SHINGLES_SQL = (
+    "list_distinct(list_transform(generate_series(1, greatest(len(ws) - 2, 0)), "
+    "i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))"
+)
+
+# ---------------------------------------------------------------------------
+# DD1 — exact dedup via content digest.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dd1_exact_dedup",
+    """
+    WITH hashed AS (
+        SELECT md5(text) AS content_digest, doc_id FROM documents
+    ), ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY content_digest ORDER BY doc_id ASC
+        ) AS rn
+        FROM hashed
+    )
+    SELECT content_digest, doc_id FROM ranked WHERE rn = 1
+    """,
+)
+def dd1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5 digest hash-groupBy, lowest doc_id survives.
+
+    The shuffle carries (digest, id) only — never the document body —
+    which is what makes this a 100 TB-viable single pass.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.exact_dedup(docs, "text", order_cols=["doc_id"])
+
+
+# ---------------------------------------------------------------------------
+# DD2 — exact word-3-gram Jaccard near-dup pairs (oracle-checked baseline).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dd2_ngram_jaccard_pairs",
+    f"""
+    WITH words AS (
+        SELECT doc_id, {_WORDS_SQL} AS ws FROM documents
+    ), shingles AS (
+        SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle FROM words
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_common
+        FROM shingles a JOIN shingles b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT a_id, b_id,
+           n_common / (sa.n + sb.n - n_common) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = a_id
+    JOIN sizes sb ON sb.doc_id = b_id
+    WHERE n_common / (sa.n + sb.n - n_common) >= 0.2
+    """,
+)
+def dd2_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-duplicate pairs (threshold 0.2).
+
+    operators/dedup.shingle_pairs_jaccard: shingle explode → self-join on
+    the shingle → intersection counts → Jaccard. The exact baseline the
+    MinHash/SimHash variants are measured against.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.shingle_pairs_jaccard(docs, "doc_id", "text", n=3, threshold=0.2)
+
+
+@query("dd3_minhash_lsh_pairs", None)  # engine-specific hashes → rows-only
+def dd3_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32)+LSH(8 bands) candidate pairs with estimated Jaccard.
+
+    The 100 TB dedup path (candidate join keyed on band buckets). Hash
+    functions are engine-specific (xxhash64), so no SQL oracle; recall
+    against dd2's exact pairs is asserted in tests/test_dedup.py.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=32, bands=8, verify_threshold=0.2
+    )
+
+
+@query("dd4_simhash_pairs", None)  # engine-specific hashes → rows-only
+def dd4_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-64 near-dup pairs (Hamming <= 12 via 4-band blocking)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.simhash_near_pairs(docs, "doc_id", "text", max_hamming=12)
+
+
+# ---------------------------------------------------------------------------
+# ANN — brute-force cosine top-k (oracle) + LSH variant (rows-only).
+# ---------------------------------------------------------------------------
+
+_DOT_SQL = (
+    "list_reduce(list_transform(list_zip({a}, {b}), "
+    "s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), (x, y) -> x + y)"
+)
+_NORM_SQL = (
+    "sqrt(list_reduce(list_transform({a}, "
+    "v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x, y) -> x + y))"
+)
+
+
+@query(
+    "ann1_cosine_topk",
+    f"""
+    WITH q AS (
+        SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
+        WHERE vec_id < 10
+    ), scored AS (
+        SELECT q.q_id, e.vec_id AS n_id,
+               {_DOT_SQL.format(a='q.q_vec', b='e.embedding')}
+                   / ({_NORM_SQL.format(a='q.q_vec')}
+                      * {_NORM_SQL.format(a='e.embedding')}) AS cos_sim
+        FROM embeddings e JOIN q ON e.vec_id <> q.q_id
+    ), ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY q_id ORDER BY cos_sim DESC, n_id ASC
+        ) AS rank
+        FROM scored
+    )
+    SELECT q_id, n_id, cos_sim, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def ann1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for query vectors (vec_id < 10).
+
+    operators/similarity.cosine_topk: broadcast the query side, fold dot
+    products sequentially (deterministic double accumulation — both
+    engines fold left-to-right, so values are bit-exact).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return sim.cosine_topk(queries, emb, "vec_id", "embedding", k=5)
+
+
+@query("ann2_lsh_topk", None)  # hyperplane draws are engine-side → rows-only
+def ann2_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN top-5 (6 bands × 8 bits) for vec_id < 10.
+
+    Scale path for ann1 — candidates only from shared sign-bit buckets;
+    recall vs brute force asserted in tests/test_similarity.py.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return sim.lsh_topk(queries, emb, "vec_id", "embedding", k=5)
+
+
+# ---------------------------------------------------------------------------
+# TXT — language ID, quality scoring, token counts, fingerprints.
+# ---------------------------------------------------------------------------
+
+_LANG_DIM_SQL = "(VALUES " + ", ".join(
+    f"('{lang}', {prio}, '{w}')"
+    for lang, prio, words in tx.LANG_STOPWORDS
+    for w in words
+) + ") ld(lang, prio, word)"
+
+
+@query(
+    "txt1_lang_id",
+    f"""
+    WITH toks AS (
+        SELECT doc_id AS doc, unnest({_WORDS_SQL}) AS word FROM documents
+    ), hits AS (
+        SELECT doc, lang, prio, COUNT(*) AS hits
+        FROM toks JOIN {_LANG_DIM_SQL} ON toks.word = ld.word
+        GROUP BY doc, lang, prio
+    ), best AS (
+        SELECT doc, lang, hits, row_number() OVER (
+            PARTITION BY doc ORDER BY hits DESC, prio ASC
+        ) AS rn
+        FROM hits
+    )
+    SELECT d.doc_id AS doc,
+           COALESCE(b.lang, 'unknown') AS predicted_lang,
+           COALESCE(b.hits, 0) AS hits
+    FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+      ON b.doc = d.doc_id
+    """,
+)
+def txt1_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID by stopword-hit argmax with declared tie priority."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.lang_id(docs, "doc_id", "text")
+
+
+_ALL_STOP_SQL = "[" + ", ".join(
+    f"'{w}'" for _, _, ws in tx.LANG_STOPWORDS for w in ws
+) + "]"
+
+
+@query(
+    "txt2_quality_score",
+    f"""
+    WITH feats AS (
+        SELECT doc_id AS doc,
+               length(text) AS n_chars,
+               len({_WORDS_SQL}) AS n_words,
+               len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
+               len(list_filter({_WORDS_SQL},
+                   w -> list_contains({_ALL_STOP_SQL}, w))) AS n_stop,
+               list_reduce(
+                   list_prepend(0.0, list_transform({_WORDS_SQL},
+                       w -> CAST(length(w) AS DOUBLE))),
+                   (a, b) -> a + b) AS word_len_sum
+        FROM documents
+    )
+    SELECT doc, n_chars, n_words,
+           CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars END
+               AS punct_ratio,
+           CASE WHEN n_words > 0 THEN CAST(n_stop AS DOUBLE) / n_words END
+               AS stopword_ratio,
+           CASE WHEN n_words > 0 THEN word_len_sum / n_words END
+               AS mean_word_len,
+           GREATEST(0.0, LEAST(100.0,
+               LEAST(40.0, CAST(n_words AS DOUBLE) / 2)
+               + LEAST(30.0, COALESCE(
+                     CASE WHEN n_words > 0 THEN CAST(n_stop AS DOUBLE) / n_words END,
+                     0.0) * 100)
+               - LEAST(20.0, COALESCE(
+                     CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars END,
+                     0.0) * 200)
+               - CASE WHEN COALESCE(
+                     CASE WHEN n_words > 0 THEN word_len_sum / n_words END,
+                     0.0) > 12 THEN 20.0 ELSE 0.0 END
+           )) AS quality_score
+    FROM feats
+    """,
+)
+def txt2_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus quality scoring: length/stopword credits minus punctuation
+    and degenerate-word-shape penalties, clamped to 0..100."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.quality_score(docs, "doc_id", "text")
+
+
+@query(
+    "txt3_token_counts",
+    f"""
+    SELECT doc_id AS doc,
+           len({_WORDS_SQL}) AS ws_tokens,
+           len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))
+               AS bpe_tokens
+    FROM documents
+    """,
+)
+def txt3_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish regex token counting (corpus sizing)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.token_counts(docs, "doc_id", "text")
+
+
+@query(
+    "txt4_content_fingerprint",
+    f"""
+    SELECT doc_id AS doc,
+           md5(array_to_string(list_sort(list_distinct({_WORDS_SQL})), ' '))
+               AS fingerprint
+    FROM documents
+    """,
+)
+def txt4_content_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-of-words md5 fingerprint (order-insensitive content identity)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.content_fingerprint(docs, "doc_id", "text")
+
+
+@query("txt5_rolling_fingerprint", None)  # xxhash64 is engine-specific
+def txt5_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive polynomial rolling-hash fingerprint (Spark-only)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.rolling_hash_fingerprint(docs, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# MM — multimodal binary columns: metadata JVM-side, decode via
+# mapInPandas (stubbed; see operators/multimodal.py).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "mm1_binary_metadata",
+    """
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS content_digest,
+           CAST(ceil(octet_length(encode(text)) / 256.0) AS BIGINT) AS n_chunks
+    FROM documents
+    """,
+)
+def mm1_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary metadata: byte length, content digest, chunk count.
+
+    The text column stands in for a media payload (no binary columns in
+    the testdata); operators/multimodal.with_media_columns provides the
+    same struct for real payloads, and the decode path is exercised in
+    tests/test_multimodal.py.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    return docs.select(
+        "doc_id",
+        F.length(payload).cast("bigint").alias("n_bytes"),
+        F.md5(payload).alias("content_digest"),
+        F.ceil(F.length(payload) / F.lit(256.0)).cast("bigint").alias("n_chunks"),
+    )

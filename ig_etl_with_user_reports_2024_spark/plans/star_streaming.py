@@ -1,0 +1,111 @@
+"""Streaming-surface queries over the events table (SURVEY.md §2.10 +
+beyond-reference Structured Streaming coverage).
+
+The batch window/session aggregations are the oracle-checkable
+contracts; st4 runs the genuine ``readStream`` pipeline and is checked
+against the SAME SQL oracle (complete-mode end-of-stream results equal
+the batch aggregation).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.exact import sql_dsum
+from ..sources.readers import load_table
+from ..streaming.events import (
+    session_agg,
+    sliding_window_agg,
+    streaming_tumbling_counts,
+    tumbling_window_agg,
+)
+from .registry import query
+
+_TUMBLING_ORACLE = f"""
+    SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           {sql_dsum('value')} AS total_value
+    FROM events
+    GROUP BY 1, 2
+"""
+
+
+@query("st1_tumbling_window", _TUMBLING_ORACLE)
+def st1_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 5-minute event-time windows (count + exact sum).
+
+    Spark ``window()`` aligns to the epoch exactly like DuckDB
+    ``time_bucket``; the same expression runs unchanged under
+    readStream (st4).
+    """
+    return tumbling_window_agg(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "st2_sliding_window",
+    f"""
+    WITH starts AS (
+        SELECT time_bucket(INTERVAL '5 minutes', ts) AS b, ts, value
+        FROM events
+    ), expanded AS (
+        SELECT b AS window_start, ts, value FROM starts
+        UNION ALL
+        SELECT b - INTERVAL '5 minutes' AS window_start, ts, value FROM starts
+    )
+    SELECT window_start, COUNT(*) AS n_events, {sql_dsum('value')} AS total_value
+    FROM expanded
+    GROUP BY window_start
+    """,
+)
+def st2_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (10 min wide, 5 min slide) — each event lands in
+    exactly two windows; the oracle expands the two containing starts."""
+    return sliding_window_agg(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "st3_sessionization",
+    f"""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ), sessions AS (
+        SELECT user_id, ts, value,
+               SUM(is_new) OVER (
+                   PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, session_id,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end,
+           COUNT(*) AS n_events,
+           {sql_dsum('value')} AS total_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def st3_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with a 30-minute inactivity gap (lag + running sum);
+    the streaming twin (session_window) is exercised in tests."""
+    return session_agg(load_table(spark, sf_dir, "events"), gap_minutes=30)
+
+
+@query("st4_streaming_tumbling", _TUMBLING_ORACLE)
+def st4_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The genuine readStream pipeline (parquet source → window agg →
+    memory sink, AvailableNow): hash-checked against the SAME SQL oracle
+    as st1, proving streaming/batch result parity."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return streaming_tumbling_counts(
+        spark, os.path.join(sf_dir, "events.parquet")
+    )

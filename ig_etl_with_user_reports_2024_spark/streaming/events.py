@@ -1,0 +1,130 @@
+"""Structured Streaming surface over the events table.
+
+The reference has no true streaming — its closest artifact is the
+incremental work-queue (SURVEY.md §2.10) — so this module is
+beyond-reference (BASELINE.json north star): event-time tumbling and
+sliding windows, session windows, and a real ``readStream`` pipeline.
+
+Batch and streaming share the same aggregation expressions: Spark's
+``window()``/``session_window()`` functions evaluate identically under
+``spark.read`` and ``spark.readStream``, so the batch forms are the
+DuckDB-oracle-checkable contract and the streaming form is verified to
+produce the same rows (tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.exact import dsum
+
+
+def tumbling_window_agg(events: DataFrame, width: str = "5 minutes") -> DataFrame:
+    """Event-time tumbling window: count + exact sum(value) per
+    (window, event_type). Windows align to the epoch, matching DuckDB's
+    ``time_bucket``."""
+    w = F.window("ts", width)
+    return (
+        events.groupBy(w.alias("win"), "event_type")
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("total_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sliding_window_agg(
+    events: DataFrame, width: str = "10 minutes", slide: str = "5 minutes"
+) -> DataFrame:
+    """Sliding event-time windows (each event lands in width/slide
+    windows); count + exact sum per window."""
+    w = F.window("ts", width, slide)
+    return (
+        events.groupBy(w.alias("win"))
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("total_value"))
+        .select(F.col("win.start").alias("window_start"), "n_events", "total_value")
+    )
+
+
+def session_agg(
+    events: DataFrame, gap_minutes: int = 30, user_col: str = "user_id"
+) -> DataFrame:
+    """Batch sessionization: a new session starts when the gap to the
+    previous event exceeds ``gap_minutes``. lag + running conditional sum
+    — the classic two-window plan, one shuffle on the user key.
+
+    The streaming twin is ``session_window(ts, gap)`` (see
+    streaming_session_counts in tests); this batch form is the
+    oracle-checkable contract.
+    """
+    order = Window.partitionBy(user_col).orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gap_s = gap_minutes * 60
+    prev_ts = F.lag(F.col("ts")).over(order)
+    new_session = F.when(
+        prev_ts.isNull()
+        | (
+            F.col("ts").cast("timestamp").cast("double")
+            - prev_ts.cast("timestamp").cast("double")
+            > gap_s
+        ),
+        1,
+    ).otherwise(0)
+    running = Window.partitionBy(user_col).orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    with_sess = events.select(
+        user_col, "ts", "event_id", "value", new_session.alias("is_new")
+    ).withColumn("session_id", F.sum("is_new").over(running))
+    return with_sess.groupBy(user_col, "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+        dsum("value").alias("total_value"),
+    )
+
+
+def streaming_tumbling_counts(
+    spark: SparkSession, events_path: str, width: str = "5 minutes"
+) -> DataFrame:
+    """The REAL streaming path: readStream over the events parquet →
+    tumbling-window aggregation → memory sink, run to completion with
+    Trigger.AvailableNow semantics (complete output mode so every window
+    is emitted at end-of-stream).
+
+    Returns the materialized result — identical rows to
+    ``tumbling_window_agg`` on the same data, which is how the driver's
+    oracle can check a streaming query with plain SQL.
+    """
+    import os
+
+    batch_df = spark.read.parquet(events_path)
+    schema = batch_df.schema
+    # the streaming file source watches a DIRECTORY; glob-filter to the
+    # one table file inside the sf dir
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", os.path.basename(events_path))
+        .parquet(os.path.dirname(events_path))
+    )
+    # nanos ts arrives as long when the legacy conf is set; normalize
+    if dict(stream.dtypes)["ts"] == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+        )
+    agg = tumbling_window_agg(stream, width)
+    name = "tumbling_" + next(tempfile._get_candidate_names())  # unique sink
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -1,0 +1,75 @@
+"""Dedup-operator tests: exact dedup survivors, MinHash-LSH recall vs
+the exact Jaccard baseline, SimHash invariances."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ig_etl_with_user_reports_2024_spark.operators import dedup as dd
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog again and again today"),
+    (2, "the quick brown fox jumps over the lazy dog again and again today"),  # exact dup of 1
+    (3, "the quick brown fox jumps over the lazy dog again and again tonight"),  # near dup
+    (4, "completely different content about spark sql engines and shuffles"),
+    (5, "short"),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id bigint, text string")
+
+
+def test_exact_dedup_keeps_first(spark):
+    out = dd.exact_dedup(_docs(spark), "text", order_cols=["doc_id"]).collect()
+    kept = sorted(r.doc_id for r in out)
+    assert kept == [1, 3, 4, 5]  # doc 2 deduped, first occurrence (1) kept
+
+
+def test_shingle_pairs_jaccard_exact(spark):
+    pairs = {
+        (r.a_id, r.b_id): r.jaccard
+        for r in dd.shingle_pairs_jaccard(
+            _docs(spark), "doc_id", "text", n=3, threshold=0.3
+        ).collect()
+    }
+    assert pairs[(1, 2)] == 1.0  # identical docs
+    assert 0.5 < pairs[(1, 3)] < 1.0  # near-dup
+    assert (1, 4) not in pairs
+
+
+def test_minhash_lsh_recall_vs_exact(spark, sf_oracle):
+    docs = spark.read.parquet(f"{sf_oracle}/documents.parquet")
+    exact = {
+        (r.a_id, r.b_id)
+        for r in dd.shingle_pairs_jaccard(
+            docs, "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+    approx = {
+        (r.a_id, r.b_id)
+        for r in dd.minhash_lsh_pairs(
+            docs, "doc_id", "text", num_hashes=32, bands=8, verify_threshold=0.3
+        ).collect()
+    }
+    if exact:
+        recall = len(exact & approx) / len(exact)
+        assert recall >= 0.8, f"minhash recall {recall:.2f} on {len(exact)} pairs"
+
+
+def test_simhash_identical_docs_same_fingerprint(spark):
+    sig = {r.doc: r.simhash for r in dd.simhash64(_docs(spark), "doc_id", "text").collect()}
+    assert sig[1] == sig[2]
+    # near-dup has small hamming distance, unrelated doc a large one
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    assert ham(sig[1], sig[3]) < ham(sig[1], sig[4])
+
+
+def test_simhash_near_pairs_contains_duplicates(spark):
+    pairs = {
+        (r.a_id, r.b_id)
+        for r in dd.simhash_near_pairs(
+            _docs(spark), "doc_id", "text", max_hamming=10
+        ).collect()
+    }
+    assert (1, 2) in pairs

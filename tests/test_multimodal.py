@@ -1,0 +1,51 @@
+"""Multimodal plumbing tests: binary columns, metadata, the stubbed
+mapInPandas decode, frame sampling."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ig_etl_with_user_reports_2024_spark.operators import multimodal as mm
+
+
+def _payloads(spark):
+    df = spark.createDataFrame(
+        [(1, b"\x89PNG fake image bytes"), (2, b"RIFF fake wav bytes" * 10)],
+        "doc_id bigint, payload binary",
+    )
+    return mm.with_media_columns(df, "doc_id", "payload")
+
+
+def test_media_metadata_jvm_side(spark):
+    rows = {r.doc_id: r for r in _payloads(spark).collect()}
+    assert rows[1].media_meta.n_bytes == len(b"\x89PNG fake image bytes")
+    assert len(rows[1].media_meta.content_digest) == 32
+    assert rows[2].media_meta.n_bytes == 19 * 10
+
+
+def test_decode_stub_raises_without_fake(spark):
+    with pytest.raises(Exception) as exc:
+        mm.decode_media_batch(_payloads(spark), fake=False).collect()
+    assert "NotImplementedError" in str(exc.value) or "real media decoding" in str(
+        exc.value
+    )
+
+
+def test_fake_decode_deterministic(spark):
+    a = {r.doc_id: (r.width, r.height, r.n_frames) for r in mm.decode_media_batch(_payloads(spark), fake=True).collect()}
+    b = {r.doc_id: (r.width, r.height, r.n_frames) for r in mm.decode_media_batch(_payloads(spark).repartition(5), fake=True).collect()}
+    assert a == b  # partition-independent
+    assert all(w >= 64 and h >= 64 for (w, h, _) in a.values())
+
+
+def test_frame_sample_plan(spark):
+    decoded = mm.decode_media_batch(_payloads(spark), fake=True)
+    frames = mm.frame_sample_plan(decoded, every_n=30)
+    per_doc = (
+        frames.groupBy("doc_id").agg(F.count("*").alias("n")).collect()
+    )
+    meta = {r.doc_id: r.n_frames for r in decoded.collect()}
+    for r in per_doc:
+        expected = (meta[r.doc_id] - 1) // 30 + 1
+        assert r.n == expected

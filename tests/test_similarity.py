@@ -1,0 +1,39 @@
+"""Similarity-search tests: exact cosine on known vectors, LSH recall
+vs brute force."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from ig_etl_with_user_reports_2024_spark.operators import similarity as sim
+
+
+def test_cosine_known_vectors(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [1.0, 1.0]), (4, [2.0, 0.0])],
+        "vec_id bigint, embedding array<float>",
+    )
+    out = sim.cosine_topk(df.filter("vec_id = 1"), df, k=3).collect()
+    by_rank = {r.rank: (r.n_id, r.cos_sim) for r in out}
+    assert by_rank[1][0] == 4 and abs(by_rank[1][1] - 1.0) < 1e-12
+    assert by_rank[2][0] == 3 and abs(by_rank[2][1] - 1 / math.sqrt(2)) < 1e-12
+    assert by_rank[3][0] == 2 and abs(by_rank[3][1]) < 1e-12
+
+
+def test_lsh_recall_vs_bruteforce(spark, sf_oracle):
+    emb = spark.read.parquet(f"{sf_oracle}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.q_id, r.n_id)
+        for r in sim.cosine_topk(queries, emb, k=5).collect()
+    }
+    # random 64-d embeddings have weak neighbor structure (cos ~0.3), so
+    # per-band sign agreement is low — use more, shorter bands for recall
+    approx = {
+        (r.q_id, r.n_id)
+        for r in sim.lsh_topk(queries, emb, k=5, bands=12, bits_per_band=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"LSH recall {recall:.2f}"

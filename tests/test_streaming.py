@@ -1,0 +1,75 @@
+"""Streaming-surface tests: readStream parity with batch, session
+windows, watermarked append mode."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ig_etl_with_user_reports_2024_spark.sources.readers import load_table
+from ig_etl_with_user_reports_2024_spark.streaming.events import (
+    session_agg,
+    streaming_tumbling_counts,
+    tumbling_window_agg,
+)
+
+
+def test_streaming_equals_batch_tumbling(spark, sf_smoke):
+    batch = tumbling_window_agg(load_table(spark, sf_smoke, "events"))
+    stream = streaming_tumbling_counts(spark, f"{sf_smoke}/events.parquet")
+    b = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in batch.collect()
+    }
+    s = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in stream.collect()
+    }
+    assert b == s
+
+
+def test_session_window_streaming_matches_batch_session_count(spark, sf_smoke):
+    events = load_table(spark, sf_smoke, "events")
+    batch_sessions = session_agg(events, gap_minutes=30).count()
+    # streaming-native form: session_window on the same data (batch
+    # execution of the same expression — session_window works in both)
+    sw = (
+        events.groupBy(
+            F.session_window("ts", "30 minutes").alias("sw"), "user_id"
+        )
+        .agg(F.count("*").alias("n"))
+        .count()
+    )
+    assert sw == batch_sessions
+
+
+def test_watermarked_append_stream_runs(spark, sf_smoke):
+    # append-mode with watermark: the canonical late-data pipeline shape
+    schema = spark.read.parquet(f"{sf_smoke}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_smoke)
+    )
+    if dict(stream.dtypes)["ts"] == "bigint":
+        # watermark requires TIMESTAMP (not NTZ) — UTC session makes the
+        # instant identical
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wm_append_test")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # append mode emits only watermark-closed windows; all but the final
+    # window must be present
+    n = spark.table("wm_append_test").count()
+    assert n > 0

@@ -1,0 +1,70 @@
+"""Text-analysis operator tests on constructed corpora."""
+
+from __future__ import annotations
+
+from ig_etl_with_user_reports_2024_spark.operators import textops as tx
+
+
+def test_lang_id_predicts_constructed_languages(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog in a house is that for you"),
+            (2, "der hund und die katze ist nicht mit ein"),
+            (3, "el perro la casa de que y en un es"),
+            (4, "xyzzy plugh qwerty"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc: r.predicted_lang for r in tx.lang_id(df, "doc_id", "text").collect()}
+    assert out[1] == "en"
+    assert out[2] == "de"
+    assert out[3] == "es"
+    assert out[4] == "unknown"
+
+
+def test_lang_id_tie_breaks_by_declared_priority(spark):
+    # 'la'+'de' hit both es and fr lists equally → priority order (es=3 < fr=4)
+    df = spark.createDataFrame([(1, "la de")], "doc_id bigint, text string")
+    out = tx.lang_id(df, "doc_id", "text").collect()[0]
+    assert out.predicted_lang == "es"
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([(1, "Hello, world! x2")], "doc_id bigint, text string")
+    r = tx.token_counts(df, "doc_id", "text").collect()[0]
+    assert r.ws_tokens == 3
+    # hello , world ! x 2 → 6 BPE-ish tokens
+    assert r.bpe_tokens == 6
+
+
+def test_quality_score_ranges(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the and of to in is that for a with " * 10),  # stopword-rich
+            (2, "!!!! ???? ;;;; ::::"),  # punctuation garbage
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc: r.quality_score for r in tx.quality_score(df, "doc_id", "text").collect()}
+    assert out[1] > 60
+    assert out[2] < 20
+    assert all(0 <= v <= 100 for v in out.values())
+
+
+def test_fingerprints_ordering_semantics(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, "gamma beta alpha"),  # same bag of words, different order
+            (3, "alpha beta delta"),
+        ],
+        "doc_id bigint, text string",
+    )
+    content = {r.doc: r.fingerprint for r in tx.content_fingerprint(df, "doc_id", "text").collect()}
+    rolling = {
+        r.doc: r.rolling_fingerprint
+        for r in tx.rolling_hash_fingerprint(df, "doc_id", "text").collect()
+    }
+    assert content[1] == content[2]  # order-insensitive
+    assert content[1] != content[3]
+    assert rolling[1] != rolling[2]  # order-sensitive
