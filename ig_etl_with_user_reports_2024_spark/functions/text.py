@@ -37,10 +37,10 @@ def extract_mentions(caption: Column) -> Column:
 
 
 def username_tokens(username: Column) -> Column:
-    """Username tokenization: strip '_', replace '_'/'.' with spaces, split
-    (analyze_insta_enhanced.py:1019-1020)."""
+    """Username tokenization: strip '_', replace '_'/'.' with spaces, split,
+    keep tokens of length > 1 (analyze_insta_enhanced.py:1017-1020)."""
     cleaned = F.regexp_replace(F.lower(username), r"[_.]+", " ")
-    return F.filter(F.split(F.trim(cleaned), r"\s+"), lambda t: t != F.lit(""))
+    return F.filter(F.split(F.trim(cleaned), r"\s+"), lambda t: F.length(t) > 1)
 
 
 def bio_tokens(bio: Column) -> Column:

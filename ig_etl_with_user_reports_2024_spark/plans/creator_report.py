@@ -1,0 +1,1032 @@
+"""The creator-report pipeline — the reference's main query (SURVEY.md §3.1
++ §3.2) as one declarative Spark plan, label- and formula-exact to the
+reference (golden parity tested against /root/reference's checked-in
+analyzed.json in tests/test_golden_reference.py).
+
+Reference shape: ``run_analysis`` (analyze_insta_enhanced.py:1936-2025)
+loads two JSON docs per creator and fans out to ~18 Python functions,
+re-scanning the in-memory post list ~10×, one creator at a time.
+
+Spark shape (SURVEY.md §3.1 "rebuild lifecycle"):
+
+    read users docs ─┐
+    read posts docs ─┤ posexplode(edges) → per-post feature projection
+                     │ (no shuffle: timestamps, ER formulas, flags,
+                     │  hashtags/mentions — one narrow select)
+                     ├─ ONE exchange on username: windows (top-6, latest-6,
+                     │  trend halves, gaps) + ONE groupBy with every
+                     │  aggregate (A4-A14)
+                     ├─ users ⋈ post-aggregates (J3) + broadcast dims
+                     │  (pricing C3, niche keywords C9, platforms)
+                     ├─ classifier CASE columns (C1-C14)
+                     └─ sinks: analyzed JSON (S4), wide CSV (S5), txt (S6)
+
+Every date window takes a pinned ``as_of`` (Q8); every order-sensitive
+step carries the arrival-order ``pos`` column (Q10); Python round() maps
+to bround (Q11); the trend halves split at n//2 in arrival order (Q7);
+``compat_q6`` preserves the reference's mixed-window fake-follower
+divisor (Q6) — pass False for the fixed semantics.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .. import dims
+from ..config import AS_OF_REFERENCE, COLLAB_RECENT_DAYS, FAKE_FOLLOWER_SLICE, RECENT_DAYS
+from ..functions.text import MENTION_RE
+from ..schemas import POST_DOC_SCHEMA, USER_DOC_SCHEMA
+from ..sources.readers import read_json_docs
+
+# exact hashtag pattern of the 90-day analysis (analyze_insta_enhanced.py:1591)
+HASHTAG90_RE = r"#([A-Za-z0-9_]+)"
+
+# --------------------------------------------------------------------------
+# Ingest (S2/S3): whole-doc JSON → normalized users / posts DataFrames.
+# --------------------------------------------------------------------------
+
+
+def load_users(spark: SparkSession, glob_path: str) -> DataFrame:
+    """userInfo.json docs → one row per creator.
+
+    Reference: load at analyze_insta_enhanced.py:1713; private/empty
+    filter F6 (insta_scraper_enhanced.py:144-151) applied here.
+    """
+    docs = read_json_docs(spark, glob_path, USER_DOC_SCHEMA)
+    u = docs.select(F.col("data.user.*"), F.col("_source_file"))
+    return u.filter(~F.coalesce(F.col("is_private"), F.lit(True)))
+
+
+def load_posts(spark: SparkSession, glob_path: str) -> DataFrame:
+    """postInfo.json docs → one row per post with creator key + arrival pos.
+
+    Reference: edges access analyze_insta_enhanced.py:408,1505,1735.
+    ``posexplode`` keeps the API delivery order (newest-first) as ``pos``
+    — the Q10 arrival-order column everything downstream relies on.
+    """
+    docs = read_json_docs(spark, glob_path, POST_DOC_SCHEMA)
+    edges = docs.select(
+        F.col("_source_file"),
+        F.posexplode(
+            F.col("data.xdt_api__v1__feed__user_timeline_graphql_connection.edges")
+        ).alias("pos", "edge"),
+    )
+    # the creator key is the DIRECTORY name, not any per-post field — a
+    # collab post's node.user/owner can be another account, but the
+    # reference attributes every edge in the dir to the dir's creator
+    # (analyze_insta_enhanced.py:1706-1714)
+    return edges.select(
+        F.regexp_extract(F.col("_source_file"), r"([^/]+)/postInfo\.json", 1).alias(
+            "username"
+        ),
+        "pos",
+        F.col("edge.node.*"),
+    )
+
+
+def _any_contains(text: Column, terms: list[str]) -> Column:
+    out = None
+    for t in terms:
+        hit = text.contains(t)
+        out = hit if out is None else (out | hit)
+    return out
+
+
+# --------------------------------------------------------------------------
+# Per-post feature projection (build plan §7.2 step 3) — zero shuffles.
+# --------------------------------------------------------------------------
+
+
+def per_post_features(
+    posts: DataFrame, followers: DataFrame, as_of: dt.datetime
+) -> DataFrame:
+    """One ``select`` computing every per-post derived column.
+
+    The reference computes these across ~10 separate passes; columns:
+    - timestamps/hour (X5: analyze_insta_enhanced.py:173-174,438-439)
+    - three ER formulas (A1-A3/Q5: :433, :1519-1523, :523)
+    - window flags: 90-day recent (F2 :1502), 300-day collab-recent (F3 :1282)
+    - clips/paid flags (F4/F5 :1149,:1153)
+    - sponsored detector (C13 :581-601): caption indicator OR sponsor_tags
+    - hashtags/mentions arrays (X1 :1591-1602)
+    - collaboration source flags (C12 :1316-1426)
+    """
+    cutoff_recent = int(as_of.timestamp()) - RECENT_DAYS * 86400
+    cutoff_collab = int(as_of.timestamp()) - COLLAB_RECENT_DAYS * 86400
+
+    p = posts.join(F.broadcast(followers), "username", "left")
+    cap = F.coalesce(F.col("caption.text"), F.lit(""))
+    cap_lower = F.lower(cap)
+    likes = F.coalesce(F.col("like_count"), F.lit(0))
+    comments = F.coalesce(F.col("comment_count"), F.lit(0))
+    shares = F.coalesce(F.col("share_count"), F.lit(0))
+    fol_raw = F.coalesce(F.col("follower_count"), F.lit(0))
+    fol_guard = F.greatest(fol_raw, F.lit(1))  # max(follower_count, 1) :433
+
+    is_sponsored = _any_contains(
+        cap_lower, [t.lower() for t in dims.SPONSOR_CAPTION_TERMS]
+    ) | (F.size(F.coalesce(F.col("sponsor_tags"), F.array())) > 0)
+
+    # UGC keyword in caption, plain or #hashtag-collapsed (:866)
+    ugc_caption = _any_contains(
+        cap_lower,
+        [k for k in dims.UGC_KEYWORDS] + [f"#{k.replace(' ', '')}" for k in dims.UGC_KEYWORDS],
+    )
+
+    ad_collab = cap_lower.contains("#ad") | cap_lower.contains("#collab")
+    foreign_owner = F.col("owner.username").isNotNull() & (
+        F.col("owner.username") != F.col("username")
+    )
+    foreign_coauthors = F.filter(
+        F.coalesce(F.col("coauthor_producers"), F.array()),
+        lambda c: c["username"] != F.col("username"),
+    )
+
+    return p.select(
+        "username",
+        "pos",
+        "id",
+        "code",
+        "taken_at",
+        F.timestamp_seconds(F.col("taken_at")).alias("taken_ts"),
+        F.hour(F.timestamp_seconds(F.col("taken_at"))).alias("post_hour"),
+        likes.alias("likes"),
+        comments.alias("comments"),
+        shares.alias("shares"),
+        fol_raw.alias("follower_count"),
+        "product_type",
+        "media_type",
+        cap.alias("caption_text"),
+        # A1 'engagement score' — (likes + comments*2)/max(fol,1)*100 (:433)
+        ((likes + comments * 2) / fol_guard * 100).alias("er_engagement"),
+        # A2 'interaction score' (5×) + its ER (:1519-1523; raw-follower div)
+        (likes + 5 * comments).alias("interaction_score"),
+        F.when(fol_raw > 0, (likes + 5 * comments) / fol_raw * 100).alias(
+            "er_interaction"
+        ),
+        # A3 plain latest-posts ER — 0 when no followers (:522-525)
+        F.when(fol_raw > 0, (likes + comments) / fol_raw * 100)
+        .otherwise(0.0)
+        .alias("er_latest"),
+        (likes + comments).alias("total_engagement"),
+        (F.col("taken_at") >= cutoff_recent).alias("is_recent_90d"),
+        (F.col("taken_at") >= cutoff_collab).alias("is_recent_300d"),
+        (F.col("product_type") == "clips").alias("is_clips"),
+        F.coalesce(F.col("is_paid_partnership"), F.lit(False)).alias("is_paid"),
+        is_sponsored.alias("is_sponsored"),
+        ugc_caption.alias("has_ugc_caption"),
+        ad_collab.alias("has_ad_collab_tag"),
+        foreign_owner.alias("has_foreign_owner"),
+        F.col("owner.username").alias("owner_username"),
+        foreign_coauthors["username"].alias("foreign_coauthors"),
+        F.transform(
+            F.regexp_extract_all(cap, F.lit(HASHTAG90_RE), F.lit(1)), F.lower
+        ).alias("hashtags"),
+        F.regexp_extract_all(cap, F.lit(MENTION_RE), F.lit(1)).alias("mentions"),
+        F.col("location.name").alias("location_name"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Per-creator aggregation core (build plan §7.2 step 4) — one exchange.
+# --------------------------------------------------------------------------
+
+
+def creator_post_aggregates(
+    feat: DataFrame,
+    as_of: dt.datetime,
+    compat_q6: bool = True,
+    python_rounding: bool = False,
+) -> DataFrame:
+    """Every per-creator aggregate in ONE groupBy over window-annotated
+    rows; the windows share the username hash partitioning, so the whole
+    stage is a single exchange (vs ~10 per-creator list scans).
+
+    Formula fidelity (analyze_insta_enhanced.py):
+    - avg_likes/comments/shares = Python round(mean) → bround 0dp (:445-447)
+    - engagement_rate = round((Σ(l+c)/n)/followers*100, 2) (:451)
+    - consistency = round(max(0, 100-σ/max(μ,0.1)*100), 1) over the A1
+      engagement scores (:455-458)
+    - viral = count(score > 2μ) over A1 scores (:461-462)
+    - trend halves split at n//2 in arrival order (Q7, :501-504)
+    - latest-6 ER: per-post round 2dp; avg over UNROUNDED sum, 3dp (:514-531)
+    - top-6: per-post ER rounded 2dp FIRST, then mean of rounded, 2dp
+      (:1525-1543) — within the 90-day window
+    - Q6 divisor: first-20 sums over len(all) (compat_q6=True, :267-277)
+
+    python_rounding: route rounded columns through the CPython-exact
+    pandas UDF (functions/pyround.py) for golden-file bit parity; the
+    default is JVM bround (see pyround's docstring for why they differ).
+    """
+    from ..functions.pyround import rounder
+
+    rnd = rounder(python_rounding)
+    w_time = Window.partitionBy("username").orderBy(
+        F.col("taken_at").desc(), F.col("pos").asc()
+    )
+    w_part = Window.partitionBy("username")
+    w_arrival = Window.partitionBy("username").orderBy(F.col("pos").asc())
+
+    annotated = (
+        feat.withColumn("time_rank", F.row_number().over(w_time))
+        .withColumn("arrival_rank", F.row_number().over(w_arrival))
+        .withColumn("n_total", F.count("*").over(w_part))
+        # Q7: recent half = first n//2 rows in arrival order (:502-504)
+        .withColumn("is_recent_half", F.col("arrival_rank") <= F.floor(F.col("n_total") / 2))
+        .withColumn(
+            "gap_days",
+            (
+                F.col("taken_at").cast("double")
+                - F.lag(F.col("taken_at"), -1).over(w_time).cast("double")
+            )
+            / 86400.0,
+        )
+        .withColumn(
+            "recent_score_rank",
+            F.row_number().over(
+                Window.partitionBy("username").orderBy(
+                    F.when(F.col("is_recent_90d"), F.col("interaction_score"))
+                    .otherwise(F.lit(None))
+                    .desc_nulls_last(),
+                    F.col("pos").asc(),
+                )
+            ),
+        )
+        # viral threshold: the creator mean must exist BEFORE the groupBy
+        # (window functions cannot nest inside aggregates)
+        .withColumn("_mean_score", F.avg("er_engagement").over(w_part))
+    )
+
+    slice20 = F.col("pos") < FAKE_FOLLOWER_SLICE
+    q6_div = F.count("*") if compat_q6 else F.sum(F.when(slice20, 1).otherwise(0))
+
+    # per-post top-6 ER is rounded FIRST (:1529) — row-level, so the
+    # compat UDF is usable here
+    annotated = annotated.withColumn("_er_int_r", rnd(F.col("er_interaction"), 2))
+    top6_er = F.when(
+        (F.col("recent_score_rank") <= 6) & F.col("is_recent_90d"),
+        F.col("_er_int_r"),
+    )
+
+    agg = annotated.groupBy("username").agg(
+        F.count("*").alias("n_posts"),
+        F.first("follower_count").alias("_fol"),
+        # A4 (:444-452) — raw means; rounding happens post-agg (a scalar
+        # UDF cannot wrap an aggregate inside agg())
+        F.avg("likes").alias("_avg_likes_raw"),
+        F.avg("comments").alias("_avg_comments_raw"),
+        F.avg("shares").alias("_avg_shares_raw"),
+        F.sum("total_engagement").alias("_total_eng"),
+        F.avg("total_engagement").alias("_avg_eng_raw"),
+        # A5/A6 over A1 scores (:455-462)
+        F.stddev_samp("er_engagement").alias("_score_stddev"),
+        F.avg("er_engagement").alias("_score_mean"),
+        # A11 (:465-473)
+        F.avg("gap_days").alias("_avg_gap_days"),
+        # A12 trend means (:501-511)
+        F.avg(F.when(F.col("is_recent_half"), F.col("likes"))).alias("_recent_mean"),
+        F.avg(F.when(~F.col("is_recent_half"), F.col("likes"))).alias("_older_mean"),
+        # A13 (:643-657)
+        F.avg(F.when(F.col("is_sponsored"), F.col("total_engagement"))).alias(
+            "sponsored_avg_engagement"
+        ),
+        F.avg(F.when(~F.col("is_sponsored"), F.col("total_engagement"))).alias(
+            "organic_avg_engagement"
+        ),
+        F.sum(F.when(F.col("is_sponsored"), 1).otherwise(0)).alias("sponsored_posts"),
+        # K1 top-6 (:1525-1543)
+        F.avg(top6_er).alias("_aer_raw"),
+        F.sum(F.when(F.col("is_recent_90d"), 1).otherwise(0)).alias(
+            "total_posts_last_3_months"
+        ),
+        # K2 latest-6 (:514-531)
+        *[
+            F.max(F.when(F.col("time_rank") == i, F.col("er_latest"))).alias(
+                f"_post{i}_raw"
+            )
+            for i in range(1, 7)
+        ],
+        F.sum(F.when(F.col("time_rank") <= 6, F.col("er_latest"))).alias(
+            "_latest6_er_sum"
+        ),
+        F.sum(F.when(F.col("time_rank") <= 6, 1)).alias("_latest6_n"),
+        # Q6 inputs (:267-277)
+        (F.sum(F.when(slice20, F.col("likes")).otherwise(0)) / q6_div).alias(
+            "_ff_avg_likes"
+        ),
+        (F.sum(F.when(slice20, F.col("comments")).otherwise(0)) / q6_div).alias(
+            "_ff_avg_comments"
+        ),
+        (
+            F.sum(
+                F.when(slice20, F.col("likes") + F.col("comments")).otherwise(0)
+            )
+            / q6_div
+        ).alias("_ff_sum_eng_per_post"),
+        # C12 flags
+        F.max(F.col("is_paid")).alias("any_paid"),
+        F.max(F.col("has_ad_collab_tag")).alias("any_ad_collab"),
+        F.max(F.col("has_foreign_owner")).alias("any_foreign_owner"),
+        F.max(F.size("foreign_coauthors") > 0).alias("any_foreign_coauthor"),
+        F.max(F.col("has_ugc_caption")).alias("any_ugc_caption"),
+        # A8 (:192-193)
+        F.countDistinct("location_name").alias("travel_frequency"),
+        F.least(F.lit(100), F.countDistinct("location_name") * 5).alias(
+            "location_diversity"
+        ),
+        F.sum(
+            F.when(F.col("er_engagement") > 2 * F.col("_mean_score"), 1).otherwise(0)
+        ).alias("viral_posts_count"),
+    )
+
+    fol = F.col("_fol")
+    engagement_rate = F.when(
+        fol > 0, rnd(F.col("_total_eng") / F.col("n_posts") / fol * 100, 2)
+    )
+    consistency = F.when(
+        F.col("n_posts") >= 2,
+        rnd(
+            F.greatest(
+                F.lit(0.0),
+                F.lit(100.0)
+                - F.col("_score_stddev")
+                / F.greatest(F.col("_score_mean"), F.lit(0.1))
+                * 100.0,
+            ),
+            1,
+        ),
+    ).otherwise(0.0)
+    trend = (
+        F.when(F.col("n_posts") < 10, F.lit(None).cast("string"))
+        .when(F.col("_recent_mean") > F.col("_older_mean") * 1.15, "Growing")
+        .when(F.col("_recent_mean") < F.col("_older_mean") * 0.85, "Declining")
+        .otherwise("Stable")
+    )
+    post_frequency = (
+        F.when(F.col("_avg_gap_days").isNull(), F.lit(None).cast("string"))
+        .when(F.col("_avg_gap_days") < 0.5, "Multiple times daily")
+        .when(F.col("_avg_gap_days") < 1, "Daily")
+        .when(F.col("_avg_gap_days") < 2, "Every other day")
+        .when(F.col("_avg_gap_days") < 7, "Weekly")
+        .when(F.col("_avg_gap_days") < 14, "Bi-weekly")
+        .otherwise("Monthly or less")
+    )
+    avg_latest = F.when(
+        F.col("_latest6_n") > 0,
+        rnd(F.col("_latest6_er_sum") / F.col("_latest6_n"), 3),
+    ).otherwise(0.0)
+    return (
+        agg.withColumn("avg_likes", rnd(F.col("_avg_likes_raw"), 0).cast("long"))
+        .withColumn("avg_comments", rnd(F.col("_avg_comments_raw"), 0).cast("long"))
+        .withColumn("avg_shares", rnd(F.col("_avg_shares_raw"), 0).cast("long"))
+        .withColumn(
+            "avg_engagement_per_post", rnd(F.col("_avg_eng_raw"), 0).cast("long")
+        )
+        .withColumn("engagement_rate", engagement_rate)
+        .withColumn("consistency_score", consistency)
+        .withColumn("engagement_trend", trend)
+        .withColumn("post_frequency", post_frequency)
+        .withColumn("avg_latest_posts_er", avg_latest)
+        .withColumn(
+            "average_engagement_rate",
+            F.coalesce(rnd(F.col("_aer_raw"), 2), F.lit(0.0)),
+        )
+        .withColumns(
+            {f"post{i}_er": rnd(F.col(f"_post{i}_raw"), 2) for i in range(1, 7)}
+        )
+        .drop(
+            "_recent_mean",
+            "_older_mean",
+            "_score_stddev",
+            "_score_mean",
+            "_avg_gap_days",
+            "_latest6_er_sum",
+            "_latest6_n",
+            "_total_eng",
+            "_aer_raw",
+            "_avg_likes_raw",
+            "_avg_comments_raw",
+            "_avg_shares_raw",
+            "_avg_eng_raw",
+            *[f"_post{i}_raw" for i in range(1, 7)],
+        )
+    )
+
+
+def creator_modal_hour(feat: DataFrame) -> DataFrame:
+    """A7 + K4 + C5 — posting-hour histogram → modal hour → daypart.
+
+    Reference: Counter.most_common(1) analyze_insta_enhanced.py:489-498;
+    ties = insertion (arrival) order (Q10) → (count desc, first pos).
+    Exact buckets: 6-11 Morning / 12-17 Afternoon / 18-22 Evening / Night.
+    """
+    hours = feat.groupBy("username", "post_hour").agg(
+        F.count("*").alias("cnt"), F.min("pos").alias("first_pos")
+    )
+    w = Window.partitionBy("username").orderBy(
+        F.col("cnt").desc(), F.col("first_pos").asc(), F.col("post_hour").asc()
+    )
+    best = hours.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    daypart = (
+        F.when(F.col("post_hour").between(6, 11), "Morning (6-11 AM)")
+        .when(F.col("post_hour").between(12, 17), "Afternoon (12-5 PM)")
+        .when(F.col("post_hour").between(18, 22), "Evening (6-10 PM)")
+        .otherwise("Night (11 PM-5 AM)")
+    )
+    return best.select(
+        "username",
+        F.col("post_hour").alias("most_active_hour"),
+        daypart.alias("best_posting_time"),
+    )
+
+
+def creator_hashtags_mentions(feat: DataFrame, k: int = 10) -> DataFrame:
+    """A7 + K3 — top-10 hashtags AND stoplist-filtered mentions over the
+    90-day window (analyze_insta_enhanced.py:1557-1609); Python dict-sort
+    ties = first-seen order (Q10) → (count desc, first pos, token)."""
+
+    def top_tokens(col: str, out: str, stoplist: list[str] | None) -> DataFrame:
+        # posexplode: Python's count-dict keeps FIRST-INSERTION order for
+        # ties (Q10) — that is (post arrival order, position of the token
+        # within the caption), so both indices become tie-break columns
+        toks = feat.filter(F.col("is_recent_90d")).select(
+            "username", "pos", F.posexplode(col).alias("tok_idx", "token")
+        )
+        if stoplist is not None:
+            toks = toks.select(
+                "username", "pos", "tok_idx", F.lower(F.col("token")).alias("token")
+            ).filter(
+                (F.length("token") >= 3) & ~F.col("token").isin(stoplist)
+            )
+        counts = toks.groupBy("username", "token").agg(
+            F.count("*").alias("cnt"),
+            F.min(F.struct("pos", "tok_idx")).alias("first_seen"),
+        )
+        w = Window.partitionBy("username").orderBy(
+            F.col("cnt").desc(),
+            F.col("first_seen.pos").asc(),
+            F.col("first_seen.tok_idx").asc(),
+        )
+        top = counts.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+        return top.groupBy("username").agg(
+            F.map_from_entries(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rn", "token", "cnt"))),
+                    lambda s: F.struct(
+                        s["token"].alias("key"), s["cnt"].alias("value")
+                    ),
+                )
+            ).alias(out)
+        )
+
+    # mentions stoplist is exact (:1600); hashtags pre-lowered at extract
+    tags = top_tokens("hashtags", "hashtags_last_90_days", None)
+    mentions = top_tokens("mentions", "mentions_last_90_days", dims.MENTION_STOPLIST)
+    return tags.join(mentions, "username", "full")
+
+
+def creator_collaborations(feat: DataFrame) -> DataFrame:
+    """C12 — collaboration cascade + collaborator collection.
+
+    Reference: analyze_insta_enhanced.py:1277-1475 — status is 'Active'
+    on the first hit of: paid partnership → #ad/#collab caption →
+    foreign owner → foreign coauthor (encoded as flags in the aggregate;
+    the labeled cascade lives in creator_report). Collaborator names come
+    from the four sources with priority tags, first-occurrence dedup
+    (Q10) via (source priority, pos).
+    """
+    sources = (
+        feat.select(
+            "username",
+            "pos",
+            F.lit(1).alias("src_prio"),
+            F.lit("paid_partnership").alias("source"),
+            F.explode(
+                F.when(F.col("is_paid"), F.col("mentions")).otherwise(F.array())
+            ).alias("collab"),
+            "is_recent_300d",
+        )
+        .unionAll(
+            feat.select(
+                "username",
+                "pos",
+                F.lit(2),
+                F.lit("tag"),
+                F.explode(
+                    F.when(F.col("has_ad_collab_tag"), F.col("mentions")).otherwise(
+                        F.array()
+                    )
+                ),
+                "is_recent_300d",
+            )
+        )
+        .unionAll(
+            feat.filter(F.col("has_foreign_owner")).select(
+                "username",
+                "pos",
+                F.lit(3),
+                F.lit("owner"),
+                F.col("owner_username"),
+                "is_recent_300d",
+            )
+        )
+        .unionAll(
+            feat.select(
+                "username",
+                "pos",
+                F.lit(4),
+                F.lit("coauthor"),
+                F.explode(F.coalesce("foreign_coauthors", F.array())),
+                "is_recent_300d",
+            )
+        )
+    )
+    cleaned = sources.filter(
+        (F.length("collab") >= 3)
+        & ~F.lower(F.col("collab")).isin(dims.MENTION_STOPLIST)
+    )
+    w = Window.partitionBy("username", "collab").orderBy(
+        F.col("src_prio").asc(), F.col("pos").asc()
+    )
+    first = cleaned.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return first.groupBy("username").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("src_prio", "pos", "collab", "source", "is_recent_300d")
+                )
+            ),
+            lambda s: F.struct(
+                s["collab"].alias("name"),
+                s["source"].alias("source"),
+                s["is_recent_300d"].alias("is_recent"),
+            ),
+        ).alias("recent_collaborations"),
+        F.count("*").alias("total_collaborations"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Profile-text extractors (build plan §7.2 step 5) + classifiers (step 6).
+# --------------------------------------------------------------------------
+
+# exact 5-pattern cascade (analyze_insta_enhanced.py:1687-1693); the
+# matched string is stripped of [\s.-] (:1697)
+PHONE_PATTERNS = [
+    r"\+?\d{1,4}[-.\s]?\(?\d{2,4}\)?[-.\s]?\d{3,4}[-.\s]?\d{4}",
+    r"\+\d{10,15}",
+    r"\(?\d{3}\)?[-.\s]?\d{3}[-.\s]?\d{4}",
+    r"\(?\d{3}\)?[-.\s]?\d{3}[-.\s]?\d{4}\s*x\d{1,5}",
+    r"\d{3,}[-.\s]?\d{3,}[-.\s]?\d{4,}",
+]
+
+# exact email pattern (:1631)
+EMAIL_EXACT_RE = r"\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Z|a-z]{2,}\b"
+
+
+def creator_profile_features(
+    users: DataFrame, spark: SparkSession, python_rounding: bool = False
+) -> DataFrame:
+    """X1/X2/C1/C7/C8 profile-level columns in one projection + one
+    explode-join for niche scoring (C9/A10).
+
+    Reference: email :1631, phone cascade :1687-1699, name split
+    :1649-1652, gender :714-788 (substring-containment counts, quirk
+    preserved), size :1655-1678, account type :1814-1852, niche
+    :962-1112, social links :790-835.
+    """
+    from ..functions.pyround import rounder
+
+    rnd = rounder(python_rounding)
+    bio = F.coalesce(F.col("biography"), F.lit(""))
+    bio_lower = F.lower(bio)
+    name_lower = F.lower(F.coalesce(F.col("full_name"), F.lit("")))
+    uname_lower = F.lower(F.col("username"))
+    fol = F.coalesce(F.col("follower_count"), F.lit(0))
+
+    phone = F.regexp_replace(
+        F.coalesce(
+            *[F.nullif(F.regexp_extract(bio, p, 0), F.lit("")) for p in PHONE_PATTERNS]
+        ),
+        r"[\s.-]",
+        "",
+    )
+
+    # C7 — pronoun field first (:733-746): category of the FIRST matching
+    # pronoun in list order
+    norm_prons = F.transform(
+        F.coalesce(F.col("pronouns"), F.array()), lambda p: F.trim(F.lower(p))
+    )
+    all_prons = dims.PRONOUNS_FEMALE + dims.PRONOUNS_MALE + dims.PRONOUNS_NB
+    # try_element_at: ANSI mode errors on element_at of an empty array
+    first_pron = F.try_element_at(
+        F.filter(norm_prons, lambda p: p.isin(*all_prons)), F.lit(1)
+    )
+    gender_by_pronoun = (
+        F.when(first_pron.isin(*dims.PRONOUNS_FEMALE), "Female")
+        .when(first_pron.isin(*dims.PRONOUNS_MALE), "Male")
+        .when(first_pron.isin(*dims.PRONOUNS_NB), "Non-binary")
+    )
+    # keyword path (:749-788): SUBSTRING containment count per list,
+    # argmax with Female > Male > Non-binary tie order
+    all_text = F.concat_ws(" ", bio_lower, name_lower, uname_lower)
+    scores = {}
+    for g, _, kws in dims.GENDER_KEYWORDS:
+        s = None
+        for kw in kws:
+            hit = F.when(all_text.contains(kw), 1).otherwise(0)
+            s = hit if s is None else s + hit
+        scores[g] = s
+    max_score = F.greatest(scores["Female"], scores["Male"], scores["Non-binary"])
+    kw_gender = (
+        F.when(max_score == 0, "Unknown")
+        .when(scores["Female"] == max_score, "Female")
+        .when(scores["Male"] == max_score, "Male")
+        .otherwise("Non-binary")
+    )
+    gender = F.coalesce(gender_by_pronoun, kw_gender)
+
+    # C1 (:1655-1678) — falsy follower count → Unknown
+    size = (
+        F.when(fol == 0, "Unknown")
+        .when(fol < 5000, "Nano-Influencer")
+        .when(fol < 50000, "Micro-Influencer")
+        .when(fol < 500000, "Mid-Tier Influencer")
+        .when(fol < 1000000, "Macro-Influencer")
+        .otherwise("Mega-Influencer")
+    )
+
+    # C2 profile-text UGC hit (:856-859); caption hits merge in later
+    profile_ugc = _any_contains(
+        F.concat_ws("\n", name_lower, uname_lower, bio_lower), dims.UGC_KEYWORDS
+    )
+
+    # C8 (:1814-1852) — exact keyword cascade
+    cat_lower = F.lower(F.coalesce(F.col("category"), F.lit("")))
+    ext_lower = F.lower(F.coalesce(F.col("external_url"), F.lit("")))
+    account_type = (
+        F.when(
+            _any_contains(cat_lower, dims.BRAND_KEYWORDS)
+            | _any_contains(bio_lower, dims.BRAND_KEYWORDS)
+            | F.coalesce(F.col("is_business"), F.lit(False)),
+            "brand",
+        )
+        .when(
+            _any_contains(cat_lower, dims.CREATOR_KEYWORDS)
+            | _any_contains(bio_lower, dims.CREATOR_KEYWORDS),
+            "creator",
+        )
+        .when(_any_contains(ext_lower, dims.SHOP_URL_KEYWORDS), "brand")
+        .when(F.coalesce(F.col("is_verified"), F.lit(False)) & (fol > 50000), "creator")
+        .otherwise("personal")
+    )
+
+    # social links (:790-835): first matching url per platform
+    urls = F.transform(
+        F.coalesce(F.col("bio_links"), F.array()), lambda link: link["url"]
+    )
+
+    def first_url(domains: list[str]) -> Column:
+        return F.try_element_at(
+            F.filter(urls, lambda u: _any_contains(F.lower(u), domains)),
+            F.lit(1),
+        )
+
+    base = users.select(
+        "username",
+        "full_name",
+        # full_name.split() — any-whitespace split, None when missing
+        # (analyze_insta_enhanced.py:1649-1652)
+        F.try_element_at(
+            F.filter(
+                F.split(F.trim(F.coalesce("full_name", F.lit(""))), r"\s+"),
+                lambda t: t != F.lit(""),
+            ),
+            F.lit(1),
+        ).alias("first_name"),
+        F.when(
+            F.size(
+                F.filter(
+                    F.split(F.trim(F.coalesce("full_name", F.lit(""))), r"\s+"),
+                    lambda t: t != F.lit(""),
+                )
+            )
+            > 1,
+            F.array_join(
+                F.slice(
+                    F.filter(
+                        F.split(F.trim(F.coalesce("full_name", F.lit(""))), r"\s+"),
+                        lambda t: t != F.lit(""),
+                    ),
+                    2,
+                    100000,
+                ),
+                " ",
+            ),
+        ).alias("last_name"),
+        bio.alias("biography"),
+        fol.alias("follower_count"),
+        F.coalesce(F.col("following_count"), F.lit(0)).alias("following_count"),
+        F.coalesce(F.col("media_count"), F.lit(0)).alias("media_count"),
+        F.coalesce(F.col("is_verified"), F.lit(False)).alias("is_verified"),
+        F.coalesce(F.col("category"), F.lit("")).alias("business_category"),
+        F.nullif(F.regexp_extract(bio, EMAIL_EXACT_RE, 0), F.lit("")).alias("email"),
+        phone.alias("phone_number"),
+        gender.alias("gender"),
+        size.alias("creator_size"),
+        profile_ugc.alias("_profile_ugc"),
+        account_type.alias("ig_account_type"),
+        F.struct(
+            first_url(["tiktok.com", "tiktok.app"]).alias("tiktok"),
+            first_url(["youtube.com", "youtu.be"]).alias("youtube"),
+            first_url(["linktr.ee"]).alias("linktree"),
+        ).alias("social_links"),
+    )
+
+    # C9 niche (:962-1112): weights username 2.0 / biography 1.5 /
+    # full_name 1.0 (:1036-1040); whole-token matching after the
+    # source-specific tokenizations (:1017-1023)
+    from ..functions.text import bio_tokens, username_tokens
+
+    toks = (
+        users.select(
+            "username",
+            F.explode(username_tokens(F.col("username"))).alias("token"),
+            F.lit(2.0).alias("weight"),
+        )
+        .unionAll(
+            users.select(
+                "username",
+                F.explode(bio_tokens(F.coalesce(F.col("biography"), F.lit("")))),
+                F.lit(1.5),
+            )
+        )
+        .unionAll(
+            users.select(
+                "username",
+                F.explode(bio_tokens(F.coalesce(F.col("full_name"), F.lit("")))),
+                F.lit(1.0),
+            )
+        )
+    )
+    # Reference scoring quirk (:1046-1056): for each keyword, count = total
+    # occurrences and weighted = Σ weight(source) PER OCCURRENCE, and the
+    # category gets weighted*count — quadratic in the occurrence count.
+    # A keyword in several categories contributes to each.
+    ndim = dims.niche_dim(spark)
+    kw_set = ndim.select("keyword").distinct()
+    per_kw = (
+        toks.join(F.broadcast(kw_set), toks.token == kw_set.keyword)
+        .groupBy("username", "token")
+        .agg(F.count("*").alias("cnt"), F.sum("weight").alias("wsum"))
+    )
+    scores_df = (
+        per_kw.join(F.broadcast(ndim), per_kw.token == ndim.keyword)
+        .groupBy("username", "category", "cat_ord")
+        .agg(F.sum(F.col("wsum") * F.col("cnt")).alias("score"))
+    )
+    w_total = Window.partitionBy("username")
+    w_rank = Window.partitionBy("username").orderBy(
+        F.col("score").desc(), F.col("cat_ord").asc()
+    )
+    niche = (
+        scores_df.withColumn(
+            "share", F.col("score") / F.sum("score").over(w_total) * 100
+        )
+        .withColumn("confidence", F.col("score") / F.max("score").over(w_total) * 100)
+        .withColumn("rn", F.row_number().over(w_rank))
+    )
+    primary = niche.filter(F.col("rn") == 1).select(
+        "username",
+        F.col("category").alias("overall_niche"),
+        # min(100, int(score/max*100)) — int() truncates (:1079-1080)
+        F.least(F.lit(100), F.floor("confidence").cast("int")).alias(
+            "niche_confidence"
+        ),
+    )
+    distribution = (
+        niche.withColumn("share_r", rnd(F.col("share"), 1))  # round pre-collect
+        .filter(F.col("share") >= 2.0)  # F9 (:1069)
+        .groupBy("username")
+        .agg(
+            F.map_from_entries(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("cat_ord", "category", "share_r"))
+                    ),
+                    lambda s: F.struct(
+                        s["category"].alias("key"),
+                        s["share_r"].alias("value"),
+                    ),
+                )
+            ).alias("niche_distribution")
+        )
+    )
+    # no keyword hit → overall_niche is None (:1073); distribution {} is
+    # represented as an empty map rather than null
+    return (
+        base.join(primary, "username", "left")
+        .join(distribution, "username", "left")
+        .withColumn(
+            "niche_distribution",
+            F.coalesce(
+                "niche_distribution",
+                F.map_from_entries(F.array().cast("array<struct<key:string,value:double>>")),
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Assembly (§3.1) + C2 tier + C3 pricing + C11 fake-follower + C12 status.
+# --------------------------------------------------------------------------
+
+
+def creator_report(
+    spark: SparkSession,
+    users: DataFrame,
+    posts: DataFrame,
+    as_of: dt.datetime = AS_OF_REFERENCE,
+    compat_q6: bool = True,
+    python_rounding: bool = False,
+) -> DataFrame:
+    """The full per-creator report DataFrame (reference output record,
+    SURVEY.md §1.4), sorted by average_engagement_rate desc (K5)."""
+    followers = users.select("username", "follower_count")
+    feat = per_post_features(posts, followers, as_of)
+    profile = creator_profile_features(users, spark, python_rounding)
+
+    aggs = creator_post_aggregates(feat, as_of, compat_q6, python_rounding)
+    modal = creator_modal_hour(feat)
+    tagsmen = creator_hashtags_mentions(feat)
+    collabs = creator_collaborations(feat)
+
+    report = (
+        profile.join(aggs, "username", "left")
+        .join(modal, "username", "left")
+        .join(tagsmen, "username", "left")
+        .join(collabs, "username", "left")
+    )
+
+    # C2 type/tier (:854-892): profile OR caption UGC hit, then demotion
+    fol = F.col("follower_count")
+    is_ugc = F.col("_profile_ugc") | F.coalesce(F.col("any_ugc_caption"), F.lit(False))
+    creator_type = F.when(is_ugc, "UGC Creator").otherwise("Social Media Influencer")
+    creator_type = F.when(
+        (creator_type == "Social Media Influencer") & (fol < 1000), "UGC Creator"
+    ).otherwise(creator_type)
+    tier = (
+        F.when(
+            creator_type == "UGC Creator",
+            F.when(fol < 1000, "Beginner").otherwise("Experienced"),
+        )
+        .when(fol < 10000, "1K-10K")
+        .when(fol < 50000, "10K-50K")
+        .when(fol < 500000, "50K-500K")
+        .otherwise("500K-1M+")
+    )
+    report = report.withColumn("creator_type", creator_type).withColumn("tier", tier)
+
+    # C11 fake followers (:244-310) — Q6-faithful inputs from the aggregate
+    ff_er = F.when(
+        fol > 0, F.col("_ff_sum_eng_per_post") / fol * 100
+    ).otherwise(F.lit(None))
+    ff_likes = F.coalesce(F.col("_ff_avg_likes"), F.lit(0.0))
+    ff_comments = F.coalesce(F.col("_ff_avg_comments"), F.lit(0.0))
+    has_data = (F.coalesce(F.col("n_posts"), F.lit(0)) > 0) & (fol > 0)
+    fake_score = F.when(
+        has_data,
+        F.when(ff_er < 0.5, 30).otherwise(0)
+        + F.when(
+            (fol > 10000) & (F.col("following_count") < 100) & (ff_er < 1), 25
+        ).otherwise(0)
+        + F.when((ff_likes > 100) & (ff_comments < ff_likes * 0.01), 20).otherwise(0),
+    ).otherwise(0)
+    quality = (
+        F.when(fake_score > 50, "Poor").when(fake_score > 25, "Moderate").otherwise("Good")
+    )
+
+    # C12 status (:1277-1475): 'Active' on first cascade hit, else None
+    any_collab = (
+        F.coalesce("any_paid", F.lit(False))
+        | F.coalesce("any_ad_collab", F.lit(False))
+        | F.coalesce("any_foreign_owner", F.lit(False))
+        | F.coalesce("any_foreign_coauthor", F.lit(False))
+    )
+    collab_status = F.when(any_collab, "Active").otherwise(F.lit(None).cast("string"))
+    collab_detail = (
+        F.when(F.coalesce("any_paid", F.lit(False)), "Paid Partnership")
+        .when(F.coalesce("any_ad_collab", F.lit(False)), "Sponsored Content")
+        .when(F.coalesce("any_foreign_owner", F.lit(False)), "Collaborative Posts")
+        .when(F.coalesce("any_foreign_coauthor", F.lit(False)), "Co-authored")
+    )
+
+    # C3 pricing (:894-954): broadcast dim on (type, tier); price points =
+    # Python round(mult*base) → bround 0dp
+    pricing = dims.pricing_dim(spark)
+    report = report.join(F.broadcast(pricing), ["creator_type", "tier"], "left")
+    price_cols = [
+        F.bround(F.col("base_price") * F.lit(mult), 0).cast("long").alias(name)
+        for name, mult in dims.PRICE_MULTIPLIERS
+    ]
+
+    return (
+        report.withColumn("fake_follower_score", fake_score)
+        .withColumn("authenticity_score", 100 - fake_score)
+        .withColumn("engagement_quality", quality)
+        .withColumn("collaboration_status", collab_status)
+        .withColumn("collaboration_status_detail", collab_detail)
+        .select(
+            "*",
+            *price_cols,
+            F.col("roi").alias("estimated_roi"),
+            F.col("impressions").alias("impressions_visibility"),
+        )
+        .drop(
+            "_ff_avg_likes",
+            "_ff_avg_comments",
+            "_ff_sum_eng_per_post",
+            "_fol",
+            "_profile_ugc",
+            "base_price",
+            "roi",
+            "impressions",
+        )
+        .withColumn("analysis_date", F.lit(as_of.strftime("%Y-%m-%d")))
+        .orderBy(
+            F.col("average_engagement_rate").desc_nulls_last(), F.col("username").asc()
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Sinks (S4/S5/S6 — build plan §7.2 step 9).
+# --------------------------------------------------------------------------
+
+
+def write_analyzed_json(report: DataFrame, path: str) -> None:
+    """S4 — per-creator JSON lines, ER-desc sorted (the scalable form of
+    the reference's single-envelope analyzed.json,
+    analyze_insta_enhanced.py:2005-2017)."""
+    report.write.mode("overwrite").json(path)
+
+
+def write_wide_csv(report: DataFrame, path: str) -> None:
+    """S5 — wide CSV: struct/map/array cells JSON-stringified (X8), comma
+    sanitize on free-text (X9), header row (jsontocsv_enhanced.py:313-318).
+    """
+    cols = []
+    for f in report.schema.fields:
+        c = F.col(f.name)
+        if f.dataType.typeName() in ("struct", "map", "array"):
+            cols.append(F.to_json(c).alias(f.name))
+        elif f.dataType.typeName() == "string":
+            cols.append(F.translate(c, ",\n", "  ").alias(f.name))
+        else:
+            cols.append(c)
+    report.select(*cols).write.mode("overwrite").option("header", True).csv(path)
+
+
+def render_txt_report(row) -> str:
+    """S6 — the per-creator formatted text report
+    (analyze_insta_enhanced.py:1854-1934 shape)."""
+    return "\n".join(
+        [
+            "=" * 60,
+            f"CREATOR ANALYSIS: {row['username']}",
+            "=" * 60,
+            f"Name: {row['full_name'] or ''}",
+            f"Followers: {row['follower_count']:,}",
+            f"Size: {row['creator_size']}  Tier: {row['tier']}",
+            f"Type: {row['creator_type']}  Account: {row['ig_account_type']}",
+            f"Gender: {row['gender']}",
+            f"Avg Engagement Rate: {row['average_engagement_rate']}",
+            f"Consistency: {row['consistency_score']}",
+            f"Trend: {row['engagement_trend']}",
+            f"Posting: {row['post_frequency']} | Best time: {row['best_posting_time']}",
+            f"Primary Niche: {row['overall_niche']} ({row['niche_confidence']})",
+            f"Collaboration: {row['collaboration_status']}",
+            f"Fake-Follower Score: {row['fake_follower_score']} ({row['engagement_quality']})",
+            f"Report Generated: {row['analysis_date']}",
+            "=" * 60,
+        ]
+    )
+
+
+def write_txt_reports(report: DataFrame, out_dir: str) -> None:
+    """S6 — one .txt per creator. Executor-side foreachPartition write
+    (no driver collect) — each partition writes its creators' files."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_partition(rows) -> None:
+        for row in rows:
+            p = os.path.join(out_dir, f"{row['username']}_analysis.txt")
+            with open(p, "w") as fh:
+                fh.write(render_txt_report(row))
+
+    report.foreachPartition(write_partition)
