@@ -101,7 +101,10 @@ def _any_contains(text: Column, terms: list[str]) -> Column:
 
 
 def per_post_features(
-    posts: DataFrame, followers: DataFrame, as_of: dt.datetime
+    posts: DataFrame,
+    followers: DataFrame,
+    as_of: dt.datetime,
+    tz_offset_min: int = 0,
 ) -> DataFrame:
     """One ``select`` computing every per-post derived column.
 
@@ -116,6 +119,10 @@ def per_post_features(
     """
     cutoff_recent = int(as_of.timestamp()) - RECENT_DAYS * 86400
     cutoff_collab = int(as_of.timestamp()) - COLLAB_RECENT_DAYS * 86400
+    # the reference renders hours/dates with machine-local
+    # datetime.fromtimestamp (Q8); the engine pins UTC and exposes the
+    # offset as data (the golden run was UTC+5:45 — Asia/Kathmandu)
+    local_epoch = F.col("taken_at") + F.lit(tz_offset_min * 60)
 
     p = posts.join(F.broadcast(followers), "username", "left")
     cap = F.coalesce(F.col("caption.text"), F.lit(""))
@@ -152,7 +159,10 @@ def per_post_features(
         "code",
         "taken_at",
         F.timestamp_seconds(F.col("taken_at")).alias("taken_ts"),
-        F.hour(F.timestamp_seconds(F.col("taken_at"))).alias("post_hour"),
+        F.hour(F.timestamp_seconds(local_epoch)).alias("post_hour"),
+        F.date_format(F.timestamp_seconds(local_epoch), "yyyy-MM-dd").alias(
+            "taken_date"
+        ),
         likes.alias("likes"),
         comments.alias("comments"),
         shares.alias("shares"),
@@ -186,7 +196,22 @@ def per_post_features(
             F.regexp_extract_all(cap, F.lit(HASHTAG90_RE), F.lit(1)), F.lower
         ).alias("hashtags"),
         F.regexp_extract_all(cap, F.lit(MENTION_RE), F.lit(1)).alias("mentions"),
+        # partnership brand-mentions use the plain-\w pattern (:605)
+        F.regexp_extract_all(cap, F.lit(r"@(\w+)"), F.lit(1)).alias("mentions_w"),
         F.col("location.name").alias("location_name"),
+        F.col("user.username").alias("user_username"),
+        F.coalesce(
+            F.col("coauthor_producers"),
+            F.array().cast("array<struct<username:string>>"),
+        ).alias("coauthors_raw"),
+        F.transform(
+            F.coalesce(F.col("sponsor_tags"), F.array()), lambda s: s["username"]
+        ).alias("sponsor_users"),
+        F.col("sponsor_tags").isNull().alias("sponsor_tags_null"),
+        # capitalized city-like candidates (:165)
+        F.regexp_extract_all(
+            cap, F.lit(r"\b([A-Z][a-z]{2,}(?:\s+[A-Z][a-z]{2,})?)\b"), F.lit(1)
+        ).alias("city_candidates"),
     )
 
 
@@ -332,11 +357,8 @@ def creator_post_aggregates(
         F.max(F.col("has_foreign_owner")).alias("any_foreign_owner"),
         F.max(F.size("foreign_coauthors") > 0).alias("any_foreign_coauthor"),
         F.max(F.col("has_ugc_caption")).alias("any_ugc_caption"),
-        # A8 (:192-193)
-        F.countDistinct("location_name").alias("travel_frequency"),
-        F.least(F.lit(100), F.countDistinct("location_name") * 5).alias(
-            "location_diversity"
-        ),
+        # A8 lives in creator_location_analysis (travel_frequency /
+        # diversity come from the full location-candidate list there)
         F.sum(
             F.when(F.col("er_engagement") > 2 * F.col("_mean_score"), 1).otherwise(0)
         ).alias("viral_posts_count"),
@@ -489,84 +511,493 @@ def creator_hashtags_mentions(feat: DataFrame, k: int = 10) -> DataFrame:
 
 
 def creator_collaborations(feat: DataFrame) -> DataFrame:
-    """C12 — collaboration cascade + collaborator collection.
+    """C12 — identify_collaborations, exactly
+    (analyze_insta_enhanced.py:1253-1490):
 
-    Reference: analyze_insta_enhanced.py:1277-1475 — status is 'Active'
-    on the first hit of: paid partnership → #ad/#collab caption →
-    foreign owner → foreign coauthor (encoded as flags in the aggregate;
-    the labeled cascade lives in creator_report). Collaborator names come
-    from the four sources with priority tags, first-occurrence dedup
-    (Q10) via (source priority, pos).
+    - ``uname`` is the FIRST post's ``node.user.username`` (:1264-1273);
+    - mentions are collected from the FIRST paid-partnership post only
+      (break at :1327), else — when no paid post exists — from the FIRST
+      #ad/#collab post only (:1385-1432);
+    - owners and coauthors are collected from ALL posts (foreign vs
+      uname; when uname is missing every owner/coauthor counts, :1352);
+    - first-occurrence dedup via a seen-set (Q10): encoded as
+      (phase, pos, sub-index) ordering + row_number;
+    - status cascade: paid → #ad/#collab → foreign owner (needs uname) →
+      foreign coauthor (needs uname), else None;
+    - ``recent_collaborations`` is a COUNT of recent entries (:1496);
+      ``all_collaborations`` keeps insertion order.
     """
-    sources = (
-        feat.select(
+    keys = feat.groupBy("username").agg(
+        F.min(F.when(F.col("is_paid"), F.col("pos"))).alias("paid_pos"),
+        F.min(F.when(F.col("has_ad_collab_tag"), F.col("pos"))).alias("tag_pos"),
+        F.min_by(F.col("user_username"), F.col("pos")).alias("uname"),
+    )
+    fx = feat.join(F.broadcast(keys), "username")
+    foreign = lambda c: c.isNotNull() & (  # noqa: E731
+        F.col("uname").isNull() | (c != F.col("uname"))
+    )
+
+    def clean(rows: DataFrame) -> DataFrame:
+        return rows.filter(
+            (F.length("collab") >= 3)
+            & ~F.lower(F.col("collab")).isin(dims.MENTION_STOPLIST)
+        )
+
+    # phase 1: mentions of the first paid post (insertion = caption order)
+    paid_mentions = clean(
+        fx.filter(F.col("pos") == F.col("paid_pos")).select(
             "username",
+            F.lit(1).alias("phase"),
             "pos",
-            F.lit(1).alias("src_prio"),
+            F.posexplode("mentions").alias("sub", "collab"),
+            F.col("is_recent_300d"),
             F.lit("paid_partnership").alias("source"),
-            F.explode(
-                F.when(F.col("is_paid"), F.col("mentions")).otherwise(F.array())
-            ).alias("collab"),
-            "is_recent_300d",
-        )
-        .unionAll(
-            feat.select(
-                "username",
-                "pos",
-                F.lit(2),
-                F.lit("tag"),
-                F.explode(
-                    F.when(F.col("has_ad_collab_tag"), F.col("mentions")).otherwise(
-                        F.array()
-                    )
-                ),
-                "is_recent_300d",
-            )
-        )
-        .unionAll(
-            feat.filter(F.col("has_foreign_owner")).select(
-                "username",
-                "pos",
-                F.lit(3),
-                F.lit("owner"),
-                F.col("owner_username"),
-                "is_recent_300d",
-            )
-        )
-        .unionAll(
-            feat.select(
-                "username",
-                "pos",
-                F.lit(4),
-                F.lit("coauthor"),
-                F.explode(F.coalesce("foreign_coauthors", F.array())),
-                "is_recent_300d",
-            )
+            F.lit("mention").alias("recent_source"),
         )
     )
-    cleaned = sources.filter(
-        (F.length("collab") >= 3)
-        & ~F.lower(F.col("collab")).isin(dims.MENTION_STOPLIST)
+    # phase 2: owners (sub 0) and coauthors (sub i+1) of every post
+    owners = fx.filter(foreign(F.col("owner_username"))).select(
+        "username",
+        F.lit(2).alias("phase"),
+        "pos",
+        F.lit(0).alias("sub"),
+        F.col("owner_username").alias("collab"),
+        F.col("is_recent_300d"),
+        F.lit("owner").alias("source"),
+        F.lit("owner").alias("recent_source"),
+    )
+    coauthors = (
+        fx.select(
+            "username",
+            F.lit(2).alias("phase"),
+            "pos",
+            F.posexplode(
+                F.filter(
+                    F.col("coauthors_raw"), lambda c: c["username"].isNotNull()
+                )
+            ).alias("sub", "co"),
+            F.col("is_recent_300d"),
+            F.col("uname"),
+        )
+        .filter(
+            F.col("uname").isNull() | (F.col("co")["username"] != F.col("uname"))
+        )
+        .select(
+            "username",
+            "phase",
+            "pos",
+            (F.col("sub") + 1).alias("sub"),
+            F.col("co")["username"].alias("collab"),
+            "is_recent_300d",
+            F.lit("coauthor").alias("source"),
+            F.lit("coauthor").alias("recent_source"),
+        )
+    )
+    # phase 3: mentions of the first #ad/#collab post, only without a paid post
+    tag_mentions = clean(
+        fx.filter(
+            F.col("paid_pos").isNull() & (F.col("pos") == F.col("tag_pos"))
+        ).select(
+            "username",
+            F.lit(3).alias("phase"),
+            "pos",
+            F.posexplode("mentions").alias("sub", "collab"),
+            F.col("is_recent_300d"),
+            F.lit("tag").alias("source"),
+            F.lit("mention").alias("recent_source"),
+        )
+    )
+    candidates = paid_mentions.unionByName(owners).unionByName(coauthors).unionByName(
+        tag_mentions
     )
     w = Window.partitionBy("username", "collab").orderBy(
-        F.col("src_prio").asc(), F.col("pos").asc()
+        F.col("phase").asc(), F.col("pos").asc(), F.col("sub").asc()
     )
-    first = cleaned.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
-    return first.groupBy("username").agg(
+    first = candidates.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    collected = first.groupBy("username").agg(
         F.transform(
             F.array_sort(
                 F.collect_list(
-                    F.struct("src_prio", "pos", "collab", "source", "is_recent_300d")
+                    F.struct(
+                        "phase", "pos", "sub", "collab", "is_recent_300d", "source",
+                        "recent_source",
+                    )
                 )
             ),
             lambda s: F.struct(
                 s["collab"].alias("name"),
-                s["source"].alias("source"),
+                F.lit(1).alias("count"),
                 s["is_recent_300d"].alias("is_recent"),
+                s["source"].alias("source"),
             ),
-        ).alias("recent_collaborations"),
+        ).alias("all_collaborations"),
         F.count("*").alias("total_collaborations"),
+        F.sum(F.when(F.col("is_recent_300d"), 1).otherwise(0)).alias(
+            "recent_collaborations"
+        ),
     )
+    return F.broadcast(keys).join(collected, "username", "left").select(
+        "username",
+        "paid_pos",
+        "tag_pos",
+        "uname",
+        F.coalesce(
+            "all_collaborations",
+            F.array().cast(
+                "array<struct<name:string,count:int,is_recent:boolean,source:string>>"
+            ),
+        ).alias("all_collaborations"),
+        F.coalesce("total_collaborations", F.lit(0)).alias("total_collaborations"),
+        F.coalesce("recent_collaborations", F.lit(0)).cast("long").alias(
+            "recent_collaborations"
+        ),
+    )
+
+
+def creator_ugc_examples(feat: DataFrame) -> DataFrame:
+    """K6 — extract_ugc_examples (analyze_insta_enhanced.py:1114-1251):
+    clips-only 4-tier cascade (paid → #ad/#collab → foreign owner →
+    foreign coauthor), first-occurrence dedup across tiers, cap 3,
+    rendered as pipe-joined Instagram URLs.
+    """
+    keys = feat.groupBy("username").agg(
+        F.min_by(F.col("user_username"), F.col("pos")).alias("uname")
+    )
+    fx = feat.join(F.broadcast(keys), "username").filter(F.col("is_clips"))
+    has_uname = F.col("uname").isNotNull()
+    prio = (
+        F.when(F.col("is_paid"), 1)
+        .when(F.col("has_ad_collab_tag"), 2)
+        .when(
+            has_uname
+            & F.col("owner_username").isNotNull()
+            & (F.col("owner_username") != F.col("uname")),
+            3,
+        )
+        .when(has_uname & (F.size("foreign_coauthors") > 0), 4)
+    )
+    cand = fx.select(
+        "username", "pos", "code", prio.alias("prio")
+    ).filter(F.col("prio").isNotNull() & F.col("code").isNotNull())
+    w_dedup = Window.partitionBy("username", "code").orderBy(
+        F.col("prio").asc(), F.col("pos").asc()
+    )
+    w_rank = Window.partitionBy("username").orderBy(
+        F.col("prio").asc(), F.col("pos").asc()
+    )
+    top3 = (
+        cand.withColumn("dd", F.row_number().over(w_dedup))
+        .filter(F.col("dd") == 1)
+        .withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") <= 3)
+    )
+    return top3.groupBy("username").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "code"))),
+                lambda s: F.concat(
+                    F.lit("https://www.instagram.com/p/"), s["code"]
+                ),
+            ),
+            " | ",
+        ).alias("ugc_examples")
+    )
+
+
+def creator_top6_posts(feat: DataFrame, python_rounding: bool = False) -> DataFrame:
+    """calculate_top_post_er's top_6_posts list
+    (analyze_insta_enhanced.py:1502-1543): 90-day window, sorted by
+    interaction score (5× comments), per-post ER rounded 2dp, rendered as
+    ordered structs. Zero followers → empty list + zero counts (:1508).
+    """
+    from ..functions.pyround import rounder
+
+    rnd = rounder(python_rounding)
+    recent = feat.filter(F.col("is_recent_90d") & (F.col("follower_count") > 0))
+    w = Window.partitionBy("username").orderBy(
+        F.col("interaction_score").desc(), F.col("pos").asc()
+    )
+    top = (
+        recent.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 6)
+        .withColumn("er_r", rnd(F.col("er_interaction"), 2))
+    )
+    return top.groupBy("username").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "rn", "interaction_score", "likes", "comments", "er_r",
+                        "code", "taken_date",
+                    )
+                )
+            ),
+            lambda s: F.struct(
+                s["interaction_score"].alias("interaction_score"),
+                s["likes"].alias("likes"),
+                s["comments"].alias("comments"),
+                s["er_r"].alias("engagement_rate"),
+                s["code"].alias("post_code"),
+                s["taken_date"].alias("taken_at"),
+            ),
+        ).alias("top_6_posts")
+    )
+
+
+def creator_partnership_data(feat: DataFrame, python_rounding: bool = False) -> DataFrame:
+    """C13 — detect_paid_partnerships aggregates
+    (analyze_insta_enhanced.py:540-684): sponsored/organic means,
+    sponsor-tag frequency, brand mentions (plain-\w regex, excluding the
+    platform names), collaboration timeline, and the capped
+    collaboration-score inputs. The bio-indicator flag joins in at report
+    assembly (it is profile-level).
+    """
+    from ..functions.pyround import rounder
+
+    rnd = rounder(python_rounding)
+    sponsors = (
+        feat.select("username", F.explode("sponsor_users").alias("sponsor"))
+        .filter(F.col("sponsor").isNotNull())
+        .groupBy("username", "sponsor")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("username")
+        .agg(
+            F.map_from_entries(F.collect_list(F.struct("sponsor", "cnt"))).alias(
+                "sponsor_frequency"
+            ),
+            F.count("*").alias("n_unique_sponsors"),
+        )
+    )
+    brands = (
+        feat.select("username", F.explode("mentions_w").alias("m"))
+        .filter(~F.lower("m").isin("instagram", "facebook", "twitter"))
+        .groupBy("username")
+        .agg(F.collect_set("m").alias("brand_mentions"))
+    )
+    timeline = (
+        feat.filter(F.col("is_sponsored"))
+        .groupBy("username")
+        .agg(
+            F.transform(
+                F.reverse(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("taken_date").alias("date"),
+                                F.col("pos").alias("neg_pos"),
+                                F.col("id").alias("post_id"),
+                                F.col("sponsor_users").alias("sponsors"),
+                                F.col("total_engagement").alias("engagement"),
+                            )
+                        )
+                    )
+                ),
+                lambda s: F.struct(
+                    s["date"].alias("date"),
+                    s["post_id"].alias("post_id"),
+                    s["sponsors"].alias("sponsors"),
+                    s["engagement"].alias("engagement"),
+                ),
+            ).alias("collaboration_timeline")
+        )
+    )
+    means = feat.groupBy("username").agg(
+        F.sum(F.when(F.col("is_sponsored"), 1).otherwise(0)).alias(
+            "total_sponsored_posts"
+        ),
+        # reference quirk (:663-667): the timeline loop iterates
+        # post['sponsor_tags'] without a None guard; one sponsored post
+        # with null sponsor_tags raises TypeError → the outer except
+        # leaves collaboration_timeline=[] and collaboration_score=0
+        F.max(F.col("is_sponsored") & F.col("sponsor_tags_null")).alias(
+            "_timeline_crashed"
+        ),
+        F.coalesce(
+            F.avg(F.when(F.col("is_sponsored"), F.col("total_engagement"))),
+            F.lit(0.0),
+        ).alias("avg_sponsored_engagement"),
+        F.coalesce(
+            F.avg(F.when(~F.col("is_sponsored"), F.col("total_engagement"))),
+            F.lit(0.0),
+        ).alias("avg_organic_engagement"),
+    )
+    ratio = F.when(
+        (F.col("avg_sponsored_engagement") > 0)
+        & (F.col("avg_organic_engagement") > 0),
+        F.col("avg_sponsored_engagement") / F.col("avg_organic_engagement"),
+    )
+    return (
+        means.join(sponsors, "username", "left")
+        .join(brands, "username", "left")
+        .join(timeline, "username", "left")
+        .withColumn(
+            "collaboration_timeline",
+            F.when(~F.col("_timeline_crashed"), F.col("collaboration_timeline")),
+        )
+        .withColumn("sponsored_vs_organic_ratio", rnd(ratio, 2))
+        .withColumn("sponsored_performs_better", F.coalesce(ratio > 1.0, F.lit(False)))
+        .withColumn(
+            "n_unique_sponsors", F.coalesce("n_unique_sponsors", F.lit(0))
+        )
+        .withColumn(
+            "brand_mentions",
+            F.coalesce("brand_mentions", F.array().cast("array<string>")),
+        )
+    )
+
+
+# the reference's 18 location-hashtag patterns (:148-158)
+LOCATION_HASHTAG_PATTERNS = [
+    r".*city$", r".*town$", r".*beach$", r".*park$", r".*street$",
+    r".*travel$", r".*trip$", r".*vacation$", r".*holiday$",
+    r"^nyc$", r"^la$", r"^sf$", r"^london$", r"^paris$", r"^tokyo$",
+    r"^miami$", r"^vegas$", r"^chicago$", r"^boston$",
+]
+
+
+def creator_location_analysis(
+    feat: DataFrame, cities: DataFrame | None = None
+) -> DataFrame:
+    """Location module (analyze_insta_enhanced.py:95-240): location tags +
+    capitalized city candidates, first-occurrence dedup (the reference
+    then Counter()s the DEDUPED list, so every count is 1 and
+    most_visited is simply the first 10 — quirk preserved), location
+    hashtags by the 18 patterns, hour histogram, poster-archetype
+    timezone estimate, and the J2 first-match cities join (empty when no
+    cities dim is supplied — the reference's dim never loads, Q1).
+    """
+    locs_per_post = F.filter(
+        F.concat(
+            F.when(
+                F.col("location_name").isNotNull()
+                & (F.trim("location_name") != ""),
+                F.array(F.trim("location_name")),
+            ).otherwise(F.array().cast("array<string>")),
+            F.col("city_candidates"),
+        ),
+        lambda s: s != F.lit(""),
+    )
+    exploded = feat.select(
+        "username", "pos", F.posexplode(locs_per_post).alias("idx", "loc")
+    )
+    w_first = Window.partitionBy("username", "loc").orderBy(
+        F.col("pos").asc(), F.col("idx").asc()
+    )
+    deduped = exploded.withColumn("rn", F.row_number().over(w_first)).filter(
+        F.col("rn") == 1
+    )
+    loc_lists = deduped.groupBy("username").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "idx", "loc"))),
+            lambda s: s["loc"],
+        ).alias("location_tags"),
+        F.count("*").alias("travel_frequency"),
+        F.least(F.lit(100), F.count("*") * 5).alias("location_diversity_score"),
+    ).select(
+        "username",
+        "location_tags",
+        F.slice("location_tags", 1, 10).alias("most_visited_locations"),
+        "travel_frequency",
+        "location_diversity_score",
+    )
+
+    lh_match = None
+    for pat in LOCATION_HASHTAG_PATTERNS:
+        m = F.col("tag").rlike(pat)
+        lh_match = m if lh_match is None else (lh_match | m)
+    loc_tags = (
+        feat.select("username", F.explode("hashtags").alias("tag"))
+        .filter(lh_match)
+        .groupBy("username")
+        .agg(F.collect_set("tag").alias("location_hashtags"))
+    )
+
+    hours = feat.groupBy("username", "post_hour").agg(
+        F.count("*").alias("cnt"), F.min("pos").alias("first_pos")
+    )
+    w5 = Window.partitionBy("username").orderBy(
+        F.col("cnt").desc(), F.col("first_pos").asc()
+    )
+    top5 = hours.withColumn("rn", F.row_number().over(w5)).filter(F.col("rn") <= 5)
+    tz = top5.groupBy("username").agg(F.avg("post_hour").alias("avg_top_hour"))
+    tz_estimate = (
+        F.when(
+            F.col("avg_top_hour").between(6, 10),
+            "Morning poster (likely local timezone)",
+        )
+        .when(
+            F.col("avg_top_hour").between(11, 15),
+            "Afternoon poster (likely local timezone)",
+        )
+        .when(
+            F.col("avg_top_hour").between(16, 22),
+            "Evening poster (likely local timezone)",
+        )
+        .otherwise("Night poster (possible different timezone)")
+    )
+    pattern = hours.groupBy("username").agg(
+        F.map_from_entries(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("first_pos", "post_hour", "cnt"))),
+                lambda s: F.struct(s["post_hour"], s["cnt"]),
+            )
+        ).alias("posting_timezone_pattern")
+    )
+
+    out = (
+        loc_lists.join(loc_tags, "username", "full")
+        .join(pattern, "username", "full")
+        .join(tz.select("username", tz_estimate.alias("timezone_estimate")),
+              "username", "full")
+    )
+    if cities is not None:
+        # J2 — first-match substring theta-join against the (valid) dim
+        cand = deduped.select("username", "pos", "idx", "loc").join(
+            F.broadcast(cities),
+            F.lower(F.col("loc")).contains(F.col("city"))
+            | (F.lower(F.col("loc")) == F.col("city"))
+            | F.lower(F.col("loc")).startswith(F.col("city")),
+            "inner",
+        )
+        wc = Window.partitionBy("username", "loc").orderBy(F.col("ord").asc())
+        matched = (
+            cand.withColumn("mrn", F.row_number().over(wc))
+            .filter(F.col("mrn") == 1)
+            .groupBy("username")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "idx", "loc", "city", "state_id"))
+                    ),
+                    lambda s: F.struct(
+                        s["loc"].alias("input_location"),
+                        s["city"].alias("matched_city"),
+                        s["state_id"].alias("state"),
+                    ),
+                ).alias("matched_us_cities")
+            )
+        )
+        out = out.join(matched, "username", "left")
+    else:
+        out = out.withColumn(
+            "matched_us_cities",
+            F.array().cast(
+                "array<struct<input_location:string,matched_city:string,state:string>>"
+            ),
+        )
+    return out
+
+
+# C10 personality keyword lists (exact: analyze_insta_enhanced.py:337-346)
+PROFESSIONAL_WORDS = ["ceo", "founder", "entrepreneur", "business", "professional", "expert", "consultant", "coach"]
+CREATIVE_WORDS = ["artist", "creative", "designer", "photographer", "writer", "musician", "creator"]
+SOCIAL_WORDS = ["love", "friends", "family", "community", "together", "sharing", "connect"]
+PERSONALITY_TRAITS = [
+    "professional", "creative", "social", "authentic", "aspirational",
+    "educational", "entertaining",
+]
 
 
 # --------------------------------------------------------------------------
@@ -738,6 +1169,7 @@ def creator_profile_features(
         gender.alias("gender"),
         size.alias("creator_size"),
         profile_ugc.alias("_profile_ugc"),
+        _any_contains(bio_lower, dims.SPONSOR_BIO_TERMS).alias("_bio_partnerships"),
         account_type.alias("ig_account_type"),
         F.struct(
             first_url(["tiktok.com", "tiktok.app"]).alias("tiktok"),
@@ -852,23 +1284,33 @@ def creator_report(
     as_of: dt.datetime = AS_OF_REFERENCE,
     compat_q6: bool = True,
     python_rounding: bool = False,
+    cities: DataFrame | None = None,
+    tz_offset_min: int = 0,
 ) -> DataFrame:
     """The full per-creator report DataFrame (reference output record,
     SURVEY.md §1.4), sorted by average_engagement_rate desc (K5)."""
     followers = users.select("username", "follower_count")
-    feat = per_post_features(posts, followers, as_of)
+    feat = per_post_features(posts, followers, as_of, tz_offset_min)
     profile = creator_profile_features(users, spark, python_rounding)
 
     aggs = creator_post_aggregates(feat, as_of, compat_q6, python_rounding)
     modal = creator_modal_hour(feat)
     tagsmen = creator_hashtags_mentions(feat)
     collabs = creator_collaborations(feat)
+    ugc = creator_ugc_examples(feat)
+    top6 = creator_top6_posts(feat, python_rounding)
+    partnership = creator_partnership_data(feat, python_rounding)
+    location = creator_location_analysis(feat, cities)
 
     report = (
         profile.join(aggs, "username", "left")
         .join(modal, "username", "left")
         .join(tagsmen, "username", "left")
         .join(collabs, "username", "left")
+        .join(ugc, "username", "left")
+        .join(top6, "username", "left")
+        .join(partnership, "username", "left")
+        .join(location, "username", "left")
     )
 
     # C2 type/tier (:854-892): profile OR caption UGC hit, then demotion
@@ -909,19 +1351,103 @@ def creator_report(
         F.when(fake_score > 50, "Poor").when(fake_score > 25, "Moderate").otherwise("Good")
     )
 
-    # C12 status (:1277-1475): 'Active' on first cascade hit, else None
+    # C12 status (:1277-1475): 'Active' on first cascade hit, else None;
+    # the owner/coauthor fallbacks require uname (the first post's
+    # node.user.username) to be present (:1440-1475)
+    has_uname = F.col("uname").isNotNull()
     any_collab = (
-        F.coalesce("any_paid", F.lit(False))
-        | F.coalesce("any_ad_collab", F.lit(False))
-        | F.coalesce("any_foreign_owner", F.lit(False))
-        | F.coalesce("any_foreign_coauthor", F.lit(False))
+        F.col("paid_pos").isNotNull()
+        | F.col("tag_pos").isNotNull()
+        | (has_uname & F.coalesce("any_foreign_owner", F.lit(False)))
+        | (has_uname & F.coalesce("any_foreign_coauthor", F.lit(False)))
     )
     collab_status = F.when(any_collab, "Active").otherwise(F.lit(None).cast("string"))
     collab_detail = (
-        F.when(F.coalesce("any_paid", F.lit(False)), "Paid Partnership")
-        .when(F.coalesce("any_ad_collab", F.lit(False)), "Sponsored Content")
-        .when(F.coalesce("any_foreign_owner", F.lit(False)), "Collaborative Posts")
-        .when(F.coalesce("any_foreign_coauthor", F.lit(False)), "Co-authored")
+        F.when(F.col("paid_pos").isNotNull(), "Paid Partnership")
+        .when(F.col("tag_pos").isNotNull(), "Sponsored Content")
+        .when(has_uname & F.coalesce("any_foreign_owner", F.lit(False)),
+              "Collaborative Posts")
+        .when(has_uname & F.coalesce("any_foreign_coauthor", F.lit(False)),
+              "Co-authored")
+    )
+
+    # C10 — personality + profile insights (analyze_insta_enhanced.py:312-388)
+    bio_l = F.lower(F.coalesce("biography", F.lit("")))
+
+    def word_hits(words: list[str]):
+        s = None
+        for wd in words:
+            hit = F.when(bio_l.contains(wd), 1).otherwise(0)
+            s = hit if s is None else s + hit
+        return s
+
+    consistency0 = F.coalesce("consistency_score", F.lit(0.0))
+    er0 = F.coalesce("engagement_rate", F.lit(0.0))
+    t_professional = word_hits(PROFESSIONAL_WORDS) + F.when(
+        consistency0 > 70, 1
+    ).otherwise(0)
+    t_creative = word_hits(CREATIVE_WORDS)
+    t_social = word_hits(SOCIAL_WORDS)
+    t_authentic = F.when(
+        F.lower(F.coalesce("post_frequency", F.lit(""))).contains("daily"), 2
+    ).otherwise(0)
+    max_trait = F.greatest(t_professional, t_creative, t_social, t_authentic)
+    personality_type = (
+        F.when(max_trait == 0, "Balanced")
+        .when(t_professional == max_trait, "Professional")
+        .when(t_creative == max_trait, "Creative")
+        .when(t_social == max_trait, "Social")
+        .otherwise("Authentic")
+    )
+    from ..functions.pyround import rounder as _rounder
+
+    _rnd = _rounder(python_rounding)
+    authenticity = _rnd(
+        consistency0 / 100 * 30
+        + F.least(t_social * 10, F.lit(30)).cast("double")
+        + F.least(er0 * 2, F.lit(40.0)),
+        0,
+    ).cast("long")
+    brand_score = t_professional * 20 + er0 * 5 + consistency0
+    brand_potential = (
+        F.when(brand_score > 150, "High")
+        .when(brand_score > 75, "Medium")
+        .otherwise("Low")
+    )
+    personality_struct = F.struct(
+        t_professional.alias("professional"),
+        t_creative.alias("creative"),
+        t_social.alias("social"),
+        t_authentic.alias("authentic"),
+        F.lit(0).alias("aspirational"),
+        F.lit(0).alias("educational"),
+        F.lit(0).alias("entertaining"),
+    )
+    insights_struct = F.struct(
+        personality_type.alias("personality_type"),
+        F.lit("Mixed").alias("content_style"),
+        F.lit("General").alias("audience_appeal"),
+        brand_potential.alias("brand_potential"),
+        authenticity.alias("authenticity_score"),
+    )
+
+    # C13 assembly: bio flag + capped collaboration score (:664-679)
+    bio_p = F.coalesce("_bio_partnerships", F.lit(False))
+    performs_better = F.coalesce("sponsored_performs_better", F.lit(False))
+    collaboration_score = F.when(
+        F.coalesce("_timeline_crashed", F.lit(False)), 0
+    ).otherwise(
+        F.least(F.coalesce("total_sponsored_posts", F.lit(0)) * 10, F.lit(40))
+        + F.least(F.coalesce("n_unique_sponsors", F.lit(0)) * 15, F.lit(30))
+        + F.when(bio_p, 20).otherwise(0)
+        + F.when(performs_better, 10).otherwise(0)
+    )
+    engagement_comparison = F.when(
+        F.col("sponsored_vs_organic_ratio").isNotNull(),
+        F.struct(
+            F.col("sponsored_vs_organic_ratio").alias("sponsored_vs_organic_ratio"),
+            performs_better.alias("sponsored_performs_better"),
+        ),
     )
 
     # C3 pricing (:894-954): broadcast dim on (type, tier); price points =
@@ -933,12 +1459,64 @@ def creator_report(
         for name, mult in dims.PRICE_MULTIPLIERS
     ]
 
+    import datetime as _dt
+
+    # date strings render in the reference machine's wall clock
+    local_as_of = as_of + _dt.timedelta(minutes=tz_offset_min)
+    date_range = (
+        (local_as_of - _dt.timedelta(days=RECENT_DAYS)).strftime("%Y-%m-%d")
+        + " to "
+        + local_as_of.strftime("%Y-%m-%d")
+    )
     return (
         report.withColumn("fake_follower_score", fake_score)
         .withColumn("authenticity_score", 100 - fake_score)
         .withColumn("engagement_quality", quality)
         .withColumn("collaboration_status", collab_status)
         .withColumn("collaboration_status_detail", collab_detail)
+        .withColumn("personality_traits", personality_struct)
+        .withColumn("profile_insights", insights_struct)
+        .withColumn("collaboration_score", collaboration_score)
+        .withColumn("engagement_comparison", engagement_comparison)
+        .withColumn(
+            "has_paid_partnerships",
+            (F.coalesce("total_sponsored_posts", F.lit(0)) > 0) | bio_p,
+        )
+        # followers falsy → calculate_top_post_er returns (0, [], 0) (:1508)
+        .withColumn(
+            "total_posts_last_3_months",
+            F.when(
+                F.col("follower_count") > 0,
+                F.coalesce("total_posts_last_3_months", F.lit(0)),
+            ).otherwise(0),
+        )
+        .withColumn(
+            "top_6_posts",
+            F.coalesce(
+                "top_6_posts",
+                F.array().cast(
+                    "array<struct<interaction_score:bigint,likes:bigint,"
+                    "comments:bigint,engagement_rate:double,post_code:string,"
+                    "taken_at:string>>"
+                ),
+            ),
+        )
+        .withColumn("ugc_examples", F.coalesce("ugc_examples", F.lit("")))
+        .withColumn(
+            "posts_analyzed_for_hashtags", F.col("total_posts_last_3_months")
+        )
+        .withColumn("hashtag_analysis_date_range", F.lit(date_range))
+        .withColumn(
+            "profile_picture",
+            F.when(
+                F.col("username") != "",
+                F.concat(
+                    F.lit("https://assets.veelapp.com/"),
+                    F.col("username"),
+                    F.lit(".jpg"),
+                ),
+            ).otherwise(""),
+        )
         .select(
             "*",
             *price_cols,
@@ -946,16 +1524,23 @@ def creator_report(
             F.col("impressions").alias("impressions_visibility"),
         )
         .drop(
+            "_timeline_crashed",
             "_ff_avg_likes",
             "_ff_avg_comments",
             "_ff_sum_eng_per_post",
             "_fol",
             "_profile_ugc",
+            "_bio_partnerships",
             "base_price",
             "roi",
             "impressions",
+            "paid_pos",
+            "tag_pos",
+            "uname",
         )
-        .withColumn("analysis_date", F.lit(as_of.strftime("%Y-%m-%d")))
+        .withColumn("analysis_date", F.lit(local_as_of.strftime("%Y-%m-%d")))
+        .withColumn("analyzed_date", F.lit(local_as_of.strftime("%Y-%m-%d")))
+        .withColumn("scraped_date", F.lit(local_as_of.strftime("%Y-%m-%d")))
         .orderBy(
             F.col("average_engagement_rate").desc_nulls_last(), F.col("username").asc()
         )

@@ -22,7 +22,12 @@ import os
 import pytest
 
 REF = "/root/reference"
-GOLDEN_AS_OF = dt.datetime(2025, 9, 7, 4, 26, 50)  # analyzed.json analysis_date
+# analyzed.json analysis_date is the run machine's wall clock; the hour
+# histograms reveal the machine ran at UTC+5:45 (Asia/Kathmandu)
+GOLDEN_TZ_OFFSET_MIN = 345
+GOLDEN_AS_OF = dt.datetime(2025, 9, 7, 4, 26, 50) - dt.timedelta(
+    minutes=GOLDEN_TZ_OFFSET_MIN
+)
 
 pytestmark = pytest.mark.skipif(
     not os.path.exists(f"{REF}/analyzed.json"), reason="reference checkout absent"
@@ -41,7 +46,14 @@ def report_rows(spark):
 
     users = cr.load_users(spark, f"{REF}/*/userInfo.json")
     posts = cr.load_posts(spark, f"{REF}/*/postInfo.json")
-    df = cr.creator_report(spark, users, posts, as_of=GOLDEN_AS_OF, python_rounding=True)
+    df = cr.creator_report(
+        spark,
+        users,
+        posts,
+        as_of=GOLDEN_AS_OF,
+        python_rounding=True,
+        tz_offset_min=GOLDEN_TZ_OFFSET_MIN,
+    )
     return {r["username"]: r.asDict(recursive=True) for r in df.collect()}
 
 
@@ -139,3 +151,80 @@ def test_niche_and_social_links(report_rows, golden):
         assert r["social_links"]["tiktok"] == sl["tiktok"], u
         assert r["social_links"]["youtube"] == sl["youtube"], u
         assert r["social_links"]["linktree"] == sl["linktree"], u
+
+
+def test_personality_and_insights(report_rows, golden):
+    for u in _overlap(golden, report_rows):
+        g, r = golden[u], report_rows[u]
+        assert r["personality_traits"] == g["personality_traits"], u
+        assert r["profile_insights"] == g["profile_insights"], u
+
+
+def test_partnership_data(report_rows, golden):
+    for u in _overlap(golden, report_rows):
+        g, r = golden[u], report_rows[u]
+        pd_ = g["partnership_data"]
+        assert r["has_paid_partnerships"] == pd_["has_paid_partnerships"], u
+        assert r["total_sponsored_posts"] == pd_["total_sponsored_posts"], u
+        assert (r["sponsor_frequency"] or {}) == pd_["sponsor_frequency"], u
+        assert set(r["brand_mentions"] or []) == set(pd_["brand_mentions"]), u
+        assert r["avg_sponsored_engagement"] == pytest.approx(
+            pd_["avg_sponsored_engagement"]
+        ), u
+        assert r["avg_organic_engagement"] == pytest.approx(
+            pd_["avg_organic_engagement"]
+        ), u
+        got_cmp = r["engagement_comparison"] or {}
+        assert got_cmp == (pd_["engagement_comparison"] or {}), u
+        assert r["collaboration_score"] == pd_["collaboration_score"], u
+
+
+def test_collaborations_exact(report_rows, golden):
+    for u in _overlap(golden, report_rows):
+        g, r = golden[u], report_rows[u]
+        assert r["total_collaborations"] == g["total_collaborations"], u
+        assert r["recent_collaborations"] == g["recent_collaborations"], u
+        got = r["all_collaborations"] or []
+        assert got == g["top_collaboration"], u
+        assert r["ugc_examples"] == g["ugc_examples"], u
+
+
+def test_top6_posts_list(report_rows, golden):
+    for u in _overlap(golden, report_rows):
+        g, r = golden[u], report_rows[u]
+        got, want = r["top_6_posts"] or [], g["top_6_posts"]
+        assert len(got) == len(want), u
+        for a, b in zip(got, want):
+            for k in ("interaction_score", "likes", "comments", "post_code"):
+                assert a[k] == b[k], (u, k)
+            assert a["engagement_rate"] == pytest.approx(b["engagement_rate"]), u
+            assert a["taken_at"] == b["taken_at"], u
+
+
+def test_location_analysis(report_rows, golden):
+    for u in _overlap(golden, report_rows):
+        g, r = golden[u], report_rows[u]
+        la = g["location_analysis"]
+        assert (r["location_tags"] or []) == la["location_tags"], u
+        assert (r["most_visited_locations"] or []) == la["most_visited_locations"], u
+        assert (r["travel_frequency"] or 0) == la["travel_frequency"], u
+        assert (r["location_diversity_score"] or 0) == la["location_diversity_score"], u
+        assert set(r["location_hashtags"] or []) == set(la["location_hashtags"]), u
+        assert (r["matched_us_cities"] or []) == la["matched_us_cities"], u
+        got_pattern = {int(k): v for k, v in (r["posting_timezone_pattern"] or {}).items()}
+        want_pattern = {int(k): v for k, v in la["posting_timezone_pattern"].items()}
+        assert got_pattern == want_pattern, u
+        assert r["timezone_estimate"] == la["timezone_estimate"], u
+
+
+def test_report_metadata_fields(report_rows, golden):
+    for u in _overlap(golden, report_rows):
+        g, r = golden[u], report_rows[u]
+        assert r["posts_analyzed_for_hashtags"] == g["posts_analyzed_for_hashtags"], u
+        assert r["best_posting_time"] == g["engagement_metrics"].get(
+            "best_posting_time", r["best_posting_time"]
+        ), u
+        assert r["hashtag_analysis_date_range"] == g["hashtag_analysis_date_range"], u
+        assert r["profile_picture"] == g["profile_picture"], u
+        assert r["business_category"] == (g["business_category"] or ""), u
+        assert r["analyzed_date"] == g["analyzed_date"], u
