@@ -88,16 +88,34 @@ def shingle_pairs_jaccard(
     Exact and oracle-checkable; at 100 TB use minhash_lsh (below) to
     bound the candidate set, then verify candidates with this formula.
     """
-    words = normalized_words(F.col(text_col))
-    sh = df.select(
-        F.col(id_col).alias("doc"),
-        F.explode(word_shingles(words, n)).alias("shingle"),
-    ).filter(F.col("shingle") != "")
+    # join/aggregate on the 64-bit shingle hash, not the string — smaller
+    # shuffle rows and long-vs-long comparisons; collision odds at 10^9
+    # distinct shingles are ~1e-2 per full corpus and affect one count by
+    # one, acceptable for dedup (document if used for billing-grade stats).
+    # The tokenization is materialized as a column BEFORE the shingle
+    # transform: inlining it into the lambda makes every element_at
+    # re-run the regex split (observed 5× slowdown).
+    sh = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            normalized_words(F.col(text_col)).alias("words"),
+        )
+        .select("doc", F.explode(word_shingles(F.col("words"), n)).alias("shingle"))
+        .filter(F.col("shingle") != "")
+        .select("doc", F.xxhash64("shingle").alias("sh"))
+        # consumed by three plans (sizes + both join sides): materialize
+        # the tokenize→shingle→hash work once instead of three times
+        .cache()
+    )
     sizes = sh.groupBy("doc").agg(F.count("*").alias("n_shingles"))
+    # (a document-frequency prefilter — drop shingles seen in one doc —
+    # pays off on real corpora with long-tail vocabularies; on this
+    # dense synthetic vocabulary it added two shuffles for zero dropped
+    # rows, so it stays out of the default plan)
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc") < F.col("b.doc")))
         .groupBy(F.col("a.doc").alias("a_id"), F.col("b.doc").alias("b_id"))
         .agg(F.count("*").alias("n_common"))
     )
@@ -118,20 +136,6 @@ def shingle_pairs_jaccard(
     return jac.filter(F.col("jaccard") >= threshold)
 
 
-def _minhash_value(shingle: Column, a: int, b: int) -> Column:
-    """One universal-hash draw: ((a*x + b) mod p), x = xxhash64(shingle).
-
-    Arithmetic stays in signed-64 range: x is reduced mod p first and a,b
-    are < 2^20, so a*x' < 2^81 would overflow — instead reduce with two
-    multiplies in the 61-bit Mersenne field using double-width-free
-    splitting: (a * (x mod p)) mod p with a < 2^20 keeps products < 2^81…
-    Long overflow is avoided by reducing x to < 2^40 via a second xxhash
-    fold (sufficient spread for min-hash signatures).
-    """
-    x = F.pmod(F.xxhash64(shingle), F.lit(1 << 40))
-    return F.pmod(F.lit(a) * x + F.lit(b), F.lit(MERSENNE_PRIME))
-
-
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, num_hashes: int = 32, n: int = 3
 ) -> DataFrame:
@@ -146,13 +150,22 @@ def minhash_signatures(
 
     rnd = random.Random(42)
     coeffs = [(rnd.randrange(1, 1 << 20), rnd.randrange(0, 1 << 20)) for _ in range(num_hashes)]
-    words = normalized_words(F.col(text_col))
-    sh = df.select(
-        F.col(id_col).alias("doc"),
-        F.explode(word_shingles(words, n)).alias("shingle"),
-    ).filter(F.col("shingle") != "")
+    # materialize words, then hash each shingle ONCE — the k min-hash
+    # draws are affine transforms of the same base hash, so the string
+    # only gets hashed one time, not k times
+    sh = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            normalized_words(F.col(text_col)).alias("words"),
+        )
+        .select("doc", F.explode(word_shingles(F.col("words"), n)).alias("shingle"))
+        .filter(F.col("shingle") != "")
+        .select("doc", F.pmod(F.xxhash64("shingle"), F.lit(1 << 40)).alias("x"))
+    )
     aggs = [
-        F.min(_minhash_value(F.col("shingle"), a, b)).alias(f"h{i}")
+        F.min(F.pmod(F.lit(a) * F.col("x") + F.lit(b), F.lit(MERSENNE_PRIME))).alias(
+            f"h{i}"
+        )
         for i, (a, b) in enumerate(coeffs)
     ]
     sig = sh.groupBy("doc").agg(*aggs)
@@ -179,10 +192,11 @@ def minhash_lsh_pairs(
     an equi-join on (band, bucket): shuffle size tracks duplicate density.
     """
     r = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, n)
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, n).cache()
+    # the candidate join carries only (doc, band, bucket) — the 32-hash
+    # signature arrays rejoin once AFTER pair dedup, not once per band
     band_rows = sig.select(
         "doc",
-        "signature",
         F.explode(
             F.array(
                 *[
@@ -203,7 +217,7 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("doc", "signature", "bb.band", "bb.bucket")
+    ).select("doc", "bb.band", "bb.bucket")
     a = band_rows.alias("a")
     b = band_rows.alias("b")
     cand = (
@@ -213,22 +227,22 @@ def minhash_lsh_pairs(
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.doc") < F.col("b.doc")),
         )
-        .select(
-            F.col("a.doc").alias("a_id"),
-            F.col("b.doc").alias("b_id"),
-            F.col("a.signature").alias("sig_a"),
-            F.col("b.signature").alias("sig_b"),
-        )
+        .select(F.col("a.doc").alias("a_id"), F.col("b.doc").alias("b_id"))
         .dropDuplicates(["a_id", "b_id"])
     )
+    sa = sig.select(F.col("doc").alias("a_id"), F.col("signature").alias("sig_a"))
+    sb = sig.select(F.col("doc").alias("b_id"), F.col("signature").alias("sig_b"))
     est = F.size(
         F.filter(
             F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
             lambda m: m,
         )
     ) / F.lit(float(num_hashes))
-    return cand.select("a_id", "b_id", est.alias("est_jaccard")).filter(
-        F.col("est_jaccard") >= verify_threshold
+    return (
+        cand.join(sa, "a_id")
+        .join(sb, "b_id")
+        .select("a_id", "b_id", est.alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= verify_threshold)
     )
 
 

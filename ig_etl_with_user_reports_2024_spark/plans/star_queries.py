@@ -759,3 +759,64 @@ def so1_first_occurrence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=1,
     )
     return first.select("l_orderkey", "l_partkey", "l_linenumber")
+
+
+# ---------------------------------------------------------------------------
+# F6 — private/empty-profile null-guarded filter.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "f6_null_guard_filter",
+    """
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer
+    WHERE NOT COALESCE(c_acctbal < 0, TRUE)
+    """,
+)
+def f6_null_guard_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 — drop private/no-data profiles: ``NOT coalesce(flag, true)``
+    treats missing as excluded.
+
+    Reference: insta_scraper_enhanced.py:144-151,326-331 (skip private or
+    empty profiles). The null-as-true coalesce is the exact tolerant-
+    schema semantic (§1.3).
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.filter(
+        ~F.coalesce(F.col("c_acctbal") < 0, F.lit(True))
+    ).select("c_custkey", "c_name", "c_acctbal")
+
+
+# ---------------------------------------------------------------------------
+# X3 — substring-membership predicates (keyword-in-bio tests).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x3_substring_membership",
+    """
+    SELECT p_partkey,
+           contains(lower(p_name), 'red') OR contains(lower(p_name), 'blue')
+               AS has_color_kw,
+           lower(p_type) LIKE '%econo%' AS is_economy_like,
+           regexp_matches(lower(p_name), '^(small|large) ') AS size_prefixed
+    FROM part
+    """,
+)
+def x3_substring_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 — keyword-in-text membership: contains / LIKE / rlike.
+
+    Reference: bio keyword tests analyze_insta_enhanced.py:565,589-592,
+    857,866; platform-in-url :812-833; pattern match :148-158. All
+    codegen'd string predicates — the J4 token join is the word-accurate
+    variant when substring false-positives matter.
+    """
+    part = load_table(spark, sf_dir, "part")
+    name_l = F.lower("p_name")
+    return part.select(
+        "p_partkey",
+        (name_l.contains("red") | name_l.contains("blue")).alias("has_color_kw"),
+        F.lower("p_type").like("%econo%").alias("is_economy_like"),
+        name_l.rlike("^(small|large) ").alias("size_prefixed"),
+    )

@@ -81,3 +81,35 @@ def test_approx_distinct_within_bound(spark, sf_oracle):
     assert set(exact) == set(approx)
     for k, n in exact.items():
         assert abs(approx[k] - n) <= max(1, 0.1 * n)
+
+
+def test_work_queue_commit_idempotent(spark, tmp_path):
+    import csv
+
+    from ig_etl_with_user_reports_2024_spark.operators import workqueue as wq
+
+    input_path = str(tmp_path / "input.csv")
+    done_path = str(tmp_path / "inputdone.csv")
+    urls = [f"https://example.com/u{i}/" for i in range(10)]
+    with open(input_path, "w", newline="") as fh:
+        w = csv.writer(fh)
+        w.writerow(["url"])
+        for u in urls:
+            w.writerow([u])
+
+    processed = spark.createDataFrame(
+        [(u,) for u in urls[:4]] + [("https://example.com/u0",)], "url string"
+    )  # includes a trailing-slash variant duplicate
+    wq.commit_batch(spark, input_path, done_path, processed)
+    done1 = open(done_path).read()
+    remaining1 = open(input_path).read()
+    assert len(done1.strip().splitlines()) == 1 + 4  # header + 4 normalized urls
+    assert len(remaining1.strip().splitlines()) == 1 + 6
+    # idempotent: re-committing the same batch converges to the same state
+    wq.commit_batch(spark, input_path, done_path, processed)
+    assert open(done_path).read() == done1
+    assert open(input_path).read() == remaining1
+    # the pending set = input ∖ done (J1)
+    inputs = spark.read.option("header", True).schema("url string").csv(input_path)
+    done = spark.read.option("header", True).schema("url string").csv(done_path)
+    assert wq.pending_urls(inputs, done).count() == 6
