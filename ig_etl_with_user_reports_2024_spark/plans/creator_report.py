@@ -1239,6 +1239,19 @@ def creator_profile_features(
             "niche_confidence"
         ),
     )
+    conf_map = niche.groupBy("username").agg(
+        F.map_from_entries(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("cat_ord", "category", "confidence"))),
+                lambda s: F.struct(
+                    s["category"].alias("key"),
+                    F.least(F.lit(100), F.floor(s["confidence"]).cast("int")).alias(
+                        "value"
+                    ),
+                ),
+            )
+        ).alias("niche_confidence_matched")
+    )
     distribution = (
         niche.withColumn("share_r", rnd(F.col("share"), 1))  # round pre-collect
         .filter(F.col("share") >= 2.0)  # F9 (:1069)
@@ -1261,6 +1274,7 @@ def creator_profile_features(
     # represented as an empty map rather than null
     return (
         base.join(primary, "username", "left")
+        .join(conf_map, "username", "left")
         .join(distribution, "username", "left")
         .withColumn(
             "niche_distribution",
@@ -1339,14 +1353,24 @@ def creator_report(
     ff_likes = F.coalesce(F.col("_ff_avg_likes"), F.lit(0.0))
     ff_comments = F.coalesce(F.col("_ff_avg_comments"), F.lit(0.0))
     has_data = (F.coalesce(F.col("n_posts"), F.lit(0)) > 0) & (fol > 0)
-    fake_score = F.when(
-        has_data,
-        F.when(ff_er < 0.5, 30).otherwise(0)
-        + F.when(
-            (fol > 10000) & (F.col("following_count") < 100) & (ff_er < 1), 25
-        ).otherwise(0)
-        + F.when((ff_likes > 100) & (ff_comments < ff_likes * 0.01), 20).otherwise(0),
-    ).otherwise(0)
+    ind1 = has_data & (ff_er < 0.5)
+    ind2 = has_data & (fol > 10000) & (F.col("following_count") < 100) & (ff_er < 1)
+    ind3 = has_data & (ff_likes > 100) & (ff_comments < ff_likes * 0.01)
+    fake_score = (
+        F.when(ind1, 30).otherwise(0)
+        + F.when(ind2, 25).otherwise(0)
+        + F.when(ind3, 20).otherwise(0)
+    )
+    suspicious = F.filter(
+        F.array(
+            F.when(ind1, "Very low engagement rate"),
+            F.when(
+                ind2, "High follower count with very low following and engagement"
+            ),
+            F.when(ind3, "Disproportionately low comment rate"),
+        ),
+        lambda x: x.isNotNull(),
+    )
     quality = (
         F.when(fake_score > 50, "Poor").when(fake_score > 25, "Moderate").otherwise("Good")
     )
@@ -1470,6 +1494,7 @@ def creator_report(
     )
     return (
         report.withColumn("fake_follower_score", fake_score)
+        .withColumn("suspicious_indicators", suspicious)
         .withColumn("authenticity_score", 100 - fake_score)
         .withColumn("engagement_quality", quality)
         .withColumn("collaboration_status", collab_status)

@@ -247,3 +247,52 @@ def test_sinks(report, tmp_path, spark):
     body = open(os.path.join(out_txt, "alice.ugc_analysis.txt")).read()
     assert "CREATOR ANALYSIS: alice.ugc" in body
     assert "Report Generated: 2025-09-07" in body
+
+
+def test_wide_csv_flatten(report, tmp_path, spark):
+    from ig_etl_with_user_reports_2024_spark.plans import wide_csv as wc
+
+    flat = wc.flatten_report(report)
+    assert [f.name for f in flat.schema.fields] == wc.HEADERS
+    rows = {r.username: r for r in flat.collect()}
+    a = rows["alice.ugc"]
+    assert a.primary_social_link == "https://www.instagram.com/alice.ugc"
+    assert a.post1_interaction_score != ""  # top post pivoted
+    assert a.post1_url == "https://www.instagram.com/p//"  # Q2-style quirk
+    assert a.age == "" and a.bio_location == "" and a.source == ""  # dead cols
+    assert a.niche_overall == "Fitness"
+    assert '"Fitness"' in a.niche_confidence_scores
+    assert a.raw_analysis.startswith("{")
+    out = str(tmp_path / "wide")
+    wc.sanitize_and_write(flat, out)
+    import glob as g
+
+    files = g.glob(f"{out}/*.csv")
+    assert files
+    header = open(files[0]).readline().strip().split(",")
+    assert header == wc.HEADERS
+    stats = wc.platform_stats(report).collect()[0]
+    assert stats.total_creators == 2
+    assert stats.creators_with_tiktok == 1
+    assert stats.creators_with_linktree == 1
+
+
+def test_location_cities_join(spark, fixture_dirs):
+    # J2 with a VALID cities dim (the reference's dim never loads — Q1;
+    # the engine implements the join properly behind the optional param)
+    from ig_etl_with_user_reports_2024_spark.plans import creator_report as cr
+
+    users = cr.load_users(spark, f"{fixture_dirs}/*/userInfo.json")
+    posts = cr.load_posts(spark, f"{fixture_dirs}/*/postInfo.json")
+    cities = spark.createDataFrame(
+        [("austin", "TX", 1), ("boston", "MA", 2), ("aus", "XX", 3)],
+        "city string, state_id string, ord int",
+    )
+    followers = users.select("username", "follower_count")
+    feat = cr.per_post_features(posts, followers, AS_OF)
+    loc = cr.creator_location_analysis(feat, cities=cities)
+    rows = {r.username: r for r in loc.collect()}
+    matched = {m.input_location: (m.matched_city, m.state) for m in rows["alice.ugc"].matched_us_cities}
+    # 'Austin' matches both 'austin' and 'aus' (substring) — first match
+    # in dim order wins (Q10)
+    assert matched.get("Austin") == ("austin", "TX")
