@@ -161,3 +161,87 @@ def lsh_topk(
     return top_k_per_group(
         scored, ["q_id"], [F.col("cos_sim").desc(), F.col("n_id").asc()], k=k
     ).select("q_id", "n_id", "cos_sim", F.col("rn").alias("rank"))
+
+
+def embedding_neardup_pairs(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a_id < b_id, cos >= t).
+
+    The semantic-dedup counterpart of the lexical dedup family: exact
+    all-pairs cosine — the oracle-checked baseline. At 100 TB the
+    candidate set comes from lsh_topk/ivf_topk buckets and this exact
+    scoring runs only on candidates.
+    """
+    a = vectors.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec"))
+    b = vectors.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec"))
+    pairs = a.join(b, F.col("a_id") < F.col("b_id"))
+    scored = pairs.select(
+        "a_id", "b_id", cosine(F.col("a_vec"), F.col("b_vec")).alias("cos_sim")
+    )
+    return scored.filter(F.col("cos_sim") >= threshold)
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-style ANN: coarse-quantize the corpus into cells around sampled
+    centroids, search only the query's n_probe nearest cells.
+
+    Training-free centroid selection: a seeded sample of corpus vectors
+    becomes the codebook (broadcast; fine for coarse quantization). Cell
+    assignment and probing are pure column expressions — the corpus is
+    scanned once to build the cell index, and each query touches
+    ~n_probe/n_cells of the corpus.
+    """
+    cents = [
+        (i, [float(x) for x in r[vec_col]])
+        for i, r in enumerate(
+            corpus.sample(fraction=1.0, seed=seed).limit(n_cells).collect()
+        )
+    ]
+
+    def cell_scores(vec) -> list:
+        return [
+            F.struct(
+                (-_dot(vec, F.array(*[F.lit(x) for x in cvec]))).alias("neg_sim"),
+                F.lit(ci).alias("cell"),
+            )
+            for ci, cvec in cents
+        ]
+
+    def nearest_cells(vec, n: int):
+        return F.transform(
+            F.slice(F.array_sort(F.array(*cell_scores(vec))), 1, n),
+            lambda s: s["cell"],
+        )
+
+    c_assigned = corpus.select(
+        F.col(id_col).alias("n_id"),
+        F.col(vec_col).alias("n_vec"),
+        F.element_at(nearest_cells(F.col(vec_col), 1), 1).alias("cell"),
+    )
+    q_assigned = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(nearest_cells(F.col(vec_col), n_probe)).alias("cell"),
+    )
+    cand = c_assigned.join(F.broadcast(q_assigned), "cell").filter(
+        F.col("q_id") != F.col("n_id")
+    )
+    scored = cand.select(
+        "q_id", "n_id", cosine(F.col("q_vec"), F.col("n_vec")).alias("cos_sim")
+    ).dropDuplicates(["q_id", "n_id"])
+    return top_k_per_group(
+        scored, ["q_id"], [F.col("cos_sim").desc(), F.col("n_id").asc()], k=k
+    ).select("q_id", "n_id", "cos_sim", F.col("rn").alias("rank"))

@@ -337,3 +337,32 @@ def mm1_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(payload).alias("content_digest"),
         F.ceil(F.length(payload) / F.lit(256.0)).cast("bigint").alias("n_chunks"),
     )
+
+
+@query(
+    "dd5_embedding_neardup",
+    f"""
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           {_DOT_SQL.format(a='a.embedding', b='b.embedding')}
+               / ({_NORM_SQL.format(a='a.embedding')}
+                  * {_NORM_SQL.format(a='b.embedding')}) AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {_DOT_SQL.format(a='a.embedding', b='b.embedding')}
+               / ({_NORM_SQL.format(a='a.embedding')}
+                  * {_NORM_SQL.format(a='b.embedding')}) >= 0.5
+    """,
+)
+def dd5_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (threshold 0.5) — the
+    semantic-dedup baseline, exact and oracle-checked."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.embedding_neardup_pairs(emb, "vec_id", "embedding", threshold=0.5)
+
+
+@query("ann3_ivf_topk", None)  # sampled-centroid codebook → rows-only
+def ann3_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN top-5 (16 cells, 4 probes) for vec_id < 10; recall
+    vs brute force asserted in tests/test_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return sim.ivf_topk(queries, emb, "vec_id", "embedding", k=5)

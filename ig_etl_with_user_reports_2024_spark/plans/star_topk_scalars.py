@@ -564,3 +564,32 @@ def x10_c7_argmax_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.select(
         "c_nationkey", F.col("c_mktsegment").alias("dominant_segment"), "cnt"
     )
+
+
+# ---------------------------------------------------------------------------
+# X8b — JSON field extraction from a string column (the read direction).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x8b_json_extract",
+    """
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_value,
+           json_extract_string(props, '$.k') AS k_raw
+    FROM events
+    """,
+)
+def x8b_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X8 (read side) — extract typed fields from JSON-string columns.
+
+    The reference parses whole JSON docs up front; at scale, late
+    extraction from string payloads (get_json_object / from_json) keeps
+    the scan narrow until the field is needed.
+    """
+    events = load_table(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_value"),
+        F.get_json_object("props", "$.k").alias("k_raw"),
+    )

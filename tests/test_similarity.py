@@ -37,3 +37,24 @@ def test_lsh_recall_vs_bruteforce(spark, sf_oracle):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, f"LSH recall {recall:.2f}"
+
+
+def test_ivf_recall_vs_bruteforce(spark, sf_oracle):
+    emb = spark.read.parquet(f"{sf_oracle}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {(r.q_id, r.n_id) for r in sim.cosine_topk(queries, emb, k=5).collect()}
+    approx = {
+        (r.q_id, r.n_id)
+        for r in sim.ivf_topk(queries, emb, k=5, n_cells=16, n_probe=6).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.4, f"IVF recall {recall:.2f}"  # random vectors: weak cells
+
+
+def test_embedding_neardup_symmetric_threshold(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.99, 0.14]), (3, [0.0, 1.0])],
+        "vec_id bigint, embedding array<float>",
+    )
+    pairs = {(r.a_id, r.b_id) for r in sim.embedding_neardup_pairs(df, threshold=0.9).collect()}
+    assert (1, 2) in pairs and (1, 3) not in pairs
