@@ -1,0 +1,94 @@
+"""Opt-in scale stress: replicate sf0.1 ×8 (~4.8M lineitem rows) into a
+temp dir and run the headline shapes — completion + row-count sanity, the
+local stand-in for the 100 TB plan-shape claims.
+
+Skipped unless SPARK_GRAFT_SCALE_TEST=1 (adds ~2-4 min).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_SCALE_TEST") != "1",
+    reason="set SPARK_GRAFT_SCALE_TEST=1 to run the x8 scale stress",
+)
+
+REPLICATION = 8
+
+
+@pytest.fixture(scope="module")
+def big_sf(spark):
+    from ig_etl_with_user_reports_2024_spark.sources.readers import load_table
+
+    src = "/root/testdata/sf0.1"
+    out = tempfile.mkdtemp(prefix="sfbig_")
+    for t in ("orders", "lineitem", "customer", "events", "documents", "embeddings",
+              "part", "supplier", "nation", "region"):
+        df = load_table(spark, src, t)  # handles the events nano-timestamps
+        if t in ("orders", "lineitem", "events", "documents"):
+            copies = [
+                df.withColumn(
+                    "_rep", F.lit(i)
+                )
+                for i in range(REPLICATION)
+            ]
+            big = copies[0]
+            for c in copies[1:]:
+                big = big.unionByName(c)
+            # re-key so keys stay unique across replicas
+            keycol = {"orders": "o_orderkey", "lineitem": "l_orderkey",
+                      "events": "event_id", "documents": "doc_id"}[t]
+            big = big.withColumn(
+                keycol, F.col(keycol) + F.col("_rep").cast("long") * 100_000_000
+            ).drop("_rep")
+            big.write.mode("overwrite").parquet(f"{out}/{t}.parquet")
+        else:
+            df.write.mode("overwrite").parquet(f"{out}/{t}.parquet")
+    yield out
+    shutil.rmtree(out, ignore_errors=True)
+
+
+def test_headline_queries_complete_at_8x(spark, big_sf):
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    li = spark.read.parquet(f"{big_sf}/lineitem.parquet")
+    assert li.count() >= 4_000_000
+
+    r = qs["a4_pricing_summary"](spark, big_sf).collect()
+    assert len(r) == 6  # same groups, 8x the rows
+
+    top = qs["k1_top6_er"](spark, big_sf)
+    assert top.count() > 0
+
+    dd = qs["dd3_minhash_lsh_pairs"](spark, big_sf)
+    assert dd.count() > 0
+
+    st = qs["st1_tumbling_window"](spark, big_sf)
+    assert st.count() > 0
+
+
+def test_aggregate_scales_linearly_in_rows(spark, big_sf):
+    # the x8 sum must be exactly 8x the base sum (replicated data) —
+    # catches silent row loss under the bigger shuffle
+    from ig_etl_with_user_reports_2024_spark.functions.exact import lsum
+
+    base = (
+        spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+        .agg(lsum("l_extendedprice").alias("s"))
+        .collect()[0]
+        .s
+    )
+    big = (
+        spark.read.parquet(f"{big_sf}/lineitem.parquet")
+        .agg(lsum("l_extendedprice").alias("s"))
+        .collect()[0]
+        .s
+    )
+    assert big == pytest.approx(base * REPLICATION, rel=1e-12)
