@@ -21,6 +21,7 @@ from ig_etl_with_user_reports_2024_spark.plans import QUERIES
 # Importing these modules populates the registry.
 from ig_etl_with_user_reports_2024_spark.plans import star_aggregates  # noqa: F401
 from ig_etl_with_user_reports_2024_spark.plans import star_classifiers  # noqa: F401
+from ig_etl_with_user_reports_2024_spark.plans import star_multijoin  # noqa: F401
 from ig_etl_with_user_reports_2024_spark.plans import star_pipeline  # noqa: F401
 from ig_etl_with_user_reports_2024_spark.plans import star_streaming  # noqa: F401
 from ig_etl_with_user_reports_2024_spark.plans import star_queries  # noqa: F401
