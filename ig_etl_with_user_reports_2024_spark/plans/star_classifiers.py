@@ -228,16 +228,20 @@ def c9_f9_niche_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     part = load_table(spark, sf_dir, "part")
     dim = spark.createDataFrame(_J4_DIM, "category string, kw string")
-    toks = part.select(
-        "p_partkey",
-        F.explode(F.split(F.lower("p_name"), " ")).alias("token"),
-        F.lit(2.0).alias("weight"),
-    ).unionAll(
-        part.select(
-            "p_partkey",
-            F.explode(F.split(F.lower("p_type"), " ")).alias("token"),
-            F.lit(1.0).alias("weight"),
-        )
+    # one scan: both token sources explode from a single combined array
+    # (weight carried in the struct) instead of a two-branch union
+    combined = F.concat(
+        F.transform(
+            F.split(F.lower("p_name"), " "),
+            lambda t: F.struct(t.alias("token"), F.lit(2.0).alias("weight")),
+        ),
+        F.transform(
+            F.split(F.lower("p_type"), " "),
+            lambda t: F.struct(t.alias("token"), F.lit(1.0).alias("weight")),
+        ),
+    )
+    toks = part.select("p_partkey", F.explode(combined).alias("tw")).select(
+        "p_partkey", F.col("tw.token").alias("token"), F.col("tw.weight").alias("weight")
     )
     scores = (
         toks.join(F.broadcast(dim), F.col("token") == F.col("kw"))

@@ -665,19 +665,23 @@ def j4_a10_keyword_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact binary fractions, so the double sum is order-independent.
     """
     part = load_table(spark, sf_dir, "part")
-    name_toks = part.select(
-        "p_partkey",
-        F.explode(F.split(F.lower("p_name"), " ")).alias("token"),
-        F.lit(2.0).alias("weight"),
-    )
-    type_toks = part.select(
-        "p_partkey",
-        F.explode(F.split(F.lower("p_type"), " ")).alias("token"),
-        F.lit(1.0).alias("weight"),
-    )
     dim = spark.createDataFrame(_J4_DIM, "category string, kw string")
+    # one scan: both token sources explode from a single combined array
+    combined = F.concat(
+        F.transform(
+            F.split(F.lower("p_name"), " "),
+            lambda t: F.struct(t.alias("token"), F.lit(2.0).alias("weight")),
+        ),
+        F.transform(
+            F.split(F.lower("p_type"), " "),
+            lambda t: F.struct(t.alias("token"), F.lit(1.0).alias("weight")),
+        ),
+    )
+    toks = part.select("p_partkey", F.explode(combined).alias("tw")).select(
+        "p_partkey", F.col("tw.token").alias("token"), F.col("tw.weight").alias("weight")
+    )
     return (
-        name_toks.unionAll(type_toks)
+        toks
         .join(F.broadcast(dim), F.col("token") == F.col("kw"))
         .groupBy("p_partkey", "category")
         .agg(F.sum("weight").alias("score"), F.count("*").alias("hits"))
