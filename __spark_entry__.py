@@ -18,14 +18,19 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ig_etl_with_user_reports_2024_spark.plans import QUERIES
 
-# Importing these modules populates the registry.
+# Importing these modules populates the registry. ORDER MATTERS: the
+# driver runs (and budgets) queries in registration order, so modules
+# whose queries still lack a driver verdict register FIRST (round 1
+# stopped after 50 of 65 — see VERDICT.md "What's missing" #1).
+from ig_etl_with_user_reports_2024_spark.plans import star_topk_scalars  # noqa: F401
+from ig_etl_with_user_reports_2024_spark.plans import star_streaming  # noqa: F401
+from ig_etl_with_user_reports_2024_spark.plans import star_detectors  # noqa: F401
+from ig_etl_with_user_reports_2024_spark.plans import star_recall  # noqa: F401
 from ig_etl_with_user_reports_2024_spark.plans import star_aggregates  # noqa: F401
 from ig_etl_with_user_reports_2024_spark.plans import star_classifiers  # noqa: F401
 from ig_etl_with_user_reports_2024_spark.plans import star_multijoin  # noqa: F401
 from ig_etl_with_user_reports_2024_spark.plans import star_pipeline  # noqa: F401
-from ig_etl_with_user_reports_2024_spark.plans import star_streaming  # noqa: F401
 from ig_etl_with_user_reports_2024_spark.plans import star_queries  # noqa: F401
-from ig_etl_with_user_reports_2024_spark.plans import star_topk_scalars  # noqa: F401
 
 
 def entry(spark: SparkSession) -> DataFrame:

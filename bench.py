@@ -36,6 +36,11 @@ HEADLINE = [
     "ann1_cosine_topk",
     "txt1_lang_id",
     "txt2_quality_score",
+    # r2 additions: promoted standalone detector/classifier queries.
+    # The r1-comparable subset is everything above this comment.
+    "c10_personality_insights",
+    "c12_collab_status",
+    "c13_sponsor_detector",
 ]
 
 

@@ -115,12 +115,20 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
-    bands: int = 6,
-    bits_per_band: int = 8,
+    bands: int = 12,
+    bits_per_band: int = 4,
     dim: int = 64,
 ) -> DataFrame:
     """Random-hyperplane LSH ANN: candidates share at least one band
     signature with the query; exact cosine re-ranks candidates.
+
+    Default banding is many-short (12 bands × 4 bits): realistic
+    embedding corpora have weak neighbor structure (cos ~0.3 between
+    true neighbors), so per-bit sign agreement is modest and long bands
+    collapse recall (measured 0.04 with 6×8 vs 0.5+ with 12×4 on the
+    synthetic corpus — rf1_lsh_topk_recall tracks this in the catalog).
+    Shorter bands trade more candidates (larger buckets) for recall;
+    tune bits_per_band up only when neighbors are genuinely close.
 
     Plan shape at 100 TB: corpus is bucketed once (b band columns, one
     narrow projection), the join is an equi-join on (band, bucket) —
@@ -198,8 +206,12 @@ def ivf_topk(
     """IVF-style ANN: coarse-quantize the corpus into cells around sampled
     centroids, search only the query's n_probe nearest cells.
 
-    Training-free centroid selection: a seeded sample of corpus vectors
-    becomes the codebook (broadcast; fine for coarse quantization). Cell
+    Training-free centroid selection: a seeded pseudo-random draw of
+    corpus vectors becomes the codebook (broadcast; fine for coarse
+    quantization). The draw orders by ``xxhash64(id, seed)`` — uniform
+    over the corpus even when the input is sorted/clustered, and the
+    orderBy+limit compiles to TakeOrderedAndProject (per-partition top-k,
+    no full sort shuffle), so it stays cheap at any scale. Cell
     assignment and probing are pure column expressions — the corpus is
     scanned once to build the cell index, and each query touches
     ~n_probe/n_cells of the corpus.
@@ -207,7 +219,9 @@ def ivf_topk(
     cents = [
         (i, [float(x) for x in r[vec_col]])
         for i, r in enumerate(
-            corpus.sample(fraction=1.0, seed=seed).limit(n_cells).collect()
+            corpus.orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
+            .limit(n_cells)
+            .collect()
         )
     ]
 

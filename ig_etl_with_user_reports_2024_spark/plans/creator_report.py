@@ -747,7 +747,7 @@ def creator_top6_posts(feat: DataFrame, python_rounding: bool = False) -> DataFr
 
 
 def creator_partnership_data(feat: DataFrame, python_rounding: bool = False) -> DataFrame:
-    """C13 — detect_paid_partnerships aggregates
+    r"""C13 — detect_paid_partnerships aggregates
     (analyze_insta_enhanced.py:540-684): sponsored/organic means,
     sponsor-tag frequency, brand mentions (plain-\w regex, excluding the
     platform names), collaboration timeline, and the capped

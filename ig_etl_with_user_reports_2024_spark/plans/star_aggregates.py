@@ -73,8 +73,8 @@ def a123_er_formulas(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders
     )
     SELECT o_custkey,
-           SUM(CASE WHEN o_totalprice > 2 * mean_price THEN 1 ELSE 0 END)
-               AS viral_count,
+           CAST(SUM(CASE WHEN o_totalprice > 2 * mean_price THEN 1 ELSE 0 END)
+               AS BIGINT) AS viral_count,
            COUNT(*) AS n_posts
     FROM with_avg
     GROUP BY o_custkey
@@ -159,10 +159,12 @@ def a8_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "a9_platform_stats",
     """
-    SELECT SUM(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END) AS n_building,
-           SUM(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END) AS n_machinery,
-           SUM(CASE WHEN c_mktsegment IN ('BUILDING','MACHINERY') THEN 1 ELSE 0 END)
-               AS n_multi,
+    SELECT CAST(SUM(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_building,
+           CAST(SUM(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_machinery,
+           CAST(SUM(CASE WHEN c_mktsegment IN ('BUILDING','MACHINERY') THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_multi,
            COUNT(*) AS n_total
     FROM customer
     """,

@@ -168,10 +168,11 @@ def ann1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("ann2_lsh_topk", None)  # hyperplane draws are engine-side → rows-only
 def ann2_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH ANN top-5 (6 bands × 8 bits) for vec_id < 10.
+    """Hyperplane-LSH ANN top-5 (12 bands × 4 bits) for vec_id < 10.
 
     Scale path for ann1 — candidates only from shared sign-bit buckets;
-    recall vs brute force asserted in tests/test_similarity.py.
+    recall vs brute force asserted in tests/test_similarity.py and
+    tracked as a driver-visible number by rf1_lsh_topk_recall.
     """
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)

@@ -34,6 +34,55 @@ _TUMBLING_ORACLE = f"""
 """
 
 
+# st3/st4 are registered FIRST: they had no driver verdict in round 1
+# (budget exhausted mid-module) — registration order is the driver's run
+# order, so the not-yet-verified queries must come before the green ones.
+
+
+@query(
+    "st3_sessionization",
+    f"""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ), sessions AS (
+        SELECT user_id, ts, value,
+               CAST(SUM(is_new) OVER (
+                   PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, session_id,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end,
+           COUNT(*) AS n_events,
+           {sql_lsum('value')} AS total_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def st3_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with a 30-minute inactivity gap (lag + running sum);
+    the streaming twin (session_window) is exercised in tests."""
+    return session_agg(load_table(spark, sf_dir, "events"), gap_minutes=30)
+
+
+@query("st4_streaming_tumbling", _TUMBLING_ORACLE)
+def st4_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The genuine readStream pipeline (parquet source → window agg →
+    memory sink, AvailableNow): hash-checked against the SAME SQL oracle
+    as st1, proving streaming/batch result parity."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return streaming_tumbling_counts(
+        spark, os.path.join(sf_dir, "events.parquet")
+    )
+
+
 @query("st1_tumbling_window", _TUMBLING_ORACLE)
 def st1_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 5-minute event-time windows (count + exact sum).
@@ -65,47 +114,3 @@ def st2_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding windows (10 min wide, 5 min slide) — each event lands in
     exactly two windows; the oracle expands the two containing starts."""
     return sliding_window_agg(load_table(spark, sf_dir, "events"))
-
-
-@query(
-    "st3_sessionization",
-    f"""
-    WITH flagged AS (
-        SELECT user_id, ts, event_id, value,
-               CASE WHEN lag(ts) OVER w IS NULL
-                         OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
-                    THEN 1 ELSE 0 END AS is_new
-        FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
-    ), sessions AS (
-        SELECT user_id, ts, value,
-               SUM(is_new) OVER (
-                   PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-               ) AS session_id
-        FROM flagged
-    )
-    SELECT user_id, session_id,
-           MIN(ts) AS session_start,
-           MAX(ts) AS session_end,
-           COUNT(*) AS n_events,
-           {sql_lsum('value')} AS total_value
-    FROM sessions
-    GROUP BY user_id, session_id
-    """,
-)
-def st3_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sessionization with a 30-minute inactivity gap (lag + running sum);
-    the streaming twin (session_window) is exercised in tests."""
-    return session_agg(load_table(spark, sf_dir, "events"), gap_minutes=30)
-
-
-@query("st4_streaming_tumbling", _TUMBLING_ORACLE)
-def st4_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The genuine readStream pipeline (parquet source → window agg →
-    memory sink, AvailableNow): hash-checked against the SAME SQL oracle
-    as st1, proving streaming/batch result parity."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return streaming_tumbling_counts(
-        spark, os.path.join(sf_dir, "events.parquet")
-    )

@@ -51,6 +51,24 @@ def test_ivf_recall_vs_bruteforce(spark, sf_oracle):
     assert recall >= 0.4, f"IVF recall {recall:.2f}"  # random vectors: weak cells
 
 
+def test_ivf_recall_on_clustered_corpus(spark, sf_oracle):
+    """Regression for the centroid draw: on a label-clustered (sorted)
+    corpus a head-of-corpus codebook collapses into one cluster; the
+    seeded xxhash64 draw must keep recall intact regardless of input
+    order."""
+    emb = spark.read.parquet(f"{sf_oracle}/embeddings.parquet").orderBy(
+        "label", "vec_id"
+    )
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {(r.q_id, r.n_id) for r in sim.cosine_topk(queries, emb, k=5).collect()}
+    approx = {
+        (r.q_id, r.n_id)
+        for r in sim.ivf_topk(queries, emb, k=5, n_cells=16, n_probe=6).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.4, f"IVF recall on clustered corpus {recall:.2f}"
+
+
 def test_embedding_neardup_symmetric_threshold(spark):
     df = spark.createDataFrame(
         [(1, [1.0, 0.0]), (2, [0.99, 0.14]), (3, [0.0, 1.0])],

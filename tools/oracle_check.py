@@ -54,6 +54,16 @@ def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> tuple[bool, str]
     worst = 0.0
     for c in s.columns:
         sv, dv = s[c], d[c]
+        # The driver's value hash distinguishes int 302 from float 302.0 —
+        # an int-vs-float dtype divergence (e.g. DuckDB HUGEINT from
+        # SUM(CASE...) vs Spark BIGINT) must FAIL here too, never be
+        # coerced away. CAST the oracle SQL instead (see VERDICT r1 #1).
+        s_kind, d_kind = sv.dtype.kind, dv.dtype.kind
+        if (s_kind in "iu") != (d_kind in "iu") and {s_kind, d_kind} <= set("iufc"):
+            return False, (
+                f"col {c}: dtype kind mismatch {sv.dtype} vs {dv.dtype} "
+                "(int-vs-float — driver hash will fail; CAST the oracle SQL)"
+            )
         if sv.dtype.kind in "fc" or dv.dtype.kind in "fc":
             sv = sv.astype(float).to_numpy()
             dv = dv.astype(float).to_numpy()
