@@ -233,10 +233,25 @@ def c12_collab_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     coauthor (:1440-1475). Engine twin: creator_report.py
     creator_collaborations / collab_status.
 
-    Plan shape: one orders⋈lineitem join (co-keyed on the order key),
-    then every phase is a filter over the same joined frame — no
-    re-scan; the dedup window and the final agg share the custkey
-    shuffle. ``collab_ids`` pins the Q10 insertion order observably.
+    Plan shape — ONE pass over the fact, one shuffle total: the
+    orders⋈lineitem join broadcasts orders onto the lineitem scan (no
+    fact shuffle), then a single custkey exchange feeds everything —
+    per-creator keys (uname / paid_pos / tag_pos) as whole-partition
+    window aggregates, the four candidate phases built per-row as a
+    0..3-element struct array and exploded ONCE (``explode_outer`` so
+    candidate-less creators survive to the output without a final
+    join), first-occurrence dedup as ``min(struct)`` per
+    (custkey, collab) and the report rollup per custkey — both
+    aggregates reuse the window's custkey partitioning, so neither adds
+    an exchange. ``collab_ids`` pins the Q10 insertion order
+    observably. The synthetic lineitem repeats (orderkey, linenumber),
+    so every ordering carries collab as the final tie-break — both
+    engines pick the same uname / survivor / list order.
+
+    any_owner/any_coauthor are EXISTENCE over all candidates (the
+    reference checks the flags, not the deduped survivors — an owner
+    mention shadowed by an earlier coauthor survivor still counts), so
+    they ride the pair-level aggregate, not the survivor struct.
     """
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
@@ -251,84 +266,86 @@ def c12_collab_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_linenumber").alias("sub"),
         F.col("l_suppkey").alias("collab"),
     )
-    # the synthetic lineitem repeats (orderkey, linenumber) — every
-    # ordering carries collab as the final tie-break so both engines
-    # pick the same uname / survivor / list order deterministically
-    w_first = Window.partitionBy("custkey").orderBy(
-        F.col("pos").asc(), F.col("sub").asc(), F.col("collab").asc()
+    w_c = Window.partitionBy("custkey")
+    jw = j.select(
+        "*",
+        F.min(F.struct("pos", "sub", "collab"))
+        .over(w_c)
+        .getField("collab")
+        .alias("uname"),
+        F.min(F.when(F.col("o_orderpriority") == "1-URGENT", F.col("pos")))
+        .over(w_c)
+        .alias("paid_pos"),
+        F.min(F.when(F.col("o_orderstatus") == "F", F.col("pos")))
+        .over(w_c)
+        .alias("tag_pos"),
     )
-    uname_t = (
-        j.withColumn("rn", F.row_number().over(w_first))
-        .filter(F.col("rn") == 1)
-        .select("custkey", F.col("collab").alias("uname"))
-    )
-    jk = j.join(uname_t, "custkey")
-    keys = jk.groupBy("custkey").agg(
-        F.min(F.when(F.col("o_orderpriority") == "1-URGENT", F.col("pos"))).alias(
-            "paid_pos"
-        ),
-        F.min(F.when(F.col("o_orderstatus") == "F", F.col("pos"))).alias("tag_pos"),
-        F.max("uname").alias("uname"),
-        F.max((F.col("sub") == 1) & (F.col("collab") != F.col("uname"))).alias(
-            "any_owner"
-        ),
-        F.max((F.col("sub") > 1) & (F.col("collab") != F.col("uname"))).alias(
-            "any_coauthor"
-        ),
-    )
-    jx = j.join(keys, "custkey")
 
-    def phase(df: DataFrame, ph: int, sub_col, src: str) -> DataFrame:
-        return df.select(
-            "custkey",
-            F.lit(ph).alias("phase"),
-            "pos",
-            sub_col.alias("sub"),
-            "collab",
-            "recent",
-            F.lit(src).alias("src"),
+    def entry(cond, ph, sub_col):
+        return F.when(
+            cond,
+            F.struct(
+                F.lit(ph).alias("phase"),
+                F.col("pos").alias("pos"),
+                sub_col.alias("sub"),
+                F.col("collab").alias("collab"),
+                F.col("recent").alias("recent"),
+            ),
         )
 
-    paid = phase(
-        jx.filter(F.col("pos") == F.col("paid_pos")), 1, F.col("sub"),
-        "paid_partnership",
-    )
-    owners = phase(
-        jx.filter((F.col("sub") == 1) & (F.col("collab") != F.col("uname"))),
-        2, F.lit(0), "owner",
-    )
-    coauthors = phase(
-        jx.filter((F.col("sub") > 1) & (F.col("collab") != F.col("uname"))),
-        2, F.col("sub"), "coauthor",
-    )
-    tags = phase(
-        jx.filter(
-            F.col("paid_pos").isNull() & (F.col("pos") == F.col("tag_pos"))
-        ),
-        3, F.col("sub"), "tag",
-    )
-    cand = paid.unionByName(owners).unionByName(coauthors).unionByName(tags)
-    w_dedup = Window.partitionBy("custkey", "collab").orderBy(
-        F.col("phase").asc(), F.col("pos").asc(), F.col("sub").asc(),
-        F.col("collab").asc(),
-    )
-    firsts = cand.withColumn("rn", F.row_number().over(w_dedup)).filter(
-        F.col("rn") == 1
-    )
-    agg = firsts.groupBy("custkey").agg(
-        F.count("*").alias("total_collaborations"),
-        F.sum(F.when(F.col("recent"), 1).otherwise(0)).alias(
-            "recent_collaborations"
-        ),
-        F.array_join(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct("phase", "pos", "sub", "collab"))
-                ),
-                lambda s: s["collab"].cast("string"),
+    foreign = F.col("collab") != F.col("uname")
+    entries = F.array_compact(
+        F.array(
+            entry(F.col("pos") == F.col("paid_pos"), 1, F.col("sub")),
+            entry((F.col("sub") == 1) & foreign, 2, F.lit(0)),
+            entry((F.col("sub") > 1) & foreign, 2, F.col("sub")),
+            entry(
+                F.col("paid_pos").isNull() & (F.col("pos") == F.col("tag_pos")),
+                3,
+                F.col("sub"),
             ),
-            "|",
-        ).alias("collab_ids"),
+        )
+    )
+    cand = jw.select(
+        "custkey", "paid_pos", "tag_pos", F.explode_outer(entries).alias("e")
+    ).select("custkey", "paid_pos", "tag_pos", "e.*")
+    live = F.col("collab").isNotNull()
+    firsts = cand.groupBy("custkey", "collab").agg(
+        F.min(F.struct("phase", "pos", "sub", "recent")).alias("s"),
+        F.max(live & (F.col("phase") == 2) & (F.col("sub") == 0)).alias("o_hit"),
+        F.max(live & (F.col("phase") == 2) & (F.col("sub") > 0)).alias("c_hit"),
+        F.max("paid_pos").alias("paid_pos"),
+        F.max("tag_pos").alias("tag_pos"),
+    )
+    agg = (
+        firsts.select(
+            "custkey", "collab", "o_hit", "c_hit", "paid_pos", "tag_pos", "s.*"
+        )
+        .groupBy("custkey")
+        .agg(
+            F.count("collab").alias("total_collaborations"),
+            F.sum(
+                F.when(F.col("collab").isNotNull() & F.col("recent"), 1).otherwise(0)
+            ).alias("recent_collaborations"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("collab").isNotNull(),
+                                F.struct("phase", "pos", "sub", "collab"),
+                            )
+                        )
+                    ),
+                    lambda s: s["collab"].cast("string"),
+                ),
+                "|",
+            ).alias("collab_ids"),
+            F.max("o_hit").alias("any_owner"),
+            F.max("c_hit").alias("any_coauthor"),
+            F.max("paid_pos").alias("paid_pos"),
+            F.max("tag_pos").alias("tag_pos"),
+        )
     )
     any_collab = (
         F.col("paid_pos").isNotNull()
@@ -342,14 +359,12 @@ def c12_collab_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("any_owner"), "Collaborative Posts")
         .when(F.col("any_coauthor"), "Co-authored")
     )
-    return keys.join(agg, "custkey", "left").select(
+    return agg.select(
         "custkey",
         F.when(any_collab, "Active").alias("collab_status"),
         detail.alias("collab_status_detail"),
-        F.coalesce("total_collaborations", F.lit(0)).alias("total_collaborations"),
-        F.coalesce("recent_collaborations", F.lit(0)).alias(
-            "recent_collaborations"
-        ),
+        "total_collaborations",
+        "recent_collaborations",
         F.coalesce("collab_ids", F.lit("")).alias("collab_ids"),
     )
 

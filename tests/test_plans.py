@@ -61,6 +61,32 @@ def test_topk_uses_single_exchange(spark, sf_oracle):
     assert len(broadcasts) <= 1, plan
 
 
+def test_c12_single_fact_pass(spark, sf_oracle):
+    # the collab cascade must stay one pass over orders⋈lineitem: one
+    # broadcast (orders onto the lineitem scan), one custkey shuffle
+    # feeding window + both aggregates, no fact re-scan, no final join
+    import re
+
+    plan = plan_of(spark, "c12_collab_status", sf_oracle)
+    scans = re.findall(r"\(\d+\) Scan parquet", plan)
+    assert len(scans) <= 2, f"fact re-scanned: {len(scans)} scans"
+    shuffles = set(re.findall(r"\((\d+)\) Exchange", plan))
+    assert len(shuffles) <= 1, plan
+    assert "SortMergeJoin" not in plan, "c12 regained a per-creator join"
+
+
+def test_detectors_are_single_scan_expressions(spark, sf_oracle):
+    # c10/c13 are pure classifier expressions: one scan, at most the
+    # final-agg exchange, no joins
+    for name in ("c10_personality_insights", "c13_sponsor_detector"):
+        plan = plan_of(spark, name, sf_oracle)
+        import re
+
+        scans = re.findall(r"\(\d+\) Scan parquet", plan)
+        assert len(scans) == 1, f"{name}: {len(scans)} scans"
+        assert "Join" not in plan, f"{name} grew a join"
+
+
 def test_whole_stage_codegen_active(spark, sf_oracle):
     # AQE hides codegen until the final plan — run the query, then read
     # the executed plan ('*(n)' markers in simple mode = codegen stages)
