@@ -63,15 +63,27 @@ def cosine_topk(
     shuffle of the corpus — the right baseline plan even at scale when
     |Q| is small. Ranking is one window on the query id.
     """
+    # Norms are per-row quantities: compute them once per side before
+    # the pair join instead of per pair (same fold, bit-identical; cuts
+    # the per-pair HOF work from 3×dim to 1×dim lambda evals).
     q = queries.select(
-        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        _norm(F.col(vec_col)).alias("q_norm"),
     )
     c = corpus.select(
-        F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec")
+        F.col(id_col).alias("n_id"),
+        F.col(vec_col).alias("n_vec"),
+        _norm(F.col(vec_col)).alias("n_norm"),
     )
     pairs = c.join(F.broadcast(q), F.col("q_id") != F.col("n_id"))
     scored = pairs.select(
-        "q_id", "n_id", cosine(F.col("q_vec"), F.col("n_vec")).alias("cos_sim")
+        "q_id",
+        "n_id",
+        (
+            _dot(F.col("q_vec"), F.col("n_vec"))
+            / (F.col("q_norm") * F.col("n_norm"))
+        ).alias("cos_sim"),
     )
     return top_k_per_group(
         scored, ["q_id"], [F.col("cos_sim").desc(), F.col("n_id").asc()], k=k
@@ -85,28 +97,32 @@ def _hyperplane(dim: int, seed: int) -> list[float]:
     return [rnd.gauss(0.0, 1.0) for _ in range(dim)]
 
 
-def _band_bits(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign bits of the vector against each hyperplane, packed to a long."""
-    bits = [
-        F.when(
-            F.aggregate(
-                F.zip_with(
-                    vec,
-                    F.array(*[F.lit(w) for w in plane]),
-                    lambda x, w: x.cast("double") * w,
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            > 0,
-            F.lit(1 << i).cast("long"),
-        ).otherwise(F.lit(0).cast("long"))
-        for i, plane in enumerate(planes)
-    ]
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out
+def _dots_against(vec: Column, matrix: list[list[float]]) -> Column:
+    """All dot products of ``vec`` against a plan-time literal matrix,
+    returned as one ``array<double>``.
+
+    The whole matrix rides in as ONE node: ``from_json`` of a literal
+    string is foldable, so Catalyst's ConstantFolding collapses it to a
+    single array<array<double>> ``Literal`` at optimization time — the
+    expression tree is O(1) in the matrix size. The alternatives were
+    measured and rejected: per-plane ``CreateArray`` of 64 literals × 48
+    planes (and ``F.lit`` of a nested list, which client-side expands to
+    exactly that) made plan construction + Catalyst analysis, not row
+    evaluation, the dominant cost of lsh/ivf plans. JSON round-trips
+    finite doubles exactly (repr shortest-round-trip → nearest-double
+    parse), so the projections are bit-identical.
+    """
+    import json
+
+    payload = json.dumps([[float(w) for w in row] for row in matrix])
+    return F.transform(
+        F.from_json(F.lit(payload), "array<array<double>>"),
+        lambda p: F.aggregate(
+            F.zip_with(vec, p, lambda x, w: x.cast("double") * w),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
 
 
 def lsh_topk(
@@ -130,41 +146,75 @@ def lsh_topk(
     Shorter bands trade more candidates (larger buckets) for recall;
     tune bits_per_band up only when neighbors are genuinely close.
 
-    Plan shape at 100 TB: corpus is bucketed once (b band columns, one
-    narrow projection), the join is an equi-join on (band, bucket) —
-    shuffle ∝ bucket collisions, not N×|Q|.
+    Plan shape at 100 TB: corpus is bucketed once (one narrow
+    projection computes every plane projection in a single pass), the
+    join is an equi-join on (band, bucket) — shuffle ∝ bucket
+    collisions, not N×|Q|.
     """
-    plane_sets = [
-        [_hyperplane(dim, seed=band * 1000 + j) for j in range(bits_per_band)]
+    flat_planes = [
+        _hyperplane(dim, seed=band * 1000 + j)
         for band in range(bands)
+        for j in range(bits_per_band)
     ]
+    r = bits_per_band
 
     def with_bands(df: DataFrame, idc: str, vc: str, prefix: str) -> DataFrame:
-        cols = [df[idc].alias(f"{prefix}_id"), df[vc].alias(f"{prefix}_vec")]
-        banded = df.select(*cols, *[
-            _band_bits(F.col(vc), plane_sets[bi]).alias(f"band{bi}")
-            for bi in range(bands)
-        ])
-        pairs = F.array(
-            *[
-                F.struct(F.lit(bi).alias("band"), F.col(f"band{bi}").alias("bucket"))
-                for bi in range(bands)
-            ]
+        # Materialize the 48 projections as ONE array column first —
+        # downstream element_at() then reads the computed array instead
+        # of re-deriving the transform per reference.
+        banded = df.select(
+            df[idc].alias(f"{prefix}_id"),
+            df[vc].alias(f"{prefix}_vec"),
+            _norm(F.col(vc)).alias(f"{prefix}_norm"),
+            _dots_against(F.col(vc), flat_planes).alias("_dots"),
+        )
+        # bucket id folds the band's sign bits MSB-first (acc*2 + bit):
+        # a bijection of the previous LSB-first packing, so bucket
+        # equality — and therefore candidates and recall — is unchanged.
+        bb = F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda bi: F.struct(
+                bi.alias("band"),
+                F.aggregate(
+                    F.sequence(F.lit(0), F.lit(r - 1)),
+                    F.lit(0).cast("long"),
+                    lambda acc, j: acc * 2
+                    + F.when(
+                        F.element_at(F.col("_dots"), bi * r + j + 1) > 0, 1
+                    )
+                    .otherwise(0)
+                    .cast("long"),
+                ).alias("bucket"),
+            ),
         )
         return banded.select(
-            f"{prefix}_id", f"{prefix}_vec", F.explode(pairs).alias("bb")
-        ).select(f"{prefix}_id", f"{prefix}_vec", "bb.band", "bb.bucket")
+            f"{prefix}_id",
+            f"{prefix}_vec",
+            f"{prefix}_norm",
+            F.explode(bb).alias("bb"),
+        ).select(
+            f"{prefix}_id",
+            f"{prefix}_vec",
+            f"{prefix}_norm",
+            "bb.band",
+            "bb.bucket",
+        )
 
     qb = with_bands(queries, id_col, vec_col, "q")
     cb = with_bands(corpus, id_col, vec_col, "n")
     cand = (
         cb.join(F.broadcast(qb), ["band", "bucket"])
         .filter(F.col("q_id") != F.col("n_id"))
-        .select("q_id", "q_vec", "n_id", "n_vec")
+        .select("q_id", "q_vec", "q_norm", "n_id", "n_vec", "n_norm")
         .dropDuplicates(["q_id", "n_id"])
     )
     scored = cand.select(
-        "q_id", "n_id", cosine(F.col("q_vec"), F.col("n_vec")).alias("cos_sim")
+        "q_id",
+        "n_id",
+        (
+            _dot(F.col("q_vec"), F.col("n_vec"))
+            / (F.col("q_norm") * F.col("n_norm"))
+        ).alias("cos_sim"),
     )
     return top_k_per_group(
         scored, ["q_id"], [F.col("cos_sim").desc(), F.col("n_id").asc()], k=k
@@ -184,11 +234,24 @@ def embedding_neardup_pairs(
     candidate set comes from lsh_topk/ivf_topk buckets and this exact
     scoring runs only on candidates.
     """
-    a = vectors.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec"))
-    b = vectors.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec"))
+    a = vectors.select(
+        F.col(id_col).alias("a_id"),
+        F.col(vec_col).alias("a_vec"),
+        _norm(F.col(vec_col)).alias("a_norm"),
+    )
+    b = vectors.select(
+        F.col(id_col).alias("b_id"),
+        F.col(vec_col).alias("b_vec"),
+        _norm(F.col(vec_col)).alias("b_norm"),
+    )
     pairs = a.join(b, F.col("a_id") < F.col("b_id"))
     scored = pairs.select(
-        "a_id", "b_id", cosine(F.col("a_vec"), F.col("b_vec")).alias("cos_sim")
+        "a_id",
+        "b_id",
+        (
+            _dot(F.col("a_vec"), F.col("b_vec"))
+            / (F.col("a_norm") * F.col("b_norm"))
+        ).alias("cos_sim"),
     )
     return scored.filter(F.col("cos_sim") >= threshold)
 
@@ -216,45 +279,65 @@ def ivf_topk(
     scanned once to build the cell index, and each query touches
     ~n_probe/n_cells of the corpus.
     """
-    cents = [
-        (i, [float(x) for x in r[vec_col]])
-        for i, r in enumerate(
-            corpus.orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
-            .limit(n_cells)
-            .collect()
-        )
+    cent_mat = [
+        [float(x) for x in r[vec_col]]
+        for r in corpus.orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
+        .limit(n_cells)
+        .collect()
     ]
 
-    def cell_scores(vec) -> list:
-        return [
-            F.struct(
-                (-_dot(vec, F.array(*[F.lit(x) for x in cvec]))).alias("neg_sim"),
-                F.lit(ci).alias("cell"),
-            )
-            for ci, cvec in cents
-        ]
-
-    def nearest_cells(vec, n: int):
+    def nearest_cells(dots: Column, n: int) -> Column:
+        """Cells ranked by similarity from a materialized dots column
+        (codebook is one literal matrix — see _dots_against)."""
         return F.transform(
-            F.slice(F.array_sort(F.array(*cell_scores(vec))), 1, n),
+            F.slice(
+                F.array_sort(
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(len(cent_mat) - 1)),
+                        lambda ci: F.struct(
+                            (-F.element_at(dots, ci + 1)).alias("neg_sim"),
+                            ci.alias("cell"),
+                        ),
+                    )
+                ),
+                1,
+                n,
+            ),
             lambda s: s["cell"],
         )
 
     c_assigned = corpus.select(
         F.col(id_col).alias("n_id"),
         F.col(vec_col).alias("n_vec"),
-        F.element_at(nearest_cells(F.col(vec_col), 1), 1).alias("cell"),
+        _norm(F.col(vec_col)).alias("n_norm"),
+        _dots_against(F.col(vec_col), cent_mat).alias("_dots"),
+    ).select(
+        "n_id",
+        "n_vec",
+        "n_norm",
+        F.element_at(nearest_cells(F.col("_dots"), 1), 1).alias("cell"),
     )
     q_assigned = queries.select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("q_vec"),
-        F.explode(nearest_cells(F.col(vec_col), n_probe)).alias("cell"),
+        _norm(F.col(vec_col)).alias("q_norm"),
+        _dots_against(F.col(vec_col), cent_mat).alias("_dots"),
+    ).select(
+        "q_id",
+        "q_vec",
+        "q_norm",
+        F.explode(nearest_cells(F.col("_dots"), n_probe)).alias("cell"),
     )
     cand = c_assigned.join(F.broadcast(q_assigned), "cell").filter(
         F.col("q_id") != F.col("n_id")
     )
     scored = cand.select(
-        "q_id", "n_id", cosine(F.col("q_vec"), F.col("n_vec")).alias("cos_sim")
+        "q_id",
+        "n_id",
+        (
+            _dot(F.col("q_vec"), F.col("n_vec"))
+            / (F.col("q_norm") * F.col("n_norm"))
+        ).alias("cos_sim"),
     ).dropDuplicates(["q_id", "n_id"])
     return top_k_per_group(
         scored, ["q_id"], [F.col("cos_sim").desc(), F.col("n_id").asc()], k=k
