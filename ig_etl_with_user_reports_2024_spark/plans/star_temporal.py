@@ -1,0 +1,150 @@
+"""Temporal-join queries over the events table (beyond-reference
+north-star operators; see operators/temporal.py for the plan shapes).
+
+A training-data pipeline at 100 TB constantly joins event streams to the
+nearest label/feature in time — Spark has no ASOF/range join built-in,
+so these register the scale-safe compositions as oracle-checked
+contracts (DuckDB has native ASOF / inequality joins to check against).
+
+``event_id`` columns carried across the as-of match are coalesced to -1
+on BOTH engines: a nullable int surfaces as float64 in pandas on either
+side of the driver's hash, and the null signal already rides the
+matched timestamp column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.exact import sql_lsum
+from ..operators.temporal import (
+    MICROS,
+    asof_join,
+    bucketed_range_join,
+    in_window_agg,
+)
+from ..sources.readers import load_table
+from .registry import query
+
+
+def _events(spark: SparkSession, sf_dir: str, *types: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    if types:
+        ev = ev.filter(F.col("event_type").isin(*types))
+    return ev
+
+
+@query(
+    "aj1_asof_click_purchase",
+    """
+    WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT * FROM events WHERE event_type = 'click')
+    SELECT p.event_id, p.user_id, p.ts,
+           c.ts AS click_ts,
+           COALESCE(c.event_id, -1) AS click_event_id,
+           c.value AS click_value
+    FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def aj1_asof_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each purchase picks the user's latest click
+    at-or-before it. Plan: union + one window pass (operators/temporal
+    .asof_join) — one shuffle on user_id, no join node, no pair
+    explosion; vs DuckDB's native ASOF LEFT JOIN."""
+    purchases = _events(spark, sf_dir, "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = _events(spark, sf_dir, "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    joined = asof_join(
+        purchases, clicks, on="user_id", ts_col="ts",
+        right_cols=["event_id", "value"], prefix="click_",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "click_ts",
+        F.coalesce("click_event_id", F.lit(-1)).alias("click_event_id"),
+        F.col("click_value"),
+    )
+
+
+@query(
+    "rj1_views_before_purchase",
+    f"""
+    WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+         v AS (SELECT * FROM events WHERE event_type = 'view')
+    SELECT p.event_id, p.user_id, p.ts,
+           COUNT(v.event_id) AS n_views,
+           {sql_lsum('v.value')} AS view_value
+    FROM p LEFT JOIN v
+      ON v.user_id = p.user_id
+     AND v.ts >= p.ts - INTERVAL '1 hour' AND v.ts < p.ts
+    GROUP BY p.event_id, p.user_id, p.ts
+    """,
+)
+def rj1_views_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window aggregation: views (count + exact sum) in the hour
+    before each purchase, per user. Plan: one RANGE frame over integer
+    micros (operators/temporal.in_window_agg) — one shuffle, no
+    self-join; the oracle is the equivalent DuckDB inequality join."""
+    ev = _events(spark, sf_dir, "purchase", "view")
+    is_view = F.col("event_type") == "view"
+    out = in_window_agg(
+        ev,
+        on="user_id",
+        ts_col="ts",
+        aggs={
+            "n_views": F.sum(F.when(is_view, 1).otherwise(0)),
+            "view_value": F.sum(
+                F.when(is_view, F.rint(F.col("value") * 100).cast("long"))
+            ),
+        },
+        window_micros=MICROS["hour"],
+    )
+    return (
+        out.filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.coalesce(F.col("n_views"), F.lit(0)).cast("long").alias("n_views"),
+            (F.col("view_value") / 100.0).alias("view_value"),
+        )
+    )
+
+
+@query(
+    "rj2_error_near_purchase",
+    """
+    WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+         e AS (SELECT * FROM events WHERE event_type = 'error')
+    SELECT p.user_id,
+           p.event_id AS l_event_id, p.ts AS l_ts,
+           e.event_id AS r_event_id, e.ts AS r_ts
+    FROM p JOIN e
+      ON p.user_id = e.user_id
+     AND e.ts BETWEEN p.ts - INTERVAL '5 minutes'
+                  AND p.ts + INTERVAL '5 minutes'
+    """,
+)
+def rj2_error_near_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band join listing (purchase, error) pairs within ±5 minutes per
+    user. Plan: equi-join on (user_id, 5-minute bucket) with the left
+    side exploded to the 3 covering buckets + exact band post-filter
+    (operators/temporal.bucketed_range_join) — shuffle tracks pair
+    density, never |L|×|R|; vs DuckDB's native inequality join."""
+    purchases = _events(spark, sf_dir, "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    errors = _events(spark, sf_dir, "error").select("user_id", "event_id", "ts")
+    return bucketed_range_join(
+        purchases,
+        errors,
+        on="user_id",
+        ts_col="ts",
+        band_micros=5 * MICROS["minute"],
+    ).select("user_id", "l_event_id", "l_ts", "r_event_id", "r_ts")

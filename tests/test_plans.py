@@ -96,3 +96,24 @@ def test_whole_stage_codegen_active(spark, sf_oracle):
         df._jdf.queryExecution(), "simple"
     )
     assert "*(" in simple, simple
+
+
+def test_asof_join_is_join_free(spark, sf_oracle):
+    # asof = union + one window over one user_id shuffle; a join node
+    # here means the plan regressed to a per-key theta join
+    plan = plan_of(spark, "aj1_asof_click_purchase", sf_oracle)
+    assert "Join" not in plan, plan
+    import re
+
+    shuffles = set(re.findall(r"\((\d+)\) Exchange", plan))
+    assert len(shuffles) <= 1, plan
+
+
+def test_range_queries_never_nested_loop(spark, sf_oracle):
+    # rj1 is a join-free RANGE frame; rj2 must stay an equi-join on
+    # (user_id, bucket) — BNLJ/cartesian = the O(n·m) failure mode
+    for name in ("rj1_views_before_purchase", "rj2_error_near_purchase"):
+        plan = plan_of(spark, name, sf_oracle)
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+    assert "Join" not in plan_of(spark, "rj1_views_before_purchase", sf_oracle)
