@@ -72,6 +72,50 @@ def st3_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_agg(load_table(spark, sf_dir, "events"), gap_minutes=30)
 
 
+@query(
+    "st5_stateful_sessions",
+    f"""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ), sessions AS (
+        SELECT user_id, ts, value,
+               CAST(SUM(is_new) OVER (
+                   PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS session_id
+        FROM flagged
+    ), agg AS (
+        SELECT user_id, session_id,
+               MIN(ts) AS session_start,
+               MAX(ts) AS session_end,
+               COUNT(*) AS n_events,
+               {sql_lsum('value')} AS total_value
+        FROM sessions
+        GROUP BY user_id, session_id
+    )
+    SELECT * FROM agg
+    QUALIFY session_id < MAX(session_id) OVER (PARTITION BY user_id)
+    """,
+)
+def st5_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming: sessionization via
+    ``applyInPandasWithState`` (readStream → per-user open-session state
+    → append-mode emission at session close). Emission-at-close makes
+    the end-of-stream output batch-split-invariant — every session but
+    each user's last — so this STATEFUL STREAMING query is hash-checked
+    against plain SQL (st3's session CTE + a QUALIFY)."""
+    from ..streaming.stateful import stateful_sessionize_stream
+
+    return stateful_sessionize_stream(
+        spark, os.path.join(sf_dir, "events.parquet"), gap_minutes=30
+    )
+
+
 @query("st4_streaming_tumbling", _TUMBLING_ORACLE)
 def st4_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The genuine readStream pipeline (parquet source → window agg →

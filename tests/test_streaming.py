@@ -73,3 +73,48 @@ def test_watermarked_append_stream_runs(spark, sf_smoke):
     # window must be present
     n = spark.table("wm_append_test").count()
     assert n > 0
+
+
+def test_stateful_sessionize_state_carries_across_batches(spark, sf_smoke, tmp_path):
+    """Split events into two time-ordered files → two micro-batches; the
+    open session at the batch-1 boundary must merge with batch-2 events
+    (state carryover), and the emitted closed-session set must be
+    identical to the single-batch run."""
+    from ig_etl_with_user_reports_2024_spark.streaming.stateful import (
+        stateful_sessionize_stream,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_smoke}/events.parquet")  # ts = raw nanos
+    cut = ev.selectExpr("percentile_cont(0.5) WITHIN GROUP (ORDER BY ts) AS m")
+    mid = cut.collect()[0].m
+    d = tmp_path / "split"
+    d.mkdir()
+    ev.filter(F.col("ts") <= mid).coalesce(1).write.parquet(str(d / "a_first"))
+    ev.filter(F.col("ts") > mid).coalesce(1).write.parquet(str(d / "b_second"))
+    # flatten: one parquet file per half, lexicographic = time order
+    import glob as _glob
+    import shutil
+
+    for sub in ("a_first", "b_second"):
+        [part] = _glob.glob(str(d / sub / "part-*.parquet"))
+        shutil.move(part, str(d / f"{sub}.parquet"))
+        shutil.rmtree(str(d / sub))
+
+    def rows(df):
+        return {
+            (r.user_id, r.session_id, r.session_start, r.session_end,
+             r.n_events, r.total_value)
+            for r in df.collect()
+        }
+
+    two_batch = rows(
+        stateful_sessionize_stream(
+            spark, str(d / "a_first.parquet"), glob="*.parquet",
+            max_files_per_trigger=1,
+        )
+    )
+    one_batch = rows(
+        stateful_sessionize_stream(spark, f"{sf_smoke}/events.parquet")
+    )
+    assert two_batch == one_batch and len(one_batch) > 0
