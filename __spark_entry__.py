@@ -23,6 +23,7 @@ from ig_etl_with_user_reports_2024_spark.plans import QUERIES
 # whose queries still lack a driver verdict register FIRST (round 1
 # stopped after 50 of 65 — see VERDICT.md "What's missing" #1).
 from ig_etl_with_user_reports_2024_spark.plans import star_temporal  # noqa: F401
+from ig_etl_with_user_reports_2024_spark.plans import star_sampling  # noqa: F401
 from ig_etl_with_user_reports_2024_spark.plans import star_topk_scalars  # noqa: F401
 from ig_etl_with_user_reports_2024_spark.plans import star_streaming  # noqa: F401
 from ig_etl_with_user_reports_2024_spark.plans import star_detectors  # noqa: F401

@@ -1,0 +1,112 @@
+"""Deterministic-sampling queries over the documents table (training-mix
+construction; see operators/sampling.py for the portability argument).
+
+All three are hash-checked bit-exact against DuckDB running the SAME
+salted-md5 decision function — the whole point of hash sampling is that
+an independent engine picks the identical rows.
+
+mm2 additionally registers the multimodal frame-sampling plan (decode is
+the disclosed Python-side stub, so it carries the driver's rows-only
+check — the sampled frame indices are still deterministic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.multimodal import (
+    decode_media_batch,
+    frame_sample_plan,
+    with_media_columns,
+)
+from ..operators.sampling import (
+    hash_split,
+    k_per_stratum,
+    sql_hash_bucket,
+    sql_hash_split,
+    stratified_sample,
+)
+from ..sources.readers import load_table
+from .registry import query
+
+_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.125}
+
+
+@query(
+    "sp1_hash_split",
+    f"""
+    SELECT doc_id, source,
+           {sql_hash_split('doc_id')} AS split
+    FROM documents
+    """,
+)
+def sp1_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (80/10/10) by salted-md5
+    range — stable under repartitioning, re-runs, and engines. Pure
+    projection: no shuffle, no UDF."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return hash_split(docs, key="doc_id").select("doc_id", "source", "split")
+
+
+@query(
+    "sp2_stratified_sample",
+    f"""
+    SELECT doc_id, source
+    FROM documents
+    WHERE ({' OR '.join(
+        f"(source = '{s}')" if r >= 1.0 else
+        f"(source = '{s}' AND {sql_hash_bucket('doc_id', 'strat')} < "
+        f"'{format(round(r * 65536), '04x')}')"
+        for s, r in _RATES.items()
+    )})
+    """,
+)
+def sp2_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted training mix: per-source deterministic Bernoulli rates
+    (src0 100%, src1 50%, src2 25%, src3 12.5%; others drop). A filter
+    over the scan — membership never needs a shuffle or a join."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return stratified_sample(docs, key="doc_id", stratum="source", rates=_RATES)
+
+
+@query(
+    "sp3_k_per_stratum",
+    """
+    SELECT doc_id, source, sample_rank
+    FROM (
+        SELECT doc_id, source,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5('ksample:' || CAST(doc_id AS VARCHAR)) ASC,
+                            doc_id ASC
+               ) AS INT) AS sample_rank
+        FROM documents
+    )
+    WHERE sample_rank <= 10
+    """,
+)
+def sp3_k_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10-row uniform sample per source: rank by salted
+    md5 (doc_id total-order tie-break). One per-source shuffle; Spark 4
+    executes the rank-filter as WindowGroupLimit, so each partition
+    ships at most k rows per stratum into the exchange."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return k_per_stratum(docs, key="doc_id", stratum="source", k=10).select(
+        "doc_id", "source", F.col("sample_rank").cast("int").alias("sample_rank")
+    )
+
+
+@query("mm2_frame_sample", None)
+def mm2_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame sampling end-to-end: binary payload + metadata →
+    Arrow-batched decode (deterministic stub; real decoders are not in
+    this container) → every-30th-frame explode. The decode runs in
+    Python (mapInPandas), so this carries the rows-only check; frame
+    indices are deterministic given the payload bytes."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    media = with_media_columns(docs, "doc_id", "payload")
+    decoded = decode_media_batch(media, fake=True)
+    return frame_sample_plan(decoded, every_n=30)

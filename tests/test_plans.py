@@ -117,3 +117,16 @@ def test_range_queries_never_nested_loop(spark, sf_oracle):
         assert "BroadcastNestedLoopJoin" not in plan, name
         assert "CartesianProduct" not in plan, name
     assert "Join" not in plan_of(spark, "rj1_views_before_purchase", sf_oracle)
+
+
+def test_sampling_plans_narrow(spark, sf_oracle):
+    # sp1/sp2 are pure scan-side expressions: zero exchanges; sp3 must
+    # keep the WindowGroupLimit partial top-k below its single exchange
+    import re
+
+    for name in ("sp1_hash_split", "sp2_stratified_sample"):
+        plan = plan_of(spark, name, sf_oracle)
+        assert "Exchange" not in plan, f"{name} grew a shuffle"
+    plan = plan_of(spark, "sp3_k_per_stratum", sf_oracle)
+    assert "WindowGroupLimit" in plan, plan
+    assert len(set(re.findall(r"\((\d+)\) Exchange", plan))) <= 1, plan

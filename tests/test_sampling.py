@@ -1,0 +1,66 @@
+"""Sampling-operator tests: rate accuracy, the full-rate regression,
+and the core guarantee — identical selections under any partitioning."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ig_etl_with_user_reports_2024_spark.operators.sampling import (
+    hash_split,
+    k_per_stratum,
+    stratified_sample,
+)
+
+
+def _docs(spark, sf_oracle):
+    return spark.read.parquet(f"{sf_oracle}/documents.parquet").select(
+        "doc_id", "source"
+    )
+
+
+def test_hash_split_fractions_and_coverage(spark, sf_oracle):
+    out = hash_split(_docs(spark, sf_oracle), key="doc_id")
+    counts = {r.split: r.n for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    n = sum(counts.values())
+    assert n == 500 and set(counts) == {"train", "val", "test"}
+    # 10% ± binomial noise on 500 draws
+    assert 25 <= counts["val"] <= 80 and 25 <= counts["test"] <= 80
+    assert counts["train"] > 350
+
+
+def test_hash_split_stable_under_repartition(spark, sf_oracle):
+    docs = _docs(spark, sf_oracle)
+    a = {(r.doc_id, r.split) for r in hash_split(docs, key="doc_id").collect()}
+    b = {
+        (r.doc_id, r.split)
+        for r in hash_split(
+            docs.repartition(17, "source"), key="doc_id"
+        ).collect()
+    }
+    assert a == b
+
+
+def test_stratified_full_rate_keeps_every_row(spark, sf_oracle):
+    # regression: rate 1.0 once formatted to 5-hex '10000' and silently
+    # kept ~1/16 of the stratum
+    docs = _docs(spark, sf_oracle)
+    out = stratified_sample(docs, key="doc_id", stratum="source", rates={"src0": 1.0})
+    assert out.count() == docs.filter(F.col("source") == "src0").count()
+
+
+def test_stratified_rates_independent_salts(spark, sf_oracle):
+    docs = _docs(spark, sf_oracle)
+    half = stratified_sample(
+        docs, key="doc_id", stratum="source", rates={s: 0.5 for s in ("src0", "src1", "src2", "src3")}
+    ).count()
+    # 4 strata × 25 docs × 0.5 → ~50, binomial noise
+    assert 30 <= half <= 70
+
+
+def test_k_per_stratum_deterministic_and_exact_k(spark, sf_oracle):
+    docs = _docs(spark, sf_oracle)
+    a = {(r.doc_id, r.sample_rank) for r in k_per_stratum(docs, "doc_id", "source", k=5).collect()}
+    shuffled = docs.orderBy(F.reverse(F.col("doc_id").cast("string"))).repartition(13)
+    b = {(r.doc_id, r.sample_rank) for r in k_per_stratum(shuffled, "doc_id", "source", k=5).collect()}
+    assert a == b
+    assert len(a) == 5 * 20  # 20 sources × k
