@@ -36,11 +36,17 @@ HEADLINE = [
     "ann1_cosine_topk",
     "txt1_lang_id",
     "txt2_quality_score",
-    # r2 additions: promoted standalone detector/classifier queries.
-    # The r1-comparable subset is everything above this comment.
+    # r2 additions: promoted standalone detector/classifier queries and
+    # one representative per new operator family (temporal / sampling /
+    # stateful streaming). The r1-comparable subset is everything above
+    # this comment.
     "c10_personality_insights",
     "c12_collab_status",
     "c13_sponsor_detector",
+    "aj1_asof_click_purchase",
+    "rj2_error_near_purchase",
+    "sp3_k_per_stratum",
+    "st5_stateful_sessions",
 ]
 
 
@@ -53,8 +59,14 @@ def main() -> None:
     qs = entry_mod.queries()
 
     def run(name: str) -> float:
+        # streaming queries do their work inside the query fn (readStream
+        # → awaitTermination → materialized table), so the clock must
+        # start before construction for them
+        streaming = name.startswith("st4") or name.startswith("st5")
+        t0 = time.time() if streaming else 0.0
         df = qs[name](spark, sf_dir)
-        t0 = time.time()
+        if not streaming:
+            t0 = time.time()
         df.write.format("noop").mode("overwrite").save()
         return time.time() - t0
 
