@@ -98,6 +98,63 @@ def dd2_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.shingle_pairs_jaccard(docs, "doc_id", "text", n=3, threshold=0.2)
 
 
+# the dd2 pair set as a reusable fragment (dd6 builds its closure on it)
+_PAIRS_SQL = f"""
+    WITH words AS (
+        SELECT doc_id, {_WORDS_SQL} AS ws FROM documents
+    ), shingles AS (
+        SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle FROM words
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_common
+        FROM shingles a JOIN shingles b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT a_id, b_id
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = a_id
+    JOIN sizes sb ON sb.doc_id = b_id
+    WHERE n_common / (sa.n + sb.n - n_common) >= 0.2
+"""
+
+
+@query(
+    "dd6_dup_clusters",
+    f"""
+    WITH RECURSIVE pairs AS ({_PAIRS_SQL}),
+    edges AS (
+        SELECT a_id AS a, b_id AS b FROM pairs
+        UNION ALL
+        SELECT b_id AS a, a_id AS b FROM pairs
+    ),
+    reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    )
+    SELECT d.doc_id,
+           CAST(LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS BIGINT)
+               AS cluster_id
+    FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+    GROUP BY d.doc_id
+    """,
+)
+def dd6_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS from dd2's exact pair set: connected components
+    by iterative min-label propagation (operators/graph.py), canonical
+    id = min doc_id per component. A~B, B~C collapse into one cluster
+    even though A,C never matched — the transitive step pair queries
+    can't express. Oracle: DuckDB recursive-CTE transitive closure over
+    the SAME pair set."""
+    from ..operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.shingle_pairs_jaccard(docs, "doc_id", "text", n=3, threshold=0.2)
+    return connected_components(docs.select("doc_id"), pairs)
+
+
 @query("dd3_minhash_lsh_pairs", None)  # engine-specific hashes → rows-only
 def dd3_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32)+LSH(8 bands) candidate pairs with estimated Jaccard.

@@ -1,0 +1,42 @@
+"""Connected-components tests: transitive merging across rounds,
+isolated nodes, canonical-min labeling."""
+
+from __future__ import annotations
+
+from ig_etl_with_user_reports_2024_spark.operators.graph import (
+    connected_components,
+)
+
+
+def _run(spark, node_ids, pair_list):
+    nodes = spark.createDataFrame([(i,) for i in node_ids], "doc_id bigint")
+    pairs = spark.createDataFrame(
+        pair_list or [(None, None)], "a_id bigint, b_id bigint"
+    )
+    if not pair_list:
+        pairs = pairs.filter("a_id IS NOT NULL")
+    out = connected_components(nodes, pairs)
+    return {r.doc_id: r.cluster_id for r in out.collect()}
+
+
+def test_chain_collapses_transitively(spark):
+    # path 1-2-3-4-5: diameter 4 forces multiple propagation rounds;
+    # 1 and 5 never share an edge yet must land in cluster 1
+    got = _run(spark, [1, 2, 3, 4, 5], [(1, 2), (2, 3), (3, 4), (4, 5)])
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1}
+
+
+def test_separate_components_and_isolated(spark):
+    got = _run(spark, [1, 2, 3, 10, 11, 99], [(2, 1), (2, 3), (10, 11)])
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
+
+
+def test_no_pairs_everyone_canonical(spark):
+    got = _run(spark, [7, 8, 9], [])
+    assert got == {7: 7, 8: 8, 9: 9}
+
+
+def test_min_id_reachable_through_high_id_hub(spark):
+    # min must flow through a larger-id intermediate: 100 is the hub
+    got = _run(spark, [5, 100, 7], [(100, 7), (5, 100)])
+    assert got == {5: 5, 100: 5, 7: 5}
