@@ -424,3 +424,58 @@ def ann3_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return sim.ivf_topk(queries, emb, "vec_id", "embedding", k=5)
+
+
+@query(
+    "sq1_int8_quantize",
+    """
+    WITH scaled AS (
+        SELECT vec_id,
+               list_max(list_transform(embedding,
+                   e -> abs(CAST(e AS DOUBLE)))) AS s,
+               embedding
+        FROM embeddings
+    ), pos AS (
+        SELECT vec_id, s,
+               unnest(list_transform(embedding, e -> CAST(e AS DOUBLE))) AS e,
+               unnest(generate_series(1, len(embedding))) AS i
+        FROM scaled
+    )
+    SELECT vec_id, CAST(i AS INT) AS i,
+           CASE WHEN s > 0 THEN CAST(e * 127 / s AS INTEGER) ELSE 0 END AS q,
+           s AS scale
+    FROM pos
+    """,
+)
+def sq1_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization of the embedding column
+    (per-vector scale = max |e|, q = rint(e*127/scale)) — the 4x
+    compression step before an ANN index ships to disk at 100 TB.
+
+    Pure array expressions (transform/array_max/posexplode), no UDF, no
+    shuffle. Exploded (vec_id, i, q, scale) output keeps every column
+    scalar so the driver's hash covers each quantized component;
+    Spark ``rint`` + int cast pairs with DuckDB's round-half-even
+    double->INTEGER cast (the functions/exact.py lsum precedent).
+    Zero vectors quantize to all-zero (guarded: ANSI mode would throw
+    on the 0/0)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e_double = F.transform(F.col("embedding"), lambda e: e.cast("double"))
+    scaled = emb.select(
+        "vec_id",
+        F.array_max(F.transform(e_double, F.abs)).alias("s"),
+        e_double.alias("ed"),
+    )
+    exploded = scaled.select(
+        "vec_id", "s", F.posexplode("ed").alias("pos", "e")
+    )
+    return exploded.select(
+        "vec_id",
+        (F.col("pos") + 1).cast("int").alias("i"),
+        F.when(
+            F.col("s") > 0, F.rint(F.col("e") * 127 / F.col("s")).cast("int")
+        )
+        .otherwise(0)
+        .alias("q"),
+        F.col("s").alias("scale"),
+    )
