@@ -110,3 +110,55 @@ def mm2_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = with_media_columns(docs, "doc_id", "payload")
     decoded = decode_media_batch(media, fake=True)
     return frame_sample_plan(decoded, every_n=30)
+
+
+# decontamination fingerprint: md5 of the first 8 normalized words — a
+# prefix-overlap heuristic (exact digests never fire on a near-dup-only
+# corpus; real decontamination uses n-gram/prefix overlap exactly so)
+_PREFIX_FP_SQL = (
+    "md5(array_to_string(list_filter(string_split_regex(lower(trim(text)), "
+    "'\\s+'), w -> w <> '')[1:8], ' '))"
+)
+
+
+@query(
+    "dc1_decontaminate",
+    f"""
+    WITH split AS (
+        SELECT doc_id, {_PREFIX_FP_SQL} AS digest,
+               {sql_hash_split('doc_id')} AS split
+        FROM documents
+    ),
+    eval_digests AS (
+        SELECT DISTINCT digest FROM split WHERE split <> 'train'
+    )
+    SELECT s.doc_id, s.digest
+    FROM split s JOIN eval_digests e ON s.digest = e.digest
+    WHERE s.split = 'train'
+    """,
+)
+def dc1_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination: training docs whose content
+    fingerprint (md5 of the first 8 normalized words — prefix overlap)
+    also appears in the val/test split: leaked eval data the training
+    mix must drop. One digest equi-join — the shuffle carries
+    (digest, id) only, never the body; swapping in stronger n-gram or
+    MinHash fingerprints keeps the same shape at 100 TB. Composes sp1's
+    deterministic split with the dedup-family fingerprints."""
+    from ..operators.dedup import normalized_words
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(
+            F.array_join(F.slice(normalized_words(F.col("text")), 1, 8), " ")
+        ).alias("digest"),
+    )
+    split = hash_split(docs, key="doc_id")
+    eval_digests = (
+        split.filter(F.col("split") != "train").select("digest").distinct()
+    )
+    return (
+        split.filter(F.col("split") == "train")
+        .join(eval_digests, "digest")
+        .select("doc_id", "digest")
+    )
