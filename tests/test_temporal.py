@@ -116,3 +116,67 @@ def test_bucketed_range_join_no_duplicate_pairs(spark):
     right = _df(spark, [(1, _ts(10, 31), "R")], RIGHT_SCHEMA)
     out = bucketed_range_join(left, right, on="k", ts_col="ts", band_micros=band)
     assert out.count() == 1
+
+
+# --- property-based: asof_join vs a brute-force reference -----------------
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _HAS_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    _HAS_HYPOTHESIS = False
+
+if _HAS_HYPOTHESIS:
+    _events = st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),      # key
+            st.integers(min_value=0, max_value=10_000), # ts offset seconds
+        ),
+        min_size=0,
+        max_size=25,
+    )
+
+    @settings(
+        max_examples=30,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(lefts=_events, rights=_events)
+    def test_asof_matches_bruteforce(spark, lefts, rights):
+        base = dt.datetime(2024, 1, 1)
+        lrows = [
+            (k, base + dt.timedelta(seconds=s), f"l{i}")
+            for i, (k, s) in enumerate(lefts)
+        ]
+        rrows = [
+            (k, base + dt.timedelta(seconds=s), f"r{i}")
+            for i, (k, s) in enumerate(rights)
+        ]
+        # dedupe right (key, ts) — as-of over duplicate instants is
+        # nondeterministic in any engine; keep the max r_val like a
+        # real feed would keep the last write
+        best = {}
+        for k, ts, v in rrows:
+            if (k, ts) not in best or v > best[(k, ts)]:
+                best[(k, ts)] = v
+        rrows = [(k, ts, v) for (k, ts), v in best.items()]
+
+        left = spark.createDataFrame(
+            lrows or [(None, None, None)], LEFT_SCHEMA
+        ).filter("k IS NOT NULL")
+        right = spark.createDataFrame(
+            rrows or [(None, None, None)], RIGHT_SCHEMA
+        ).filter("k IS NOT NULL")
+
+        got = {
+            (r.k, r.ts, r.l_val): (r.asof_ts, r.asof_r_val)
+            for r in asof_join(left, right, on="k").collect()
+        }
+
+        want = {}
+        for k, ts, v in lrows:
+            cands = [(rts, rv) for rk, rts, rv in rrows if rk == k and rts <= ts]
+            want[(k, ts, v)] = max(cands) if cands else (None, None)
+        assert got == want
