@@ -159,18 +159,26 @@ def content_fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def rolling_hash_fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Order-SENSITIVE polynomial rolling hash over the word sequence:
-    h = fold(h*131 + (xxhash64(word) mod p)) mod p, p = 1e9+7.
+    h = fold(h*131 + word_hash) mod p, p = 1e9+7.
 
     Detects reordered-content near-misses that the bag-of-words
     fingerprint conflates. Pure array fold — no shuffle, no UDF. The
-    modulus keeps acc < p so acc*131 + p stays far below 2^63 (ANSI mode
+    per-word hash is the first 15 hex digits of md5 (60 bits) rather
+    than xxhash64 so an independent engine computes the identical
+    fingerprint (DuckDB: ``CAST('0x'||substring(md5(w),1,15) AS
+    BIGINT)``) — that portability is what upgrades this from a
+    rows-only check to a bit-exact oracle. The modulus keeps
+    acc < p so acc*131 + word_hash stays far below 2^63 (ANSI mode
     raises on long overflow).
     """
     p = 1_000_000_007
     words = normalized_words(F.col(text_col))
+    word_hash = lambda w: F.pmod(  # noqa: E731
+        F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("long"), F.lit(p)
+    )
     h = F.aggregate(
         words,
         F.lit(0).cast("long"),
-        lambda acc, w: F.pmod(acc * 131 + F.pmod(F.xxhash64(w), F.lit(p)), F.lit(p)),
+        lambda acc, w: F.pmod(acc * 131 + word_hash(w), F.lit(p)),
     )
     return df.select(F.col(id_col).alias("doc"), h.alias("rolling_fingerprint"))

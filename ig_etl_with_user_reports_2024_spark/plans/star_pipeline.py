@@ -356,9 +356,24 @@ def txt4_content_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.content_fingerprint(docs, "doc_id", "text")
 
 
-@query("txt5_rolling_fingerprint", None)  # xxhash64 is engine-specific
+@query(
+    "txt5_rolling_fingerprint",
+    f"""
+    SELECT doc_id AS doc,
+           list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                   list_transform({_WORDS_SQL},
+                       w -> CAST('0x' || substring(md5(w), 1, 15) AS BIGINT)
+                            % 1000000007)),
+               (acc, x) -> (acc * 131 + x) % 1000000007
+           ) AS rolling_fingerprint
+    FROM documents
+    """,
+)
 def txt5_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Order-sensitive polynomial rolling-hash fingerprint (Spark-only)."""
+    """Order-sensitive polynomial rolling-hash fingerprint. The per-word
+    hash is an md5 prefix, so DuckDB folds the identical polynomial —
+    bit-exact oracle (upgraded from the xxhash64 rows-only variant)."""
     docs = load_table(spark, sf_dir, "documents")
     return tx.rolling_hash_fingerprint(docs, "doc_id", "text")
 
