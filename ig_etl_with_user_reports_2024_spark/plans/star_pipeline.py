@@ -494,3 +494,32 @@ def sq1_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("q"),
         F.col("s").alias("scale"),
     )
+
+
+@query(
+    "a15_length_percentiles",
+    """
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           quantile_cont(n_chars, 0.5) AS p50,
+           quantile_cont(n_chars, 0.9) AS p90,
+           quantile_cont(n_chars, 0.99) AS p99
+    FROM documents
+    GROUP BY source
+    """,
+)
+def a15_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated length percentiles per source — corpus
+    distribution stats (sequence-length budgeting, outlier cutoffs).
+    Spark ``percentile`` and DuckDB ``quantile_cont`` share the
+    interpolation formula bit-for-bit (verified, no FLOAT-FUZZY). Exact
+    percentiles sort within each group — the right contract at the
+    report grain; at the per-document 100 TB grain the approximate twin
+    is ``percentile_approx`` (engine-specific sketch, so no oracle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.percentile("n_chars", F.lit(0.5)).alias("p50"),
+        F.percentile("n_chars", F.lit(0.9)).alias("p90"),
+        F.percentile("n_chars", F.lit(0.99)).alias("p99"),
+    )
