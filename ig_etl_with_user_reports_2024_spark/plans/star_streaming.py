@@ -158,3 +158,22 @@ def st2_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding windows (10 min wide, 5 min slide) — each event lands in
     exactly two windows; the oracle expands the two containing starts."""
     return sliding_window_agg(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "st6_streaming_dedup",
+    """
+    SELECT DISTINCT user_id, event_type,
+           time_bucket(INTERVAL '5 minutes', ts) AS window_start
+    FROM events
+    """,
+)
+def st6_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once dedup: watermark + dropDuplicates on
+    (user, type, 5-min window) under readStream — the surviving key set
+    equals batch SELECT DISTINCT (hash-checked); the watermark is what
+    bounds dedup state on an unbounded stream."""
+    from ..streaming.events import streaming_dedup_keys
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return streaming_dedup_keys(spark, os.path.join(sf_dir, "events.parquet"))

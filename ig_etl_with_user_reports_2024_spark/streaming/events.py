@@ -128,3 +128,59 @@ def streaming_tumbling_counts(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def streaming_dedup_keys(
+    spark: SparkSession, events_path: str, width: str = "5 minutes"
+) -> DataFrame:
+    """Streaming exactly-once dedup: ``withWatermark`` +
+    ``dropDuplicates`` on (user_id, event_type, window-bucket) over
+    readStream, run to completion with AvailableNow.
+
+    Only the dedup KEYS are emitted — which carried row survives a
+    streaming dedup is arrival-order-dependent, the surviving key set is
+    not, so the key set is the oracle-checkable contract (plain
+    SELECT DISTINCT). The watermark bounds the dedup state: keys older
+    than the watermark age out instead of accumulating forever — the
+    property that keeps this runnable on an unbounded 100 TB stream.
+    """
+    import os
+
+    batch_df = spark.read.parquet(events_path)
+    stream = (
+        spark.readStream.schema(batch_df.schema)
+        .option("pathGlobFilter", os.path.basename(events_path))
+        .parquet(os.path.dirname(events_path))
+    )
+    if dict(stream.dtypes)["ts"] == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+        )
+    # epoch-aligned bucket as a plain TIMESTAMP column: the watermark
+    # must ride an event-time column that is itself part of the dedup
+    # key, or the dedup state never ages out
+    um = F.unix_micros(F.col("ts").cast("timestamp"))
+    width_us = 5 * 60 * 1_000_000
+    assert width == "5 minutes", "bucket arithmetic is fixed at 5 minutes"
+    deduped = (
+        stream.withColumn(
+            "window_start", F.timestamp_micros(um - F.pmod(um, F.lit(width_us)))
+        )
+        .withWatermark("window_start", "30 minutes")
+        .dropDuplicates(["user_id", "event_type", "window_start"])
+        .select(
+            "user_id",
+            "event_type",
+            F.col("window_start").cast("timestamp_ntz").alias("window_start"),
+        )
+    )
+    name = "dedup_" + next(tempfile._get_candidate_names())
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

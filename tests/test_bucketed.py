@@ -58,3 +58,20 @@ def test_bucketed_join_is_exchange_free_and_exact(spark, sf_oracle):
 
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_partitioned_write_prunes_on_read(spark, sf_oracle, tmp_path):
+    """partitionBy layout: a filter on the partition column must prune at
+    the file-listing level (PartitionFilters), not post-scan."""
+    docs = spark.read.parquet(f"{sf_oracle}/documents.parquet")
+    out = str(tmp_path / "docs_by_source")
+    docs.write.mode("overwrite").partitionBy("source").parquet(out)
+
+    back = spark.read.parquet(out).filter(F.col("source") == "src3")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    # the predicate must land in PartitionFilters (listing-time pruning),
+    # not as a post-scan data Filter
+    scan_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert scan_lines and any("src3" in l for l in scan_lines), plan
+    assert "PushedFilters: [IsNotNull(source), EqualTo(source,src3)]" not in plan
+    assert back.count() == docs.filter(F.col("source") == "src3").count()
