@@ -32,6 +32,7 @@ from typing import Any
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     DoubleType,
@@ -136,20 +137,34 @@ def stateful_sessionize_stream(
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(events_path).schema
-    reader = spark.readStream.schema(schema).option(
-        "pathGlobFilter", glob or os.path.basename(events_path)
-    )
+    reader = spark.readStream.schema(schema)
+    if os.path.isdir(events_path) and glob is None:
+        # directory-of-part-files layout: stream the directory itself
+        stream_path = events_path
+    else:
+        # single-file layout: the file source watches a directory, so
+        # glob-filter down to the one table file inside the sf dir
+        reader = reader.option(
+            "pathGlobFilter", glob or os.path.basename(events_path)
+        )
+        stream_path = os.path.dirname(events_path)
     if max_files_per_trigger is not None:
         # with AvailableNow this splits the run into one micro-batch per
         # file (state-carryover exercised across batches); file order is
         # the source's lexicographic listing, so time-ordered file names
         # keep per-user event-time order
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    stream = reader.parquet(os.path.dirname(events_path))
-    if dict(stream.dtypes)["ts"] != "bigint":  # pragma: no cover
-        raise AssertionError("expected raw int64 nanos under legacy conf")
+    stream = reader.parquet(stream_path)
+    if dict(stream.dtypes)["ts"] == "bigint":
+        # raw int64 nanos (the driver testdata under the legacy conf)
+        ts_ns = F.col("ts")
+    else:
+        # already a timestamp (e.g. re-written fixtures): micros → nanos
+        ts_ns = F.unix_micros(F.col("ts").cast("timestamp")) * 1000
     sessions = (
-        stream.selectExpr("user_id", "ts AS ts_ns", "value")
+        stream.select(
+            "user_id", ts_ns.cast("long").alias("ts_ns"), "value"
+        )
         .groupBy("user_id")
         .applyInPandasWithState(
             _session_fn(gap_minutes * 60 * 1_000_000),

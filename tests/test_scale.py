@@ -92,3 +92,24 @@ def test_aggregate_scales_linearly_in_rows(spark, big_sf):
         .s
     )
     assert big == pytest.approx(base * REPLICATION, rel=1e-12)
+
+
+def test_new_families_complete_at_8x(spark, big_sf):
+    # r2 families: temporal joins, sampling, quantization, stateful
+    # streaming — completion + sanity at 8x rows
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    assert qs["aj1_asof_click_purchase"](spark, big_sf).count() > 0
+    assert qs["rj1_views_before_purchase"](spark, big_sf).count() > 0
+    splits = {
+        r.split: r.n
+        for r in qs["sp1_hash_split"](spark, big_sf)
+        .groupBy("split")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert set(splits) == {"train", "val", "test"}
+    n_vecs = spark.read.parquet(f"{big_sf}/embeddings.parquet").count()
+    assert qs["sq1_int8_quantize"](spark, big_sf).count() == n_vecs * 64
+    assert qs["st5_stateful_sessions"](spark, big_sf).count() > 0
