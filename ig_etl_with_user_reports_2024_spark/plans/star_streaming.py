@@ -177,3 +177,38 @@ def st6_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return streaming_dedup_keys(spark, os.path.join(sf_dir, "events.parquet"))
+
+
+@query(
+    "ro1_hourly_rollup",
+    f"""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS hour_start,
+           event_type,
+           COUNT(*) AS n_events,
+           {sql_lsum('value')} AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def ro1_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup cascade: the hourly aggregate is re-aggregated FROM the
+    5-minute partials, never from the raw events — the continuous-
+    aggregate pattern that makes multi-resolution dashboards O(partials)
+    instead of O(events) at 100 TB. Exactness survives because the
+    partials carry scaled-long CENTS (integer domain); re-summing the
+    divided doubles would drift. Hash-checked against the DIRECT hourly
+    aggregation over raw events — proving partial-reaggregation parity."""
+    events = load_table(spark, sf_dir, "events")
+    partials = events.groupBy(
+        F.window("ts", "5 minutes").alias("win"), "event_type"
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.rint(F.col("value") * 100).cast("long")).alias("cents"),
+    )
+    return partials.groupBy(
+        F.date_trunc("hour", F.col("win.start")).alias("hour_start"),
+        F.col("event_type"),
+    ).agg(
+        F.sum("n").alias("n_events"),
+        (F.sum("cents") / 100.0).alias("total_value"),
+    )
