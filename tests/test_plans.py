@@ -130,3 +130,20 @@ def test_sampling_plans_narrow(spark, sf_oracle):
     plan = plan_of(spark, "sp3_k_per_stratum", sf_oracle)
     assert "WindowGroupLimit" in plan, plan
     assert len(set(re.findall(r"\((\d+)\) Exchange", plan))) <= 1, plan
+
+
+def test_r2_additions_plan_shapes(spark, sf_oracle):
+    import re
+
+    # sq1: pure array expressions over the scan — no shuffle at all
+    assert "Exchange" not in plan_of(spark, "sq1_int8_quantize", sf_oracle)
+    # a15: one aggregation grain = one exchange
+    p = plan_of(spark, "a15_length_percentiles", sf_oracle)
+    assert len(set(re.findall(r"\((\d+)\) Exchange", p))) <= 1, p
+    # dc1: digest join must stay an equi-join
+    p = plan_of(spark, "dc1_decontaminate", sf_oracle)
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    # ro1: partials + rollup = at most two exchanges, one scan
+    p = plan_of(spark, "ro1_hourly_rollup", sf_oracle)
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, p
+    assert len(set(re.findall(r"\((\d+)\) Exchange", p))) <= 2, p
