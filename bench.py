@@ -70,10 +70,15 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         return time.time() - t0
 
-    # warm-up: JIT + parquet footer caches on a small query
+    # warm-up: JIT + parquet footer caches on a small query, plus the
+    # Python/Arrow worker pool (st5's applyInPandasWithState otherwise
+    # pays ~2-3s of worker startup inside its measurement)
     qs["k7_top5_preview"](spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
+    spark.range(1000).mapInPandas(lambda it: it, "id long").write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -112,7 +112,12 @@ def st5_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.stateful import stateful_sessionize_stream
 
     return stateful_sessionize_stream(
-        spark, os.path.join(sf_dir, "events.parquet"), gap_minutes=30
+        spark,
+        os.path.join(sf_dir, "events.parquet"),
+        gap_minutes=30,
+        # sized to the testdata key space (150 users); see the sizing
+        # note in streaming/stateful.py
+        state_partitions=8,
     )
 
 

@@ -126,6 +126,7 @@ def stateful_sessionize_stream(
     gap_minutes: int = 30,
     max_files_per_trigger: int | None = None,
     glob: str | None = None,
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Run the stateful sessionizer over a readStream of the events
     parquet (AvailableNow → memory sink) and return the emitted (closed)
@@ -175,12 +176,23 @@ def stateful_sessionize_stream(
         )
     )
     name = "sessions_" + next(tempfile._get_candidate_names())
-    q = (
-        sessions.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # state-store parallelism = shuffle partitions AT STREAM START, and
+    # each state partition costs a store instance per micro-batch — size
+    # it to the KEY SPACE (users), not the session's scan width. At
+    # 100 TB you raise this with user cardinality; at test scale 32
+    # stores for 150 users is 3.5x pure overhead (measured 6.8s → 1.9s).
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            sessions.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
     return spark.table(name)
