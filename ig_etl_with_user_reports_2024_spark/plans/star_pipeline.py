@@ -523,3 +523,41 @@ def a15_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("n_chars", F.lit(0.9)).alias("p90"),
         F.percentile("n_chars", F.lit(0.99)).alias("p99"),
     )
+
+
+@query(
+    "txt6_vocab_top50",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_WORDS_SQL}) AS token FROM documents
+    ), stats AS (
+        SELECT token,
+               COUNT(DISTINCT doc_id) AS doc_freq,
+               COUNT(*) AS n_occurrences
+        FROM tok GROUP BY token
+    )
+    SELECT token, doc_freq, n_occurrences
+    FROM stats
+    ORDER BY doc_freq DESC, token ASC
+    LIMIT 50
+    """,
+)
+def txt6_vocab_top50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-50 tokens by document frequency (ties
+    broken by token — deterministic total order), with raw occurrence
+    counts. Token explode → one (token)-grain aggregation (partial
+    map-side combine keeps the shuffle at distinct-token width, not
+    corpus width) → global top-k. The vocab/stopword-discovery pass
+    every text pipeline runs before filtering."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(tx.normalized_words(F.col("text"))).alias("token"),
+    )
+    stats = toks.groupBy("token").agg(
+        F.count_distinct("doc_id").alias("doc_freq"),
+        F.count("*").alias("n_occurrences"),
+    )
+    return stats.orderBy(
+        F.col("doc_freq").desc(), F.col("token").asc()
+    ).limit(50)
