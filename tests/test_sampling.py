@@ -64,3 +64,20 @@ def test_k_per_stratum_deterministic_and_exact_k(spark, sf_oracle):
     b = {(r.doc_id, r.sample_rank) for r in k_per_stratum(shuffled, "doc_id", "source", k=5).collect()}
     assert a == b
     assert len(a) == 5 * 20  # 20 sources × k
+
+
+def test_sq1_zero_vector_quantizes_to_zero(spark):
+    # ANSI mode would throw on 0/0 — the scale==0 guard must hold
+    from ig_etl_with_user_reports_2024_spark.plans.star_pipeline import (
+        sq1_int8_quantize,
+    )
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="sq1zero_")
+    spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0], 0), (2, [3.0, -4.0, 0.0], 0)],
+        "vec_id bigint, embedding array<float>, label int",
+    ).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+    out = {(r.vec_id, r.i): (r.q, r.scale) for r in sq1_int8_quantize(spark, d).collect()}
+    assert out[(1, 1)] == (0, 0.0) and out[(1, 3)] == (0, 0.0)
+    assert out[(2, 2)] == (-127, 4.0)  # max-|e| component hits the rail
