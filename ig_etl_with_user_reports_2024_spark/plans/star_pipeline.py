@@ -561,3 +561,30 @@ def txt6_vocab_top50(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.orderBy(
         F.col("doc_freq").desc(), F.col("token").asc()
     ).limit(50)
+
+
+@query("ro2_sketch_rollup", None)  # Datasketches HLL — engine-specific
+def ro2_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup: per-source HLL sketches of doc ids,
+    UNIONED into the global estimate — never re-scanning raw data. The
+    sketch (not the count) is the partial, which is what makes
+    approximate-distinct rollup-able across partitions/days/tiers at
+    100 TB; exact-vs-estimate accuracy is asserted in
+    tests/test_sampling.py. Rows-only check (Datasketches binary is
+    engine-specific)."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.hll_sketch_agg("doc_id").alias("sk"),
+        F.count_distinct("doc_id").alias("n_exact"),
+    )
+    per_source_rows = per_source.select(
+        "source",
+        F.hll_sketch_estimate("sk").alias("n_estimate"),
+        "n_exact",
+    )
+    merged = per_source.agg(
+        F.lit("__all__").alias("source"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("n_estimate"),
+        F.sum("n_exact").alias("n_exact"),  # sources partition doc_ids
+    )
+    return per_source_rows.unionByName(merged)

@@ -81,3 +81,14 @@ def test_sq1_zero_vector_quantizes_to_zero(spark):
     out = {(r.vec_id, r.i): (r.q, r.scale) for r in sq1_int8_quantize(spark, d).collect()}
     assert out[(1, 1)] == (0, 0.0) and out[(1, 3)] == (0, 0.0)
     assert out[(2, 2)] == (-127, 4.0)  # max-|e| component hits the rail
+
+
+def test_sketch_rollup_accuracy(spark, sf_oracle):
+    from ig_etl_with_user_reports_2024_spark.plans.star_pipeline import (
+        ro2_sketch_rollup,
+    )
+
+    rows = {r.source: (r.n_estimate, r.n_exact) for r in ro2_sketch_rollup(spark, sf_oracle).collect()}
+    assert "__all__" in rows and len(rows) == 21  # 20 sources + merged
+    for src, (est, exact) in rows.items():
+        assert abs(est - exact) <= max(2, 0.05 * exact), (src, est, exact)
