@@ -148,3 +148,49 @@ def rj2_error_near_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts_col="ts",
         band_micros=5 * MICROS["minute"],
     ).select("user_id", "l_event_id", "l_ts", "r_event_id", "r_ts")
+
+
+@query(
+    "fn1_user_funnel",
+    """
+    WITH seq AS (
+        SELECT user_id, list(event_type ORDER BY ts ASC, event_id ASC) AS types
+        FROM events
+        WHERE ts < TIMESTAMP '2024-01-02 00:00:00'
+        GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(list_reduce(list_prepend('0', types), (stage, t) ->
+               CASE WHEN stage = '0' AND t = 'view' THEN '1'
+                    WHEN stage = '1' AND t = 'click' THEN '2'
+                    WHEN stage = '2' AND t = 'purchase' THEN '3'
+                    ELSE stage END) AS INT) AS funnel_stage
+    FROM seq
+    """,
+)
+def fn1_user_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-pattern (funnel) matching: how far each user progressed
+    through view → click → purchase IN ORDER on day one. The event
+    sequence folds through a stage machine (array_sort + aggregate) —
+    subsequence semantics no join/window can express directly; one
+    shuffle on user_id, fold is a per-group array expression. DuckDB
+    runs the identical fold via list_reduce (string-typed accumulator:
+    its reduce cannot change element type)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts") < F.lit("2024-01-02 00:00:00").cast("timestamp")
+    )
+    seq = ev.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "event_type"))
+        ).alias("seq")
+    )
+    types = F.transform(F.col("seq"), lambda x: x["event_type"])
+    stage = F.aggregate(
+        types,
+        F.lit("0"),
+        lambda stage, t: F.when((stage == "0") & (t == "view"), "1")
+        .when((stage == "1") & (t == "click"), "2")
+        .when((stage == "2") & (t == "purchase"), "3")
+        .otherwise(stage),
+    )
+    return seq.select("user_id", stage.cast("int").alias("funnel_stage"))
