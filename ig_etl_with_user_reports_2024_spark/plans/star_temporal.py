@@ -152,20 +152,37 @@ def rj2_error_near_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "fn1_user_funnel",
+    # NOT a list_reduce fold: DuckDB 1.0's list_reduce+lambda returns
+    # wrong stages for some groups when evaluated over many rows (correct
+    # in isolation — verified; the ordered list itself is right). The
+    # stage machine is equivalent to the earliest-view → earliest-later-
+    # click → earliest-later-purchase chain because (user_id, ts) is
+    # unique, so "later in sequence" == "later in ts".
     """
-    WITH seq AS (
-        SELECT user_id, list(event_type ORDER BY ts ASC, event_id ASC) AS types
-        FROM events
+    WITH e AS (
+        SELECT user_id, ts, event_type FROM events
         WHERE ts < TIMESTAMP '2024-01-02 00:00:00'
-        GROUP BY user_id
+    ), v AS (
+        SELECT user_id, MIN(ts) AS t1 FROM e
+        WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+        SELECT e.user_id, MIN(e.ts) AS t2 FROM e
+        JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+        WHERE e.event_type = 'click' GROUP BY e.user_id
+    ), p AS (
+        SELECT e.user_id, MIN(e.ts) AS t3 FROM e
+        JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+        WHERE e.event_type = 'purchase' GROUP BY e.user_id
     )
-    SELECT user_id,
-           CAST(list_reduce(list_prepend('0', types), (stage, t) ->
-               CASE WHEN stage = '0' AND t = 'view' THEN '1'
-                    WHEN stage = '1' AND t = 'click' THEN '2'
-                    WHEN stage = '2' AND t = 'purchase' THEN '3'
-                    ELSE stage END) AS INT) AS funnel_stage
-    FROM seq
+    SELECT u.user_id,
+           CASE WHEN p.t3 IS NOT NULL THEN 3
+                WHEN c.t2 IS NOT NULL THEN 2
+                WHEN v.t1 IS NOT NULL THEN 1
+                ELSE 0 END AS funnel_stage
+    FROM (SELECT DISTINCT user_id FROM e) u
+    LEFT JOIN v ON u.user_id = v.user_id
+    LEFT JOIN c ON u.user_id = c.user_id
+    LEFT JOIN p ON u.user_id = p.user_id
     """,
 )
 def fn1_user_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
