@@ -5,24 +5,34 @@ CLUSTERS: every document labeled with a canonical representative so one
 survivor per component can be kept. Transitive closure is what makes
 A~B, B~C collapse into one cluster even though A and C never matched.
 
-Implementation is iterative min-label propagation — the same alternation
-GraphX/GraphFrames connected components uses, expressed on DataFrames:
+Implementation is iterative min-label propagation PLUS per-round
+pointer-doubling, the same acceleration the large-star/small-star
+algorithm (Kiveris et al., "Connected Components in MapReduce and
+Beyond") builds on, expressed on DataFrames:
 
-    labels(v) <- min(labels(v), min over neighbors u of labels(u))
+    propagate: labels(v) <- min(labels(v), min over neighbors u of labels(u))
+    shortcut:  labels(v) <- labels(labels(v))
 
-repeated to fixpoint. Each round is one equi-join (edges × labels) and
-one groupBy-min — shuffle cost tracks |E| + |V| per round, rounds track
-the component DIAMETER (near-dup clusters are dense, so diameters are
-tiny: 2-4 rounds in practice). Convergence detection rides the fact
-that min-propagation monotonically decreases ``sum(label)``: a round
-that leaves the sum unchanged is the fixpoint — one cheap scalar agg
-per round, no change-join.
+The shortcut step lets a label jump along the already-discovered
+label chain, so the round count tracks log2(component diameter), not
+the diameter itself — a 1000-node path converges in ~10 rounds where
+plain propagation needs ~1000 (tests/test_graph.py asserts this).
+Each round is two equi-joins and one groupBy-min — shuffle cost tracks
+|E| + 2|V| per round. Convergence detection rides the fact that
+min-propagation monotonically decreases ``sum(label)``: a round that
+leaves the sum unchanged is the fixpoint — one cheap scalar agg per
+round, no change-join.
 
 The driver-side loop is bounded control flow (≤ ``max_iter`` rounds of
 plan construction), NOT per-row driver work; each round's result is
-cached and the previous round unpersisted, so the lineage stays flat at
-100 TB. DuckDB checks the whole thing against a recursive-CTE
-transitive closure (plans/star_pipeline dd6).
+eagerly ``localCheckpoint``-ed, which truncates the lineage — essential
+here because every round references the previous labels TWICE (the
+union and the shortcut self-join), so an uncheckpointed plan doubles
+per round and analysis alone blows up around round 10. Exhausting
+``max_iter`` without reaching the fixpoint RAISES —
+silently returning half-merged clusters would hand the dedup stage
+wrong canonical ids with no signal. DuckDB checks the whole thing
+against a recursive-CTE transitive closure (plans/star_pipeline dd6).
 """
 
 from __future__ import annotations
@@ -41,36 +51,62 @@ def connected_components(
 ) -> DataFrame:
     """Label every node with the minimum node id reachable through
     ``pairs`` (undirected): (id_col, cluster_id). Isolated nodes are
-    their own cluster; ``cluster_id == id`` marks the canonical doc."""
+    their own cluster; ``cluster_id == id`` marks the canonical doc.
+
+    Raises ``RuntimeError`` if the fixpoint is not reached within
+    ``max_iter`` rounds (with shortcutting that bounds component
+    diameter at ~2^max_iter, so hitting it means something is wrong,
+    not merely a long chain).
+    """
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
     )
     edges.persist()
-    labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("label"))
-    labels.persist()
+    labels = nodes.select(
+        F.col(id_col).alias("id"), F.col(id_col).alias("label")
+    ).localCheckpoint(eager=True)
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    converged = False
 
     for _ in range(max_iter):
         neighbor_labels = edges.join(
             labels, edges["src"] == labels["id"]
         ).select(F.col("dst").alias("id"), "label")
-        new_labels = (
+        propagated = (
             labels.union(neighbor_labels).groupBy("id").agg(F.min("label").alias("label"))
         )
-        new_labels.persist()
-        new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
-        labels.unpersist()
-        labels = new_labels
+        # pointer doubling: follow the label's own label one hop —
+        # label(label(v)) is still the id of a node reachable from v
+        # (labels only ever carry reachable ids), so correctness is
+        # unchanged while chains collapse in log2(diameter) rounds.
+        parent = propagated.select(
+            F.col("id").alias("label"), F.col("label").alias("_label2")
+        )
+        # eager localCheckpoint both materializes the round (so the
+        # convergence agg reads stored blocks, not lineage) and resets
+        # the plan to a leaf; old rounds' blocks are freed by Spark's
+        # ContextCleaner once the previous `labels` ref drops.
+        labels = (
+            propagated.join(parent, "label", "left")
+            .select("id", F.coalesce("_label2", "label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        new_sum = labels.agg(F.sum("label")).collect()[0][0]
         if new_sum == prev_sum:
+            converged = True
             break
         prev_sum = new_sum
 
     edges.unpersist()
-    # the final labels stay persisted: their lineage chains through every
-    # round, so dropping the cache here would force the consumer to
-    # recompute the whole iteration
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iter} "
+            f"rounds — returning partially-merged cluster labels would "
+            f"be silently wrong; raise max_iter (each round doubles the "
+            f"reachable chain length) or inspect the pair graph"
+        )
     return labels.select(
         F.col("id").alias(id_col), F.col("label").alias("cluster_id")
     )

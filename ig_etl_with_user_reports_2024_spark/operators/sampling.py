@@ -35,6 +35,20 @@ def sql_hash_bucket(key_expr: str, salt: str, hex_digits: int = 4) -> str:
     return f"substring(md5('{salt}:' || CAST({key_expr} AS VARCHAR)), 1, {hex_digits})"
 
 
+def hex_threshold(frac: float) -> str:
+    """The 4-hex-digit threshold string for ``P(bucket < t) == frac``.
+
+    ``round(frac * 65536) == 65536`` (frac exactly 1.0, or within ~8e-6
+    of it) would format to the FIVE-char ``'10000'``, which sorts BELOW
+    most 4-char prefixes ('10000' < '1234…') and silently keeps ~1/16 of
+    rows. Any overflowed threshold means keep-all, and ``'g'`` sorts
+    after every hex digit, so ``bucket < 'g'`` is always true — the
+    single comparison stays correct at both extremes.
+    """
+    n = round(frac * 65536)
+    return "g" if n >= 65536 else format(n, "04x")
+
+
 def hash_split(
     df: DataFrame,
     key: str,
@@ -48,8 +62,8 @@ def hash_split(
     is stable under any repartitioning, insertion order, or engine.
     """
     b = hash_bucket(F.col(key), salt)
-    val_hi = format(round(val_frac * 65536), "04x")
-    test_hi = format(round((val_frac + test_frac) * 65536), "04x")
+    val_hi = hex_threshold(val_frac)
+    test_hi = hex_threshold(val_frac + test_frac)
     return df.withColumn(
         "split",
         F.when(b < val_hi, "val")
@@ -63,8 +77,8 @@ def sql_hash_split(
 ) -> str:
     """DuckDB CASE fragment matching :func:`hash_split`'s ``split``."""
     b = sql_hash_bucket(key_expr, salt)
-    val_hi = format(round(val_frac * 65536), "04x")
-    test_hi = format(round((val_frac + test_frac) * 65536), "04x")
+    val_hi = hex_threshold(val_frac)
+    test_hi = hex_threshold(val_frac + test_frac)
     return (
         f"CASE WHEN {b} < '{val_hi}' THEN 'val' "
         f"WHEN {b} < '{test_hi}' THEN 'test' ELSE 'train' END"
@@ -81,10 +95,9 @@ def stratified_sample(
     for s, rate in rates.items():
         this = F.col(stratum) == s
         if rate < 1.0:
-            # rate 1.0 would format to the 5-digit '10000', which sorts
-            # BELOW most 4-char hex strings — full-rate strata keep
-            # unconditionally instead of through the threshold
-            this = this & (b < format(round(rate * 65536), "04x"))
+            # hex_threshold handles rates that round up to 65536
+            # (within ~8e-6 of 1.0) by returning the keep-all sentinel
+            this = this & (b < hex_threshold(rate))
         cond = this if cond is None else (cond | this)
     return df.filter(cond)
 

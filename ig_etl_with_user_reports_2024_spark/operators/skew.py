@@ -46,7 +46,21 @@ def salted_join(
     that n× replication is cheap (the classic mid-size dim). ``salt_by``
     defaults to every non-key left column — any deterministic row
     content works, it only needs to spread.
+
+    Only left-preserving joins are result-identical to the unsalted
+    join: the right side is replicated n_salts times, so right/full
+    outer would emit every unmatched right row once PER REPLICA
+    (n_salts null-padded duplicates). Rejected up front.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "semi", "left_anti", "leftanti", "anti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join how={how!r} is not result-identical to the "
+            f"unsalted join (right side is replicated {n_salts}x; "
+            f"unmatched right rows would duplicate). Allowed: inner/left/"
+            f"semi/anti variants."
+        )
     keys = [on] if isinstance(on, str) else list(on)
     salt_src = salt_by or [c for c in left.columns if c not in keys]
     if not salt_src:  # degenerate: key-only left — nothing to spread by

@@ -150,10 +150,12 @@ def bucketed_range_join(
     lm, rm = F.col("_lm"), F.col("_rm")
 
     def bucket(m: Column) -> Column:
-        # exact integer floor-division (m is non-negative epoch micros);
-        # double division would be correctly rounded but this never
-        # leaves the integer domain at all
-        return ((m - m % band_micros) / band_micros).cast("long")
+        # bucket label = start-of-band micros (m - m % band). No
+        # division at all, so the computation genuinely never leaves
+        # the long domain — Spark's `/` on longs is double division,
+        # exact only below 2^53, so it is deliberately avoided here.
+        # Adjacent buckets differ by band_micros, not 1.
+        return (m - m % band_micros).cast("long")
 
     lhs = left.select(
         F.col(on),
@@ -161,7 +163,11 @@ def bucketed_range_join(
         event_micros(ts_col).alias("_lm"),
     ).withColumn(
         "_bucket",
-        F.explode(F.array(bucket(lm) - 1, bucket(lm), bucket(lm) + 1)),
+        F.explode(
+            F.array(
+                bucket(lm) - band_micros, bucket(lm), bucket(lm) + band_micros
+            )
+        ),
     )
     rhs = right.select(
         F.col(on),

@@ -22,6 +22,7 @@ from ..operators.multimodal import (
 )
 from ..operators.sampling import (
     hash_split,
+    hex_threshold,
     k_per_stratum,
     sql_hash_bucket,
     sql_hash_split,
@@ -57,7 +58,7 @@ def sp1_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE ({' OR '.join(
         f"(source = '{s}')" if r >= 1.0 else
         f"(source = '{s}' AND {sql_hash_bucket('doc_id', 'strat')} < "
-        f"'{format(round(r * 65536), '04x')}')"
+        f"'{hex_threshold(r)}')"
         for s, r in _RATES.items()
     )})
     """,

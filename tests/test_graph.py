@@ -40,3 +40,28 @@ def test_min_id_reachable_through_high_id_hub(spark):
     # min must flow through a larger-id intermediate: 100 is the hub
     got = _run(spark, [5, 100, 7], [(100, 7), (5, 100)])
     assert got == {5: 5, 100: 5, 7: 5}
+
+
+def test_long_path_converges_under_round_cap(spark):
+    # 1000-node path: diameter 999. Plain min-propagation would need
+    # ~999 rounds; pointer doubling must land it inside max_iter=25
+    # (log2(999) ≈ 10) — and non-convergence now raises, so completing
+    # at all proves the fixpoint was reached.
+    n = 1000
+    got = _run(spark, list(range(1, n + 1)), [(i, i + 1) for i in range(1, n)])
+    assert got == {i: 1 for i in range(1, n + 1)}
+
+
+def test_nonconvergence_raises(spark):
+    import pytest
+
+    from ig_etl_with_user_reports_2024_spark.operators.graph import (
+        connected_components,
+    )
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 40)], "doc_id bigint")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 39)], "a_id bigint, b_id bigint"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(nodes, pairs, max_iter=2)
