@@ -1,0 +1,63 @@
+"""Diagnostic recall/accuracy numbers behind the rf* floor queries.
+
+The registered rf1–rf5 queries project only (meets_floor, recall_floor)
+so the driver can hash-check them against a literal oracle; the actual
+measured numbers live here so a recall regression is debuggable (which
+component, by how much) and the floors stay honest margins, not
+tautologies.
+"""
+
+from __future__ import annotations
+
+from ig_etl_with_user_reports_2024_spark.plans import star_recall as rf
+
+
+def _row(diag_df):
+    rows = diag_df.collect()
+    assert len(rows) == 1
+    return rows[0]
+
+
+def test_rf1_lsh_recall_meets_floor_with_margin(spark, sf_oracle):
+    r = _row(rf.rf1_diag(spark, sf_oracle))
+    assert r.meets_floor
+    assert r.recall >= 0.5
+    assert r.n_exact > 0
+
+
+def test_rf2_ivf_recall_meets_floor(spark, sf_oracle):
+    r = _row(rf.rf2_diag(spark, sf_oracle))
+    assert r.meets_floor
+    assert r.recall >= 0.4
+
+
+def test_rf3_minhash_recall_meets_floor(spark, sf_oracle):
+    r = _row(rf.rf3_diag(spark, sf_oracle))
+    assert r.meets_floor
+    assert r.recall >= 0.8
+
+
+def test_rf4_simhash_recall_meets_floor(spark, sf_oracle):
+    r = _row(rf.rf4_diag(spark, sf_oracle))
+    assert r.meets_floor
+    assert r.recall >= 0.5
+
+
+def test_rf5_sketch_accuracy_within_tolerance(spark, sf_oracle):
+    r = _row(rf.rf5_diag(spark, sf_oracle))
+    assert r.meets_floor
+    assert r.max_rel_err <= 0.05
+
+
+def test_registered_floor_queries_project_only_floor_columns(spark, sf_oracle):
+    # the driver hashes these against a literal SELECT — any extra
+    # column (or a recall value sneaking back in) would break the oracle
+    for q in (
+        rf.rf1_lsh_topk_recall,
+        rf.rf2_ivf_topk_recall,
+        rf.rf3_minhash_recall,
+        rf.rf4_simhash_recall,
+        rf.rf5_sketch_accuracy,
+    ):
+        df = q(spark, sf_oracle)
+        assert df.columns == ["meets_floor", "recall_floor"]
