@@ -113,6 +113,38 @@ def mm2_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample_plan(decoded, every_n=30)
 
 
+@query(
+    "mm3_frame_select",
+    """
+    SELECT doc_id,
+           CAST(unnest(generate_series(0, greatest(n_frames - 1, 0), 30))
+                AS INT) AS frame_idx
+    FROM (
+        SELECT doc_id,
+               CAST(CAST('0x' || substring(md5(text), 1, 6) AS BIGINT)
+                    % 240 + 1 AS INT) AS n_frames
+        FROM documents
+    )
+    """,
+)
+def mm3_frame_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hash-checkable half of the multimodal family (VERDICT r2 #6):
+    mm2's frame-index selection — uniform every-30th sampling over a
+    per-item frame count — through the SAME ``frame_sample_plan`` code
+    path, but with ``n_frames`` derived from an md5 prefix of the
+    payload text (1 + prefix % 240, the stub decoder's range) so DuckDB
+    reproduces it bit-exactly. Only the decode itself remains Python-side
+    and rows-only (mm2)."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.encode(F.col("text"), "UTF-8")), 1, 6), 16, 10
+    ).cast("bigint")
+    decoded = docs.select(
+        "doc_id", (h % 240 + 1).cast("int").alias("n_frames")
+    )
+    return frame_sample_plan(decoded, every_n=30)
+
+
 # decontamination fingerprint: md5 of the first 8 normalized words — a
 # prefix-overlap heuristic (exact digests never fire on a near-dup-only
 # corpus; real decontamination uses n-gram/prefix overlap exactly so)
