@@ -61,7 +61,17 @@ def commit_batch(
     # collect-and-rewrite is fine at queue scale (a url list, not data);
     # the atomicity comes from writing complete files
     # sorted output → byte-identical files on re-commit (idempotence you
-    # can diff)
+    # can diff). Guard the assumption: the queue is metadata-sized BY
+    # CONSTRUCTION (reference work queues are 10^2-10^5 urls); if a
+    # caller ever points this at a data-sized table, fail loudly instead
+    # of OOMing the driver.
+    _QUEUE_ROW_CAP = 10_000_000
+    if new_done.limit(_QUEUE_ROW_CAP + 1).count() > _QUEUE_ROW_CAP:
+        raise ValueError(
+            f"work queue exceeds {_QUEUE_ROW_CAP} urls — commit_processed "
+            "collects the queue to the driver and is only meant for "
+            "metadata-sized queues; shard the queue or use a table sink"
+        )
     new_done_rows = new_done.orderBy("url").collect()
     remaining_rows = remaining.orderBy("url").collect()
     import csv

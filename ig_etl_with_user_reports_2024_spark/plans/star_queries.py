@@ -73,6 +73,16 @@ def a4_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the scan (parquet min/max pushdown); Spark computes partial
     aggregates map-side, so the shuffle carries one row per
     (flag, status, partition) — this is the plan that survives 100 TB.
+
+    Perf note (r3 profile of the r2 "regression"): warm execution is
+    ~1.2s at sf0.1, of which the two decimal-product sums are ~0.7s; the
+    r2 bench number (3.4s) was first-query cold cost (JIT + lineitem
+    footer), now covered by bench.py's compile-warm pass. A scaled-long
+    variant of the product sums measured 4x faster and bit-identical
+    HERE, but was rejected as the registered plan: charge needs 10^-6
+    scaling, whose 2^63 bound (~4e7 rows per group) fails at the 100 TB
+    target, while the decimal(38) accumulator is unconditionally safe —
+    the exactness-at-scale tax is deliberate (functions/exact.py).
     """
     li = load_table(spark, sf_dir, "lineitem")
     ext = F.col("l_extendedprice").cast("decimal(10,2)")
