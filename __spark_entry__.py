@@ -53,6 +53,10 @@ _DRIVER_PRIORITY = [
     "rf4_simhash_recall",
     "rf5_sketch_accuracy",
     "mm3_frame_select",
+    "txt7_repetition_stats",
+    "dd7_ngram_contamination",
+    "a16_length_histogram",
+    "st7_session_window",
     "sp1_hash_split",
     "sp2_stratified_sample",
     "rj2_error_near_purchase",

@@ -17,6 +17,7 @@ from ..operators import dedup as dd
 from ..operators import multimodal as mm
 from ..operators import similarity as sim
 from ..operators import textops as tx
+from ..operators.sampling import sql_hash_split
 from ..sources.readers import load_table
 from .registry import query
 
@@ -588,3 +589,147 @@ def ro2_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_exact").alias("n_exact"),  # sources partition doc_ids
     )
     return per_source_rows.unionByName(merged)
+
+
+# ---------------------------------------------------------------------------
+# r3 additions — repetition/quality stats, n-gram decontamination, and
+# corpus length histogram (the C4/MassiveText-style filter family).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "txt7_repetition_stats",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_WORDS_SQL}) AS w FROM documents
+    ), wc AS (
+        SELECT doc_id, w, COUNT(*) AS c FROM tok GROUP BY doc_id, w
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_words,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST(COUNT(*) AS DOUBLE) / SUM(c) AS distinct_ratio,
+           CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_word_ratio
+    FROM wc GROUP BY doc_id
+    """,
+)
+def txt7_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition stats — the C4/MassiveText-style
+    repetition filter inputs: distinct-word ratio and the most-frequent
+    word's share. Degenerate docs (one phrase looped) show a low
+    distinct_ratio / high top_word_ratio and get dropped from training
+    mixes. Token explode → (doc, word) count → per-doc rollup; the
+    shuffle carries (doc_id, word) pairs, never the body. Ratios are
+    int/int divisions evaluated identically in both engines (no float
+    accumulation). Docs with zero tokens drop out on both sides
+    (explode of an empty list)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(tx.normalized_words(F.col("text"))).alias("w")
+    )
+    wc = tok.groupBy("doc_id", "w").agg(F.count("*").alias("c"))
+    return wc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_words"),
+        F.count("*").alias("n_distinct"),
+        (F.count("*").cast("double") / F.sum("c")).alias("distinct_ratio"),
+        (F.max("c").cast("double") / F.sum("c")).alias("top_word_ratio"),
+    )
+
+
+def _ngram_sql(n: int) -> str:
+    """DuckDB n-gram fragment over a word list ``ws`` (matches
+    operators/dedup.word_shingles for the same n)."""
+    joined = " || ' ' || ".join(f"ws[i+{j}]" for j in range(n))
+    return (
+        f"list_distinct(list_transform("
+        f"generate_series(1, greatest(len(ws) - {n - 1}, 0)), i -> {joined}))"
+    )
+
+
+@query(
+    "dd7_ngram_contamination",
+    f"""
+    WITH split AS (
+        SELECT doc_id, {_WORDS_SQL} AS ws, {sql_hash_split('doc_id')} AS split
+        FROM documents
+    ), grams AS (
+        SELECT doc_id, split, unnest({_ngram_sql(8)}) AS g FROM split
+    ), eval_grams AS (
+        SELECT DISTINCT g FROM grams WHERE split <> 'train'
+    )
+    SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_grams
+    FROM grams t JOIN eval_grams e ON t.g = e.g
+    WHERE t.split = 'train'
+    GROUP BY t.doc_id
+    """,
+)
+def dd7_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval 8-gram contamination — the GPT-3/PaLM-style overlap
+    decontamination check, stronger than dc1's whole-prefix digest: a
+    training doc sharing ANY 8-gram with the held-out split is flagged
+    with its overlap count. One gram equi-join; the shuffle carries
+    (gram, doc_id) — at 100 TB the gram string would ride as md5/xxhash
+    digests, same shape. Composes sp1's deterministic split with the
+    dedup-family shingles (operators/dedup.word_shingles at n=8)."""
+    from ..operators.sampling import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = hash_split(docs, key="doc_id").select(
+        "doc_id",
+        "split",
+        F.explode(
+            dd.word_shingles(dd.normalized_words(F.col("text")), n=8)
+        ).alias("g"),
+    )
+    eval_grams = grams.filter(F.col("split") != "train").select("g").distinct()
+    return (
+        grams.filter(F.col("split") == "train")
+        .join(eval_grams, "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared_grams"))
+    )
+
+
+@query(
+    "a16_length_histogram",
+    f"""
+    WITH n AS (
+        SELECT len({_WORDS_SQL}) AS n_words FROM documents
+    )
+    SELECT CAST(FLOOR(LOG2(n_words)) AS BIGINT) AS bucket,
+           CAST(1 AS BIGINT) << CAST(FLOOR(LOG2(n_words)) AS INT)
+               AS bucket_lo,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS total_tokens
+    FROM n
+    WHERE n_words > 0
+    GROUP BY 1, 2
+    """,
+)
+def a16_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two token-length histogram — the sequence-length
+    budgeting view every pretraining mix needs (how many docs land in
+    each 2^k bucket, how many tokens they contribute). Single
+    aggregation over a scan-side expression; log2 is exact at the
+    power-of-two boundaries in both engines, so the integer bucket is
+    portable at these lengths."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_words = F.size(tx.normalized_words(F.col("text")))
+    bucket = F.floor(F.log2(F.col("n_words"))).cast("bigint")
+    return (
+        docs.select(n_words.alias("n_words"))
+        .filter(F.col("n_words") > 0)
+        .select(bucket.alias("bucket"), "n_words")
+        .select(
+            "bucket",
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bucket AS INT))").alias(
+                "bucket_lo"
+            ),
+            "n_words",
+        )
+        .groupBy("bucket", "bucket_lo")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_words").alias("total_tokens"),
+        )
+    )

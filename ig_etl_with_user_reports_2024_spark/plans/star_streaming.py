@@ -121,6 +121,64 @@ def st5_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "st7_session_window",
+    f"""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ), sessions AS (
+        SELECT user_id, ts, value,
+               SUM(is_new) OVER (
+                   PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_id
+        FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events,
+           {sql_lsum('value')} AS total_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def st7_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-NATIVE sessionization: ``F.session_window(ts, gap)`` — the
+    same operator Structured Streaming uses for streaming session aggs,
+    here hash-checked in batch against the window-algebra formulation.
+    One semantic edge vs st3: session_window's end bound is EXCLUSIVE
+    (an event exactly gap after the last does NOT merge), so the oracle
+    breaks sessions at ``gap >= 1800`` where st3 uses ``> 1800``; the
+    emitted session_end is last_event + gap, per the operator's
+    contract. Having both st3 (portable window algebra) and st7 (native
+    operator) documents the boundary choice instead of hiding it."""
+    from ..functions.exact import lsum
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("sw"), "user_id"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            lsum("value").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 @query("st4_streaming_tumbling", _TUMBLING_ORACLE)
 def st4_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The genuine readStream pipeline (parquet source → window agg →

@@ -29,6 +29,10 @@ def test_unverified_queries_land_in_driver_window():
         "rf4_simhash_recall",
         "rf5_sketch_accuracy",
         "mm3_frame_select",
+        "txt7_repetition_stats",
+        "dd7_ngram_contamination",
+        "a16_length_histogram",
+        "st7_session_window",
     ):
         assert name in first50, f"{name} fell out of the driver's 50-slot window"
 
