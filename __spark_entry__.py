@@ -52,6 +52,8 @@ _DRIVER_PRIORITY = [
     "rf3_minhash_recall",
     "rf4_simhash_recall",
     "rf5_sketch_accuracy",
+    "rf6_pq_distortion",
+    "sq2_product_quantize",
     "mm3_frame_select",
     "txt7_repetition_stats",
     "dd7_ngram_contamination",

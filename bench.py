@@ -47,6 +47,13 @@ HEADLINE = [
     "rj2_error_near_purchase",
     "sp3_k_per_stratum",
     "st5_stateful_sessions",
+    # r3 additions: one representative per family added this round. The
+    # r2-comparable subset is everything above this comment.
+    "txt7_repetition_stats",
+    "dd7_ngram_contamination",
+    "a16_length_histogram",
+    "st7_session_window",
+    "mm3_frame_select",
 ]
 
 

@@ -256,6 +256,110 @@ def embedding_neardup_pairs(
     return scored.filter(F.col("cos_sim") >= threshold)
 
 
+def pq_codes(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    n_centroids: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Product quantization: slice each vector into ``m`` subvectors and
+    assign each slice to the nearest of ``n_centroids`` per-subspace
+    centroids — the (m * log2(n_centroids))-bit code every disk-resident
+    ANN index (FAISS IVFPQ and kin) stores instead of raw floats
+    (64-dim float32 → 8 bytes here, 32x).
+
+    Training-free codebook like :func:`ivf_topk`: a seeded
+    ``xxhash64``-ordered draw of ``n_centroids`` corpus vectors, sliced
+    per subspace (TakeOrderedAndProject — constant-size collect, cheap
+    at any scale). The codebook rides into the plan as ONE from_json
+    literal (see ``_dots_against``); assignment is a pure column
+    expression, so encoding is a single scan with no shuffle.
+
+    Returns (id, subspace, code, err2, norm2) — one row per (vector,
+    subspace); ``err2``/``norm2`` are the squared reconstruction error
+    and squared slice norm that the rf6 distortion floor aggregates.
+    """
+    import json
+
+    dim_rows = vectors.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
+    if not dim_rows:
+        raise ValueError("pq_codes: empty vectors input")
+    dim = dim_rows[0]["d"]
+    if dim % m != 0:
+        raise ValueError(f"pq_codes: dim {dim} not divisible by m={m}")
+    d_sub = dim // m
+
+    draw = [
+        [float(x) for x in r[vec_col]]
+        for r in vectors.orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
+        .limit(n_centroids)
+        .collect()
+    ]
+    # codebook[sub][c] = the c-th drawn vector's sub-th slice
+    codebook = [
+        [v[s * d_sub : (s + 1) * d_sub] for v in draw] for s in range(m)
+    ]
+    cb = F.from_json(
+        F.lit(json.dumps(codebook)), "array<array<array<double>>>"
+    )
+
+    def dist2(slice_col: Column, cent: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(
+                slice_col,
+                cent,
+                lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    def norm2(slice_col: Column) -> Column:
+        return F.aggregate(
+            F.transform(slice_col, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    vec = F.col(vec_col)
+    per_sub = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda s: F.struct(
+            s.cast("int").alias("subspace"),
+            # argmin by (dist2, code): array_sort on (err2, code) structs
+            F.element_at(
+                F.array_sort(
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(n_centroids - 1)),
+                        lambda c: F.struct(
+                            dist2(
+                                F.slice(vec, s * d_sub + 1, d_sub),
+                                F.element_at(
+                                    F.element_at(cb, s + 1), c + 1
+                                ),
+                            ).alias("err2"),
+                            c.cast("int").alias("code"),
+                        ),
+                    )
+                ),
+                1,
+            ).alias("best"),
+            norm2(F.slice(vec, s * d_sub + 1, d_sub)).alias("norm2"),
+        ),
+    )
+    return vectors.select(
+        F.col(id_col).alias("id"), F.explode(per_sub).alias("e")
+    ).select(
+        "id",
+        F.col("e.subspace").alias("subspace"),
+        F.col("e.best.code").alias("code"),
+        F.col("e.best.err2").alias("err2"),
+        F.col("e.norm2").alias("norm2"),
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,

@@ -591,6 +591,21 @@ def ro2_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_source_rows.unionByName(merged)
 
 
+@query("sq2_product_quantize", None)  # seeded codebook draw → rows-only
+def sq2_product_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization codes (m=8 subspaces x 16 centroids): the
+    32x-compressed representation a disk-resident ANN index stores
+    (FAISS IVFPQ-style), completing the vector-compression family next
+    to sq1's int8 path. Codebook is the seeded deterministic corpus
+    draw (engine-side → rows-only); reconstruction distortion carries
+    the driver-hashed rf6 floor, and determinism/quality are asserted
+    in tests/test_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.pq_codes(emb, "vec_id", "embedding").select(
+        "id", "subspace", "code"
+    )
+
+
 # ---------------------------------------------------------------------------
 # r3 additions — repetition/quality stats, n-gram decontamination, and
 # corpus length histogram (the C4/MassiveText-style filter family).

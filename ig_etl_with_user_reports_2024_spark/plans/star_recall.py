@@ -166,3 +166,32 @@ def rf5_sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact at these cardinalities; 5% is the headroom bound that still
     catches a broken sketch/merge immediately."""
     return rf5_diag(spark, sf_dir).select("meets_floor", "recall_floor")
+
+
+def rf6_diag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full diagnostic row behind rf6: sq2's relative reconstruction
+    distortion, sum(err2)/sum(norm2) over every (vector, subspace)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    codes = sim.pq_codes(emb, "vec_id", "embedding")
+    tol = 0.85
+    distortion = F.sum("err2") / F.sum("norm2")
+    return codes.agg(
+        distortion.alias("distortion"),
+        (distortion <= tol).alias("meets_floor"),
+        F.lit(float(tol)).alias("recall_floor"),
+    )
+
+
+@query(
+    "rf6_pq_distortion",
+    "SELECT CAST(1 AS BOOLEAN) AS meets_floor, "
+    "CAST(0.85 AS DOUBLE) AS recall_floor",
+)
+def rf6_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sq2's PQ reconstruction distortion as a driver-hashable floor:
+    relative squared error <= 0.85. Random near-orthogonal vectors are
+    vector quantization's WORST case (measured 0.73-0.77 across
+    sf0.001/0.01/0.1), so the floor asserts the quantizer genuinely
+    beats the zero-code baseline (distortion 1.0) with margin, and any
+    codebook/assignment regression trips it."""
+    return rf6_diag(spark, sf_dir).select("meets_floor", "recall_floor")

@@ -28,6 +28,8 @@ def test_unverified_queries_land_in_driver_window():
         "rf3_minhash_recall",
         "rf4_simhash_recall",
         "rf5_sketch_accuracy",
+        "rf6_pq_distortion",
+        "sq2_product_quantize",
         "mm3_frame_select",
         "txt7_repetition_stats",
         "dd7_ngram_contamination",

@@ -58,6 +58,13 @@ def test_registered_floor_queries_project_only_floor_columns(spark, sf_oracle):
         rf.rf3_minhash_recall,
         rf.rf4_simhash_recall,
         rf.rf5_sketch_accuracy,
+        rf.rf6_pq_distortion,
     ):
         df = q(spark, sf_oracle)
         assert df.columns == ["meets_floor", "recall_floor"]
+
+
+def test_rf6_pq_distortion_within_floor(spark, sf_oracle):
+    r = _row(rf.rf6_diag(spark, sf_oracle))
+    assert r.meets_floor
+    assert r.distortion <= 0.85

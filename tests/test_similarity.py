@@ -76,3 +76,29 @@ def test_embedding_neardup_symmetric_threshold(spark):
     )
     pairs = {(r.a_id, r.b_id) for r in sim.embedding_neardup_pairs(df, threshold=0.9).collect()}
     assert (1, 2) in pairs and (1, 3) not in pairs
+
+
+def test_pq_codes_deterministic_and_complete(spark, sf_oracle):
+    """PQ encoding: one code per (vector, subspace), identical across
+    runs and input orderings (seeded codebook + pure-expression
+    assignment)."""
+    emb = spark.read.parquet(f"{sf_oracle}/embeddings.parquet")
+    n_vecs = emb.count()
+    a = sim.pq_codes(emb, "vec_id", "embedding")
+    assert a.count() == n_vecs * 8
+    rows_a = {(r.id, r.subspace): r.code for r in a.collect()}
+    b = sim.pq_codes(emb.orderBy(F.col("vec_id").desc()), "vec_id", "embedding")
+    rows_b = {(r.id, r.subspace): r.code for r in b.collect()}
+    assert rows_a == rows_b
+    codes = {c for c in rows_a.values()}
+    assert codes <= set(range(16)) and len(codes) > 1
+
+
+def test_pq_reconstruction_beats_zero_baseline(spark, sf_oracle):
+    """Relative distortion sum(err2)/sum(norm2) must sit well below 1.0
+    (the all-zero-reconstruction baseline) even on random vectors — the
+    rf6 floor's diagnostic."""
+    emb = spark.read.parquet(f"{sf_oracle}/embeddings.parquet")
+    codes = sim.pq_codes(emb, "vec_id", "embedding")
+    r = codes.agg((F.sum("err2") / F.sum("norm2")).alias("d")).collect()[0]
+    assert r.d <= 0.85, f"PQ distortion {r.d:.3f}"
