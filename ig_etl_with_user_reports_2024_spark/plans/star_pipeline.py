@@ -689,12 +689,20 @@ def dd7_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sampling import hash_split
 
     docs = load_table(spark, sf_dir, "documents")
-    grams = hash_split(docs, key="doc_id").select(
-        "doc_id",
-        "split",
-        F.explode(
-            dd.word_shingles(dd.normalized_words(F.col("text")), n=8)
-        ).alias("g"),
+    # tokenize into a COLUMN before the shingle transform — inlining
+    # normalized_words into the lambda makes every element_at re-run the
+    # regex split (8 per shingle here; measured 8x: 30s -> 3.9s at
+    # sf0.1). Same rule as shingle_pairs_jaccard.
+    grams = (
+        hash_split(docs, key="doc_id")
+        .select(
+            "doc_id", "split", dd.normalized_words(F.col("text")).alias("ws")
+        )
+        .select(
+            "doc_id",
+            "split",
+            F.explode(dd.word_shingles(F.col("ws"), n=8)).alias("g"),
+        )
     )
     eval_grams = grams.filter(F.col("split") != "train").select("g").distinct()
     return (
