@@ -59,6 +59,7 @@ _DRIVER_PRIORITY = [
     "dd7_ngram_contamination",
     "a16_length_histogram",
     "st7_session_window",
+    "fn2_conversion_window_funnel",
     "sp1_hash_split",
     "sp2_stratified_sample",
     "rj2_error_near_purchase",

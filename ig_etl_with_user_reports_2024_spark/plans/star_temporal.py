@@ -211,3 +211,84 @@ def fn1_user_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(stage),
     )
     return seq.select("user_id", stage.cast("int").alias("funnel_stage"))
+
+
+@query(
+    "fn2_conversion_window_funnel",
+    # relational chain, not list_reduce (the fn1 DuckDB miscompile note
+    # applies here too): earliest view → earliest qualifying click in
+    # (t1, t1+1h] → earliest qualifying purchase in (t2, t2+24h].
+    # Equivalent to the fold because (user_id, ts) is unique, so "later
+    # in sequence" == "later in ts" and MIN picks the fold's anchor.
+    """
+    WITH e AS (
+        SELECT user_id, ts, event_type FROM events
+    ), v AS (
+        SELECT user_id, MIN(ts) AS t1 FROM e
+        WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+        SELECT e.user_id, MIN(e.ts) AS t2 FROM e
+        JOIN v ON e.user_id = v.user_id
+              AND e.ts > v.t1 AND e.ts <= v.t1 + INTERVAL '1 hour'
+        WHERE e.event_type = 'click' GROUP BY e.user_id
+    ), p AS (
+        SELECT e.user_id, MIN(e.ts) AS t3 FROM e
+        JOIN c ON e.user_id = c.user_id
+              AND e.ts > c.t2 AND e.ts <= c.t2 + INTERVAL '24 hours'
+        WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT u.user_id,
+           CASE WHEN p.t3 IS NOT NULL THEN 3
+                WHEN c.t2 IS NOT NULL THEN 2
+                WHEN v.t1 IS NOT NULL THEN 1
+                ELSE 0 END AS funnel_stage
+    FROM (SELECT DISTINCT user_id FROM e) u
+    LEFT JOIN v ON u.user_id = v.user_id
+    LEFT JOIN c ON u.user_id = c.user_id
+    LEFT JOIN p ON u.user_id = p.user_id
+    """,
+)
+def fn2_conversion_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-BOUNDED funnel: view → click within 1 hour → purchase within
+    24 hours of that click — fn1's ordered-pattern match with per-stage
+    conversion windows, the standard product-analytics funnel contract.
+    One shuffle on user_id; the sorted event sequence folds through a
+    (stage, anchor_ts) struct accumulator, so the deadline travels WITH
+    the state — no join or window can carry a data-dependent deadline
+    like this in one pass. Oracle is the equivalent earliest-qualifying
+    relational chain (see fn1's DuckDB list_reduce note)."""
+    ev = load_table(spark, sf_dir, "events")
+    ts_type = dict(ev.dtypes)["ts"]
+    seq = ev.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "event_type"))
+        ).alias("seq")
+    )
+    acc0 = F.struct(
+        F.lit(0).alias("stage"), F.lit(None).cast(ts_type).alias("anchor")
+    )
+
+    def step(acc, x):
+        t, ts = x["event_type"], x["ts"]
+        advance = lambda s: F.struct(  # noqa: E731
+            F.lit(s).alias("stage"), ts.alias("anchor")
+        )
+        return (
+            F.when((acc["stage"] == 0) & (t == "view"), advance(1))
+            .when(
+                (acc["stage"] == 1)
+                & (t == "click")
+                & (ts <= acc["anchor"] + F.expr("INTERVAL 1 HOUR")),
+                advance(2),
+            )
+            .when(
+                (acc["stage"] == 2)
+                & (t == "purchase")
+                & (ts <= acc["anchor"] + F.expr("INTERVAL 24 HOURS")),
+                advance(3),
+            )
+            .otherwise(acc)
+        )
+
+    stage = F.aggregate(F.col("seq"), acc0, step).getField("stage")
+    return seq.select("user_id", stage.alias("funnel_stage"))

@@ -35,6 +35,7 @@ def test_unverified_queries_land_in_driver_window():
         "dd7_ngram_contamination",
         "a16_length_histogram",
         "st7_session_window",
+        "fn2_conversion_window_funnel",
     ):
         assert name in first50, f"{name} fell out of the driver's 50-slot window"
 
