@@ -33,72 +33,78 @@ from ig_etl_with_user_reports_2024_spark.plans import star_queries  # noqa: F401
 
 # The driver runs (and budgets) the FIRST ~50 queries in the order this
 # module yields them, so ordering is a correctness-signal resource
-# (VERDICT r2 "Next round" #1/#5). Priority: (a) queries with no driver
-# verdict yet or a stale rows-only one, (b) queries new or changed this
-# round, (c) r1-green queries the driver hasn't re-run since their
-# shared helpers changed. Everything after this list keeps registration
-# order (all r2-green, unchanged).
+# (VERDICT r3 "Next round" #1: no query's latest driver verdict should
+# predate its last source change). Priority: (a) new or changed in
+# round 4, (b) r1-era verdicts, (c) r2 greens whose shared modules
+# changed in round 3, (d) remaining r2-era verdicts. Overflow past the
+# ~50-slot budget (the tail of (d)) is deliberately the weakest
+# signals: rows-only entries whose quality already rides an in-budget
+# rf floor (mm2→mm3, a8_approx→rf7) and thin variants of in-budget
+# queries (x8b of x8, k7 of k5, st4/st6 pytest-covered streaming twins).
+# Everything after this list keeps registration order (r3-green,
+# unchanged).
 _DRIVER_PRIORITY = [
-    # (a) locally-exact but never driver-verified (registered 73-89 in r2)
-    "dd6_dup_clusters",
-    "sq1_int8_quantize",
-    "a15_length_percentiles",
-    "txt6_vocab_top50",
-    "ro2_sketch_rollup",
-    "txt5_rolling_fingerprint",
-    # (b) new or materially changed in round 3
-    "rf1_lsh_topk_recall",
-    "rf2_ivf_topk_recall",
-    "rf3_minhash_recall",
-    "rf4_simhash_recall",
-    "rf5_sketch_accuracy",
+    # (a) new or changed in round 4
+    "rf7_approx_distinct_accuracy",  # NEW: a8 scale-path accuracy floor
+    "fn2_conversion_window_funnel",  # strict lower bound added (ADVICE)
+    "dd6_dup_clusters",  # graph.py: decimal fixpoint sum, collect fold
+    "sq2_product_quantize",  # pq_codes short-codebook guard (ADVICE)
     "rf6_pq_distortion",
-    "sq2_product_quantize",
-    "mm3_frame_select",
-    "txt7_repetition_stats",
-    "dd7_ngram_contamination",
-    "a16_length_histogram",
-    "st7_session_window",
-    "fn2_conversion_window_funnel",
-    "sp1_hash_split",
-    "sp2_stratified_sample",
-    "rj2_error_near_purchase",
-    "a4_pricing_summary",
-    "c12_collab_status",
-    # (c) r1-green, not driver-re-run in r2 while helpers changed
-    "j1_work_queue_anti_join",
-    "j3_users_posts_join",
-    "a7_frequency_map",
-    "a5_consistency_score",
-    "a11_post_gap_frequency",
-    "c1_size_buckets",
-    "f3_recent_flag",
-    "f4_category_filter",
-    "f7_recent20_mixed_window",
-    "f8_stoplist_tokens",
-    "j2_first_match_theta_join",
-    "j4_a10_keyword_scores",
-    "j5_page_merge_dedup",
-    "so1_first_occurrence_dedup",
-    "f6_null_guard_filter",
-    "x3_substring_membership",
-    "c9_f9_niche_distribution",
-    "mj1_shipping_priority",
-    "mj2_region_volume",
-    "mj3_large_order_customers",
-    "dd1_exact_dedup",
-    "dd2_ngram_jaccard_pairs",
-    "dd3_minhash_lsh_pairs",
-    "dd4_simhash_pairs",
-    "ann1_cosine_topk",
-    "ann2_lsh_topk",
+    "dd2_ngram_jaccard_pairs",  # explicit MEMORY_AND_DISK persist
+    "rf3_minhash_recall",  # consume dd2's operator
+    "rf4_simhash_recall",
+    # (b) latest driver verdict is round 1
     "txt1_lang_id",
     "txt2_quality_score",
     "txt3_token_counts",
     "txt4_content_fingerprint",
-    "mm1_binary_metadata",
     "dd5_embedding_neardup",
+    "mm1_binary_metadata",
     "ann3_ivf_topk",
+    # (c) r2 greens whose modules changed in round 3
+    "aj1_asof_click_purchase",  # temporal.py
+    "rj1_views_before_purchase",  # temporal.py
+    "dc1_decontaminate",  # sampling.py
+    "sp3_k_per_stratum",  # sampling.py
+    "st5_stateful_sessions",  # bench/session changes
+    "a123_er_formulas",  # shared aggregate helpers
+    "a6_viral_count",
+    "a12_split_half_trend",
+    "a13_class_means_pivot",
+    "a14_c6_fake_score",
+    # (d) remaining r2-era verdicts, weakest signals last
+    "k1_top6_er",
+    "f2_recent_window",
+    "fn1_user_funnel",
+    "a8_distinct_diversity",
+    "a9_platform_stats",
+    "c2_type_tier",
+    "c3_pricing_dim",
+    "c8_account_type",
+    "c10_personality_insights",
+    "c13_sponsor_detector",
+    "k2_latest6_pivot",
+    "k3_top10_tokens",
+    "k4_c5_modal_hour",
+    "k6_priority_cascade",
+    "x1_regex_extract",
+    "x2_x4_string_ops",
+    "x5_date_parts",
+    "x6_c14_age_buckets",
+    "x7_bankers_rounding",
+    "x8_struct_to_json",
+    "x10_c7_argmax_priority",
+    "ro1_hourly_rollup",
+    "st1_tumbling_window",
+    "st2_sliding_window",
+    "st3_sessionization",
+    # ---- ~50-slot budget line; deliberate overflow below ----
+    "k7_top5_preview",
+    "x8b_json_extract",
+    "st4_streaming_tumbling",
+    "st6_streaming_dedup",
+    "mm2_frame_sample",
+    "a8_approx_distinct",
 ]
 
 

@@ -22,6 +22,7 @@ All helpers are pure column expressions (no Python UDFs): hashing uses
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -104,8 +105,15 @@ def shingle_pairs_jaccard(
         .filter(F.col("shingle") != "")
         .select("doc", F.xxhash64("shingle").alias("sh"))
         # consumed by three plans (sizes + both join sides): materialize
-        # the tokenize→shingle→hash work once instead of three times
-        .cache()
+        # the tokenize→shingle→hash work once instead of three times.
+        # MEMORY_AND_DISK, explicitly: the exploded shingle table is
+        # ~n_shingles× the input, and this operator is the exact BASELINE
+        # / candidate-verify stage, so it may legitimately see large
+        # inputs at 100 TB — deserialized-memory-only (the .cache()
+        # default) would silently recompute evicted partitions, paying
+        # the tokenize→shingle→hash chain again; spilling to disk is the
+        # cheaper failure mode.
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     sizes = sh.groupBy("doc").agg(F.count("*").alias("n_shingles"))
     # (a document-frequency prefilter — drop shingles seen in one doc —

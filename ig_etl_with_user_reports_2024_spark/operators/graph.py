@@ -67,10 +67,16 @@ def connected_components(
     labels = nodes.select(
         F.col(id_col).alias("id"), F.col(id_col).alias("label")
     ).localCheckpoint(eager=True)
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    # prev_sum starts unknown — the first round's agg doubles as the
+    # baseline, so there is exactly ONE collect per round (the init-sum
+    # collect is folded into round 1; an already-converged input costs
+    # one extra no-op round, which is cheaper than an extra agg always).
+    prev_sum = None
     converged = False
+    rounds_used = 0
 
     for _ in range(max_iter):
+        rounds_used += 1
         neighbor_labels = edges.join(
             labels, edges["src"] == labels["id"]
         ).select(F.col("dst").alias("id"), "label")
@@ -93,13 +99,20 @@ def connected_components(
             .select("id", F.coalesce("_label2", "label").alias("label"))
             .localCheckpoint(eager=True)
         )
-        new_sum = labels.agg(F.sum("label")).collect()[0][0]
+        # decimal(38,0) accumulator: at the 100 TB / ~10^12-node target a
+        # raw bigint sum of 64-bit ids (~10^24) overflows, which under
+        # Spark 4 ANSI mode raises mid-iteration; decimal keeps the same
+        # monotone-decrease fixpoint signal overflow-proof.
+        new_sum = (
+            labels.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
+        )
         if new_sum == prev_sum:
             converged = True
             break
         prev_sum = new_sum
 
     edges.unpersist()
+    connected_components.last_rounds = rounds_used
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge within {max_iter} "

@@ -297,6 +297,11 @@ def pq_codes(
         .limit(n_centroids)
         .collect()
     ]
+    # A corpus smaller than n_centroids yields a short codebook, and the
+    # assignment loop below would element_at past its end — an opaque
+    # ANSI runtime error deep in the plan (CLAUDE.md's element_at
+    # pitfall). Shrink to what was actually drawn instead.
+    n_centroids = min(n_centroids, len(draw))
     # codebook[sub][c] = the c-th drawn vector's sub-th slice
     codebook = [
         [v[s * d_sub : (s + 1) * d_sub] for v in draw] for s in range(m)

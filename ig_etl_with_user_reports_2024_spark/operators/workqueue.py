@@ -66,12 +66,17 @@ def commit_batch(
     # caller ever points this at a data-sized table, fail loudly instead
     # of OOMing the driver.
     _QUEUE_ROW_CAP = 10_000_000
-    if new_done.limit(_QUEUE_ROW_CAP + 1).count() > _QUEUE_ROW_CAP:
-        raise ValueError(
-            f"work queue exceeds {_QUEUE_ROW_CAP} urls — commit_processed "
-            "collects the queue to the driver and is only meant for "
-            "metadata-sized queues; shard the queue or use a table sink"
-        )
+    # BOTH collected sides need the cap: early in a backlog `remaining`
+    # (input ∖ done) is the larger set, so guarding only new_done would
+    # still OOM the driver through the second collect below.
+    for side_name, side in (("done", new_done), ("remaining", remaining)):
+        if side.limit(_QUEUE_ROW_CAP + 1).count() > _QUEUE_ROW_CAP:
+            raise ValueError(
+                f"work queue `{side_name}` side exceeds {_QUEUE_ROW_CAP} "
+                "urls — commit_batch collects the queue to the driver and "
+                "is only meant for metadata-sized queues; shard the queue "
+                "or use a table sink"
+            )
     new_done_rows = new_done.orderBy("url").collect()
     remaining_rows = remaining.orderBy("url").collect()
     import csv

@@ -195,3 +195,38 @@ def rf6_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     beats the zero-code baseline (distortion 1.0) with margin, and any
     codebook/assignment regression trips it."""
     return rf6_diag(spark, sf_dir).select("meets_floor", "recall_floor")
+
+
+def rf7_diag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full diagnostic row behind rf7: worst per-group relative error of
+    ``approx_count_distinct`` (a8's 100 TB scale path) vs the exact
+    distinct count, computed in ONE aggregation pass — both measures
+    share the groupBy, so the comparison adds no extra shuffle."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_group = orders.groupBy("o_custkey").agg(
+        F.approx_count_distinct("o_orderpriority", 0.02).alias("approx"),
+        F.countDistinct("o_orderpriority").alias("exact"),
+    )
+    err = F.abs(F.col("approx") - F.col("exact")) / F.col("exact")
+    tol = 0.05
+    return per_group.agg(
+        F.max(err).alias("max_rel_err"),
+        (F.max(err) <= tol).alias("meets_floor"),
+        F.lit(float(tol)).alias("recall_floor"),
+    )
+
+
+@query(
+    "rf7_approx_distinct_accuracy",
+    "SELECT CAST(1 AS BOOLEAN) AS meets_floor, "
+    "CAST(0.05 AS DOUBLE) AS recall_floor",
+)
+def rf7_approx_distinct_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """a8_approx_distinct's accuracy as a driver-hashable floor: every
+    per-customer HLL++ estimate (rsd 0.02) within 5% of the exact
+    distinct count. Per-customer cardinalities are tiny (<=5 distinct
+    priorities), where HLL++'s sparse mode is exact — the floor's job is
+    to trip immediately if the scale path's sketch parameters or the
+    aggregate wiring regress, closing the one approximate query that had
+    neither an oracle nor a quality gate (VERDICT r3 "Next round" #3)."""
+    return rf7_diag(spark, sf_dir).select("meets_floor", "recall_floor")

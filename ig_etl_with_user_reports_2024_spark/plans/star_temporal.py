@@ -275,15 +275,22 @@ def fn2_conversion_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return (
             F.when((acc["stage"] == 0) & (t == "view"), advance(1))
+            # strict lower bound matches the oracle's e.ts > anchor: a
+            # click/purchase tying the anchor's timestamp must NOT count.
+            # (user_id, ts) is unique in generated data, so this is a
+            # no-op there — it makes the fold match the window bounds
+            # unconditionally, not just on tie-free inputs.
             .when(
                 (acc["stage"] == 1)
                 & (t == "click")
+                & (ts > acc["anchor"])
                 & (ts <= acc["anchor"] + F.expr("INTERVAL 1 HOUR")),
                 advance(2),
             )
             .when(
                 (acc["stage"] == 2)
                 & (t == "purchase")
+                & (ts > acc["anchor"])
                 & (ts <= acc["anchor"] + F.expr("INTERVAL 24 HOURS")),
                 advance(3),
             )

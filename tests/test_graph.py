@@ -52,6 +52,18 @@ def test_long_path_converges_under_round_cap(spark):
     assert got == {i: 1 for i in range(1, n + 1)}
 
 
+def test_10k_path_round_count_locks_pointer_doubling(spark):
+    # 10k-node path: diameter 9999. Pointer doubling must hold the round
+    # count near log2(diameter) ≈ 13.3 — plain propagation would need
+    # ~10^4 rounds. Asserting ≤16 (log bound + detection round + slack)
+    # locks in the shortcut step: if someone drops it, this test times
+    # out at max_iter instead of passing slowly.
+    n = 10_000
+    got = _run(spark, list(range(1, n + 1)), [(i, i + 1) for i in range(1, n)])
+    assert got == {i: 1 for i in range(1, n + 1)}
+    assert connected_components.last_rounds <= 16
+
+
 def test_nonconvergence_raises(spark):
     import pytest
 

@@ -59,6 +59,7 @@ def test_registered_floor_queries_project_only_floor_columns(spark, sf_oracle):
         rf.rf4_simhash_recall,
         rf.rf5_sketch_accuracy,
         rf.rf6_pq_distortion,
+        rf.rf7_approx_distinct_accuracy,
     ):
         df = q(spark, sf_oracle)
         assert df.columns == ["meets_floor", "recall_floor"]
@@ -68,3 +69,9 @@ def test_rf6_pq_distortion_within_floor(spark, sf_oracle):
     r = _row(rf.rf6_diag(spark, sf_oracle))
     assert r.meets_floor
     assert r.distortion <= 0.85
+
+
+def test_rf7_approx_distinct_accuracy_within_floor(spark, sf_oracle):
+    r = _row(rf.rf7_diag(spark, sf_oracle))
+    assert r.meets_floor
+    assert r.max_rel_err <= 0.05
