@@ -57,6 +57,48 @@ HEADLINE = [
 ]
 
 
+def _creator_report_full(spark, ref_dir: str = "/root/reference"):
+    """Time the full creator_report DataFrame at sf0.1-equivalent rows.
+
+    Returns wall seconds for one materialization of the ~70-column report
+    over ~151k posts / 5.4k creators, or None when the reference fixture
+    is absent. Warm pass at 2 replicas first (same compile-warm contract
+    as the catalog queries); engine-native half-even rounding (the
+    CPython-compat pandas_udf path is an opt-in, not the deployed mode).
+    """
+    import datetime as dt
+
+    if not os.path.isdir(ref_dir):
+        return None
+    from pyspark.sql import functions as F
+
+    from ig_etl_with_user_reports_2024_spark.plans import creator_report as cr
+
+    users = cr.load_users(spark, f"{ref_dir}/*/userInfo.json")
+    posts = cr.load_posts(spark, f"{ref_dir}/*/postInfo.json")
+    as_of = dt.datetime(2025, 9, 7)
+
+    def replicated(n_rep: int):
+        rep = spark.range(n_rep).select(F.col("id").alias("_rep"))
+        rekey = F.concat_ws("__", F.col("username"), F.col("_rep"))
+        u = users.crossJoin(rep).withColumn("username", rekey).drop("_rep")
+        p = posts.crossJoin(rep).withColumn("username", rekey).drop("_rep")
+        return cr.creator_report(spark, u, p, as_of=as_of)
+
+    # Warm at 10% scale (60 replicas ≈ 15k posts), not a token 2: the
+    # report's generated code only crosses the C2 JIT compile threshold
+    # with real row volume, and an un-JITted full-scale run measures the
+    # interpreter, not the plan (observed 26s vs ~11s steady state).
+    try:
+        replicated(60).write.format("noop").mode("overwrite").save()
+    except Exception:  # noqa: BLE001 — warm-up must never fail the bench
+        pass
+    df = replicated(600)
+    t0 = time.time()
+    df.write.format("noop").mode("overwrite").save()
+    return time.time() - t0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     import __spark_entry__ as entry_mod
@@ -114,6 +156,17 @@ def main() -> None:
     for name in HEADLINE:
         warm(name)
         timings[name] = round(run(name), 3)
+
+    # Flagship pipeline end-to-end (VERDICT r3 "Next round" #5): the full
+    # creator_report plan (the reference's actual workload) over the
+    # 9-creator golden fixture replicated to sf0.1-equivalent scale
+    # (600 replicas → ~151k posts, the orders-table grain at sf0.1).
+    # Replication is Spark-side (read the 9 docs once, crossJoin a range,
+    # re-key username per replica), so the measured cost is the 10-join
+    # report plan itself, not JSON parsing.
+    cr_t = _creator_report_full(spark)
+    if cr_t is not None:
+        timings["creator_report_full"] = round(cr_t, 3)
 
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))

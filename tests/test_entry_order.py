@@ -14,30 +14,48 @@ def test_priority_names_all_registered():
     assert not missing
 
 
-def test_unverified_queries_land_in_driver_window():
+def test_stale_and_changed_queries_land_in_driver_window():
+    # Round-4 rotation (VERDICT r3 "Next round" #1): every query whose
+    # latest driver verdict predates its last source change must sit in
+    # the driver's ~50-slot window. That is (a) everything changed or
+    # added in r4, (b) the r1-era verdicts, (c) the r2 greens whose
+    # modules changed in r3. The deliberate overflow (k7/x8b/st4/st6/
+    # mm2/a8_approx — rows-only or thin twins of in-window queries) is
+    # asserted OUT so the window isn't silently wasted on weak signals.
     first50 = list(entry.queries())[:50]
     for name in (
+        # changed/added in r4
+        "rf7_approx_distinct_accuracy",
+        "fn2_conversion_window_funnel",
         "dd6_dup_clusters",
-        "sq1_int8_quantize",
-        "a15_length_percentiles",
-        "txt6_vocab_top50",
-        "ro2_sketch_rollup",
-        "txt5_rolling_fingerprint",
-        "rf1_lsh_topk_recall",
-        "rf2_ivf_topk_recall",
+        "sq2_product_quantize",
+        "rf6_pq_distortion",
+        "dd2_ngram_jaccard_pairs",
         "rf3_minhash_recall",
         "rf4_simhash_recall",
-        "rf5_sketch_accuracy",
-        "rf6_pq_distortion",
-        "sq2_product_quantize",
-        "mm3_frame_select",
-        "txt7_repetition_stats",
-        "dd7_ngram_contamination",
-        "a16_length_histogram",
-        "st7_session_window",
-        "fn2_conversion_window_funnel",
+        # r1-era driver verdicts
+        "txt1_lang_id",
+        "txt2_quality_score",
+        "txt3_token_counts",
+        "txt4_content_fingerprint",
+        "dd5_embedding_neardup",
+        "mm1_binary_metadata",
+        "ann3_ivf_topk",
+        # r2 greens whose modules changed in r3
+        "aj1_asof_click_purchase",
+        "rj1_views_before_purchase",
+        "dc1_decontaminate",
+        "sp3_k_per_stratum",
+        "st5_stateful_sessions",
+        "a123_er_formulas",
+        "a6_viral_count",
+        "a12_split_half_trend",
+        "a13_class_means_pivot",
+        "a14_c6_fake_score",
     ):
         assert name in first50, f"{name} fell out of the driver's 50-slot window"
+    for name in ("k7_top5_preview", "x8b_json_extract", "mm2_frame_sample"):
+        assert name not in first50, f"{name} should be deliberate overflow"
 
 
 def test_oracles_reference_registered_queries():
