@@ -41,10 +41,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     Plain ``spark.read.parquet`` so Catalyst keeps predicate pushdown,
     column pruning, and partition pruning on the scan.
 
-    ``events.parquet`` carries nanosecond timestamps, which the vectorized
-    parquet reader rejects; we read them as raw int64 nanos and rebuild a
-    microsecond TIMESTAMP_NTZ (integer ``div`` — double math would lose
-    precision above 2^53 ns). DuckDB truncates nanos→micros the same way.
+    ``events.parquet`` historically carried nanosecond timestamps, which
+    the vectorized parquet reader rejects; we read them as raw int64
+    nanos and rebuild a microsecond TIMESTAMP_NTZ (integer ``div`` —
+    double math would lose precision above 2^53 ns). DuckDB truncates
+    nanos→micros the same way. Driver testdata regenerated in round 4
+    stores micros NTZ natively — the LongType check below makes both
+    encodings land on the identical ts column, and the legacy conf is a
+    no-op for micros files.
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -147,3 +147,44 @@ def test_r2_additions_plan_shapes(spark, sf_oracle):
     p = plan_of(spark, "ro1_hourly_rollup", sf_oracle)
     assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, p
     assert len(set(re.findall(r"\((\d+)\) Exchange", p))) <= 2, p
+
+
+def test_creator_report_consumers_run_off_cached_partitioning(spark):
+    # r4 plan contract (creator_report.py): the per-post feature table is
+    # repartition("username").persist()-ed, and every per-creator
+    # consumer (groupBy / ranking window) must plan ZERO additional
+    # username exchanges above the InMemoryTableScan — the one shuffle
+    # happens before the cache, then the whole report fans out off it.
+    # (Count only OUTER exchanges: the InMemoryRelation's stored plan
+    # text repeats the internal repartition exchange per reference.)
+    import datetime as dt
+    import os
+
+    import pytest as _pytest
+
+    if not os.path.exists("/root/reference/analyzed.json"):
+        _pytest.skip("reference checkout absent")
+    from pyspark import StorageLevel
+
+    from ig_etl_with_user_reports_2024_spark.plans import creator_report as cr
+
+    users = cr.load_users(spark, "/root/reference/*/userInfo.json")
+    posts = cr.load_posts(spark, "/root/reference/*/postInfo.json")
+    followers = users.select("username", "follower_count")
+    feat = cr.per_post_features(
+        posts.repartition("username"), followers, dt.datetime(2025, 9, 7), 0
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        feat.count()
+        for name, df in (
+            ("modal", cr.creator_modal_hour(feat)),
+            ("aggs", cr.creator_post_aggregates(feat, dt.datetime(2025, 9, 7), True, False)),
+            ("top6", cr.creator_top6_posts(feat, False)),
+            ("partnership", cr.creator_partnership_data(feat, False)),
+        ):
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            outer = plan.split("InMemoryRelation")[0]
+            n = outer.count("Exchange hashpartitioning(username")
+            assert n == 0, f"{name} re-shuffles the cached feature table ({n}x)"
+    finally:
+        feat.unpersist()

@@ -50,12 +50,16 @@ def test_watermarked_append_stream_runs(spark, sf_smoke):
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_smoke)
     )
-    if dict(stream.dtypes)["ts"] == "bigint":
-        # watermark requires TIMESTAMP (not NTZ) — UTC session makes the
-        # instant identical
+    ts_type = dict(stream.dtypes)["ts"]
+    if ts_type == "bigint":
+        # raw int64 nanos (pre-r4 driver testdata under the legacy conf)
         stream = stream.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
+    elif ts_type == "timestamp_ntz":
+        # micros NTZ (r4+ driver testdata): watermark requires TIMESTAMP
+        # (LTZ) — UTC session makes the instant identical
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     agg = (
         stream.withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "5 minutes"), "event_type")
@@ -85,13 +89,22 @@ def test_stateful_sessionize_state_carries_across_batches(spark, sf_smoke, tmp_p
     )
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(f"{sf_smoke}/events.parquet")  # ts = raw nanos
-    cut = ev.selectExpr("percentile_cont(0.5) WITHIN GROUP (ORDER BY ts) AS m")
+    # ts arrives as raw int64 nanos (pre-r4 testdata) or micros NTZ
+    # (r4+); split on a numeric image of ts so both encodings work
+    ev = spark.read.parquet(f"{sf_smoke}/events.parquet")
+    if dict(ev.dtypes)["ts"] == "bigint":
+        tsn = F.col("ts")
+    else:
+        tsn = F.unix_micros(F.col("ts").cast("timestamp"))
+    ev = ev.withColumn("_tsn", tsn)
+    cut = ev.selectExpr("percentile_cont(0.5) WITHIN GROUP (ORDER BY _tsn) AS m")
     mid = cut.collect()[0].m
     d = tmp_path / "split"
     d.mkdir()
-    ev.filter(F.col("ts") <= mid).coalesce(1).write.parquet(str(d / "a_first"))
-    ev.filter(F.col("ts") > mid).coalesce(1).write.parquet(str(d / "b_second"))
+    (ev.filter(F.col("_tsn") <= mid).drop("_tsn")
+        .coalesce(1).write.parquet(str(d / "a_first")))
+    (ev.filter(F.col("_tsn") > mid).drop("_tsn")
+        .coalesce(1).write.parquet(str(d / "b_second")))
     # flatten: one parquet file per half, lexicographic = time order
     import glob as _glob
     import shutil
