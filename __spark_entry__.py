@@ -46,6 +46,7 @@ from ig_etl_with_user_reports_2024_spark.plans import star_queries  # noqa: F401
 _DRIVER_PRIORITY = [
     # (a) new or changed in round 4
     "rf7_approx_distinct_accuracy",  # NEW: a8 scale-path accuracy floor
+    "dp1_sequence_packing",  # NEW: concat-and-chop packing offsets
     "fn2_conversion_window_funnel",  # strict lower bound added (ADVICE)
     "dd6_dup_clusters",  # graph.py: decimal fixpoint sum, collect fold
     "sq2_product_quantize",  # pq_codes short-codebook guard (ADVICE)
@@ -97,8 +98,11 @@ _DRIVER_PRIORITY = [
     "ro1_hourly_rollup",
     "st1_tumbling_window",
     "st2_sliding_window",
-    "st3_sessionization",
     # ---- ~50-slot budget line; deliberate overflow below ----
+    # (st3's operator is pytest-covered by the streaming parity tests;
+    # its module did not change in r3/r4, so it is the cheapest drop for
+    # dp1's slot)
+    "st3_sessionization",
     "k7_top5_preview",
     "x8b_json_extract",
     "st4_streaming_tumbling",

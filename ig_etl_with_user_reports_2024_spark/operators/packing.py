@@ -1,0 +1,94 @@
+"""Sequence packing for LLM pretraining — concat-and-chop offsets.
+
+The standard pretraining data layout concatenates the token stream of
+the whole corpus (in a fixed deterministic document order) and chops it
+into fixed-length training sequences; every document therefore owns a
+global token offset, and spans one or more sequences. Computing those
+offsets is a GLOBAL PREFIX SUM — the naive Spark expression,
+
+    sum(n_tokens) over (order by doc_id rows unbounded preceding)
+
+is a scale-killer: a window with ORDER BY and no PARTITION BY plans an
+``Exchange SinglePartition`` and funnels the entire corpus through one
+task. This operator computes the identical result with the classic
+two-level decomposition instead:
+
+1. range-bucket the ids (``doc_id div bucket_width`` — order-preserving
+   across buckets, no shuffle needed to ASSIGN the bucket),
+2. per-bucket running sum (window PARTITIONED by bucket → full cluster
+   width),
+3. per-bucket totals → exclusive running sum over the bucket table
+   (metadata-sized: one row per bucket; size buckets so this stays
+   ~10^5-10^6 rows at the target corpus),
+4. broadcast the bucket offsets back and add.
+
+Steps 2 and 4 touch the data at full parallelism; the only serial pass
+is over the tiny bucket table. The result is bit-identical to the
+single-window form because bucket order extends document order.
+
+No counterpart in the reference (its corpus fits in one Python list);
+this is the scale path the engine adds for training-data pipelines,
+same family as sp1/dc1 (operators/sampling.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_offsets(
+    df: DataFrame,
+    id_col: str = "doc",
+    tokens_col: str = "n_tokens",
+    seq_len: int = 2048,
+    bucket_width: int = 256,
+) -> DataFrame:
+    """Global concat-and-chop packing offsets for a (id, n_tokens) frame.
+
+    Returns one row per input row with:
+      start_off   exclusive global token offset where the doc begins
+      first_seq   index of the training sequence holding its first token
+      last_seq    index of the sequence holding its last token
+      n_seqs      sequences the doc spans (straddlers > 1)
+
+    Rows with ``n_tokens <= 0`` are dropped (an empty document occupies
+    no position in the token stream). Ids must be unique; document order
+    is ascending ``id_col`` — deterministic under any partitioning.
+    """
+    ids = F.col(id_col)
+    toks = F.col(tokens_col).cast("long")
+    nz = df.select(ids.alias("_id"), toks.alias("_n")).filter(F.col("_n") > 0)
+    bucketed = nz.withColumn("_b", F.expr(f"_id div {int(bucket_width)}"))
+
+    w_in = (
+        Window.partitionBy("_b")
+        .orderBy("_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = bucketed.withColumn("_cum_in", F.sum("_n").over(w_in))
+
+    totals = bucketed.groupBy("_b").agg(F.sum("_n").alias("_btot"))
+    w_b = (
+        Window.orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "_b", F.coalesce(F.sum("_btot").over(w_b), F.lit(0)).alias("_boff")
+    )
+
+    L = int(seq_len)
+    start = F.col("_boff") + F.col("_cum_in") - F.col("_n")
+    first_seq = F.expr(f"(_boff + _cum_in - _n) div {L}")
+    last_seq = F.expr(f"(_boff + _cum_in - 1) div {L}")
+    return (
+        cum.join(F.broadcast(offsets), "_b")
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_n").alias(tokens_col),
+            start.alias("start_off"),
+            first_seq.alias("first_seq"),
+            last_seq.alias("last_seq"),
+            (last_seq - first_seq + F.lit(1)).alias("n_seqs"),
+        )
+    )

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from ..operators import dedup as dd
 from ..operators import multimodal as mm
+from ..operators import packing as pk
 from ..operators import similarity as sim
 from ..operators import textops as tx
 from ..operators.sampling import sql_hash_split
@@ -755,4 +756,59 @@ def a16_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_docs"),
             F.sum("n_words").alias("total_tokens"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# DP1 — sequence packing (concat-and-chop global token offsets).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dp1_sequence_packing",
+    f"""
+    WITH t AS (
+        SELECT doc_id AS doc, CAST(len({_WORDS_SQL}) AS BIGINT) AS n_tokens
+        FROM documents
+    ), nz AS (
+        SELECT * FROM t WHERE n_tokens > 0
+    ), c AS (
+        SELECT doc, n_tokens,
+               CAST(SUM(n_tokens) OVER (
+                   ORDER BY doc ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW
+               ) AS BIGINT) AS cum
+        FROM nz
+    )
+    SELECT doc, n_tokens,
+           cum - n_tokens AS start_off,
+           CAST((cum - n_tokens) // 2048 AS BIGINT) AS first_seq,
+           CAST((cum - 1) // 2048 AS BIGINT) AS last_seq,
+           CAST((cum - 1) // 2048 - (cum - n_tokens) // 2048 + 1 AS BIGINT)
+               AS n_seqs
+    FROM c
+    """,
+)
+def dp1_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chop sequence packing (L=2048): every document's global
+    token offset, first/last training-sequence index, and straddle count
+    — the layout pass that turns a filtered corpus into fixed-length
+    pretraining sequences.
+
+    The oracle states the semantics as ONE global running sum; the Spark
+    plan must NOT run it that way (a partitionless ordered window is an
+    Exchange SinglePartition — the whole corpus through one task). The
+    operator computes the identical numbers with a two-level prefix sum:
+    per-range-bucket windows at full width plus a broadcast of the
+    metadata-sized bucket-offset table (operators/packing.py;
+    plan shape asserted in tests/test_plans.py).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counted = docs.select(
+        F.col("doc_id").alias("doc"),
+        F.size(tx.normalized_words(F.col("text"))).alias("n_tokens"),
+    )
+    return pk.pack_offsets(
+        counted, id_col="doc", tokens_col="n_tokens", seq_len=2048,
+        bucket_width=256,
     )

@@ -1,0 +1,68 @@
+"""pack_offsets unit tests: known-value packing math, bucket-width
+invariance (the two-level prefix sum must be bit-identical to the
+single-window semantics for ANY bucketing), and edge cases."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ig_etl_with_user_reports_2024_spark.operators.packing import pack_offsets
+
+
+def _rows(df):
+    return {
+        r.doc: (r.n_tokens, r.start_off, r.first_seq, r.last_seq, r.n_seqs)
+        for r in df.collect()
+    }
+
+
+def test_known_values_l10(spark):
+    # tokens [4,5,3,10,2] → cum [4,9,12,22,24]; L=10
+    data = [(1, 4), (2, 5), (3, 3), (4, 10), (5, 2)]
+    df = spark.createDataFrame(data, "doc bigint, n_tokens bigint")
+    got = _rows(pack_offsets(df, "doc", "n_tokens", seq_len=10, bucket_width=2))
+    assert got == {
+        1: (4, 0, 0, 0, 1),
+        2: (5, 4, 0, 0, 1),
+        3: (3, 9, 0, 1, 2),   # straddles the seq-0/seq-1 boundary
+        4: (10, 12, 1, 2, 2),  # exactly L tokens, offset 12 → spans 1..2
+        5: (2, 22, 2, 2, 1),
+    }
+
+
+def test_bucket_width_invariance(spark):
+    # the decomposed prefix sum must equal the global one for any width
+    data = [(i, (i * 37) % 11 + 1) for i in range(1, 200)]
+    df = spark.createDataFrame(data, "doc bigint, n_tokens bigint")
+    base = _rows(pack_offsets(df, "doc", "n_tokens", seq_len=64, bucket_width=1))
+    for w in (3, 16, 1000):
+        assert (
+            _rows(pack_offsets(df, "doc", "n_tokens", seq_len=64, bucket_width=w))
+            == base
+        ), f"bucket_width={w} diverged"
+
+
+def test_empty_docs_dropped_and_gaps_ok(spark):
+    # zero-token docs vanish; sparse/gappy ids still pack densely
+    data = [(10, 5), (11, 0), (5000, 7), (99999, 1)]
+    df = spark.createDataFrame(data, "doc bigint, n_tokens bigint")
+    got = _rows(pack_offsets(df, "doc", "n_tokens", seq_len=4, bucket_width=256))
+    assert set(got) == {10, 5000, 99999}
+    assert got[10] == (5, 0, 0, 1, 2)
+    assert got[5000] == (7, 5, 1, 2, 2)
+    assert got[99999] == (1, 12, 3, 3, 1)
+
+
+def test_plan_has_no_data_sized_single_partition_exchange(spark):
+    # the scale contract: the doc-grain running sum rides a window
+    # PARTITIONED by the range bucket; only the metadata-sized
+    # bucket-offset table may pass through a SinglePartition exchange,
+    # and it must come back via a broadcast join
+    df = spark.range(1, 10_000).select(
+        F.col("id").alias("doc"), (F.col("id") % 50 + 1).alias("n_tokens")
+    )
+    out = pack_offsets(df, "doc", "n_tokens", seq_len=128, bucket_width=256)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange SinglePartition") <= 1, plan
+    assert "Exchange hashpartitioning(_b" in plan, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
