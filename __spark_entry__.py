@@ -47,6 +47,7 @@ _DRIVER_PRIORITY = [
     # (a) new or changed in round 4
     "rf7_approx_distinct_accuracy",  # NEW: a8 scale-path accuracy floor
     "dp1_sequence_packing",  # NEW: concat-and-chop packing offsets
+    "ds1_corpus_shuffle",  # NEW: deterministic global shuffle positions
     "fn2_conversion_window_funnel",  # strict lower bound added (ADVICE)
     "dd6_dup_clusters",  # graph.py: decimal fixpoint sum, collect fold
     "sq2_product_quantize",  # pq_codes short-codebook guard (ADVICE)
@@ -97,11 +98,11 @@ _DRIVER_PRIORITY = [
     "x10_c7_argmax_priority",
     "ro1_hourly_rollup",
     "st1_tumbling_window",
-    "st2_sliding_window",
     # ---- ~50-slot budget line; deliberate overflow below ----
-    # (st3's operator is pytest-covered by the streaming parity tests;
-    # its module did not change in r3/r4, so it is the cheapest drop for
-    # dp1's slot)
+    # (st2/st3's operators are pytest-covered by the streaming parity
+    # tests and their module did not change in r3/r4 — the cheapest
+    # drops for the two new r4 queries' slots)
+    "st2_sliding_window",
     "st3_sessionization",
     "k7_top5_preview",
     "x8b_json_extract",

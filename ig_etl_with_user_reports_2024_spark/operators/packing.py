@@ -37,6 +37,49 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def shuffle_positions(
+    df: DataFrame,
+    id_col: str = "doc",
+    seed: int = 42,
+    shard_size: int = 1000,
+) -> DataFrame:
+    """Deterministic global corpus shuffle: every row gets a dense
+    training-order position (0..n-1) by sorting on a salted md5 of its
+    id, plus the shard that position lands in — the pass that fixes a
+    reproducible training order before packing/sharding.
+
+    Same scale shape as :func:`pack_offsets`: the naive expression is a
+    single global ``row_number() over (order by hash)`` (an Exchange
+    SinglePartition over the corpus); here the first two hex chars of
+    the hash form 256 range buckets whose lexicographic order extends
+    the full-hash order, so positions decompose into a per-bucket
+    ``row_number`` at full width plus an exclusive running count over
+    the 256-row bucket table, broadcast back. Engine-portable (md5 is
+    md5 everywhere) and seed-stable under any partitioning.
+    """
+    ids = F.col(id_col)
+    h = F.md5(F.concat_ws("|", F.lit(str(int(seed))), ids.cast("string")))
+    hashed = df.select(ids.alias("_id"), h.alias("_h")).withColumn(
+        "_hb", F.substring("_h", 1, 2)
+    )
+    w_in = Window.partitionBy("_hb").orderBy("_h", "_id")
+    numbered = hashed.withColumn("_rn", F.row_number().over(w_in).cast("long"))
+    counts = hashed.groupBy("_hb").agg(F.count("*").alias("_bn"))
+    w_b = Window.orderBy("_hb").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_hb", F.coalesce(F.sum("_bn").over(w_b), F.lit(0)).alias("_boff")
+    )
+    pos = F.col("_boff") + F.col("_rn") - 1
+    return (
+        numbered.join(F.broadcast(offsets), "_hb")
+        .select(
+            F.col("_id").alias(id_col),
+            pos.alias("pos"),
+            F.expr(f"(_boff + _rn - 1) div {int(shard_size)}").alias("shard"),
+        )
+    )
+
+
 def pack_offsets(
     df: DataFrame,
     id_col: str = "doc",

@@ -812,3 +812,32 @@ def dp1_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         counted, id_col="doc", tokens_col="n_tokens", seq_len=2048,
         bucket_width=256,
     )
+
+
+@query(
+    "ds1_corpus_shuffle",
+    """
+    SELECT doc_id AS doc,
+           CAST(ROW_NUMBER() OVER (
+               ORDER BY md5('42|' || CAST(doc_id AS VARCHAR)), doc_id
+           ) - 1 AS BIGINT) AS pos,
+           CAST((ROW_NUMBER() OVER (
+               ORDER BY md5('42|' || CAST(doc_id AS VARCHAR)), doc_id
+           ) - 1) // 1000 AS BIGINT) AS shard
+    FROM documents
+    """,
+)
+def ds1_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global corpus shuffle: dense training-order position
+    (salted-md5 sort, seed 42) + 1000-doc shard assignment — the
+    reproducible-order pass that precedes packing (dp1) and sharded
+    writes. Oracle is the single global row_number; the Spark plan is
+    the decomposed form (256 hash-prefix buckets × per-bucket
+    row_number + broadcast bucket offsets) with no data-sized
+    SinglePartition exchange (operators/packing.py, asserted in
+    tests/test_packing.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return pk.shuffle_positions(
+        docs.select(F.col("doc_id").alias("doc")), id_col="doc", seed=42,
+        shard_size=1000,
+    )

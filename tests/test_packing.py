@@ -66,3 +66,42 @@ def test_plan_has_no_data_sized_single_partition_exchange(spark):
     assert plan.count("Exchange SinglePartition") <= 1, plan
     assert "Exchange hashpartitioning(_b" in plan, plan
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_shuffle_positions_match_global_row_number(spark):
+    # the 256-bucket decomposition must equal the single global
+    # row_number over (md5, id) — verified directly against a collected
+    # global sort here (small n), and against DuckDB's row_number in the
+    # ds1 oracle
+    from ig_etl_with_user_reports_2024_spark.operators.packing import (
+        shuffle_positions,
+    )
+
+    df = spark.range(1, 500).select(F.col("id").alias("doc"))
+    got = {
+        r.doc: (r.pos, r.shard)
+        for r in shuffle_positions(df, "doc", seed=42, shard_size=100).collect()
+    }
+    import hashlib
+
+    expect_order = sorted(
+        range(1, 500),
+        key=lambda i: (hashlib.md5(f"42|{i}".encode()).hexdigest(), i),
+    )
+    for pos, doc in enumerate(expect_order):
+        assert got[doc] == (pos, pos // 100), (doc, pos, got[doc])
+    # positions are a dense permutation
+    assert sorted(p for p, _ in got.values()) == list(range(499))
+
+
+def test_shuffle_positions_plan_shape(spark):
+    from ig_etl_with_user_reports_2024_spark.operators.packing import (
+        shuffle_positions,
+    )
+
+    df = spark.range(1, 10_000).select(F.col("id").alias("doc"))
+    out = shuffle_positions(df, "doc")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange SinglePartition") <= 1, plan
+    assert "Exchange hashpartitioning(_hb" in plan, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
