@@ -54,6 +54,10 @@ HEADLINE = [
     "a16_length_histogram",
     "st7_session_window",
     "mm3_frame_select",
+    # r4 additions. The r3-comparable subset is everything above this
+    # comment.
+    "dp1_sequence_packing",
+    "ds1_corpus_shuffle",
 ]
 
 
