@@ -48,6 +48,7 @@ _DRIVER_PRIORITY = [
     "rf7_approx_distinct_accuracy",  # NEW: a8 scale-path accuracy floor
     "dp1_sequence_packing",  # NEW: concat-and-chop packing offsets
     "ds1_corpus_shuffle",  # NEW: deterministic global shuffle positions
+    "mx1_temperature_mix",  # NEW: temperature-weighted training mix
     "fn2_conversion_window_funnel",  # strict lower bound added (ADVICE)
     "dd6_dup_clusters",  # graph.py: decimal fixpoint sum, collect fold
     "sq2_product_quantize",  # pq_codes short-codebook guard (ADVICE)
@@ -97,11 +98,12 @@ _DRIVER_PRIORITY = [
     "x8_struct_to_json",
     "x10_c7_argmax_priority",
     "ro1_hourly_rollup",
-    "st1_tumbling_window",
     # ---- ~50-slot budget line; deliberate overflow below ----
-    # (st2/st3's operators are pytest-covered by the streaming parity
-    # tests and their module did not change in r3/r4 — the cheapest
-    # drops for the two new r4 queries' slots)
+    # (st1/st2/st3's operators are pytest-covered by the streaming
+    # parity + sf0.001 oracle CI tests and their module did not change
+    # in r3/r4 — the cheapest drops for the three new r4 queries'
+    # slots; ro1 stays in-window to keep one event-window oracle fresh)
+    "st1_tumbling_window",
     "st2_sliding_window",
     "st3_sessionization",
     "k7_top5_preview",

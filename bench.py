@@ -58,6 +58,7 @@ HEADLINE = [
     # comment.
     "dp1_sequence_packing",
     "ds1_corpus_shuffle",
+    "mx1_temperature_mix",
 ]
 
 

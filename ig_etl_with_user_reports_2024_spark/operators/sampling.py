@@ -118,3 +118,96 @@ def k_per_stratum(
         df.withColumn("sample_rank", F.row_number().over(w))
         .filter(F.col("sample_rank") <= k)
     )
+
+
+def temperature_mix(
+    df: DataFrame,
+    key: str,
+    stratum: str,
+    tokens_col: str,
+    beta_num: int = 1,
+    beta_den: int = 2,
+    salt: str = "mix",
+) -> DataFrame:
+    """Temperature-weighted mixture sampling (α=0.5): rebalance a
+    multi-source corpus toward low-resource sources, the standard
+    pretraining-mix pass (multilingual LM recipes sample source s with
+    probability ∝ T_s^α).
+
+    Per source s with T_s total tokens, the token budget is
+
+        budget_s = (Σ T) · (β_num/β_den) · isq_s / (Σ isq)
+
+    where ``isq_s = floor(sqrt(T_s))`` — an integer quantization of
+    T^0.5 (relative error ≤ 1/isq_s, negligible at corpus scale) chosen
+    so the WHOLE keep decision is integer arithmetic: no double sums
+    whose engine-specific accumulation order could flip a boundary doc
+    (sqrt of a BIGINT is IEEE-correctly-rounded, so floor(sqrt(·)) is
+    bit-identical across engines; everything after is BIGINT). The
+    product (Σ T)·isq can overflow at 100 TB, so the budget uses the
+    exact floor-div decomposition (a//m)·i + ((a%m)·i)//m.
+
+    Docs are then kept LOWEST-SALTED-HASH-FIRST until the budget fills:
+    a per-source running token sum over the md5 order — a deterministic
+    reservoir that hits the budget exactly (a Bernoulli draw only hits
+    it in expectation). The cumsum uses the two-level decomposition
+    (256 hash-prefix buckets per source at full width + broadcast
+    bucket offsets, operators/packing.py pattern) — per-source windows
+    alone would serialize each source through one task.
+
+    Returns (key, stratum, tokens, kept) for every n_tokens>0 row.
+    """
+    ids = F.col(key)
+    nz = df.select(
+        ids.alias("_id"),
+        F.col(stratum).alias("_s"),
+        F.col(tokens_col).cast("long").alias("_n"),
+    ).filter(F.col("_n") > 0)
+    h = F.md5(F.concat(F.lit(salt + ":"), F.col("_id").cast("string")))
+    hashed = nz.withColumn("_h", h).withColumn("_hb", F.substring("_h", 1, 2))
+
+    w_in = (
+        Window.partitionBy("_s", "_hb")
+        .orderBy("_h", "_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hashed.withColumn("_cum_in", F.sum("_n").over(w_in))
+
+    btot = hashed.groupBy("_s", "_hb").agg(F.sum("_n").alias("_bn"))
+    w_b = (
+        Window.partitionBy("_s")
+        .orderBy("_hb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = btot.select(
+        "_s", "_hb", F.coalesce(F.sum("_bn").over(w_b), F.lit(0)).alias("_boff")
+    )
+
+    tot = hashed.groupBy("_s").agg(F.sum("_n").alias("_ts")).withColumn(
+        "_isq", F.floor(F.sqrt(F.col("_ts").cast("double"))).cast("long")
+    )
+    g = tot.agg(
+        F.sum("_ts").alias("_total"), F.sum("_isq").alias("_denom")
+    )
+    # budget_s = (total*beta_num) * isq // (beta_den*denom), overflow-safe
+    budgets = tot.crossJoin(F.broadcast(g)).select(
+        "_s",
+        F.expr(
+            f"((_total * {int(beta_num)}) div ({int(beta_den)} * _denom)) * _isq"
+            f" + (((_total * {int(beta_num)}) % ({int(beta_den)} * _denom)) * _isq)"
+            f" div ({int(beta_den)} * _denom)"
+        ).alias("_budget"),
+    )
+
+    return (
+        cum.join(F.broadcast(offsets), ["_s", "_hb"])
+        .join(F.broadcast(budgets), "_s")
+        .select(
+            F.col("_id").alias(key),
+            F.col("_s").alias(stratum),
+            F.col("_n").alias(tokens_col),
+            ((F.col("_boff") + F.col("_cum_in")) <= F.col("_budget")).alias(
+                "kept"
+            ),
+        )
+    )

@@ -18,6 +18,7 @@ from ..operators import multimodal as mm
 from ..operators import packing as pk
 from ..operators import similarity as sim
 from ..operators import textops as tx
+from ..operators import sampling
 from ..operators.sampling import sql_hash_split
 from ..sources.readers import load_table
 from .registry import query
@@ -840,4 +841,63 @@ def ds1_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pk.shuffle_positions(
         docs.select(F.col("doc_id").alias("doc")), id_col="doc", seed=42,
         shard_size=1000,
+    )
+
+
+@query(
+    "mx1_temperature_mix",
+    f"""
+    WITH t AS (
+        SELECT doc_id AS doc, source,
+               CAST(len({_WORDS_SQL}) AS BIGINT) AS n_tokens
+        FROM documents
+    ), nz AS (
+        SELECT * FROM t WHERE n_tokens > 0
+    ), tot AS (
+        SELECT source,
+               CAST(SUM(n_tokens) AS BIGINT) AS t_s,
+               CAST(FLOOR(SQRT(CAST(SUM(n_tokens) AS BIGINT))) AS BIGINT)
+                   AS isq
+        FROM nz GROUP BY source
+    ), g AS (
+        SELECT CAST(SUM(t_s) AS BIGINT) AS total,
+               CAST(SUM(isq) AS BIGINT) AS denom
+        FROM tot
+    ), b AS (
+        SELECT source,
+               CAST((total // (2 * denom)) * isq
+                    + ((total % (2 * denom)) * isq) // (2 * denom)
+                    AS BIGINT) AS budget
+        FROM tot, g
+    ), c AS (
+        SELECT doc, source, n_tokens,
+               CAST(SUM(n_tokens) OVER (
+                   PARTITION BY source
+                   ORDER BY md5('mix:' || CAST(doc AS VARCHAR)), doc
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum
+        FROM nz
+    )
+    SELECT c.doc, c.source, c.n_tokens, c.cum <= b.budget AS kept
+    FROM c JOIN b ON c.source = b.source
+    """,
+)
+def mx1_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted (α=0.5, β=1/2) training mix over the
+    documents table: per-source integer token budgets ∝ floor(sqrt(T_s))
+    and deterministic lowest-hash-first admission until each budget
+    fills. Every arithmetic step in the keep decision is BIGINT (see
+    operators/sampling.temperature_mix), so the oracle comparison has no
+    float accumulation-order hazard; the oracle states the per-source
+    running sum as one window, the Spark plan decomposes it by 256
+    hash-prefix buckets."""
+    docs = load_table(spark, sf_dir, "documents")
+    counted = docs.select(
+        F.col("doc_id").alias("doc"),
+        "source",
+        F.size(tx.normalized_words(F.col("text"))).alias("n_tokens"),
+    )
+    return sampling.temperature_mix(
+        counted, key="doc", stratum="source", tokens_col="n_tokens",
+        beta_num=1, beta_den=2, salt="mix",
     )

@@ -92,3 +92,67 @@ def test_sketch_rollup_accuracy(spark, sf_oracle):
     assert "__all__" in rows and len(rows) == 21  # 20 sources + merged
     for src, (est, exact) in rows.items():
         assert abs(est - exact) <= max(2, 0.05 * exact), (src, est, exact)
+
+
+def test_temperature_mix_budgets_and_upsampling(spark):
+    # three sources with very different sizes: the α=0.5 mix must keep a
+    # HIGHER fraction of the small source than of the big one, admit
+    # lowest-hash-first, and stop within one doc of each integer budget
+    import math
+
+    from ig_etl_with_user_reports_2024_spark.operators.sampling import (
+        temperature_mix,
+    )
+
+    rows = []
+    sizes = {"big": 3000, "mid": 600, "small": 60}
+    i = 0
+    for s, n in sizes.items():
+        for _ in range(n):
+            i += 1
+            rows.append((i, s, (i % 7) + 1))
+    df = spark.createDataFrame(rows, "doc bigint, source string, n_tokens bigint")
+    out = temperature_mix(df, "doc", "source", "n_tokens").collect()
+
+    tot = {s: 0 for s in sizes}
+    kept = {s: 0 for s in sizes}
+    for r in out:
+        tot[r.source] += r.n_tokens
+        if r.kept:
+            kept[r.source] += r.n_tokens
+    total = sum(tot.values())
+    isq = {s: math.isqrt(t) for s, t in tot.items()}
+    denom = sum(isq.values())
+    for s in sizes:
+        budget = (total // (2 * denom)) * isq[s] + (
+            (total % (2 * denom)) * isq[s]
+        ) // (2 * denom)
+        # budget can exceed what the source has (capped by supply)
+        expect_fill = min(budget, tot[s])
+        assert kept[s] <= budget
+        # filled to within one max-size doc of the target
+        assert expect_fill - kept[s] <= 7, (s, kept[s], expect_fill)
+    frac = {s: kept[s] / tot[s] for s in sizes}
+    assert frac["small"] > frac["mid"] > frac["big"]
+
+
+def test_temperature_mix_plan_shape(spark):
+    from pyspark.sql import functions as F
+
+    from ig_etl_with_user_reports_2024_spark.operators.sampling import (
+        temperature_mix,
+    )
+
+    df = spark.range(1, 20_000).select(
+        F.col("id").alias("doc"),
+        (F.col("id") % 3).cast("string").alias("source"),
+        (F.col("id") % 9 + 1).alias("n_tokens"),
+    )
+    plan = (
+        temperature_mix(df, "doc", "source", "n_tokens")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # doc-grain cumsum must ride (source, bucket) partitioning; only
+    # metadata-sized side tables may hit SinglePartition
+    assert "Exchange hashpartitioning(_s" in plan, plan
+    assert plan.count("Exchange SinglePartition") <= 1, plan
