@@ -113,3 +113,37 @@ def test_new_families_complete_at_8x(spark, big_sf):
     n_vecs = spark.read.parquet(f"{big_sf}/embeddings.parquet").count()
     assert qs["sq1_int8_quantize"](spark, big_sf).count() == n_vecs * 64
     assert qs["st5_stateful_sessions"](spark, big_sf).count() > 0
+
+
+def test_r4_layout_family_completes_at_8x(spark, big_sf):
+    # dp1/ds1/mx1: the two-level prefix-sum/row_number decompositions
+    # must complete at 8x rows with their invariants intact
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    n_docs = (
+        spark.read.parquet(f"{big_sf}/documents.parquet")
+        .filter(F.length("text") > 0)
+        .count()
+    )
+    dp = qs["dp1_sequence_packing"](spark, big_sf)
+    assert dp.count() > 0
+    # offsets are a gapless concatenation: max(start+n_tokens) == sum(n)
+    row = dp.agg(
+        F.max(F.col("start_off") + F.col("n_tokens")).alias("hi"),
+        F.sum("n_tokens").alias("total"),
+    ).collect()[0]
+    assert row.hi == row.total
+    ds = qs["ds1_corpus_shuffle"](spark, big_sf)
+    # dense permutation at 8x: n rows, positions 0..n-1
+    stats = ds.agg(
+        F.count("*").alias("n"),
+        F.min("pos").alias("lo"),
+        F.max("pos").alias("hi"),
+        F.countDistinct("pos").alias("nd"),
+    ).collect()[0]
+    assert (stats.lo, stats.hi, stats.nd) == (0, stats.n - 1, stats.n)
+    assert stats.n == n_docs
+    mx = qs["mx1_temperature_mix"](spark, big_sf)
+    kept = mx.filter("kept").count()
+    assert 0 < kept < mx.count()
