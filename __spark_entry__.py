@@ -49,6 +49,7 @@ _DRIVER_PRIORITY = [
     "dp1_sequence_packing",  # NEW: concat-and-chop packing offsets
     "ds1_corpus_shuffle",  # NEW: deterministic global shuffle positions
     "mx1_temperature_mix",  # NEW: temperature-weighted training mix
+    "sq3_matryoshka_truncate",  # NEW: MRL prefix truncation
     "fn2_conversion_window_funnel",  # strict lower bound added (ADVICE)
     "dd6_dup_clusters",  # graph.py: decimal fixpoint sum, collect fold
     "sq2_product_quantize",  # pq_codes short-codebook guard (ADVICE)
@@ -97,12 +98,11 @@ _DRIVER_PRIORITY = [
     "x7_bankers_rounding",
     "x8_struct_to_json",
     "x10_c7_argmax_priority",
-    "ro1_hourly_rollup",
     # ---- ~50-slot budget line; deliberate overflow below ----
-    # (st1/st2/st3's operators are pytest-covered by the streaming
+    # (ro1/st1/st2/st3's operators are pytest-covered by the streaming
     # parity + sf0.001 oracle CI tests and their module did not change
-    # in r3/r4 — the cheapest drops for the three new r4 queries'
-    # slots; ro1 stays in-window to keep one event-window oracle fresh)
+    # in r3/r4 — the cheapest drops for the four new r4 queries' slots)
+    "ro1_hourly_rollup",
     "st1_tumbling_window",
     "st2_sliding_window",
     "st3_sessionization",

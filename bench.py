@@ -59,6 +59,7 @@ HEADLINE = [
     "dp1_sequence_packing",
     "ds1_corpus_shuffle",
     "mx1_temperature_mix",
+    "sq3_matryoshka_truncate",
 ]
 
 

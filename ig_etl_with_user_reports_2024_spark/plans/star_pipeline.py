@@ -901,3 +901,34 @@ def mx1_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         counted, key="doc", stratum="source", tokens_col="n_tokens",
         beta_num=1, beta_den=2, salt="mix",
     )
+
+
+@query(
+    "sq3_matryoshka_truncate",
+    f"""
+    WITH s AS (
+        SELECT vec_id AS id, list_slice(embedding, 1, 16) AS sl
+        FROM embeddings
+    ), n AS (
+        SELECT id, sl,
+               sqrt(list_reduce(
+                   list_prepend(0.0, list_transform(
+                       sl, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))),
+                   (a, b) -> a + b)) AS norm
+        FROM s
+    )
+    SELECT id, CAST(r.i - 1 AS BIGINT) AS component,
+           CASE WHEN norm > 0 THEN CAST(sl[r.i] AS DOUBLE) / norm END
+               AS value,
+           norm
+    FROM n, range(1, 17) r(i)
+    """,
+)
+def sq3_matryoshka_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation (64 → 16 dims, L2-renormalized) — the
+    MRL-embedding serving trick: a stored prefix replaces the full
+    vector at 4× fewer bytes per ANN probe. One narrow projection, no
+    shuffle; bit-exact cross-engine because the norm is the same
+    left-fold both engines run (see operators/similarity.py)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.matryoshka_truncate(emb, "vec_id", "embedding", k=16)

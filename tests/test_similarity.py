@@ -102,3 +102,33 @@ def test_pq_reconstruction_beats_zero_baseline(spark, sf_oracle):
     codes = sim.pq_codes(emb, "vec_id", "embedding")
     r = codes.agg((F.sum("err2") / F.sum("norm2")).alias("d")).collect()[0]
     assert r.d <= 0.85, f"PQ distortion {r.d:.3f}"
+
+
+def test_matryoshka_truncate_unit_norm_and_zero_guard(spark):
+    from pyspark.sql import functions as F
+
+    from ig_etl_with_user_reports_2024_spark.operators.similarity import (
+        matryoshka_truncate,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, [3.0, 4.0, 100.0, 100.0]),  # prefix (3,4): norm 5
+            (2, [0.0, 0.0, 9.0, 9.0]),      # zero prefix: NULL components
+        ],
+        "vec_id bigint, embedding array<float>",
+    )
+    out = matryoshka_truncate(df, "vec_id", "embedding", k=2)
+    rows = {(r.id, r.component): (r.value, r.norm) for r in out.collect()}
+    assert len(rows) == 4  # k rows per vector, tail dims ignored
+    assert rows[(1, 0)] == (0.6, 5.0)
+    assert rows[(1, 1)] == (0.8, 5.0)
+    assert rows[(2, 0)] == (None, 0.0)
+    # renormalized vectors are unit-norm (where nonzero)
+    unit = (
+        out.filter("id = 1")
+        .agg(F.sum(F.col("value") * F.col("value")).alias("s"))
+        .collect()[0]
+        .s
+    )
+    assert abs(unit - 1.0) < 1e-12
