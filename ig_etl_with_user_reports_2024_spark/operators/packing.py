@@ -96,8 +96,13 @@ def pack_offsets(
       n_seqs      sequences the doc spans (straddlers > 1)
 
     Rows with ``n_tokens <= 0`` are dropped (an empty document occupies
-    no position in the token stream). Ids must be unique; document order
-    is ascending ``id_col`` — deterministic under any partitioning.
+    no position in the token stream). Ids must be unique AND
+    non-negative; document order is ascending ``id_col`` — deterministic
+    under any partitioning. (Non-negative because the range bucket is
+    ``id div bucket_width`` and SQL ``div`` truncates toward zero, so a
+    negative id would share bucket 0 with small positive ids and break
+    the bucket-order-extends-id-order invariant the decomposition
+    relies on.)
     """
     ids = F.col(id_col)
     toks = F.col(tokens_col).cast("long")
