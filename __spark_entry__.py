@@ -50,6 +50,7 @@ _DRIVER_PRIORITY = [
     "ds1_corpus_shuffle",  # NEW: deterministic global shuffle positions
     "mx1_temperature_mix",  # NEW: temperature-weighted training mix
     "sq3_matryoshka_truncate",  # NEW: MRL prefix truncation
+    "mm4_audio_chunks",  # NEW: audio chunk-boundary selection
     "fn2_conversion_window_funnel",  # strict lower bound added (ADVICE)
     "dd6_dup_clusters",  # graph.py: decimal fixpoint sum, collect fold
     "sq2_product_quantize",  # pq_codes short-codebook guard (ADVICE)
@@ -97,11 +98,12 @@ _DRIVER_PRIORITY = [
     "x6_c14_age_buckets",
     "x7_bankers_rounding",
     "x8_struct_to_json",
-    "x10_c7_argmax_priority",
     # ---- ~50-slot budget line; deliberate overflow below ----
-    # (ro1/st1/st2/st3's operators are pytest-covered by the streaming
-    # parity + sf0.001 oracle CI tests and their module did not change
-    # in r3/r4 — the cheapest drops for the four new r4 queries' slots)
+    # (x10_c7 is golden-parity + sf0.001-CI covered; ro1/st1/st2/st3's
+    # operators are pytest-covered by the streaming parity + sf0.001
+    # oracle CI tests; none of their modules changed in r3/r4 — the
+    # cheapest drops for the five new r4 queries' slots)
+    "x10_c7_argmax_priority",
     "ro1_hourly_rollup",
     "st1_tumbling_window",
     "st2_sliding_window",

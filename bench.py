@@ -60,6 +60,7 @@ HEADLINE = [
     "ds1_corpus_shuffle",
     "mx1_temperature_mix",
     "sq3_matryoshka_truncate",
+    "mm4_audio_chunks",
 ]
 
 

@@ -114,3 +114,39 @@ def frame_sample_plan(decoded: DataFrame, every_n: int = 30) -> DataFrame:
             F.sequence(F.lit(0), F.greatest(F.col("n_frames") - 1, F.lit(0)), F.lit(every_n))
         ).alias("frame_idx"),
     )
+
+
+def audio_chunk_plan(
+    decoded: DataFrame, chunk_seconds: int = 5, hop_seconds: int = 4
+) -> DataFrame:
+    """Overlapping audio chunk boundaries from (sample_rate, n_samples)
+    metadata: chunks start every ``hop_seconds`` while inside the clip
+    and run ``chunk_seconds`` (clipped at the end), the standard ASR /
+    audio-embedding windowing (1 s overlap at the defaults).
+
+    Pure plan logic like :func:`frame_sample_plan` — ``sequence`` +
+    ``posexplode`` JVM-side over metadata the (stubbed) decode emitted
+    once per item; no payload bytes move. Returns
+    (doc_id, chunk_idx, start_sample, end_sample).
+    """
+    chunk = (F.col("sample_rate") * chunk_seconds).cast("long")
+    hop = (F.col("sample_rate") * hop_seconds).cast("long")
+    starts = F.sequence(
+        F.lit(0).cast("long"), (F.col("n_samples") - 1).cast("long"), hop
+    )
+    return (
+        decoded.select(
+            "doc_id",
+            "n_samples",
+            chunk.alias("_chunk"),
+            F.posexplode(starts).alias("chunk_idx", "start_sample"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            "start_sample",
+            F.least(
+                F.col("start_sample") + F.col("_chunk"), F.col("n_samples")
+            ).alias("end_sample"),
+        )
+    )

@@ -195,3 +195,58 @@ def dc1_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(eval_digests, "digest")
         .select("doc_id", "digest")
     )
+
+
+@query(
+    "mm4_audio_chunks",
+    """
+    WITH meta AS (
+        SELECT doc_id,
+               list_value(8000, 16000, 22050, 44100)[
+                   CAST(CAST('0x' || substring(md5(text), 1, 6) AS BIGINT)
+                        % 4 + 1 AS INT)] AS sample_rate,
+               CAST('0x' || substring(md5(text), 7, 6) AS BIGINT) AS h2
+        FROM documents
+    ), sized AS (
+        SELECT doc_id, sample_rate,
+               h2 % (sample_rate * 30) + sample_rate AS n_samples
+        FROM meta
+    )
+    SELECT doc_id,
+           CAST(start_sample // (sample_rate * 4) AS INT) AS chunk_idx,
+           CAST(start_sample AS BIGINT) AS start_sample,
+           CAST(LEAST(start_sample + sample_rate * 5, n_samples) AS BIGINT)
+               AS end_sample
+    FROM (
+        SELECT doc_id, sample_rate, n_samples,
+               unnest(generate_series(0, CAST(n_samples - 1 AS BIGINT),
+                                      CAST(sample_rate * 4 AS BIGINT)))
+                   AS start_sample
+        FROM sized
+    )
+    """,
+)
+def mm4_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audio analog of mm3: overlapping 5 s chunk boundaries with a
+    4 s hop over per-item (sample_rate, n_samples) metadata — the ASR /
+    audio-embedding windowing pass — through the real
+    ``audio_chunk_plan`` operator, with the metadata derived from md5
+    prefixes (rate ∈ {8000,16000,22050,44100}, 1-30 s duration) so
+    DuckDB reproduces the selection bit-exactly. As with mm2/mm3, only
+    the byte-level decode is the stubbed Python boundary; every sample
+    index the pipeline would feed it is hash-checked."""
+    from ..operators.multimodal import audio_chunk_plan
+
+    docs = load_table(spark, sf_dir, "documents")
+    h1 = F.conv(F.substring(F.md5(F.col("text")), 1, 6), 16, 10).cast("bigint")
+    h2 = F.conv(F.substring(F.md5(F.col("text")), 7, 6), 16, 10).cast("bigint")
+    rate = F.element_at(
+        F.array(F.lit(8000), F.lit(16000), F.lit(22050), F.lit(44100)),
+        (h1 % 4 + 1).cast("int"),
+    ).cast("long")
+    decoded = docs.select(
+        "doc_id",
+        rate.alias("sample_rate"),
+        (h2 % (rate * 30) + rate).alias("n_samples"),
+    )
+    return audio_chunk_plan(decoded, chunk_seconds=5, hop_seconds=4)

@@ -30,6 +30,7 @@ def test_stale_and_changed_queries_land_in_driver_window():
         "ds1_corpus_shuffle",
         "mx1_temperature_mix",
         "sq3_matryoshka_truncate",
+        "mm4_audio_chunks",
         "fn2_conversion_window_funnel",
         "dd6_dup_clusters",
         "sq2_product_quantize",

@@ -49,3 +49,29 @@ def test_frame_sample_plan(spark):
     for r in per_doc:
         expected = (meta[r.doc_id] - 1) // 30 + 1
         assert r.n == expected
+
+
+def test_audio_chunk_plan_boundaries(spark):
+    from ig_etl_with_user_reports_2024_spark.operators.multimodal import (
+        audio_chunk_plan,
+    )
+
+    decoded = spark.createDataFrame(
+        [
+            (1, 16000, 16000 * 10),      # 10s @ 16k: starts 0,4,8s
+            (2, 8000, 8000 * 3),         # 3s @ 8k: one full-ish chunk
+            (3, 8000, 8000),             # exactly 1s: single truncated chunk
+        ],
+        "doc_id bigint, sample_rate bigint, n_samples bigint",
+    )
+    out = audio_chunk_plan(decoded, chunk_seconds=5, hop_seconds=4)
+    rows = {(r.doc_id, r.chunk_idx): (r.start_sample, r.end_sample) for r in out.collect()}
+    assert rows[(1, 0)] == (0, 16000 * 5)
+    assert rows[(1, 1)] == (16000 * 4, 16000 * 9)
+    assert rows[(1, 2)] == (16000 * 8, 16000 * 10)  # tail clipped
+    assert (1, 3) not in rows  # start 12s < 10s duration fails → no chunk
+    assert rows[(2, 0)] == (0, 8000 * 3)
+    assert rows[(3, 0)] == (0, 8000)
+    # every chunk is non-empty and inside the clip
+    for (_, _), (s, e) in rows.items():
+        assert 0 <= s < e
