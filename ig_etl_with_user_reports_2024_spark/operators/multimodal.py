@@ -135,7 +135,10 @@ def audio_chunk_plan(
         F.lit(0).cast("long"), (F.col("n_samples") - 1).cast("long"), hop
     )
     return (
-        decoded.select(
+        # zero-length clips yield no chunks (and ANSI sequence bounds
+        # reject a 0→-1 range) — filter them out before the explode
+        decoded.filter(F.col("n_samples") > 0)
+        .select(
             "doc_id",
             "n_samples",
             chunk.alias("_chunk"),

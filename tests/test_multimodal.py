@@ -75,3 +75,16 @@ def test_audio_chunk_plan_boundaries(spark):
     # every chunk is non-empty and inside the clip
     for (_, _), (s, e) in rows.items():
         assert 0 <= s < e
+
+
+def test_audio_chunk_plan_zero_length_clip_yields_no_chunks(spark):
+    from ig_etl_with_user_reports_2024_spark.operators.multimodal import (
+        audio_chunk_plan,
+    )
+
+    decoded = spark.createDataFrame(
+        [(1, 16000, 0), (2, 16000, 16000)],
+        "doc_id bigint, sample_rate bigint, n_samples bigint",
+    )
+    out = audio_chunk_plan(decoded).collect()
+    assert {r.doc_id for r in out} == {2}
