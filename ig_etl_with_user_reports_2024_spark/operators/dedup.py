@@ -106,13 +106,14 @@ def shingle_pairs_jaccard(
         .select("doc", F.xxhash64("shingle").alias("sh"))
         # consumed by three plans (sizes + both join sides): materialize
         # the tokenize→shingle→hash work once instead of three times.
-        # MEMORY_AND_DISK, explicitly: the exploded shingle table is
-        # ~n_shingles× the input, and this operator is the exact BASELINE
-        # / candidate-verify stage, so it may legitimately see large
-        # inputs at 100 TB — deserialized-memory-only (the .cache()
-        # default) would silently recompute evicted partitions, paying
-        # the tokenize→shingle→hash chain again; spilling to disk is the
-        # cheaper failure mode.
+        # Explicit MEMORY_AND_DISK (serialized blocks): .cache() would
+        # also spill (its default is MEMORY_AND_DISK_DESER), but the
+        # exploded shingle table is ~n_shingles× the input and this
+        # operator is the exact BASELINE / candidate-verify stage that
+        # may see large inputs at 100 TB — serialized storage roughly
+        # halves the cached footprint of these narrow (long, long) rows
+        # at trivial CPU cost, and naming the level makes the policy
+        # visible instead of implicit.
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     sizes = sh.groupBy("doc").agg(F.count("*").alias("n_shingles"))

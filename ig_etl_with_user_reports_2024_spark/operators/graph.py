@@ -69,13 +69,16 @@ def connected_components(
     ).localCheckpoint(eager=True)
     # prev_sum starts unknown — the first round's agg doubles as the
     # baseline, so there is exactly ONE collect per round (the init-sum
-    # collect is folded into round 1; an already-converged input costs
-    # one extra no-op round, which is cheaper than an extra agg always).
+    # collect is folded into round 1). Detection needs one round AFTER
+    # the fixpoint, so the loop runs max_iter + 1 times: callers still
+    # get the documented max_iter PROPAGATION budget (a graph converging
+    # at exactly round max_iter must not spuriously raise), and the
+    # extra round is a no-op propagation at the fixpoint.
     prev_sum = None
     converged = False
     rounds_used = 0
 
-    for _ in range(max_iter):
+    for _ in range(max_iter + 1):
         rounds_used += 1
         neighbor_labels = edges.join(
             labels, edges["src"] == labels["id"]

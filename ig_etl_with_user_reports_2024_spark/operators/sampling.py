@@ -183,7 +183,10 @@ def temperature_mix(
         "_s", "_hb", F.coalesce(F.sum("_bn").over(w_b), F.lit(0)).alias("_boff")
     )
 
-    tot = hashed.groupBy("_s").agg(F.sum("_n").alias("_ts")).withColumn(
+    # per-source totals derive from the per-bucket totals (≤256 rows per
+    # source) instead of a third scan of the corpus — btot already paid
+    # for the md5+filter chain
+    tot = btot.groupBy("_s").agg(F.sum("_bn").alias("_ts")).withColumn(
         "_isq", F.floor(F.sqrt(F.col("_ts").cast("double"))).cast("long")
     )
     g = tot.agg(

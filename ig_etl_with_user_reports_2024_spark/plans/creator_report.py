@@ -1292,6 +1292,11 @@ def creator_profile_features(
 # --------------------------------------------------------------------------
 
 
+# caches pinned by the most recent creator_report() call; released at
+# the start of the next call (see comment inside creator_report)
+_PERSISTED_HANDLES: list[DataFrame] = []
+
+
 def creator_report(
     spark: SparkSession,
     users: DataFrame,
@@ -1304,10 +1309,19 @@ def creator_report(
 ) -> DataFrame:
     """The full per-creator report DataFrame (reference output record,
     SURVEY.md §1.4), sorted by average_engagement_rate desc (K5)."""
+    # The persisted handles below are internal, so callers can't
+    # unpersist them. Bound the leak to ONE call's caches: each new
+    # creator_report call releases the previous call's handles (by then
+    # the previous report has normally been materialized; if not, the
+    # only cost is recomputation, never wrong results).
+    for _old in _PERSISTED_HANDLES:
+        _old.unpersist()
+    _PERSISTED_HANDLES.clear()
     # The creators table is consumed five times (profile's base + three
     # token branches + the followers broadcast): persist it at creator
     # grain so the source scan runs once.
     users = users.persist(StorageLevel.MEMORY_AND_DISK)
+    _PERSISTED_HANDLES.append(users)
     followers = users.select("username", "follower_count")
     # Materialize the per-post feature projection ONCE, hash-partitioned
     # by creator. Three plan decisions, each load-bearing at scale:
@@ -1329,6 +1343,7 @@ def creator_report(
     feat = per_post_features(
         posts.repartition("username"), followers, as_of, tz_offset_min
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    _PERSISTED_HANDLES.append(feat)
     profile = creator_profile_features(users, spark, python_rounding)
 
     aggs = creator_post_aggregates(feat, as_of, compat_q6, python_rounding)

@@ -917,11 +917,14 @@ def mx1_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
                    (a, b) -> a + b)) AS norm
         FROM s
     )
-    SELECT id, CAST(r.i - 1 AS BIGINT) AS component,
-           CASE WHEN norm > 0 THEN CAST(sl[r.i] AS DOUBLE) / norm END
+    SELECT id, CAST(i - 1 AS BIGINT) AS component,
+           CASE WHEN norm > 0 THEN CAST(sl[i] AS DOUBLE) / norm END
                AS value,
            norm
-    FROM n, range(1, 17) r(i)
+    FROM (
+        SELECT id, sl, norm, unnest(generate_series(1, len(sl))) AS i
+        FROM n
+    )
     """,
 )
 def sq3_matryoshka_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -145,7 +145,13 @@ def rf5_diag(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .star_pipeline import ro2_sketch_rollup
 
     rows = ro2_sketch_rollup(spark, sf_dir)
-    err = F.abs(F.col("n_estimate") - F.col("n_exact")) / F.col("n_exact")
+    # ANSI guard: a source with zero exact distincts (all-NULL inputs)
+    # must not divide by zero; its error is 0 if the estimate agrees,
+    # else worst-case 1.0 so the floor still trips on a broken sketch.
+    err = F.when(
+        F.col("n_exact") > 0,
+        F.abs(F.col("n_estimate") - F.col("n_exact")) / F.col("n_exact"),
+    ).otherwise(F.when(F.col("n_estimate") > 0, F.lit(1.0)).otherwise(F.lit(0.0)))
     tol = 0.05
     return rows.agg(
         F.max(err).alias("max_rel_err"),
@@ -207,7 +213,12 @@ def rf7_diag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("o_orderpriority", 0.02).alias("approx"),
         F.countDistinct("o_orderpriority").alias("exact"),
     )
-    err = F.abs(F.col("approx") - F.col("exact")) / F.col("exact")
+    # ANSI guard (same pattern as rf5): an all-NULL group has exact=0 —
+    # error 0 if the sketch agrees, worst-case 1.0 if it doesn't.
+    err = F.when(
+        F.col("exact") > 0,
+        F.abs(F.col("approx") - F.col("exact")) / F.col("exact"),
+    ).otherwise(F.when(F.col("approx") > 0, F.lit(1.0)).otherwise(F.lit(0.0)))
     tol = 0.05
     return per_group.agg(
         F.max(err).alias("max_rel_err"),
