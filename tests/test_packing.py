@@ -105,3 +105,84 @@ def test_shuffle_positions_plan_shape(spark):
     assert plan.count("Exchange SinglePartition") <= 1, plan
     assert "Exchange hashpartitioning(_hb" in plan, plan
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+# --- property-based: packing invariants vs a brute-force reference --------
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _HAS_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    _HAS_HYPOTHESIS = False
+
+if _HAS_HYPOTHESIS:
+    _docs = st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5_000),   # doc id (non-neg)
+            st.integers(min_value=0, max_value=50),      # n_tokens (0 drops)
+        ),
+        min_size=0,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    )
+
+    @settings(
+        max_examples=20,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(docs=_docs, seq_len=st.integers(min_value=1, max_value=64),
+           width=st.integers(min_value=1, max_value=512))
+    def test_pack_offsets_matches_bruteforce(spark, docs, seq_len, width):
+        df = spark.createDataFrame(
+            docs or [(0, 0)], "doc bigint, n_tokens bigint"
+        )
+        got = {
+            r.doc: (r.start_off, r.first_seq, r.last_seq, r.n_seqs)
+            for r in pack_offsets(
+                df, "doc", "n_tokens", seq_len=seq_len, bucket_width=width
+            ).collect()
+        }
+        # brute force: one sequential pass in id order
+        cum = 0
+        expect = {}
+        for doc, n in sorted(d for d in docs if d[1] > 0):
+            start = cum
+            cum += n
+            expect[doc] = (
+                start, start // seq_len, (cum - 1) // seq_len,
+                (cum - 1) // seq_len - start // seq_len + 1,
+            )
+        assert got == expect
+
+    @settings(
+        max_examples=15,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(ids=st.lists(st.integers(min_value=0, max_value=10_000),
+                        min_size=0, max_size=40, unique=True),
+           shard=st.integers(min_value=1, max_value=20))
+    def test_shuffle_positions_matches_bruteforce(spark, ids, shard):
+        import hashlib
+
+        from ig_etl_with_user_reports_2024_spark.operators.packing import (
+            shuffle_positions,
+        )
+
+        df = spark.createDataFrame(
+            [(i,) for i in ids] or [(0,)], "doc bigint"
+        ).limit(len(ids))
+        got = {
+            r.doc: (r.pos, r.shard)
+            for r in shuffle_positions(df, "doc", seed=7, shard_size=shard)
+            .collect()
+        }
+        order = sorted(
+            ids, key=lambda i: (hashlib.md5(f"7|{i}".encode()).hexdigest(), i)
+        )
+        assert got == {
+            doc: (p, p // shard) for p, doc in enumerate(order)
+        }
