@@ -156,3 +156,71 @@ def test_temperature_mix_plan_shape(spark):
     # metadata-sized side tables may hit SinglePartition
     assert "Exchange hashpartitioning(_s" in plan, plan
     assert plan.count("Exchange SinglePartition") <= 1, plan
+
+
+# --- property-based: temperature_mix vs a brute-force reference -----------
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _HAS_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    _HAS_HYPOTHESIS = False
+
+if _HAS_HYPOTHESIS:
+    _corpus = st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2_000),  # doc id
+            st.integers(min_value=0, max_value=2),      # source idx
+            st.integers(min_value=0, max_value=30),     # n_tokens
+        ),
+        min_size=0,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    )
+
+    @settings(
+        max_examples=15,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(corpus=_corpus)
+    def test_temperature_mix_matches_bruteforce(spark, corpus):
+        import hashlib
+        import math
+
+        from ig_etl_with_user_reports_2024_spark.operators.sampling import (
+            temperature_mix,
+        )
+
+        rows = [(d, f"s{s}", n) for d, s, n in corpus]
+        df = spark.createDataFrame(
+            rows or [(0, "s0", 0)], "doc bigint, source string, n_tokens bigint"
+        ).limit(len(rows))
+        got = {
+            r.doc: r.kept
+            for r in temperature_mix(df, "doc", "source", "n_tokens").collect()
+        }
+        nz = [(d, s, n) for d, s, n in rows if n > 0]
+        tot = {}
+        for _, s, n in nz:
+            tot[s] = tot.get(s, 0) + n
+        total = sum(tot.values())
+        denom = sum(math.isqrt(t) for t in tot.values())
+        expect = {}
+        for s, t_s in tot.items():
+            isq = math.isqrt(t_s)
+            m = 2 * denom
+            budget = (total // m) * isq + ((total % m) * isq) // m
+            docs_s = sorted(
+                ((d, n) for d, src, n in nz if src == s),
+                key=lambda dn: (
+                    hashlib.md5(f"mix:{dn[0]}".encode()).hexdigest(), dn[0]
+                ),
+            )
+            cum = 0
+            for d, n in docs_s:
+                cum += n
+                expect[d] = cum <= budget
+        assert got == expect
