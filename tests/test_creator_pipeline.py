@@ -296,3 +296,21 @@ def test_location_cities_join(spark, fixture_dirs):
     # 'Austin' matches both 'austin' and 'aus' (substring) — first match
     # in dim order wins (Q10)
     assert matched.get("Austin") == ("austin", "TX")
+
+
+def test_successive_report_calls_release_caches_and_stay_correct(
+    spark, fixture_dirs
+):
+    # each creator_report call releases the PREVIOUS call's persisted
+    # users/feat handles (bounded cache lifecycle) — both calls must
+    # produce identical, correct results even though the second call
+    # unpersists the first's internal caches
+    users = cr.load_users(spark, f"{fixture_dirs}/*/userInfo.json")
+    posts = cr.load_posts(spark, f"{fixture_dirs}/*/postInfo.json")
+    first = cr.creator_report(spark, users, posts, as_of=AS_OF)
+    rows1 = {r.username: r.follower_count for r in first.collect()}
+    second = cr.creator_report(spark, users, posts, as_of=AS_OF)
+    rows2 = {r.username: r.follower_count for r in second.collect()}
+    assert rows1 == rows2 and len(rows1) > 0
+    # the first DF still computes correctly after its caches released
+    assert {r.username: r.follower_count for r in first.collect()} == rows1
