@@ -33,76 +33,21 @@ from ig_etl_with_user_reports_2024_spark.plans import star_queries  # noqa: F401
 
 # The driver runs (and budgets) the FIRST ~50 queries in the order this
 # module yields them, so ordering is a correctness-signal resource
-# (VERDICT r3 "Next round" #1: no query's latest driver verdict should
-# predate its last source change). Priority: (a) new or changed in
-# round 4, (b) r1-era verdicts, (c) r2 greens whose shared modules
-# changed in round 3, (d) remaining r2-era verdicts. Overflow past the
-# ~50-slot budget (the tail of (d)) is deliberately the weakest
-# signals: rows-only entries whose quality already rides an in-budget
-# rf floor (mm2→mm3, a8_approx→rf7) and thin variants of in-budget
-# queries (x8b of x8, k7 of k5, st4/st6 pytest-covered streaming twins).
-# Everything after this list keeps registration order (r3-green,
-# unchanged).
+# (VERDICT r4 "Next round" #1: after round 5, no query's latest driver
+# verdict should predate r3). Priority: (a) the 11 queries whose latest
+# verdict is still r2 — round 4's deliberate overflow, now first in
+# line; (b) queries whose modules round 5 changed (packing.py,
+# sampling.py bucket parameterization; dedup.py persist lifecycle;
+# graph.py round-count return); (c) r3-era verdicts, refreshed while
+# budget remains. Overflow past the ~50-slot budget is deliberately the
+# weakest r3 signals: rows-only entries whose quality rides an
+# in-budget or r4-fresh driver-hashed floor (dd3→rf3, dd4→rf4,
+# ann2→rf1, ro2→rf5) and thin variants of fresher queries (a16 of a15,
+# f3 of r4-green f2, x3 of r4-green x2_x4, mj2/mj3 of mj1, txt6 of
+# r4-green k3). Everything after this list keeps registration order
+# (r4-green, unchanged this round).
 _DRIVER_PRIORITY = [
-    # (a) new or changed in round 4
-    "rf7_approx_distinct_accuracy",  # NEW: a8 scale-path accuracy floor
-    "dp1_sequence_packing",  # NEW: concat-and-chop packing offsets
-    "ds1_corpus_shuffle",  # NEW: deterministic global shuffle positions
-    "mx1_temperature_mix",  # NEW: temperature-weighted training mix
-    "sq3_matryoshka_truncate",  # NEW: MRL prefix truncation
-    "mm4_audio_chunks",  # NEW: audio chunk-boundary selection
-    "fn2_conversion_window_funnel",  # strict lower bound added (ADVICE)
-    "dd6_dup_clusters",  # graph.py: decimal fixpoint sum, collect fold
-    "sq2_product_quantize",  # pq_codes short-codebook guard (ADVICE)
-    "rf6_pq_distortion",
-    "dd2_ngram_jaccard_pairs",  # explicit MEMORY_AND_DISK persist
-    "rf3_minhash_recall",  # consume dd2's operator
-    "rf4_simhash_recall",
-    # (b) latest driver verdict is round 1
-    "txt1_lang_id",
-    "txt2_quality_score",
-    "txt3_token_counts",
-    "txt4_content_fingerprint",
-    "dd5_embedding_neardup",
-    "mm1_binary_metadata",
-    "ann3_ivf_topk",
-    # (c) r2 greens whose modules changed in round 3
-    "aj1_asof_click_purchase",  # temporal.py
-    "rj1_views_before_purchase",  # temporal.py
-    "dc1_decontaminate",  # sampling.py
-    "sp3_k_per_stratum",  # sampling.py
-    "st5_stateful_sessions",  # bench/session changes
-    "a123_er_formulas",  # shared aggregate helpers
-    "a6_viral_count",
-    "a12_split_half_trend",
-    "a13_class_means_pivot",
-    "a14_c6_fake_score",
-    # (d) remaining r2-era verdicts, weakest signals last
-    "k1_top6_er",
-    "f2_recent_window",
-    "fn1_user_funnel",
-    "a8_distinct_diversity",
-    "a9_platform_stats",
-    "c2_type_tier",
-    "c3_pricing_dim",
-    "c8_account_type",
-    "c10_personality_insights",
-    "c13_sponsor_detector",
-    "k2_latest6_pivot",
-    "k3_top10_tokens",
-    "k4_c5_modal_hour",
-    "k6_priority_cascade",
-    "x1_regex_extract",
-    "x2_x4_string_ops",
-    "x5_date_parts",
-    "x6_c14_age_buckets",
-    "x7_bankers_rounding",
-    "x8_struct_to_json",
-    # ---- ~50-slot budget line; deliberate overflow below ----
-    # (x10_c7 is golden-parity + sf0.001-CI covered; ro1/st1/st2/st3's
-    # operators are pytest-covered by the streaming parity + sf0.001
-    # oracle CI tests; none of their modules changed in r3/r4 — the
-    # cheapest drops for the five new r4 queries' slots)
+    # (a) latest driver verdict is round 2 (VERDICT r4 item #1)
     "x10_c7_argmax_priority",
     "ro1_hourly_rollup",
     "st1_tumbling_window",
@@ -114,6 +59,62 @@ _DRIVER_PRIORITY = [
     "st6_streaming_dedup",
     "mm2_frame_sample",
     "a8_approx_distinct",
+    # (b) modules changed in round 5
+    "ds1_corpus_shuffle",  # packing.py: prefix_chars parameterized
+    "mx1_temperature_mix",  # sampling.py: prefix_chars parameterized
+    "dp1_sequence_packing",  # packing.py sibling
+    "sp1_hash_split",  # sampling.py sibling
+    "sp2_stratified_sample",  # sampling.py sibling
+    "sp3_k_per_stratum",  # sampling.py sibling
+    "dc1_decontaminate",  # sampling.py sibling
+    "dd2_ngram_jaccard_pairs",  # dedup.py: bounded persist lifecycle
+    "dd6_dup_clusters",  # graph.py: round-count return (ADVICE)
+    # (c) r3-era verdicts, strongest-signal-first
+    "dd1_exact_dedup",
+    "dd7_ngram_contamination",
+    "rf1_lsh_topk_recall",
+    "rf2_ivf_topk_recall",
+    "rf5_sketch_accuracy",
+    "ann1_cosine_topk",
+    "sq1_int8_quantize",
+    "mm3_frame_select",
+    "st7_session_window",
+    "rj2_error_near_purchase",
+    "txt5_rolling_fingerprint",
+    "txt7_repetition_stats",
+    "a4_pricing_summary",
+    "a5_consistency_score",
+    "a7_frequency_map",
+    "a11_post_gap_frequency",
+    "a15_length_percentiles",
+    "c1_size_buckets",
+    "c9_f9_niche_distribution",
+    "c12_collab_status",
+    "f7_recent20_mixed_window",
+    "f8_stoplist_tokens",
+    "j1_work_queue_anti_join",
+    "j2_first_match_theta_join",
+    "j3_users_posts_join",
+    "j4_a10_keyword_scores",
+    "j5_page_merge_dedup",
+    "so1_first_occurrence_dedup",
+    "mj1_shipping_priority",
+    # ---- ~50-slot budget line; deliberate overflow below ----
+    # Rows-only entries whose accuracy floors (rf1/rf3/rf4/rf5) are
+    # in-budget or r4-fresh, plus thin variants of fresher queries —
+    # the cheapest r3-era drops.
+    "dd3_minhash_lsh_pairs",
+    "dd4_simhash_pairs",
+    "ann2_lsh_topk",
+    "ro2_sketch_rollup",
+    "a16_length_histogram",
+    "f3_recent_flag",
+    "f4_category_filter",
+    "f6_null_guard_filter",
+    "x3_substring_membership",
+    "mj2_region_volume",
+    "mj3_large_order_customers",
+    "txt6_vocab_top50",
 ]
 
 
