@@ -5,7 +5,12 @@ materialization, no driver collect) on local[$SPARK_GRAFT_CPUS] against
 $SPARK_GRAFT_SF_DIR and prints ONE JSON line:
 
     {"metric": "...", "value": <total sec>, "unit": "sec",
-     "queries": {"q": sec, ...}, "sf": <sf>}
+     "queries": {"q": sec, ...}, "sf": <sf>,
+     "load_before": [1m, 5m, 15m], "load_after": [...], "cpus": N}
+
+load_before/load_after are /proc/loadavg stamps bracketing the run so a
+reader can tell a loaded-machine recording from a plan regression
+(VERDICT r4: BENCH_r04 was contaminated by a noisy co-tenant).
 """
 
 from __future__ import annotations
@@ -74,8 +79,14 @@ def _creator_report_full(spark, ref_dir: str = "/root/reference"):
     CPython-compat pandas_udf path is an opt-in, not the deployed mode).
     """
     import datetime as dt
+    import glob
 
-    if not os.path.isdir(ref_dir):
+    # Partial checkouts (dir present, fixture globs empty) would make
+    # load_users or the measured run raise and fail the whole bench —
+    # only the warm-up pass is exception-wrapped. Require both globs.
+    if not glob.glob(f"{ref_dir}/*/userInfo.json") or not glob.glob(
+        f"{ref_dir}/*/postInfo.json"
+    ):
         return None
     from pyspark.sql import functions as F
 
@@ -106,6 +117,20 @@ def _creator_report_full(spark, ref_dir: str = "/root/reference"):
     return time.time() - t0
 
 
+def _loadavg() -> list[float]:
+    """1/5/15-min load averages — machine-state stamp for the JSON line.
+
+    The bench host has noisy co-tenants (BENCH_NOTES_r04.md: identical
+    back-to-back totals swung 35.4-74.9s); recording load before and
+    after lets a reader condition on ambient load instead of trusting
+    side notes (VERDICT r4 "Next round" #2).
+    """
+    try:
+        return [round(x, 2) for x in os.getloadavg()]
+    except OSError:  # platform without getloadavg — stamp as unknown
+        return []
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     import __spark_entry__ as entry_mod
@@ -113,6 +138,7 @@ def main() -> None:
 
     spark = get_spark("bench")
     qs = entry_mod.queries()
+    load_before = _loadavg()
 
     def run(name: str) -> float:
         # streaming queries do their work inside the query fn (readStream
@@ -188,6 +214,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "load_before": load_before,
+                "load_after": _loadavg(),
+                "cpus": os.cpu_count(),
             }
         )
     )
