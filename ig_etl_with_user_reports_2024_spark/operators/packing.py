@@ -42,6 +42,7 @@ def shuffle_positions(
     id_col: str = "doc",
     seed: int = 42,
     shard_size: int = 1000,
+    prefix_chars: int = 3,
 ) -> DataFrame:
     """Deterministic global corpus shuffle: every row gets a dense
     training-order position (0..n-1) by sorting on a salted md5 of its
@@ -50,17 +51,31 @@ def shuffle_positions(
 
     Same scale shape as :func:`pack_offsets`: the naive expression is a
     single global ``row_number() over (order by hash)`` (an Exchange
-    SinglePartition over the corpus); here the first two hex chars of
-    the hash form 256 range buckets whose lexicographic order extends
-    the full-hash order, so positions decompose into a per-bucket
-    ``row_number`` at full width plus an exclusive running count over
-    the 256-row bucket table, broadcast back. Engine-portable (md5 is
-    md5 everywhere) and seed-stable under any partitioning.
+    SinglePartition over the corpus); here the first ``prefix_chars``
+    hex chars of the hash form ``16**prefix_chars`` range buckets whose
+    lexicographic order extends the full-hash order, so positions
+    decompose into a per-bucket ``row_number`` at full width plus an
+    exclusive running count over the metadata-sized bucket table,
+    broadcast back. Engine-portable (md5 is md5 everywhere) and
+    seed-stable under any partitioning.
+
+    ``prefix_chars`` bounds the window parallelism AND the straggler
+    size: md5 is uniform, so each bucket holds ~n/16^prefix_chars rows
+    in one task. The result is invariant to the choice (bucket order
+    extends hash order for any prefix length); size it so a bucket fits
+    one task comfortably — 3 (4096 buckets, the default) covers ~10^10
+    docs at ~2.5M rows/task; use 4 (65k buckets) toward 10^12. The
+    bucket table stays broadcast-tiny (≤16^prefix_chars rows) either
+    way.
     """
+    if not 1 <= int(prefix_chars) <= 5:
+        # 5 → 1M buckets: the ceiling where the bucket table itself is
+        # still unambiguously broadcast/SinglePartition-safe (~10 MB)
+        raise ValueError(f"prefix_chars must be in [1, 5], got {prefix_chars}")
     ids = F.col(id_col)
     h = F.md5(F.concat_ws("|", F.lit(str(int(seed))), ids.cast("string")))
     hashed = df.select(ids.alias("_id"), h.alias("_h")).withColumn(
-        "_hb", F.substring("_h", 1, 2)
+        "_hb", F.substring("_h", 1, int(prefix_chars))
     )
     w_in = Window.partitionBy("_hb").orderBy("_h", "_id")
     numbered = hashed.withColumn("_rn", F.row_number().over(w_in).cast("long"))

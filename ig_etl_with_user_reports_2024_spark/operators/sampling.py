@@ -128,6 +128,7 @@ def temperature_mix(
     beta_num: int = 1,
     beta_den: int = 2,
     salt: str = "mix",
+    prefix_chars: int = 3,
 ) -> DataFrame:
     """Temperature-weighted mixture sampling (α=0.5): rebalance a
     multi-source corpus toward low-resource sources, the standard
@@ -151,20 +152,29 @@ def temperature_mix(
     a per-source running token sum over the md5 order — a deterministic
     reservoir that hits the budget exactly (a Bernoulli draw only hits
     it in expectation). The cumsum uses the two-level decomposition
-    (256 hash-prefix buckets per source at full width + broadcast
-    bucket offsets, operators/packing.py pattern) — per-source windows
-    alone would serialize each source through one task.
+    (``16**prefix_chars`` hash-prefix buckets per source at full width
+    + broadcast bucket offsets, operators/packing.py pattern) —
+    per-source windows alone would serialize each source through one
+    task. ``prefix_chars`` sizes the per-source window parallelism and
+    straggler ceiling exactly as in packing.shuffle_positions (results
+    are invariant to it; default 3 → 4096 buckets/source, use 4 toward
+    10^12-doc sources); the per-source bucket table the offsets ride
+    stays ≤16^prefix_chars rows.
 
     Returns (key, stratum, tokens, kept) for every n_tokens>0 row.
     """
     ids = F.col(key)
+    if not 1 <= int(prefix_chars) <= 5:
+        raise ValueError(f"prefix_chars must be in [1, 5], got {prefix_chars}")
     nz = df.select(
         ids.alias("_id"),
         F.col(stratum).alias("_s"),
         F.col(tokens_col).cast("long").alias("_n"),
     ).filter(F.col("_n") > 0)
     h = F.md5(F.concat(F.lit(salt + ":"), F.col("_id").cast("string")))
-    hashed = nz.withColumn("_h", h).withColumn("_hb", F.substring("_h", 1, 2))
+    hashed = nz.withColumn("_h", h).withColumn(
+        "_hb", F.substring("_h", 1, int(prefix_chars))
+    )
 
     w_in = (
         Window.partitionBy("_s", "_hb")
@@ -183,9 +193,9 @@ def temperature_mix(
         "_s", "_hb", F.coalesce(F.sum("_bn").over(w_b), F.lit(0)).alias("_boff")
     )
 
-    # per-source totals derive from the per-bucket totals (≤256 rows per
-    # source) instead of a third scan of the corpus — btot already paid
-    # for the md5+filter chain
+    # per-source totals derive from the per-bucket totals (≤16^prefix
+    # rows per source) instead of a third scan of the corpus — btot
+    # already paid for the md5+filter chain
     tot = btot.groupBy("_s").agg(F.sum("_bn").alias("_ts")).withColumn(
         "_isq", F.floor(F.sqrt(F.col("_ts").cast("double"))).cast("long")
     )

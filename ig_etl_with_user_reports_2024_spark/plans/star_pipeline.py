@@ -833,8 +833,9 @@ def ds1_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     (salted-md5 sort, seed 42) + 1000-doc shard assignment — the
     reproducible-order pass that precedes packing (dp1) and sharded
     writes. Oracle is the single global row_number; the Spark plan is
-    the decomposed form (256 hash-prefix buckets × per-bucket
-    row_number + broadcast bucket offsets) with no data-sized
+    the decomposed form (16^prefix_chars hash-prefix buckets ×
+    per-bucket row_number + broadcast bucket offsets; default 4096,
+    parameterized so the per-bucket task size scales down at 10^12 docs) with no data-sized
     SinglePartition exchange (operators/packing.py, asserted in
     tests/test_packing.py)."""
     docs = load_table(spark, sf_dir, "documents")
@@ -889,8 +890,8 @@ def mx1_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     fills. Every arithmetic step in the keep decision is BIGINT (see
     operators/sampling.temperature_mix), so the oracle comparison has no
     float accumulation-order hazard; the oracle states the per-source
-    running sum as one window, the Spark plan decomposes it by 256
-    hash-prefix buckets."""
+    running sum as one window, the Spark plan decomposes it by
+    16^prefix_chars hash-prefix buckets (default 4096 per source)."""
     docs = load_table(spark, sf_dir, "documents")
     counted = docs.select(
         F.col("doc_id").alias("doc"),

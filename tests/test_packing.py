@@ -69,7 +69,7 @@ def test_plan_has_no_data_sized_single_partition_exchange(spark):
 
 
 def test_shuffle_positions_match_global_row_number(spark):
-    # the 256-bucket decomposition must equal the single global
+    # the hash-prefix-bucket decomposition must equal the single global
     # row_number over (md5, id) — verified directly against a collected
     # global sort here (small n), and against DuckDB's row_number in the
     # ds1 oracle
@@ -186,3 +186,52 @@ if _HAS_HYPOTHESIS:
         assert got == {
             doc: (p, p // shard) for p, doc in enumerate(order)
         }
+
+
+def test_shuffle_positions_prefix_length_invariance(spark):
+    # VERDICT r4: the bucket count must be a parameter, and the result
+    # must be invariant to it (bucket order extends hash order for any
+    # prefix length)
+    from ig_etl_with_user_reports_2024_spark.operators.packing import (
+        shuffle_positions,
+    )
+
+    df = spark.range(1, 2_000).select(F.col("id").alias("doc"))
+    base = {
+        r.doc: (r.pos, r.shard)
+        for r in shuffle_positions(df, "doc", seed=9, shard_size=64,
+                                   prefix_chars=1).collect()
+    }
+    for pc in (2, 3, 4):
+        got = {
+            r.doc: (r.pos, r.shard)
+            for r in shuffle_positions(df, "doc", seed=9, shard_size=64,
+                                       prefix_chars=pc).collect()
+        }
+        assert got == base, f"prefix_chars={pc} diverged"
+
+
+def test_shuffle_positions_plan_tracks_prefix_chars(spark):
+    # the knob must reach the physical plan: the bucket column is
+    # substring(_h, 1, prefix_chars), so window parallelism scales as
+    # 16^prefix_chars instead of a fixed 256
+    from ig_etl_with_user_reports_2024_spark.operators.packing import (
+        shuffle_positions,
+    )
+
+    import re
+
+    df = spark.range(1, 10_000).select(F.col("id").alias("doc"))
+    for pc in (2, 4):
+        plan = (
+            shuffle_positions(df, "doc", prefix_chars=pc)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert re.search(rf"substring\(_h#\d+, 1, {pc}\)", plan), plan
+        assert "Exchange hashpartitioning(_hb" in plan, plan
+    import pytest
+
+    with pytest.raises(ValueError, match="prefix_chars"):
+        shuffle_positions(df, "doc", prefix_chars=0)
+    with pytest.raises(ValueError, match="prefix_chars"):
+        shuffle_positions(df, "doc", prefix_chars=6)

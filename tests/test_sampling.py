@@ -224,3 +224,35 @@ if _HAS_HYPOTHESIS:
                 cum += n
                 expect[d] = cum <= budget
         assert got == expect
+
+
+def test_temperature_mix_prefix_length_invariance(spark):
+    # VERDICT r4: per-source cumsum bucket count is a parameter; kept
+    # decisions must be invariant to it
+    from pyspark.sql import functions as F
+
+    from ig_etl_with_user_reports_2024_spark.operators.sampling import (
+        temperature_mix,
+    )
+
+    df = spark.range(1, 3_000).select(
+        F.col("id").alias("doc"),
+        (F.col("id") % 4).cast("string").alias("source"),
+        (F.col("id") % 37 + 1).alias("n_tokens"),
+    )
+    base = {
+        r.doc: r.kept
+        for r in temperature_mix(df, "doc", "source", "n_tokens",
+                                 prefix_chars=1).collect()
+    }
+    for pc in (2, 3):
+        got = {
+            r.doc: r.kept
+            for r in temperature_mix(df, "doc", "source", "n_tokens",
+                                     prefix_chars=pc).collect()
+        }
+        assert got == base, f"prefix_chars={pc} diverged"
+    import pytest
+
+    with pytest.raises(ValueError, match="prefix_chars"):
+        temperature_mix(df, "doc", "source", "n_tokens", prefix_chars=9)
