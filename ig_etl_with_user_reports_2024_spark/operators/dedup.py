@@ -76,6 +76,14 @@ def exact_dedup(
     ).drop("rn")
 
 
+# cache pinned by the most recent shingle_pairs_jaccard call; released
+# at the start of the next call (same bounded-leak pattern as
+# plans/creator_report._PERSISTED_HANDLES, and the same contract:
+# single-threaded callers — a concurrent second call can only cause
+# recomputation of the first result, never wrong results)
+_PERSISTED_HANDLES: list[DataFrame] = []
+
+
 def shingle_pairs_jaccard(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5
 ) -> DataFrame:
@@ -88,7 +96,16 @@ def shingle_pairs_jaccard(
 
     Exact and oracle-checkable; at 100 TB use minhash_lsh (below) to
     bound the candidate set, then verify candidates with this formula.
+
+    The exploded shingle table is persisted for the three consumers in
+    this plan; the cache is scoped like creator_report's: each new call
+    releases the previous call's handle, so at most one call's shingle
+    table stays pinned per session (previously it leaked for the
+    session lifetime).
     """
+    for _old in _PERSISTED_HANDLES:
+        _old.unpersist()
+    _PERSISTED_HANDLES.clear()
     # join/aggregate on the 64-bit shingle hash, not the string — smaller
     # shuffle rows and long-vs-long comparisons; collision odds at 10^9
     # distinct shingles are ~1e-2 per full corpus and affect one count by
@@ -116,6 +133,7 @@ def shingle_pairs_jaccard(
         # visible instead of implicit.
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    _PERSISTED_HANDLES.append(sh)
     sizes = sh.groupBy("doc").agg(F.count("*").alias("n_shingles"))
     # (a document-frequency prefilter — drop shingles seen in one doc —
     # pays off on real corpora with long-tail vocabularies; on this

@@ -57,6 +57,9 @@ def connected_components(
     ``max_iter`` rounds (with shortcutting that bounds component
     diameter at ~2^max_iter, so hitting it means something is wrong,
     not merely a long chain).
+
+    The returned DataFrame carries a ``last_rounds`` attribute (rounds
+    executed, including the fixpoint-detection round) as a diagnostic.
     """
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
@@ -115,7 +118,6 @@ def connected_components(
         prev_sum = new_sum
 
     edges.unpersist()
-    connected_components.last_rounds = rounds_used
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge within {max_iter} "
@@ -123,6 +125,11 @@ def connected_components(
             f"be silently wrong; raise max_iter (each round doubles the "
             f"reachable chain length) or inspect the pair graph"
         )
-    return labels.select(
+    out = labels.select(
         F.col("id").alias(id_col), F.col("label").alias("cluster_id")
     )
+    # Round-count diagnostic scoped to THIS result (a function attribute
+    # would be racy under concurrent callers and stale after a raise);
+    # tests use it to lock in the pointer-doubling log2(diameter) bound.
+    out.last_rounds = rounds_used
+    return out

@@ -1293,7 +1293,12 @@ def creator_profile_features(
 
 
 # caches pinned by the most recent creator_report() call; released at
-# the start of the next call (see comment inside creator_report)
+# the start of the next call (see comment inside creator_report).
+# CONTRACT: creator_report is single-threaded per SparkSession — a
+# concurrent second call unpersists the first call's caches, which can
+# only cost recomputation (if the first report is not yet materialized),
+# never wrong results. Tests cover the sequential-successive case
+# (tests/test_creator_pipeline.py).
 _PERSISTED_HANDLES: list[DataFrame] = []
 
 

@@ -231,7 +231,8 @@ def mm4_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     4 s hop over per-item (sample_rate, n_samples) metadata — the ASR /
     audio-embedding windowing pass — through the real
     ``audio_chunk_plan`` operator, with the metadata derived from md5
-    prefixes (rate ∈ {8000,16000,22050,44100}, 1-30 s duration) so
+    prefixes (rate ∈ {8000,16000,22050,44100}, duration in [1 s, 31 s):
+    ``n_samples = h2 % (rate*30) + rate``) so
     DuckDB reproduces the selection bit-exactly. As with mm2/mm3, only
     the byte-level decode is the stubbed Python boundary; every sample
     index the pipeline would feed it is hash-checked."""

@@ -59,9 +59,17 @@ def test_10k_path_round_count_locks_pointer_doubling(spark):
     # locks in the shortcut step: if someone drops it, this test times
     # out at max_iter instead of passing slowly.
     n = 10_000
-    got = _run(spark, list(range(1, n + 1)), [(i, i + 1) for i in range(1, n)])
+    nodes = spark.createDataFrame(
+        [(i,) for i in range(1, n + 1)], "doc_id bigint"
+    )
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, n)], "a_id bigint, b_id bigint"
+    )
+    out = connected_components(nodes, pairs)
+    got = {r.doc_id: r.cluster_id for r in out.collect()}
     assert got == {i: 1 for i in range(1, n + 1)}
-    assert connected_components.last_rounds <= 16
+    # diagnostic rides the returned DataFrame, not the function object
+    assert out.last_rounds <= 16
 
 
 def test_nonconvergence_raises(spark):
