@@ -242,6 +242,17 @@ def creator_post_aggregates(
     - top-6: per-post ER rounded 2dp FIRST, then mean of rounded, 2dp
       (:1525-1543) — within the 90-day window
     - Q6 divisor: first-20 sums over len(all) (compat_q6=True, :267-277)
+    - top_6_posts list (:1502-1543): folded into this same groupBy —
+      ``recent_score_rank`` already orders by (90-day interaction score
+      desc, pos), exactly the top-6 window, so the rendered list rides
+      a conditional collect_list instead of a second window + groupBy
+      pass over the feature table
+    - C13 partnership scalars + collaboration timeline (:540-684): the
+      sponsored/organic means were already computed here (A13); the
+      timeline collect and the crash flag (:663-667) join them, so the
+      whole per-creator slice of detect_paid_partnerships is this one
+      aggregation (the explode-grain sponsor/brand lists stay in
+      creator_sponsor_brands)
 
     python_rounding: route rounded columns through the CPython-exact
     pandas UDF (functions/pyround.py) for golden-file bit parity; the
@@ -363,6 +374,44 @@ def creator_post_aggregates(
         F.sum(
             F.when(F.col("er_engagement") > 2 * F.col("_mean_score"), 1).otherwise(0)
         ).alias("viral_posts_count"),
+        # K1 top-6 rendered list (:1502-1543): same rank as top6_er above;
+        # zero-follower creators keep an empty list (:1508 — fol is
+        # per-creator constant, so the filter cannot change ranks)
+        F.array_sort(
+            F.collect_list(
+                F.when(
+                    (F.col("recent_score_rank") <= 6)
+                    & F.col("is_recent_90d")
+                    & (F.col("follower_count") > 0),
+                    F.struct(
+                        "recent_score_rank", "interaction_score", "likes",
+                        "comments", "_er_int_r", "code", "taken_date",
+                    ),
+                )
+            )
+        ).alias("_top6_raw"),
+        # C13 timeline (:648-667): date-desc sorted sponsored posts; the
+        # crash flag reproduces the reference's unguarded sponsor_tags
+        # iteration (one null → except → timeline stays empty, score 0)
+        F.reverse(
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("is_sponsored"),
+                        F.struct(
+                            F.col("taken_date").alias("date"),
+                            F.col("pos").alias("neg_pos"),
+                            F.col("id").alias("post_id"),
+                            F.col("sponsor_users").alias("sponsors"),
+                            F.col("total_engagement").alias("engagement"),
+                        ),
+                    )
+                )
+            )
+        ).alias("_timeline_raw"),
+        F.max(F.col("is_sponsored") & F.col("sponsor_tags_null")).alias(
+            "_timeline_crashed"
+        ),
     )
 
     fol = F.col("_fol")
@@ -401,6 +450,11 @@ def creator_post_aggregates(
         F.col("_latest6_n") > 0,
         rnd(F.col("_latest6_er_sum") / F.col("_latest6_n"), 3),
     ).otherwise(0.0)
+    # C13 scalars (:660-679): coalesced means, ratio over the coalesced
+    # values (the > 0 guards make the coalesce a no-op for the ratio)
+    avg_spon = F.coalesce(F.col("sponsored_avg_engagement"), F.lit(0.0))
+    avg_org = F.coalesce(F.col("organic_avg_engagement"), F.lit(0.0))
+    spon_ratio = F.when((avg_spon > 0) & (avg_org > 0), avg_spon / avg_org)
     return (
         agg.withColumn("avg_likes", rnd(F.col("_avg_likes_raw"), 0).cast("long"))
         .withColumn("avg_comments", rnd(F.col("_avg_comments_raw"), 0).cast("long"))
@@ -420,7 +474,48 @@ def creator_post_aggregates(
         .withColumns(
             {f"post{i}_er": rnd(F.col(f"_post{i}_raw"), 2) for i in range(1, 7)}
         )
+        .withColumn(
+            "top_6_posts",
+            F.transform(
+                "_top6_raw",
+                lambda s: F.struct(
+                    s["interaction_score"].alias("interaction_score"),
+                    s["likes"].alias("likes"),
+                    s["comments"].alias("comments"),
+                    s["_er_int_r"].alias("engagement_rate"),
+                    s["code"].alias("post_code"),
+                    s["taken_date"].alias("taken_at"),
+                ),
+            ),
+        )
+        # null (not []) when crashed OR no sponsored posts — the shape the
+        # assembly and sinks already expect from the pre-merge left join
+        .withColumn(
+            "collaboration_timeline",
+            F.when(
+                ~F.col("_timeline_crashed") & (F.col("sponsored_posts") > 0),
+                F.transform(
+                    "_timeline_raw",
+                    lambda s: F.struct(
+                        s["date"].alias("date"),
+                        s["post_id"].alias("post_id"),
+                        s["sponsors"].alias("sponsors"),
+                        s["engagement"].alias("engagement"),
+                    ),
+                ),
+            ),
+        )
+        .withColumn("avg_sponsored_engagement", avg_spon)
+        .withColumn("avg_organic_engagement", avg_org)
+        .withColumn("total_sponsored_posts", F.col("sponsored_posts"))
+        .withColumn("sponsored_vs_organic_ratio", rnd(spon_ratio, 2))
+        .withColumn(
+            "sponsored_performs_better",
+            F.coalesce(spon_ratio > 1.0, F.lit(False)),
+        )
         .drop(
+            "_top6_raw",
+            "_timeline_raw",
             "_recent_mean",
             "_older_mean",
             "_score_stddev",
@@ -439,16 +534,27 @@ def creator_post_aggregates(
     )
 
 
-def creator_modal_hour(feat: DataFrame) -> DataFrame:
+def creator_hour_histogram(feat: DataFrame) -> DataFrame:
+    """(username, post_hour) → count + first arrival pos. Shared input of
+    creator_modal_hour and creator_location_analysis; creator_report
+    computes (and persists — it is creator×24-grain, tiny) this ONCE so
+    the histogram groupBy runs one scan instead of two."""
+    return feat.groupBy("username", "post_hour").agg(
+        F.count("*").alias("cnt"), F.min("pos").alias("first_pos")
+    )
+
+
+def creator_modal_hour(
+    feat: DataFrame, hours: DataFrame | None = None
+) -> DataFrame:
     """A7 + K4 + C5 — posting-hour histogram → modal hour → daypart.
 
     Reference: Counter.most_common(1) analyze_insta_enhanced.py:489-498;
     ties = insertion (arrival) order (Q10) → (count desc, first pos).
     Exact buckets: 6-11 Morning / 12-17 Afternoon / 18-22 Evening / Night.
     """
-    hours = feat.groupBy("username", "post_hour").agg(
-        F.count("*").alias("cnt"), F.min("pos").alias("first_pos")
-    )
+    if hours is None:
+        hours = creator_hour_histogram(feat)
     w = Window.partitionBy("username").orderBy(
         F.col("cnt").desc(), F.col("first_pos").asc(), F.col("post_hour").asc()
     )
@@ -511,7 +617,22 @@ def creator_hashtags_mentions(feat: DataFrame, k: int = 10) -> DataFrame:
     return tags.join(mentions, "username", "full")
 
 
-def creator_collaborations(feat: DataFrame) -> DataFrame:
+def creator_collab_keys(feat: DataFrame) -> DataFrame:
+    """Per-creator collaboration anchors (analyze_insta_enhanced.py:
+    1264-1327): first paid-partnership pos, first #ad/#collab pos, and
+    ``uname`` (the FIRST post's node.user.username). Shared input of
+    creator_collaborations and creator_ugc_examples; creator_report
+    persists it once (creator-grain, tiny)."""
+    return feat.groupBy("username").agg(
+        F.min(F.when(F.col("is_paid"), F.col("pos"))).alias("paid_pos"),
+        F.min(F.when(F.col("has_ad_collab_tag"), F.col("pos"))).alias("tag_pos"),
+        F.min_by(F.col("user_username"), F.col("pos")).alias("uname"),
+    )
+
+
+def creator_collaborations(
+    feat: DataFrame, keys: DataFrame | None = None
+) -> DataFrame:
     """C12 — identify_collaborations, exactly
     (analyze_insta_enhanced.py:1253-1490):
 
@@ -528,11 +649,8 @@ def creator_collaborations(feat: DataFrame) -> DataFrame:
     - ``recent_collaborations`` is a COUNT of recent entries (:1496);
       ``all_collaborations`` keeps insertion order.
     """
-    keys = feat.groupBy("username").agg(
-        F.min(F.when(F.col("is_paid"), F.col("pos"))).alias("paid_pos"),
-        F.min(F.when(F.col("has_ad_collab_tag"), F.col("pos"))).alias("tag_pos"),
-        F.min_by(F.col("user_username"), F.col("pos")).alias("uname"),
-    )
+    if keys is None:
+        keys = creator_collab_keys(feat)
     fx = feat.join(F.broadcast(keys), "username")
     foreign = lambda c: c.isNotNull() & (  # noqa: E731
         F.col("uname").isNull() | (c != F.col("uname"))
@@ -657,16 +775,19 @@ def creator_collaborations(feat: DataFrame) -> DataFrame:
     )
 
 
-def creator_ugc_examples(feat: DataFrame) -> DataFrame:
+def creator_ugc_examples(
+    feat: DataFrame, keys: DataFrame | None = None
+) -> DataFrame:
     """K6 — extract_ugc_examples (analyze_insta_enhanced.py:1114-1251):
     clips-only 4-tier cascade (paid → #ad/#collab → foreign owner →
     foreign coauthor), first-occurrence dedup across tiers, cap 3,
     rendered as pipe-joined Instagram URLs.
     """
-    keys = feat.groupBy("username").agg(
-        F.min_by(F.col("user_username"), F.col("pos")).alias("uname")
-    )
-    fx = feat.join(F.broadcast(keys), "username").filter(F.col("is_clips"))
+    if keys is None:
+        keys = creator_collab_keys(feat)
+    fx = feat.join(
+        F.broadcast(keys.select("username", "uname")), "username"
+    ).filter(F.col("is_clips"))
     has_uname = F.col("uname").isNotNull()
     prio = (
         F.when(F.col("is_paid"), 1)
@@ -707,57 +828,14 @@ def creator_ugc_examples(feat: DataFrame) -> DataFrame:
     )
 
 
-def creator_top6_posts(feat: DataFrame, python_rounding: bool = False) -> DataFrame:
-    """calculate_top_post_er's top_6_posts list
-    (analyze_insta_enhanced.py:1502-1543): 90-day window, sorted by
-    interaction score (5× comments), per-post ER rounded 2dp, rendered as
-    ordered structs. Zero followers → empty list + zero counts (:1508).
+def creator_sponsor_brands(feat: DataFrame) -> DataFrame:
+    r"""C13 explode-grain lists (analyze_insta_enhanced.py:605-661):
+    sponsor-tag frequency map + unique-sponsor count, and brand mentions
+    (plain-\w regex, excluding the platform names). The per-creator
+    partnership scalars and the collaboration timeline are folded into
+    creator_post_aggregates (one wide agg); the bio-indicator flag joins
+    in at report assembly (it is profile-level).
     """
-    from ..functions.pyround import rounder
-
-    rnd = rounder(python_rounding)
-    recent = feat.filter(F.col("is_recent_90d") & (F.col("follower_count") > 0))
-    w = Window.partitionBy("username").orderBy(
-        F.col("interaction_score").desc(), F.col("pos").asc()
-    )
-    top = (
-        recent.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 6)
-        .withColumn("er_r", rnd(F.col("er_interaction"), 2))
-    )
-    return top.groupBy("username").agg(
-        F.transform(
-            F.array_sort(
-                F.collect_list(
-                    F.struct(
-                        "rn", "interaction_score", "likes", "comments", "er_r",
-                        "code", "taken_date",
-                    )
-                )
-            ),
-            lambda s: F.struct(
-                s["interaction_score"].alias("interaction_score"),
-                s["likes"].alias("likes"),
-                s["comments"].alias("comments"),
-                s["er_r"].alias("engagement_rate"),
-                s["code"].alias("post_code"),
-                s["taken_date"].alias("taken_at"),
-            ),
-        ).alias("top_6_posts")
-    )
-
-
-def creator_partnership_data(feat: DataFrame, python_rounding: bool = False) -> DataFrame:
-    r"""C13 — detect_paid_partnerships aggregates
-    (analyze_insta_enhanced.py:540-684): sponsored/organic means,
-    sponsor-tag frequency, brand mentions (plain-\w regex, excluding the
-    platform names), collaboration timeline, and the capped
-    collaboration-score inputs. The bio-indicator flag joins in at report
-    assembly (it is profile-level).
-    """
-    from ..functions.pyround import rounder
-
-    rnd = rounder(python_rounding)
     sponsors = (
         feat.select("username", F.explode("sponsor_users").alias("sponsor"))
         .filter(F.col("sponsor").isNotNull())
@@ -777,68 +855,8 @@ def creator_partnership_data(feat: DataFrame, python_rounding: bool = False) -> 
         .groupBy("username")
         .agg(F.collect_set("m").alias("brand_mentions"))
     )
-    timeline = (
-        feat.filter(F.col("is_sponsored"))
-        .groupBy("username")
-        .agg(
-            F.transform(
-                F.reverse(
-                    F.array_sort(
-                        F.collect_list(
-                            F.struct(
-                                F.col("taken_date").alias("date"),
-                                F.col("pos").alias("neg_pos"),
-                                F.col("id").alias("post_id"),
-                                F.col("sponsor_users").alias("sponsors"),
-                                F.col("total_engagement").alias("engagement"),
-                            )
-                        )
-                    )
-                ),
-                lambda s: F.struct(
-                    s["date"].alias("date"),
-                    s["post_id"].alias("post_id"),
-                    s["sponsors"].alias("sponsors"),
-                    s["engagement"].alias("engagement"),
-                ),
-            ).alias("collaboration_timeline")
-        )
-    )
-    means = feat.groupBy("username").agg(
-        F.sum(F.when(F.col("is_sponsored"), 1).otherwise(0)).alias(
-            "total_sponsored_posts"
-        ),
-        # reference quirk (:663-667): the timeline loop iterates
-        # post['sponsor_tags'] without a None guard; one sponsored post
-        # with null sponsor_tags raises TypeError → the outer except
-        # leaves collaboration_timeline=[] and collaboration_score=0
-        F.max(F.col("is_sponsored") & F.col("sponsor_tags_null")).alias(
-            "_timeline_crashed"
-        ),
-        F.coalesce(
-            F.avg(F.when(F.col("is_sponsored"), F.col("total_engagement"))),
-            F.lit(0.0),
-        ).alias("avg_sponsored_engagement"),
-        F.coalesce(
-            F.avg(F.when(~F.col("is_sponsored"), F.col("total_engagement"))),
-            F.lit(0.0),
-        ).alias("avg_organic_engagement"),
-    )
-    ratio = F.when(
-        (F.col("avg_sponsored_engagement") > 0)
-        & (F.col("avg_organic_engagement") > 0),
-        F.col("avg_sponsored_engagement") / F.col("avg_organic_engagement"),
-    )
     return (
-        means.join(sponsors, "username", "left")
-        .join(brands, "username", "left")
-        .join(timeline, "username", "left")
-        .withColumn(
-            "collaboration_timeline",
-            F.when(~F.col("_timeline_crashed"), F.col("collaboration_timeline")),
-        )
-        .withColumn("sponsored_vs_organic_ratio", rnd(ratio, 2))
-        .withColumn("sponsored_performs_better", F.coalesce(ratio > 1.0, F.lit(False)))
+        sponsors.join(brands, "username", "full")
         .withColumn(
             "n_unique_sponsors", F.coalesce("n_unique_sponsors", F.lit(0))
         )
@@ -859,7 +877,9 @@ LOCATION_HASHTAG_PATTERNS = [
 
 
 def creator_location_analysis(
-    feat: DataFrame, cities: DataFrame | None = None
+    feat: DataFrame,
+    cities: DataFrame | None = None,
+    hours: DataFrame | None = None,
 ) -> DataFrame:
     """Location module (analyze_insta_enhanced.py:95-240): location tags +
     capitalized city candidates, first-occurrence dedup (the reference
@@ -915,9 +935,8 @@ def creator_location_analysis(
         .agg(F.collect_set("tag").alias("location_hashtags"))
     )
 
-    hours = feat.groupBy("username", "post_hour").agg(
-        F.count("*").alias("cnt"), F.min("pos").alias("first_pos")
-    )
+    if hours is None:
+        hours = creator_hour_histogram(feat)
     w5 = Window.partitionBy("username").orderBy(
         F.col("cnt").desc(), F.col("first_pos").asc()
     )
@@ -947,11 +966,17 @@ def creator_location_analysis(
         ).alias("posting_timezone_pattern")
     )
 
+    # `pattern` derives from the unfiltered hour histogram, so its
+    # username set is EVERY creator with ≥1 post — a superset of the
+    # location/hashtag/tz branches. Left joins from it are therefore
+    # row-equivalent to the full joins they replace, and (unlike full
+    # joins, whose coalesced key loses the partitioning) they keep the
+    # creator-hash partitioning flowing, so the chain adds no exchange.
     out = (
-        loc_lists.join(loc_tags, "username", "full")
-        .join(pattern, "username", "full")
+        pattern.join(loc_lists, "username", "left")
+        .join(loc_tags, "username", "left")
         .join(tz.select("username", tz_estimate.alias("timezone_estimate")),
-              "username", "full")
+              "username", "left")
     )
     if cities is not None:
         # J2 — first-match substring theta-join against the (valid) dim
@@ -1351,14 +1376,26 @@ def creator_report(
     _PERSISTED_HANDLES.append(feat)
     profile = creator_profile_features(users, spark, python_rounding)
 
+    # two tiny creator-grain intermediates consumed twice each: the hour
+    # histogram (modal + location) and the collab anchors (collaborations
+    # + ugc). Persisted so each is computed in one pass over `feat`.
+    hours = creator_hour_histogram(feat).persist(StorageLevel.MEMORY_AND_DISK)
+    _PERSISTED_HANDLES.append(hours)
+    keys = creator_collab_keys(feat).persist(StorageLevel.MEMORY_AND_DISK)
+    _PERSISTED_HANDLES.append(keys)
+
+    # top_6_posts and the C13 partnership scalars/timeline ride inside
+    # creator_post_aggregates' single wide aggregation (three fewer
+    # passes over `feat` + two fewer report joins than computing them
+    # standalone); only the explode-grain sponsor/brand lists remain a
+    # separate consumer.
     aggs = creator_post_aggregates(feat, as_of, compat_q6, python_rounding)
-    modal = creator_modal_hour(feat)
+    modal = creator_modal_hour(feat, hours=hours)
     tagsmen = creator_hashtags_mentions(feat)
-    collabs = creator_collaborations(feat)
-    ugc = creator_ugc_examples(feat)
-    top6 = creator_top6_posts(feat, python_rounding)
-    partnership = creator_partnership_data(feat, python_rounding)
-    location = creator_location_analysis(feat, cities)
+    collabs = creator_collaborations(feat, keys=keys)
+    ugc = creator_ugc_examples(feat, keys=keys)
+    sponsor_brands = creator_sponsor_brands(feat)
+    location = creator_location_analysis(feat, cities, hours=hours)
 
     report = (
         profile.join(aggs, "username", "left")
@@ -1366,9 +1403,18 @@ def creator_report(
         .join(tagsmen, "username", "left")
         .join(collabs, "username", "left")
         .join(ugc, "username", "left")
-        .join(top6, "username", "left")
-        .join(partnership, "username", "left")
+        .join(sponsor_brands, "username", "left")
         .join(location, "username", "left")
+        # creators whose posts carry no sponsor tags / brand mentions
+        # have no sponsor_brands row; restore the defaults the merged
+        # C13 path previously supplied for every creator
+        .withColumn(
+            "n_unique_sponsors", F.coalesce("n_unique_sponsors", F.lit(0))
+        )
+        .withColumn(
+            "brand_mentions",
+            F.coalesce("brand_mentions", F.array().cast("array<string>")),
+        )
     )
 
     # C2 type/tier (:854-892): profile OR caption UGC hit, then demotion

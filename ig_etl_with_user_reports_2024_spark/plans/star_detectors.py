@@ -100,7 +100,7 @@ def c13_sponsor_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference: analyze_insta_enhanced.py:540-684 (indicator list
     :581-601, tags-presence OR :599, per-creator counts :653-662).
     Engine twin: creator_report.py per_post_features ``is_sponsored`` +
-    creator_partnership_data. One scan, one shuffle on the creator key;
+    creator_post_aggregates (C13 scalars). One scan, one shuffle on the creator key;
     the predicate is a pure Catalyst expression (whole-stage codegen) —
     scales linearly with the corpus.
     """

@@ -179,8 +179,8 @@ def test_creator_report_consumers_run_off_cached_partitioning(spark):
         for name, df in (
             ("modal", cr.creator_modal_hour(feat)),
             ("aggs", cr.creator_post_aggregates(feat, dt.datetime(2025, 9, 7), True, False)),
-            ("top6", cr.creator_top6_posts(feat, False)),
-            ("partnership", cr.creator_partnership_data(feat, False)),
+            ("sponsor_brands", cr.creator_sponsor_brands(feat)),
+            ("location", cr.creator_location_analysis(feat)),
         ):
             plan = df._jdf.queryExecution().executedPlan().toString()
             outer = plan.split("InMemoryRelation")[0]
