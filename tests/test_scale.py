@@ -145,3 +145,33 @@ def test_r4_layout_family_completes_at_8x(spark, big_sf):
     mx = qs["mx1_temperature_mix"](spark, big_sf)
     kept = mx.filter("kept").count()
     assert 0 < kept < mx.count()
+
+
+def test_cc_and_cascade_complete_at_8x(spark, big_sf):
+    # VERDICT r4 #5: the two most shape-dependent plans at 8x —
+    # dd6's pointer-doubling connected components (round count grows
+    # with component diameter, cost with rows-per-round) and k6's
+    # window cascade (per-key top-3 under 8x keys × rows)
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+
+    n_docs = spark.read.parquet(f"{big_sf}/documents.parquet").count()
+    cc = qs["dd6_dup_clusters"](spark, big_sf)
+    stats = cc.agg(
+        F.count("*").alias("n"),
+        # min-label invariant: every cluster id is <= its member's id
+        F.sum(F.when(F.col("cluster_id") > F.col("doc_id"), 1).otherwise(0)).alias(
+            "bad"
+        ),
+        F.countDistinct("cluster_id").alias("n_clusters"),
+    ).collect()[0]
+    assert stats.n == n_docs  # every doc labeled, none lost in rounds
+    assert stats.bad == 0
+    assert 0 < stats.n_clusters <= n_docs
+
+    k6 = qs["k6_priority_cascade"](spark, big_sf)
+    per_key = k6.groupBy("o_custkey").agg(F.count("*").alias("n"))
+    assert per_key.agg(F.max("n")).collect()[0][0] <= 3
+    assert k6.filter((F.col("rn") < 1) | (F.col("rn") > 3)).count() == 0
+    assert k6.count() > 0
