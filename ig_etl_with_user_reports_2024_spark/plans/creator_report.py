@@ -575,46 +575,81 @@ def creator_modal_hour(
 def creator_hashtags_mentions(feat: DataFrame, k: int = 10) -> DataFrame:
     """A7 + K3 — top-10 hashtags AND stoplist-filtered mentions over the
     90-day window (analyze_insta_enhanced.py:1557-1609); Python dict-sort
-    ties = first-seen order (Q10) → (count desc, first pos, token)."""
+    ties = first-seen order (Q10) → (count desc, first pos, token).
 
-    def top_tokens(col: str, out: str, stoplist: list[str] | None) -> DataFrame:
-        # posexplode: Python's count-dict keeps FIRST-INSERTION order for
-        # ties (Q10) — that is (post arrival order, position of the token
-        # within the caption), so both indices become tie-break columns
-        toks = feat.filter(F.col("is_recent_90d")).select(
-            "username", "pos", F.posexplode(col).alias("tok_idx", "token")
+    One pass: each token is tagged with its kind ('h'/'m'), both arrays
+    explode together, and the count → rank → top-k machinery runs
+    per (username, kind) — halving the feature-cache scans and removing
+    the full join between the two branches. The Q10 tie-break survives
+    the concat: posexplode indices of the combined array shift mention
+    positions by the SAME post's hashtag count, a per-row constant, so
+    the (pos, tok_idx) order within each kind is unchanged. A creator
+    with tokens of only one kind gets an empty map (not null) for the
+    other — every consumer (golden compare, wide_csv) already coalesces,
+    and the reference's Python dict default is {} too.
+    """
+    tagged = F.concat(
+        F.transform(
+            "hashtags",
+            lambda t: F.struct(F.lit("h").alias("kind"), t.alias("token")),
+        ),
+        F.transform(
+            "mentions",
+            lambda t: F.struct(F.lit("m").alias("kind"), t.alias("token")),
+        ),
+    )
+    toks = (
+        feat.filter(F.col("is_recent_90d"))
+        .select("username", "pos", F.posexplode(tagged).alias("tok_idx", "kt"))
+        .select(
+            "username",
+            "pos",
+            "tok_idx",
+            F.col("kt.kind").alias("kind"),
+            # mentions stoplist is exact (:1600); hashtags pre-lowered at
+            # extract, mentions lowered (+ length/stoplist filter) here
+            F.when(
+                F.col("kt.kind") == "m", F.lower(F.col("kt.token"))
+            ).otherwise(F.col("kt.token")).alias("token"),
         )
-        if stoplist is not None:
-            toks = toks.select(
-                "username", "pos", "tok_idx", F.lower(F.col("token")).alias("token")
-            ).filter(
-                (F.length("token") >= 3) & ~F.col("token").isin(stoplist)
+        .filter(
+            (F.col("kind") == "h")
+            | (
+                (F.length("token") >= 3)
+                & ~F.col("token").isin(dims.MENTION_STOPLIST)
             )
-        counts = toks.groupBy("username", "token").agg(
-            F.count("*").alias("cnt"),
-            F.min(F.struct("pos", "tok_idx")).alias("first_seen"),
         )
-        w = Window.partitionBy("username").orderBy(
-            F.col("cnt").desc(),
-            F.col("first_seen.pos").asc(),
-            F.col("first_seen.tok_idx").asc(),
-        )
-        top = counts.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
-        return top.groupBy("username").agg(
-            F.map_from_entries(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("rn", "token", "cnt"))),
-                    lambda s: F.struct(
-                        s["token"].alias("key"), s["cnt"].alias("value")
-                    ),
-                )
-            ).alias(out)
+    )
+    counts = toks.groupBy("username", "kind", "token").agg(
+        F.count("*").alias("cnt"),
+        F.min(F.struct("pos", "tok_idx")).alias("first_seen"),
+    )
+    w = Window.partitionBy("username", "kind").orderBy(
+        F.col("cnt").desc(),
+        F.col("first_seen.pos").asc(),
+        F.col("first_seen.tok_idx").asc(),
+    )
+    top = counts.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+
+    def kind_map(kind: str) -> Column:
+        return F.map_from_entries(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("kind") == kind,
+                            F.struct("rn", "token", "cnt"),
+                        )
+                    )
+                ),
+                lambda s: F.struct(s["token"].alias("key"), s["cnt"].alias("value")),
+            )
         )
 
-    # mentions stoplist is exact (:1600); hashtags pre-lowered at extract
-    tags = top_tokens("hashtags", "hashtags_last_90_days", None)
-    mentions = top_tokens("mentions", "mentions_last_90_days", dims.MENTION_STOPLIST)
-    return tags.join(mentions, "username", "full")
+    return top.groupBy("username").agg(
+        kind_map("h").alias("hashtags_last_90_days"),
+        kind_map("m").alias("mentions_last_90_days"),
+    )
 
 
 def creator_collab_keys(feat: DataFrame) -> DataFrame:
@@ -836,34 +871,51 @@ def creator_sponsor_brands(feat: DataFrame) -> DataFrame:
     creator_post_aggregates (one wide agg); the bio-indicator flag joins
     in at report assembly (it is profile-level).
     """
-    sponsors = (
-        feat.select("username", F.explode("sponsor_users").alias("sponsor"))
-        .filter(F.col("sponsor").isNotNull())
-        .groupBy("username", "sponsor")
+    # one pass: kind-tagged union explode of both arrays, one
+    # (username, kind, token) count grain, one final agg — instead of
+    # two feature-cache scans full-joined back together. A sponsor-less
+    # creator with brand mentions gets sponsor_frequency = {} (not
+    # null); every consumer (golden compare, collaboration_score's
+    # coalesce) treats them alike, matching the reference's {} default.
+    tagged = F.concat(
+        F.transform(
+            "sponsor_users",
+            lambda s: F.struct(F.lit("s").alias("kind"), s.alias("token")),
+        ),
+        F.transform(
+            "mentions_w",
+            lambda m: F.struct(F.lit("b").alias("kind"), m.alias("token")),
+        ),
+    )
+    counts = (
+        feat.select("username", F.explode(tagged).alias("kt"))
+        .select(
+            "username",
+            F.col("kt.kind").alias("kind"),
+            F.col("kt.token").alias("token"),
+        )
+        .filter(
+            F.col("token").isNotNull()
+            & (
+                (F.col("kind") == "s")
+                | ~F.lower("token").isin("instagram", "facebook", "twitter")
+            )
+        )
+        .groupBy("username", "kind", "token")
         .agg(F.count("*").alias("cnt"))
-        .groupBy("username")
-        .agg(
-            F.map_from_entries(F.collect_list(F.struct("sponsor", "cnt"))).alias(
-                "sponsor_frequency"
-            ),
-            F.count("*").alias("n_unique_sponsors"),
-        )
     )
-    brands = (
-        feat.select("username", F.explode("mentions_w").alias("m"))
-        .filter(~F.lower("m").isin("instagram", "facebook", "twitter"))
-        .groupBy("username")
-        .agg(F.collect_set("m").alias("brand_mentions"))
-    )
-    return (
-        sponsors.join(brands, "username", "full")
-        .withColumn(
-            "n_unique_sponsors", F.coalesce("n_unique_sponsors", F.lit(0))
-        )
-        .withColumn(
-            "brand_mentions",
-            F.coalesce("brand_mentions", F.array().cast("array<string>")),
-        )
+    return counts.groupBy("username").agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.when(F.col("kind") == "s", F.struct("token", "cnt"))
+            )
+        ).alias("sponsor_frequency"),
+        F.sum(F.when(F.col("kind") == "s", 1).otherwise(0)).alias(
+            "n_unique_sponsors"
+        ),
+        F.collect_list(F.when(F.col("kind") == "b", F.col("token"))).alias(
+            "brand_mentions"
+        ),
     )
 
 
