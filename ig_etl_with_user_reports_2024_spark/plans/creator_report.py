@@ -687,82 +687,94 @@ def creator_collaborations(
     if keys is None:
         keys = creator_collab_keys(feat)
     fx = feat.join(F.broadcast(keys), "username")
-    foreign = lambda c: c.isNotNull() & (  # noqa: E731
-        F.col("uname").isNull() | (c != F.col("uname"))
-    )
+    uname_open = F.col("uname").isNull()
 
-    def clean(rows: DataFrame) -> DataFrame:
-        return rows.filter(
-            (F.length("collab") >= 3)
-            & ~F.lower(F.col("collab")).isin(dims.MENTION_STOPLIST)
+    def _mention_structs(phase: int, source: str) -> Column:
+        return F.transform(
+            "mentions",
+            lambda m, i: F.struct(
+                F.lit(phase).alias("phase"),
+                i.alias("sub"),
+                m.alias("collab"),
+                F.lit(source).alias("source"),
+                F.lit("mention").alias("recent_source"),
+            ),
         )
 
-    # phase 1: mentions of the first paid post (insertion = caption order)
-    paid_mentions = clean(
-        fx.filter(F.col("pos") == F.col("paid_pos")).select(
-            "username",
-            F.lit(1).alias("phase"),
-            "pos",
-            F.posexplode("mentions").alias("sub", "collab"),
-            F.col("is_recent_300d"),
-            F.lit("paid_partnership").alias("source"),
-            F.lit("mention").alias("recent_source"),
-        )
+    _empty = F.array().cast(
+        "array<struct<phase:int,sub:int,collab:string,"
+        "source:string,recent_source:string>>"
     )
-    # phase 2: owners (sub 0) and coauthors (sub i+1) of every post
-    owners = fx.filter(foreign(F.col("owner_username"))).select(
-        "username",
-        F.lit(2).alias("phase"),
-        "pos",
-        F.lit(0).alias("sub"),
-        F.col("owner_username").alias("collab"),
-        F.col("is_recent_300d"),
-        F.lit("owner").alias("source"),
-        F.lit("owner").alias("recent_source"),
-    )
-    coauthors = (
-        fx.select(
-            "username",
-            F.lit(2).alias("phase"),
-            "pos",
-            F.posexplode(
-                F.filter(
-                    F.col("coauthors_raw"), lambda c: c["username"].isNotNull()
+    # All four reference collection phases as ONE per-row candidate
+    # array (previously four unioned scans of the feature cache):
+    # phase 1 — mentions of the first paid post (insertion = caption
+    # order); phase 2 — the foreign owner (sub 0) and the foreign
+    # coauthors (sub i+1, indexed in the null-filtered array BEFORE the
+    # uname filter, matching the old posexplode-then-filter order);
+    # phase 3 — mentions of the first #ad/#collab post, only when no
+    # paid post exists.
+    cands_array = F.concat(
+        F.when(
+            F.col("pos") == F.col("paid_pos"),
+            _mention_structs(1, "paid_partnership"),
+        ).otherwise(_empty),
+        F.when(
+            F.col("owner_username").isNotNull()
+            & (uname_open | (F.col("owner_username") != F.col("uname"))),
+            F.array(
+                F.struct(
+                    F.lit(2).alias("phase"),
+                    F.lit(0).alias("sub"),
+                    F.col("owner_username").alias("collab"),
+                    F.lit("owner").alias("source"),
+                    F.lit("owner").alias("recent_source"),
                 )
-            ).alias("sub", "co"),
-            F.col("is_recent_300d"),
-            F.col("uname"),
-        )
-        .filter(
-            F.col("uname").isNull() | (F.col("co")["username"] != F.col("uname"))
+            ),
+        ).otherwise(_empty),
+        F.filter(
+            F.transform(
+                F.filter(
+                    F.col("coauthors_raw"),
+                    lambda c: c["username"].isNotNull(),
+                ),
+                lambda c, i: F.struct(
+                    F.lit(2).alias("phase"),
+                    (i + 1).alias("sub"),
+                    c["username"].alias("collab"),
+                    F.lit("coauthor").alias("source"),
+                    F.lit("coauthor").alias("recent_source"),
+                ),
+            ),
+            lambda s: uname_open | (s["collab"] != F.col("uname")),
+        ),
+        F.when(
+            F.col("paid_pos").isNull() & (F.col("pos") == F.col("tag_pos")),
+            _mention_structs(3, "tag"),
+        ).otherwise(_empty),
+    )
+    candidates = (
+        fx.select(
+            "username", "pos", "is_recent_300d", F.explode(cands_array).alias("c")
         )
         .select(
             "username",
-            "phase",
+            F.col("c.phase").alias("phase"),
             "pos",
-            (F.col("sub") + 1).alias("sub"),
-            F.col("co")["username"].alias("collab"),
+            F.col("c.sub").alias("sub"),
+            F.col("c.collab").alias("collab"),
             "is_recent_300d",
-            F.lit("coauthor").alias("source"),
-            F.lit("coauthor").alias("recent_source"),
+            F.col("c.source").alias("source"),
+            F.col("c.recent_source").alias("recent_source"),
         )
-    )
-    # phase 3: mentions of the first #ad/#collab post, only without a paid post
-    tag_mentions = clean(
-        fx.filter(
-            F.col("paid_pos").isNull() & (F.col("pos") == F.col("tag_pos"))
-        ).select(
-            "username",
-            F.lit(3).alias("phase"),
-            "pos",
-            F.posexplode("mentions").alias("sub", "collab"),
-            F.col("is_recent_300d"),
-            F.lit("tag").alias("source"),
-            F.lit("mention").alias("recent_source"),
+        # the reference's mention cleaning (:1320-1325) applies to the
+        # mention phases only; owners/coauthors pass through unfiltered
+        .filter(
+            (F.col("recent_source") != "mention")
+            | (
+                (F.length("collab") >= 3)
+                & ~F.lower(F.col("collab")).isin(dims.MENTION_STOPLIST)
+            )
         )
-    )
-    candidates = paid_mentions.unionByName(owners).unionByName(coauthors).unionByName(
-        tag_mentions
     )
     w = Window.partitionBy("username", "collab").orderBy(
         F.col("phase").asc(), F.col("pos").asc(), F.col("sub").asc()
