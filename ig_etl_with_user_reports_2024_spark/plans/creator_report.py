@@ -964,39 +964,68 @@ def creator_location_analysis(
         ),
         lambda s: s != F.lit(""),
     )
-    exploded = feat.select(
-        "username", "pos", F.posexplode(locs_per_post).alias("idx", "loc")
+
+    def _lh_match(tag: Column) -> Column:
+        m = None
+        for pat in LOCATION_HASHTAG_PATTERNS:
+            hit = tag.rlike(pat)
+            m = hit if m is None else (m | hit)
+        return m
+
+    # one kind-tagged explode for both token families: 'l' location
+    # candidates (ordered — locations lead the concat, so their combined
+    # posexplode indices equal the original ones) and 't' pattern-matched
+    # location hashtags (membership only). One (username, kind, token)
+    # first-occurrence window replaces the separate dedup window +
+    # collect_set, and one groupBy renders every column.
+    tagged = F.concat(
+        F.transform(
+            locs_per_post,
+            lambda x: F.struct(F.lit("l").alias("kind"), x.alias("token")),
+        ),
+        F.transform(
+            F.filter("hashtags", _lh_match),
+            lambda x: F.struct(F.lit("t").alias("kind"), x.alias("token")),
+        ),
     )
-    w_first = Window.partitionBy("username", "loc").orderBy(
+    exploded = feat.select(
+        "username", "pos", F.posexplode(tagged).alias("idx", "kt")
+    ).select(
+        "username",
+        "pos",
+        "idx",
+        F.col("kt.kind").alias("kind"),
+        F.col("kt.token").alias("loc"),
+    )
+    w_first = Window.partitionBy("username", "kind", "loc").orderBy(
         F.col("pos").asc(), F.col("idx").asc()
     )
-    deduped = exploded.withColumn("rn", F.row_number().over(w_first)).filter(
-        F.col("rn") == 1
-    )
-    loc_lists = deduped.groupBy("username").agg(
+    deduped_all = exploded.withColumn(
+        "rn", F.row_number().over(w_first)
+    ).filter(F.col("rn") == 1)
+    deduped = deduped_all.filter(F.col("kind") == "l")
+    n_locs = F.sum(F.when(F.col("kind") == "l", 1).otherwise(0))
+    loc_lists = deduped_all.groupBy("username").agg(
         F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "idx", "loc"))),
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("kind") == "l", F.struct("pos", "idx", "loc"))
+                )
+            ),
             lambda s: s["loc"],
         ).alias("location_tags"),
-        F.count("*").alias("travel_frequency"),
-        F.least(F.lit(100), F.count("*") * 5).alias("location_diversity_score"),
+        n_locs.alias("travel_frequency"),
+        F.least(F.lit(100), n_locs * 5).alias("location_diversity_score"),
+        F.collect_list(F.when(F.col("kind") == "t", F.col("loc"))).alias(
+            "location_hashtags"
+        ),
     ).select(
         "username",
         "location_tags",
         F.slice("location_tags", 1, 10).alias("most_visited_locations"),
         "travel_frequency",
         "location_diversity_score",
-    )
-
-    lh_match = None
-    for pat in LOCATION_HASHTAG_PATTERNS:
-        m = F.col("tag").rlike(pat)
-        lh_match = m if lh_match is None else (lh_match | m)
-    loc_tags = (
-        feat.select("username", F.explode("hashtags").alias("tag"))
-        .filter(lh_match)
-        .groupBy("username")
-        .agg(F.collect_set("tag").alias("location_hashtags"))
+        "location_hashtags",
     )
 
     if hours is None:
@@ -1038,7 +1067,6 @@ def creator_location_analysis(
     # creator-hash partitioning flowing, so the chain adds no exchange.
     out = (
         pattern.join(loc_lists, "username", "left")
-        .join(loc_tags, "username", "left")
         .join(tz.select("username", tz_estimate.alias("timezone_estimate")),
               "username", "left")
     )
