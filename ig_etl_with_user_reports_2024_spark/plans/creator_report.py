@@ -1454,7 +1454,7 @@ def creator_report(
     #     row plus its derived arrays (measured at ~151k posts: 7.9s →
     #     1.3s for the materialization when the repartition moves ahead
     #     of the projection);
-    # (b) persist — eight downstream aggregates and every ranking window
+    # (b) persist — seven downstream consumers and every ranking window
     #     consume `feat`; unpersisted, each one re-runs the scan + the
     #     projection (15.0s end-to-end vs ~6s, bench creator_report_full);
     # (c) the select preserves the hash(username) partitioning, so every
