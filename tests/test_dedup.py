@@ -73,3 +73,24 @@ def test_simhash_near_pairs_contains_duplicates(spark):
         ).collect()
     }
     assert (1, 2) in pairs
+
+
+def test_shingle_cache_lifecycle_bounded_and_correct(spark):
+    # the shingle persist adopts creator_report's bounded-handle pattern
+    # (ADVICE r4): each call releases the previous call's cache, results
+    # stay correct across successive calls, and at most one handle is
+    # pinned
+    from ig_etl_with_user_reports_2024_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e"), (3, "x y z w v")],
+        "doc_id bigint, text string",
+    )
+    first = dedup.shingle_pairs_jaccard(df, "doc_id", "text", n=3, threshold=0.5)
+    got1 = {(r.a_id, r.b_id) for r in first.collect()}
+    assert got1 == {(1, 2)}
+    second = dedup.shingle_pairs_jaccard(df, "doc_id", "text", n=3, threshold=0.5)
+    assert {(r.a_id, r.b_id) for r in second.collect()} == {(1, 2)}
+    assert len(dedup._PERSISTED_HANDLES) == 1
+    # the first result still computes after its cache was released
+    assert {(r.a_id, r.b_id) for r in first.collect()} == got1
