@@ -43,7 +43,7 @@ from ig_etl_with_user_reports_2024_spark.plans import star_queries  # noqa: F401
 # weakest r3 signals: rows-only entries whose quality rides an
 # in-budget or r4-fresh driver-hashed floor (dd3→rf3, dd4→rf4,
 # ann2→rf1, ro2→rf5) and thin variants of fresher queries (a16 of a15,
-# f3 of r4-green f2, f6 a trivial null-guard predicate, x3 of r4-green
+# f3 of r4-green f2, f4/f6 trivial predicates, x3 of r4-green
 # x2_x4, mj2/mj3 of mj1, txt6 of r4-green k3). Everything after this list keeps registration order
 # (r4-green, unchanged this round).
 _DRIVER_PRIORITY = [
@@ -69,6 +69,7 @@ _DRIVER_PRIORITY = [
     "dc1_decontaminate",  # sampling.py sibling
     "dd2_ngram_jaccard_pairs",  # dedup.py: bounded persist lifecycle
     "dd6_dup_clusters",  # graph.py: round-count return (ADVICE)
+    "dd8_dedup_keep_list",  # NEW r5: dedup end-product keep-list
     # (c) r3-era verdicts, strongest-signal-first
     "dd1_exact_dedup",
     "dd7_ngram_contamination",
@@ -99,7 +100,6 @@ _DRIVER_PRIORITY = [
     "j5_page_merge_dedup",
     "so1_first_occurrence_dedup",
     "mj1_shipping_priority",
-    "f4_category_filter",
     # ---- ~50-slot budget line; deliberate overflow below ----
     # Rows-only entries whose accuracy floors (rf1/rf3/rf4/rf5) are
     # in-budget or r4-fresh, plus thin variants of fresher queries —
@@ -110,6 +110,7 @@ _DRIVER_PRIORITY = [
     "ro2_sketch_rollup",
     "a16_length_histogram",
     "f3_recent_flag",
+    "f4_category_filter",
     "f6_null_guard_filter",
     "x3_substring_membership",
     "mj2_region_volume",

@@ -158,6 +158,61 @@ def dd6_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(docs.select("doc_id"), pairs)
 
 
+@query(
+    "dd8_dedup_keep_list",
+    f"""
+    WITH RECURSIVE pairs AS ({_PAIRS_SQL}),
+    edges AS (
+        SELECT a_id AS a, b_id AS b FROM pairs
+        UNION ALL
+        SELECT b_id AS a, a_id AS b FROM pairs
+    ),
+    reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    labeled AS (
+        SELECT d.doc_id,
+               CAST(LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS BIGINT)
+                   AS cluster_id
+        FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+        GROUP BY d.doc_id
+    )
+    SELECT doc_id, cluster_id, doc_id = cluster_id AS kept,
+           CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+               AS cluster_size
+    FROM labeled
+    """,
+)
+def dd8_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup family's END PRODUCT: the corpus keep-list. Composes
+    dd2's exact pair set → dd6's connected components → keep the
+    canonical (minimum-id) doc per cluster, with the cluster size as
+    the removal accounting a corpus report needs. ``kept=false`` rows
+    ARE the dedup savings; ``sum(cluster_size - 1) where kept`` is the
+    removed-doc count. At 100 TB the same composition runs with dd3's
+    LSH candidates feeding the pair stage instead of the exact
+    quadratic baseline — the downstream CC + keep logic is unchanged.
+    Oracle: dd6's recursive-CTE closure extended with the keep flag and
+    a cluster-size window."""
+    from pyspark.sql import Window
+
+    from ..operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.shingle_pairs_jaccard(docs, "doc_id", "text", n=3, threshold=0.2)
+    cc = connected_components(docs.select("doc_id"), pairs)
+    return cc.select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("kept"),
+        F.count("*").over(Window.partitionBy("cluster_id")).alias(
+            "cluster_size"
+        ),
+    )
+
+
 @query("dd3_minhash_lsh_pairs", None)  # engine-specific hashes → rows-only
 def dd3_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32)+LSH(8 bands) candidate pairs with estimated Jaccard.

@@ -47,6 +47,8 @@ def test_stale_and_changed_queries_land_in_driver_window():
         "dc1_decontaminate",
         "dd2_ngram_jaccard_pairs",
         "dd6_dup_clusters",
+        # new in round 5
+        "dd8_dedup_keep_list",
     ):
         assert name in first50, f"{name} fell out of the driver's 50-slot window"
     for name in (
