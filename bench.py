@@ -66,6 +66,9 @@ HEADLINE = [
     "mx1_temperature_mix",
     "sq3_matryoshka_truncate",
     "mm4_audio_chunks",
+    # r5 additions. The r4-comparable subset is everything above this
+    # comment.
+    "dd8_dedup_keep_list",
 ]
 
 
