@@ -314,3 +314,90 @@ def test_successive_report_calls_release_caches_and_stay_correct(
     assert rows1 == rows2 and len(rows1) > 0
     # the first DF still computes correctly after its caches released
     assert {r.username: r.follower_count for r in first.collect()} == rows1
+
+
+# --- property-based: hashtags/mentions top-10 vs the reference's dict
+# semantics (locks in the r5 kind-tagged union explode, whose Q10
+# tie-break rests on the combined posexplode index shifting each kind
+# by a per-post constant) ---------------------------------------------------
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _HAS_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    _HAS_HYPOTHESIS = False
+
+if _HAS_HYPOTHESIS:
+    from pyspark.sql import functions as F
+
+    from ig_etl_with_user_reports_2024_spark import dims as _dims
+    from ig_etl_with_user_reports_2024_spark.plans import (
+        creator_report as _cr,
+    )
+
+    # small vocab so count ties are common (the tie-break is the point);
+    # includes <3-char and stoplisted tokens to exercise the mention
+    # filters
+    _VOCAB = ["alpha", "beta", "gamma", "ab", "you", "delta"]
+    _posts = st.lists(
+        st.tuples(
+            st.lists(st.sampled_from(_VOCAB), max_size=4),  # hashtags
+            st.lists(st.sampled_from(_VOCAB + ["Alpha"]), max_size=4),
+            st.booleans(),                                   # recent?
+        ),
+        min_size=1,
+        max_size=8,
+    )
+
+    def _brute_top10(posts, kind):
+        # reference semantics (analyze_insta_enhanced.py:1557-1609):
+        # Python count-dict in (post arrival, caption position) order,
+        # sort by count desc (dict order breaks ties = first insertion)
+        counts = {}
+        for tags, mentions, recent in posts:
+            if not recent:
+                continue
+            toks = tags if kind == "h" else [
+                m.lower()
+                for m in mentions
+                if len(m) >= 3 and m.lower() not in _dims.MENTION_STOPLIST
+            ]
+            for t in toks:
+                counts[t] = counts.get(t, 0) + 1
+        ordered = sorted(counts.items(), key=lambda kv: -kv[1])
+        return dict(ordered[:10])
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(posts=_posts)
+    def test_hashtags_mentions_match_reference_dict_semantics(spark, posts):
+        rows = [
+            ("u", i, tags, mentions, recent)
+            for i, (tags, mentions, recent) in enumerate(posts)
+        ]
+        feat = spark.createDataFrame(
+            rows,
+            "username string, pos long, hashtags array<string>, "
+            "mentions array<string>, is_recent_90d boolean",
+        )
+        # read entry ORDER JVM-side (map_entries): the engine's map is
+        # rank-ordered (and to_json renders it so), but collect()'s
+        # MapType→dict conversion does not preserve entry order
+        out = (
+            _cr.creator_hashtags_mentions(feat)
+            .select(
+                F.map_entries("hashtags_last_90_days").alias("h"),
+                F.map_entries("mentions_last_90_days").alias("m"),
+            )
+            .collect()
+        )
+        got_h = [(e.key, e.value) for e in out[0].h] if out else []
+        got_m = [(e.key, e.value) for e in out[0].m] if out else []
+        want_h, want_m = _brute_top10(posts, "h"), _brute_top10(posts, "m")
+        assert got_h == list(want_h.items())
+        assert got_m == list(want_m.items())
