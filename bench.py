@@ -144,13 +144,15 @@ def main() -> None:
     load_before = _loadavg()
 
     def run(name: str) -> float:
-        # streaming queries do their work inside the query fn (readStream
-        # → awaitTermination → materialized table), so the clock must
-        # start before construction for them
-        streaming = name.startswith("st4") or name.startswith("st5")
-        t0 = time.time() if streaming else 0.0
+        # some queries do their work inside the query fn — streaming
+        # (readStream → awaitTermination → materialized table) and the
+        # iterative CC composition (eager per-round checkpoints/collects
+        # in connected_components) — so the clock must start before
+        # construction for them
+        eager = name.startswith(("st4", "st5", "dd6", "dd8"))
+        t0 = time.time() if eager else 0.0
         df = qs[name](spark, sf_dir)
-        if not streaming:
+        if not eager:
             t0 = time.time()
         df.write.format("noop").mode("overwrite").save()
         return time.time() - t0
