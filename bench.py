@@ -130,7 +130,9 @@ def _loadavg() -> list[float]:
     """
     try:
         return [round(x, 2) for x in os.getloadavg()]
-    except OSError:  # platform without getloadavg — stamp as unknown
+    except (OSError, AttributeError):
+        # platform without getloadavg (missing attribute on Windows,
+        # OSError when unobtainable) — stamp as unknown
         return []
 
 
@@ -143,13 +145,15 @@ def main() -> None:
     qs = entry_mod.queries()
     load_before = _loadavg()
 
+    # queries flagged eager in the registry do their work inside the
+    # query fn (streaming awaitTermination; iterative CC with per-round
+    # actions) — the clock must start before construction for them. The
+    # flag lives on the @query registration so new eager queries can't
+    # be silently mistimed here.
+    from ig_etl_with_user_reports_2024_spark.plans import QUERIES as _SPECS
+
     def run(name: str) -> float:
-        # some queries do their work inside the query fn — streaming
-        # (readStream → awaitTermination → materialized table) and the
-        # iterative CC composition (eager per-round checkpoints/collects
-        # in connected_components) — so the clock must start before
-        # construction for them
-        eager = name.startswith(("st4", "st5", "dd6", "dd8"))
+        eager = _SPECS[name].eager
         t0 = time.time() if eager else 0.0
         df = qs[name](spark, sf_dir)
         if not eager:

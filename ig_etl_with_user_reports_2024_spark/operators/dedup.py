@@ -76,12 +76,15 @@ def exact_dedup(
     ).drop("rn")
 
 
-# cache pinned by the most recent shingle_pairs_jaccard call; released
-# at the start of the next call (same bounded-leak pattern as
-# plans/creator_report._PERSISTED_HANDLES, and the same contract:
-# single-threaded callers — a concurrent second call can only cause
-# recomputation of the first result, never wrong results)
+# shingle caches pinned by recent shingle_pairs_jaccard calls, FIFO-
+# capped: harnesses that CONSTRUCT several plans before executing them
+# (each construction pins one handle) keep their caches live up to the
+# cap, and the leak stays bounded either way. Same contract as
+# plans/creator_report._PERSISTED_HANDLES: single-threaded callers —
+# releasing a still-pending plan's cache can only cause recomputation,
+# never wrong results.
 _PERSISTED_HANDLES: list[DataFrame] = []
+_MAX_PINNED = 4
 
 
 def shingle_pairs_jaccard(
@@ -98,14 +101,13 @@ def shingle_pairs_jaccard(
     bound the candidate set, then verify candidates with this formula.
 
     The exploded shingle table is persisted for the three consumers in
-    this plan; the cache is scoped like creator_report's: each new call
-    releases the previous call's handle, so at most one call's shingle
-    table stays pinned per session (previously it leaked for the
-    session lifetime).
+    this plan; the cache registry is FIFO-capped at ``_MAX_PINNED``
+    calls, so batch-constructed plans keep their caches while the
+    session-lifetime leak stays bounded (previously every call leaked
+    one cached table forever).
     """
-    for _old in _PERSISTED_HANDLES:
-        _old.unpersist()
-    _PERSISTED_HANDLES.clear()
+    while len(_PERSISTED_HANDLES) >= _MAX_PINNED:
+        _PERSISTED_HANDLES.pop(0).unpersist()
     # join/aggregate on the 64-bit shingle hash, not the string — smaller
     # shuffle rows and long-vs-long comparisons; collision odds at 10^9
     # distinct shingles are ~1e-2 per full corpus and affect one count by

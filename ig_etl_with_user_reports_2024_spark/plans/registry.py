@@ -31,16 +31,23 @@ class QuerySpec:
     fn: Callable[[SparkSession, str], DataFrame]
     oracle: str | None  # ANSI SQL for DuckDB; None → rows-only check
     doc: str
+    # True when fn executes work at CONSTRUCTION time (streaming
+    # awaitTermination, iterative algorithms with per-round actions) —
+    # timing harnesses must start the clock before calling fn, and
+    # bench.py reads this flag instead of guessing by name.
+    eager: bool = False
 
 
 QUERIES: dict[str, QuerySpec] = {}
 
 
-def query(name: str, oracle: str | None):
+def query(name: str, oracle: str | None, eager: bool = False):
     """Register a (spark_fn, oracle_sql) pair under ``name``."""
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
-        QUERIES[name] = QuerySpec(name=name, fn=fn, oracle=oracle, doc=fn.__doc__ or "")
+        QUERIES[name] = QuerySpec(
+            name=name, fn=fn, oracle=oracle, doc=fn.__doc__ or "", eager=eager
+        )
         return fn
 
     return deco

@@ -143,6 +143,7 @@ _PAIRS_SQL = f"""
     FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
     GROUP BY d.doc_id
     """,
+    eager=True,  # per-round collect/localCheckpoint at construction
 )
 def dd6_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERS from dd2's exact pair set: connected components
@@ -184,6 +185,7 @@ def dd6_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS cluster_size
     FROM labeled
     """,
+    eager=True,  # per-round collect/localCheckpoint at construction
 )
 def dd8_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup family's END PRODUCT: the corpus keep-list. Composes

@@ -101,6 +101,7 @@ def st3_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT * FROM agg
     QUALIFY session_id < MAX(session_id) OVER (PARTITION BY user_id)
     """,
+    eager=True,  # readStream → awaitTermination at construction
 )
 def st5_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming: sessionization via
@@ -179,7 +180,7 @@ def st7_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("st4_streaming_tumbling", _TUMBLING_ORACLE)
+@query("st4_streaming_tumbling", _TUMBLING_ORACLE, eager=True)
 def st4_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The genuine readStream pipeline (parquet source → window agg →
     memory sink, AvailableNow): hash-checked against the SAME SQL oracle

@@ -76,10 +76,9 @@ def test_simhash_near_pairs_contains_duplicates(spark):
 
 
 def test_shingle_cache_lifecycle_bounded_and_correct(spark):
-    # the shingle persist adopts creator_report's bounded-handle pattern
-    # (ADVICE r4): each call releases the previous call's cache, results
-    # stay correct across successive calls, and at most one handle is
-    # pinned
+    # the shingle persist registry is FIFO-capped (ADVICE r4): results
+    # stay correct across successive calls and the number of pinned
+    # handles never exceeds the cap
     from ig_etl_with_user_reports_2024_spark.operators import dedup
 
     df = spark.createDataFrame(
@@ -91,6 +90,9 @@ def test_shingle_cache_lifecycle_bounded_and_correct(spark):
     assert got1 == {(1, 2)}
     second = dedup.shingle_pairs_jaccard(df, "doc_id", "text", n=3, threshold=0.5)
     assert {(r.a_id, r.b_id) for r in second.collect()} == {(1, 2)}
-    assert len(dedup._PERSISTED_HANDLES) == 1
+    assert len(dedup._PERSISTED_HANDLES) <= dedup._MAX_PINNED
+    for _ in range(dedup._MAX_PINNED + 2):
+        dedup.shingle_pairs_jaccard(df, "doc_id", "text", n=3, threshold=0.5)
+    assert len(dedup._PERSISTED_HANDLES) <= dedup._MAX_PINNED
     # the first result still computes after its cache was released
     assert {(r.a_id, r.b_id) for r in first.collect()} == got1
