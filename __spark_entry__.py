@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from ig_etl_with_user_reports_2024_spark.plans import QUERIES
 
 # Importing these modules populates the registry.
+from ig_etl_with_user_reports_2024_spark.plans import star_cdc  # noqa: F401
 from ig_etl_with_user_reports_2024_spark.plans import star_temporal  # noqa: F401
 from ig_etl_with_user_reports_2024_spark.plans import star_sampling  # noqa: F401
 from ig_etl_with_user_reports_2024_spark.plans import star_topk_scalars  # noqa: F401
@@ -34,19 +35,31 @@ from ig_etl_with_user_reports_2024_spark.plans import star_queries  # noqa: F401
 # The driver runs (and budgets) the FIRST ~50 queries in the order this
 # module yields them, so ordering is a correctness-signal resource
 # (VERDICT r4 "Next round" #1: after round 5, no query's latest driver
-# verdict should predate r3). Priority: (a) the 11 queries whose latest
-# verdict is still r2 — round 4's deliberate overflow, now first in
-# line; (b) queries whose modules round 5 changed (packing.py,
-# sampling.py bucket parameterization; dedup.py persist lifecycle;
-# graph.py round-count return); (c) r3-era verdicts, refreshed while
-# budget remains. Overflow past the ~50-slot budget is deliberately the
-# weakest r3 signals: rows-only entries whose quality rides an
-# in-budget or r4-fresh driver-hashed floor (dd3→rf3, dd4→rf4,
-# ann2→rf1, ro2→rf5) and thin variants of fresher queries (a16 of a15,
-# f3 of r4-green f2, f4/f6 trivial predicates, x3 of r4-green
-# x2_x4, mj2/mj3 of mj1, txt6 of r4-green k3). Everything after this list keeps registration order
-# (r4-green, unchanged this round).
+# verdict should predate r3). Priority: (0) the 7 queries NEW in round
+# 5 (cdc1/cdc2, txt8, ii1, km1, rf8, rf9) — first driver contact
+# outranks any refresh; (a) the 11 queries whose latest verdict is
+# still r2 — round 4's deliberate overflow, next in line; (b) queries
+# whose modules round 5 changed (packing.py, sampling.py bucket
+# parameterization; dedup.py persist lifecycle; graph.py round-count
+# return); (c) r3-era verdicts, refreshed while budget remains.
+# Overflow past the ~50-slot budget is deliberately the weakest r3
+# signals: rows-only entries whose quality rides an in-budget or
+# r4-fresh driver-hashed floor (dd3→rf3, dd4→rf4, ann2→rf1, ro2→rf5),
+# thin variants of fresher queries (a16 of a15, f3 of r4-green f2,
+# f4/f6 trivial predicates, x3 of r4-green x2_x4, mj2/mj3 of mj1,
+# txt6 of r4-green k3), and the 7 tier-(c) entries that paid for the
+# new queries' slots (a7, c1, f7, j3, j5, so1, mj1 — see below).
+# Everything after this list keeps registration order (r4-green,
+# unchanged this round).
 _DRIVER_PRIORITY = [
+    # (0) NEW in round 5 — first driver contact outranks every refresh
+    "cdc1_merge_upsert",
+    "cdc2_scd2_intervals",
+    "txt8_filter_verdict",
+    "ii1_inverted_index",
+    "km1_kmeans_assign",
+    "rf8_approx_percentile_accuracy",
+    "rf9_kmeans_lloyd_floor",
     # (a) latest driver verdict is round 2 (VERDICT r4 item #1)
     "x10_c7_argmax_priority",
     "ro1_hourly_rollup",
@@ -85,25 +98,29 @@ _DRIVER_PRIORITY = [
     "txt7_repetition_stats",
     "a4_pricing_summary",
     "a5_consistency_score",
-    "a7_frequency_map",
     "a11_post_gap_frequency",
     "a15_length_percentiles",
-    "c1_size_buckets",
     "c9_f9_niche_distribution",
     "c12_collab_status",
-    "f7_recent20_mixed_window",
     "f8_stoplist_tokens",
     "j1_work_queue_anti_join",
     "j2_first_match_theta_join",
-    "j3_users_posts_join",
     "j4_a10_keyword_scores",
-    "j5_page_merge_dedup",
-    "so1_first_occurrence_dedup",
-    "mj1_shipping_priority",
     # ---- ~50-slot budget line; deliberate overflow below ----
     # Rows-only entries whose accuracy floors (rf1/rf3/rf4/rf5) are
     # in-budget or r4-fresh, plus thin variants of fresher queries —
-    # the cheapest r3-era drops.
+    # the cheapest r3-era drops. The 7 slots the round-5-new queries
+    # cost came from here: a7 (k3/k4 carry the map semantics), c1
+    # (thin classifier), f7, j3, j5, so1, mj1 (thin/structural twins
+    # of in-window kin) — all r3-verified and re-proved exact by the
+    # local tri-scale gate this round; they lead round 6 with the rest.
+    "a7_frequency_map",
+    "c1_size_buckets",
+    "f7_recent20_mixed_window",
+    "j3_users_posts_join",
+    "j5_page_merge_dedup",
+    "so1_first_occurrence_dedup",
+    "mj1_shipping_priority",
     "dd3_minhash_lsh_pairs",
     "dd4_simhash_pairs",
     "ann2_lsh_topk",

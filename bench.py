@@ -69,6 +69,11 @@ HEADLINE = [
     # r5 additions. The r4-comparable subset is everything above this
     # comment.
     "dd8_dedup_keep_list",
+    "cdc1_merge_upsert",
+    "cdc2_scd2_intervals",
+    "txt8_filter_verdict",
+    "ii1_inverted_index",
+    "km1_kmeans_assign",
 ]
 
 

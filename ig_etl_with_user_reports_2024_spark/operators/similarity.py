@@ -498,3 +498,149 @@ def matryoshka_truncate(
             "norm",
         )
     )
+
+
+def kmeans_assign(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    salt: str = "km1",
+) -> DataFrame:
+    """One k-means assignment pass with an engine-portable seeded init —
+    the E-step that trains a REAL IVF codebook at scale (``ivf_topk``'s
+    training-free draw is iteration 0 of exactly this loop; FAISS spends
+    its training time in the same assign/update alternation).
+
+    Initial centroids are the ``k`` corpus vectors with the lowest
+    salted-md5 of their id (the sampling-family draw — reproducible in
+    any engine, unlike ``xxhash64``), ordered by that hash to give the
+    cluster ids. The draw is a constant-size TakeOrderedAndProject
+    collect; the codebook rides into the plan as one ``from_json``
+    literal, so assignment is a pure column expression over the scan —
+    NO shuffle, no join: the only 100 TB-viable shape for a pass that
+    touches every vector. Distances fold left-to-right per component
+    (the ann1/pq precedent), so ``dist2`` is bit-identical cross-engine;
+    argmin tie-breaks on the lower cluster id via struct array_sort.
+
+    Returns (id, cluster_id, dist2) — one row per vector. The M-step
+    (per-cluster component means) is metadata-sized output but sums
+    floats across the corpus, so it is monotonicity-gated (rf9) rather
+    than hash-compared; see ``kmeans_update``.
+    """
+    return _with_assignment(vectors, id_col, vec_col, k, salt).select(
+        F.col(id_col).alias("id"), "cluster_id", "dist2"
+    )
+
+
+def _with_assignment(
+    vectors: DataFrame, id_col: str, vec_col: str, k: int, salt: str
+) -> DataFrame:
+    """``vectors`` plus (cluster_id, dist2) — assignment as a pure
+    column expression (constant-size codebook collect, no shuffle)."""
+    import json
+
+    hash_col = F.md5(
+        F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))
+    )
+    draw = (
+        vectors.select(F.col(vec_col).alias("v"), hash_col.alias("h"))
+        .orderBy("h")
+        .limit(k)
+        .collect()
+    )
+    if not draw:
+        raise ValueError("kmeans_assign: empty vectors input")
+    cents = [[float(x) for x in r["v"]] for r in draw]
+    k = len(cents)  # corpus smaller than k: shrink (pq_codes precedent)
+    cb = F.from_json(F.lit(json.dumps(cents)), "array<array<double>>")
+
+    vec = F.col(vec_col)
+
+    def dist2(cent: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(
+                vec,
+                cent,
+                lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    scored = F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda i: F.struct(
+            dist2(F.element_at(cb, i + 1)).alias("d2"),
+            i.cast("int").alias("cid"),
+        ),
+    )
+    best = F.element_at(F.array_sort(scored), 1)
+    return vectors.withColumns(
+        {"cluster_id": best["cid"], "dist2": best["d2"]}
+    )
+
+
+def kmeans_update(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    salt: str = "km1",
+) -> DataFrame:
+    """The k-means M-step: per-cluster component means (the updated
+    codebook) from :func:`kmeans_assign`'s assignment.
+
+    The assignment is recomputed inline as a column expression (no join
+    with the E-step output — joins would shuffle the corpus twice);
+    posexplode the vector once and aggregate (cluster, component) —
+    k × dim output rows (metadata-sized) from one shuffle whose rows are
+    (cluster_id, component, value) triples. Component means accumulate
+    in double (floats summed across the corpus are order-dependent in
+    the last ulps), so this output is quality-gated by Lloyd's
+    monotonicity (rf9_kmeans_lloyd_floor) instead of hash-compared.
+    """
+    comp = _with_assignment(vectors, id_col, vec_col, k, salt).select(
+        "cluster_id", F.posexplode(F.col(vec_col)).alias("component", "x")
+    )
+    return comp.groupBy("cluster_id", "component").agg(
+        F.avg(F.col("x").cast("double")).alias("mean"),
+        F.count("*").alias("n_members"),
+    )
+
+
+def kmeans_lloyd_inertia(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    salt: str = "km1",
+) -> DataFrame:
+    """One row (j_old, j_new): total within-cluster squared distance
+    under the seeded codebook vs under the M-step's updated centroids,
+    holding the assignment fixed. Lloyd's lemma says the per-cluster
+    mean minimizes within-cluster SSE, so j_new <= j_old up to float
+    noise — the invariant rf9_kmeans_lloyd_floor gates on.
+
+    Three scans of the corpus (old inertia / centroid update / new
+    inertia) — the update is a barrier, so a production loop would
+    persist the assignment; at gate scale the rescans are cheaper than
+    the cache churn. The new-centroid join is an explicit broadcast
+    (k x dim rows — metadata-sized at any corpus size).
+    """
+    assigned = _with_assignment(vectors, id_col, vec_col, k, salt)
+    j_old = assigned.agg(F.sum("dist2").alias("j_old"))
+    cent_new = kmeans_update(vectors, id_col, vec_col, k, salt)
+    comp = _with_assignment(vectors, id_col, vec_col, k, salt).select(
+        "cluster_id", F.posexplode(F.col(vec_col)).alias("component", "x")
+    )
+    j_new = comp.join(
+        F.broadcast(cent_new.select("cluster_id", "component", "mean")),
+        ["cluster_id", "component"],
+    ).agg(
+        F.sum(
+            (F.col("x").cast("double") - F.col("mean"))
+            * (F.col("x").cast("double") - F.col("mean"))
+        ).alias("j_new")
+    )
+    return j_old.crossJoin(j_new)

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..operators import dedup as dd
 from ..operators import multimodal as mm
@@ -708,6 +709,266 @@ def txt7_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count("*").cast("double") / F.sum("c")).alias("distinct_ratio"),
         (F.max("c").cast("double") / F.sum("c")).alias("top_word_ratio"),
     )
+
+
+@query(
+    "txt8_filter_verdict",
+    f"""
+    WITH proj AS (
+        SELECT doc_id, length(text) AS n_chars,
+               len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
+               unnest({_WORDS_SQL}) AS w
+        FROM documents
+    ), wc AS (
+        SELECT doc_id, n_chars, n_punct, w, COUNT(*) AS c
+        FROM proj GROUP BY doc_id, n_chars, n_punct, w
+    ), stats AS (
+        SELECT doc_id, n_chars, n_punct,
+               SUM(c) AS n_words, COUNT(*) AS n_distinct, MAX(c) AS top_c,
+               SUM(CASE WHEN list_contains({_ALL_STOP_SQL}, w)
+                   THEN c ELSE 0 END) AS n_stop,
+               SUM(c * length(w)) AS wls
+        FROM wc GROUP BY doc_id, n_chars, n_punct
+    ), scored AS (
+        SELECT doc_id,
+               CAST(n_words AS BIGINT) AS n_words,
+               CAST(n_chars AS BIGINT) AS n_chars,
+               CAST(top_c AS DOUBLE) / n_words AS top_word_ratio,
+               CAST(n_distinct AS DOUBLE) / n_words AS distinct_ratio,
+               GREATEST(0.0, LEAST(100.0,
+                   LEAST(40.0, CAST(n_words AS DOUBLE) / 2)
+                   + LEAST(30.0, CAST(n_stop AS DOUBLE) / n_words * 100)
+                   - LEAST(20.0, CAST(n_punct AS DOUBLE) / n_chars * 200)
+                   - CASE WHEN CAST(wls AS DOUBLE) / n_words > 12
+                          THEN 20.0 ELSE 0.0 END
+               )) AS quality_score
+        FROM stats
+    )
+    SELECT doc_id, n_words, n_chars, top_word_ratio, distinct_ratio,
+           quality_score,
+           (quality_score >= 45.0 AND top_word_ratio <= 0.10
+            AND distinct_ratio >= 0.40
+            AND n_chars BETWEEN 120 AND 480) AS keep,
+           concat_ws(',',
+               CASE WHEN quality_score < 45.0 THEN 'low_quality' END,
+               CASE WHEN top_word_ratio > 0.10 OR distinct_ratio < 0.40
+                    THEN 'repetitive' END,
+               CASE WHEN n_chars < 120 OR n_chars > 480
+                    THEN 'bad_length' END) AS reasons
+    FROM scored
+    """,
+)
+def txt8_filter_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The text-filter family's end product (what dd8 is for dedup): a
+    per-document keep/drop verdict composing the quality score (txt2's
+    formula), the repetition signals (txt7), and length bounds — with a
+    machine-readable ``reasons`` list for filter-rate dashboards.
+
+    One shuffle total: project (doc_id, n_chars, n_punct) + token
+    explode, count at (doc, word) grain (map-side combine), roll up to
+    doc grain — the document BODY never shuffles. Unlike txt2's oracle,
+    ``mean word length`` here is the exact integer sum of word lengths
+    (Σ count×len(word)), so every ratio is a single int/int division —
+    bit-identical cross-engine with zero float accumulation. Thresholds
+    (score ≥ 45, top-word share ≤ 10%, distinct ratio ≥ 0.40, 120 ≤
+    chars ≤ 480) straddle the corpus distribution so both verdicts occur
+    at every scale factor. Token-less docs drop (explode of empty list),
+    matching txt7."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = tx.normalized_words(F.col("text"))
+    proj = docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(tx.PUNCT_RE), F.lit(0))
+        ).alias("n_punct"),
+        F.explode(words).alias("w"),
+    )
+    wc = proj.groupBy("doc_id", "n_chars", "n_punct", "w").agg(
+        F.count("*").alias("c")
+    )
+    all_stop = [w for _, _, ws in tx.LANG_STOPWORDS for w in ws]
+    stats = wc.groupBy("doc_id", "n_chars", "n_punct").agg(
+        F.sum("c").alias("n_words"),
+        F.count("*").alias("n_distinct"),
+        F.max("c").alias("top_c"),
+        F.sum(
+            F.when(F.col("w").isin(*all_stop), F.col("c")).otherwise(F.lit(0))
+        ).alias("n_stop"),
+        F.sum(F.col("c") * F.length("w")).alias("wls"),
+    )
+    n_words_d = F.col("n_words").cast("double")
+    score = F.greatest(
+        F.lit(0.0),
+        F.least(
+            F.lit(100.0),
+            F.least(F.lit(40.0), n_words_d / 2)
+            + F.least(
+                F.lit(30.0), F.col("n_stop").cast("double") / F.col("n_words") * 100
+            )
+            - F.least(
+                F.lit(20.0), F.col("n_punct").cast("double") / F.col("n_chars") * 200
+            )
+            - F.when(
+                F.col("wls").cast("double") / F.col("n_words") > 12, F.lit(20.0)
+            ).otherwise(F.lit(0.0)),
+        ),
+    )
+    scored = stats.select(
+        "doc_id",
+        F.col("n_words").alias("n_words"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        (F.col("top_c").cast("double") / F.col("n_words")).alias("top_word_ratio"),
+        (F.col("n_distinct").cast("double") / F.col("n_words")).alias(
+            "distinct_ratio"
+        ),
+        score.alias("quality_score"),
+    )
+    low_q = F.col("quality_score") < 45.0
+    rep = (F.col("top_word_ratio") > 0.10) | (F.col("distinct_ratio") < 0.40)
+    bad_len = (F.col("n_chars") < 120) | (F.col("n_chars") > 480)
+    return scored.select(
+        "doc_id",
+        "n_words",
+        "n_chars",
+        "top_word_ratio",
+        "distinct_ratio",
+        "quality_score",
+        (~low_q & ~rep & ~bad_len).alias("keep"),
+        F.concat_ws(
+            ",",
+            F.when(low_q, F.lit("low_quality")),
+            F.when(rep, F.lit("repetitive")),
+            F.when(bad_len, F.lit("bad_length")),
+        ).alias("reasons"),
+    )
+
+
+@query(
+    "ii1_inverted_index",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_WORDS_SQL}) AS token FROM documents
+    ), wc AS (
+        SELECT token, doc_id, COUNT(*) AS tf FROM tok GROUP BY token, doc_id
+    ), ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY token ORDER BY doc_id
+        ) AS rn
+        FROM wc
+    ), inv AS (
+        SELECT token,
+               CAST(COUNT(*) AS BIGINT) AS doc_freq,
+               CAST(SUM(tf) AS BIGINT) AS n_occurrences,
+               array_to_string(list_transform(
+                   list_sort(list(doc_id) FILTER (WHERE rn <= 16)),
+                   x -> CAST(x AS VARCHAR)), ',') AS postings_head
+        FROM ranked GROUP BY token
+    ), tot AS (
+        SELECT COUNT(*) AS n_total FROM documents
+    )
+    SELECT token, doc_freq, n_occurrences,
+           (n_total - doc_freq + 0.5) / (doc_freq + 0.5) AS idf_ratio,
+           postings_head
+    FROM inv CROSS JOIN tot
+    """,
+)
+def ii1_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build: token → (document frequency, total
+    occurrences, BM25 idf argument, head of the sorted posting list).
+
+    The retrieval-side twin of txt6's vocabulary pass. Scale shape:
+    token explode → (token, doc_id)-grain count (map-side combine — the
+    shuffle carries ids and counts, never text), ONE window per token
+    ranks postings by doc_id, and the per-token rollup reuses that same
+    hash partitioning (no extra Exchange). The posting list is capped
+    BEFORE collect_list via the rank filter (``rn <= 16``), so a
+    hot/stopword token contributes bounded aggregation state — the
+    difference between an index build that survives a 10^12-doc corpus
+    and one that OOMs on the word 'the'. Full postings at scale would
+    go to a bucketed sink (sources/bucketed.py) rather than one array.
+    ``idf_ratio`` is BM25's (N - df + 0.5)/(df + 0.5) left as the
+    pre-log ratio: one exact int/int-derived division (bit-identical
+    cross-engine; ln() differs by ulps between libms, so the log stays
+    downstream)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(tx.normalized_words(F.col("text"))).alias("token")
+    )
+    wc = tok.groupBy("token", "doc_id").agg(F.count("*").alias("tf"))
+    w = Window.partitionBy("token").orderBy("doc_id")
+    ranked = wc.withColumn("rn", F.row_number().over(w))
+    inv = ranked.groupBy("token").agg(
+        F.count("*").alias("doc_freq"),
+        F.sum("tf").alias("n_occurrences"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("rn") <= 16, F.col("doc_id"))
+                    )
+                ),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("postings_head"),
+    )
+    total = docs.agg(F.count("*").alias("n_total"))
+    return inv.crossJoin(F.broadcast(total)).select(
+        "token",
+        "doc_freq",
+        "n_occurrences",
+        (
+            (F.col("n_total") - F.col("doc_freq") + F.lit(0.5))
+            / (F.col("doc_freq") + F.lit(0.5))
+        ).alias("idf_ratio"),
+        "postings_head",
+    )
+
+
+_L2_SQL = (
+    "list_reduce(list_transform(list_zip({a}, {b}), "
+    "s -> (CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE)) "
+    "* (CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE))), (x, y) -> x + y)"
+)
+
+
+@query(
+    "km1_kmeans_assign",
+    f"""
+    WITH h AS (
+        SELECT vec_id, embedding,
+               md5('km1:' || CAST(vec_id AS VARCHAR)) AS hh
+        FROM embeddings
+    ), cent AS (
+        SELECT embedding AS c_vec,
+               CAST(row_number() OVER (ORDER BY hh) AS INTEGER) - 1 AS cid
+        FROM h ORDER BY hh LIMIT 8
+    ), scored AS (
+        SELECT e.vec_id, c.cid,
+               {_L2_SQL.format(a='e.embedding', b='c.c_vec')} AS d2
+        FROM embeddings e CROSS JOIN cent c
+    ), best AS (
+        SELECT vec_id, cid, d2, row_number() OVER (
+            PARTITION BY vec_id ORDER BY d2 ASC, cid ASC
+        ) AS rn
+        FROM scored
+    )
+    SELECT vec_id AS id, cid AS cluster_id, d2 AS dist2
+    FROM best WHERE rn = 1
+    """,
+)
+def km1_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means E-step over the embedding corpus (k=8, portable seeded
+    init) — the codebook-training pass ann3's IVF index is missing (its
+    training-free draw is iteration 0 of this loop). Assignment is a
+    pure column expression against a from_json literal codebook: no
+    shuffle, no join — one scan at any corpus size. Hash-exact because
+    the init draw is a salted-md5 order both engines reproduce and the
+    distance folds are sequential (ann1 precedent). The M-step is
+    rf9_kmeans_lloyd_floor's monotonicity gate."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.kmeans_assign(emb, "vec_id", "embedding", k=8, salt="km1")
 
 
 def _ngram_sql(n: int) -> str:

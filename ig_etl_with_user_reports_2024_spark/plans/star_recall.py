@@ -241,3 +241,82 @@ def rf7_approx_distinct_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate wiring regress, closing the one approximate query that had
     neither an oracle nor a quality gate (VERDICT r3 "Next round" #3)."""
     return rf7_diag(spark, sf_dir).select("meets_floor", "recall_floor")
+
+
+def rf8_diag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full diagnostic behind rf8: per-source relative error of
+    ``percentile_approx`` (the KLL-style mergeable sketch — the only
+    percentile that exists at 100 TB, where a15's exact sort-per-group
+    does not) against a15's exact interpolated percentiles, both
+    computed in ONE aggregation pass. The approx sketch returns a
+    nearest-rank corpus value while the exact path interpolates, so
+    even a perfect sketch differs by up to the local order-stat gap —
+    the floor bounds sketch failure, not interpolation."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.percentile("n_chars", F.lit(0.5)).alias("e50"),
+        F.percentile("n_chars", F.lit(0.9)).alias("e90"),
+        F.percentile_approx("n_chars", F.lit(0.5), F.lit(10000)).alias("a50"),
+        F.percentile_approx("n_chars", F.lit(0.9), F.lit(10000)).alias("a90"),
+    )
+    def rel(a, e):
+        return F.when(
+            F.col(e) != 0, F.abs(F.col(a) - F.col(e)) / F.abs(F.col(e))
+        ).otherwise(F.abs(F.col(a) - F.col(e)))
+    err = F.greatest(rel("a50", "e50"), rel("a90", "e90"))
+    tol = 0.15
+    return per.agg(
+        F.max(err).alias("max_rel_err"),
+        (F.max(err) <= tol).alias("meets_floor"),
+        F.lit(float(tol)).alias("recall_floor"),
+    )
+
+
+@query(
+    "rf8_approx_percentile_accuracy",
+    "SELECT CAST(1 AS BOOLEAN) AS meets_floor, "
+    "CAST(0.15 AS DOUBLE) AS recall_floor",
+)
+def rf8_approx_percentile_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """a15's scale-path twin gated: every per-source p50/p90 from the
+    mergeable percentile_approx sketch within 15% of the exact
+    interpolated percentile. The tolerance covers nearest-rank-vs-
+    interpolation gaps at small group sizes (sketch capacity 10000
+    exceeds every per-source group here, so the sketch itself is
+    rank-exact — the gate trips on wiring or parameter regressions,
+    same contract as rf7)."""
+    return rf8_diag(spark, sf_dir).select("meets_floor", "recall_floor")
+
+
+def rf9_diag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full diagnostic behind rf9: total within-cluster squared distance
+    before (seeded codebook) and after (per-cluster means) one Lloyd
+    M-step, assignment held fixed — operators/similarity.
+    kmeans_lloyd_inertia. Lloyd's lemma guarantees j_new <= j_old in
+    exact arithmetic; the tolerance absorbs double-summation ulps."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pair = sim.kmeans_lloyd_inertia(emb, "vec_id", "embedding", k=8, salt="km1")
+    tol = 1e-9
+    return pair.select(
+        "j_old",
+        "j_new",
+        (F.col("j_new") <= F.col("j_old") * (1.0 + tol)).alias("meets_floor"),
+        F.lit(float(tol)).alias("recall_floor"),
+    )
+
+
+@query(
+    "rf9_kmeans_lloyd_floor",
+    "SELECT CAST(1 AS BOOLEAN) AS meets_floor, "
+    "CAST(0.000000001 AS DOUBLE) AS recall_floor",
+)
+def rf9_kmeans_lloyd_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """km1's M-step quality gate: updating each cluster's centroid to
+    the member mean must not increase total within-cluster squared
+    distance (Lloyd monotonicity — true per cluster, so true globally).
+    The means sum floats across the corpus (order-dependent last ulps),
+    so the update can't be hash-compared; this floor turns the
+    mathematical invariant into a driver-checkable boolean instead,
+    keeping the 'every approximate/float-accumulating path has a gate'
+    rule (rf1-rf8 precedent) intact for the clustering family."""
+    return rf9_diag(spark, sf_dir).select("meets_floor", "recall_floor")

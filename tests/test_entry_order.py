@@ -25,7 +25,15 @@ def test_stale_and_changed_queries_land_in_driver_window():
     # so the window isn't silently wasted on weak signals.
     first50 = list(entry.queries())[:50]
     for name in (
-        # the 11 r2-stale queries, first in line this round
+        # new in round 5 — first driver contact
+        "cdc1_merge_upsert",
+        "cdc2_scd2_intervals",
+        "txt8_filter_verdict",
+        "ii1_inverted_index",
+        "km1_kmeans_assign",
+        "rf8_approx_percentile_accuracy",
+        "rf9_kmeans_lloyd_floor",
+        # the 11 r2-stale queries, next in line this round
         "x10_c7_argmax_priority",
         "ro1_hourly_rollup",
         "st1_tumbling_window",
@@ -59,6 +67,14 @@ def test_stale_and_changed_queries_land_in_driver_window():
         "a16_length_histogram",
         "f3_recent_flag",
         "txt6_vocab_top50",
+        # the 7 tier-(c) slots that paid for the round-5-new queries
+        "a7_frequency_map",
+        "c1_size_buckets",
+        "f7_recent20_mixed_window",
+        "j3_users_posts_join",
+        "j5_page_merge_dedup",
+        "so1_first_occurrence_dedup",
+        "mj1_shipping_priority",
     ):
         assert name not in first50, f"{name} should be deliberate overflow"
 

@@ -132,3 +132,75 @@ def test_matryoshka_truncate_unit_norm_and_zero_guard(spark):
         .s
     )
     assert abs(unit - 1.0) < 1e-12
+
+
+def test_kmeans_assign_matches_numpy(spark, sf_oracle):
+    """Assignment = numpy brute force under the same portable seeded
+    init (lowest salted-md5 ids, hash order = cluster id order)."""
+    import hashlib
+
+    import numpy as np
+
+    emb = spark.read.parquet(f"{sf_oracle}/embeddings.parquet")
+    rows = emb.select("vec_id", "embedding").collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    order = sorted(
+        vecs, key=lambda i: hashlib.md5(f"km1:{i}".encode()).hexdigest()
+    )
+    cents = np.stack([vecs[i] for i in order[:8]])
+    got = {
+        r["id"]: (r["cluster_id"], r["dist2"])
+        for r in sim.kmeans_assign(emb, k=8, salt="km1").collect()
+    }
+    assert set(got) == set(vecs)
+    for vid, v in vecs.items():
+        d2 = ((cents - v) ** 2).sum(axis=1)
+        want = int(d2.argmin())  # numpy argmin tie-breaks low index too
+        assert got[vid][0] == want, vid
+        assert abs(got[vid][1] - d2[want]) < 1e-9 * max(1.0, d2[want])
+
+
+def test_kmeans_update_means_and_lloyd_monotonic(spark, sf_oracle):
+    import hashlib
+
+    import numpy as np
+
+    emb = spark.read.parquet(f"{sf_oracle}/embeddings.parquet")
+    rows = emb.select("vec_id", "embedding").collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    order = sorted(
+        vecs, key=lambda i: hashlib.md5(f"km1:{i}".encode()).hexdigest()
+    )
+    cents = np.stack([vecs[i] for i in order[:8]])
+    assign = {
+        vid: int(((cents - v) ** 2).sum(axis=1).argmin())
+        for vid, v in vecs.items()
+    }
+    means: dict[tuple[int, int], float] = {}
+    counts: dict[int, int] = {}
+    for cid in range(8):
+        members = [vecs[v] for v, c in assign.items() if c == cid]
+        if not members:
+            continue
+        counts[cid] = len(members)
+        m = np.mean(members, axis=0)
+        for comp, val in enumerate(m):
+            means[(cid, comp)] = float(val)
+    got = sim.kmeans_update(emb, k=8, salt="km1").collect()
+    assert {(r["cluster_id"], r["component"]) for r in got} == set(means)
+    for r in got:
+        assert r["n_members"] == counts[r["cluster_id"]]
+        assert abs(r["mean"] - means[(r["cluster_id"], r["component"])]) < 1e-9
+    j = sim.kmeans_lloyd_inertia(emb, k=8, salt="km1").collect()[0]
+    assert j["j_new"] <= j["j_old"] * (1 + 1e-9)
+    assert j["j_new"] > 0
+
+
+def test_kmeans_assign_plan_has_no_shuffle(spark, sf_oracle):
+    """The E-step must stay a pure projection over the scan: a shuffle
+    or join here would break the one-scan-at-any-size contract."""
+    emb = spark.read.parquet(f"{sf_oracle}/embeddings.parquet")
+    out = sim.kmeans_assign(emb, k=8, salt="km1")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
