@@ -20,6 +20,7 @@ from ig_etl_with_user_reports_2024_spark.plans import QUERIES
 
 # Importing these modules populates the registry.
 from ig_etl_with_user_reports_2024_spark.plans import star_cdc  # noqa: F401
+from ig_etl_with_user_reports_2024_spark.plans import star_layout  # noqa: F401
 from ig_etl_with_user_reports_2024_spark.plans import star_temporal  # noqa: F401
 from ig_etl_with_user_reports_2024_spark.plans import star_sampling  # noqa: F401
 from ig_etl_with_user_reports_2024_spark.plans import star_topk_scalars  # noqa: F401
@@ -60,6 +61,10 @@ _DRIVER_PRIORITY = [
     "km1_kmeans_assign",
     "rf8_approx_percentile_accuracy",
     "rf9_kmeans_lloyd_floor",
+    "zo1_zorder_stats",
+    "dq1_column_profile",
+    "pr1_pagerank",
+    "ad1_rolling_zscore",
     # (a) latest driver verdict is round 2 (VERDICT r4 item #1)
     "x10_c7_argmax_priority",
     "ro1_hourly_rollup",
@@ -97,23 +102,28 @@ _DRIVER_PRIORITY = [
     "txt5_rolling_fingerprint",
     "txt7_repetition_stats",
     "a4_pricing_summary",
-    "a5_consistency_score",
-    "a11_post_gap_frequency",
     "a15_length_percentiles",
-    "c9_f9_niche_distribution",
     "c12_collab_status",
-    "f8_stoplist_tokens",
     "j1_work_queue_anti_join",
     "j2_first_match_theta_join",
     "j4_a10_keyword_scores",
     # ---- ~50-slot budget line; deliberate overflow below ----
     # Rows-only entries whose accuracy floors (rf1/rf3/rf4/rf5) are
     # in-budget or r4-fresh, plus thin variants of fresher queries —
-    # the cheapest r3-era drops. The 7 slots the round-5-new queries
+    # the cheapest r3-era drops. The 11 slots the round-5-new queries
     # cost came from here: a7 (k3/k4 carry the map semantics), c1
     # (thin classifier), f7, j3, j5, so1, mj1 (thin/structural twins
-    # of in-window kin) — all r3-verified and re-proved exact by the
-    # local tri-scale gate this round; they lead round 6 with the rest.
+    # of in-window kin), a5 (its decimal-stddev identity rides the NEW
+    # in-window ad1), a11 (thin lag-gap classifier; a12's split-half
+    # trend is r4-green), c9 (thin classifier over j4's in-window
+    # keyword scores), f8 (stoplist set-difference; j1 carries the
+    # anti-join semantics in-window) — all r3-verified and re-proved
+    # exact by the local tri-scale gate this round; they lead round 6
+    # with the rest.
+    "a5_consistency_score",
+    "a11_post_gap_frequency",
+    "c9_f9_niche_distribution",
+    "f8_stoplist_tokens",
     "a7_frequency_map",
     "c1_size_buckets",
     "f7_recent20_mixed_window",

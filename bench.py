@@ -74,6 +74,10 @@ HEADLINE = [
     "txt8_filter_verdict",
     "ii1_inverted_index",
     "km1_kmeans_assign",
+    "zo1_zorder_stats",
+    "dq1_column_profile",
+    "pr1_pagerank",
+    "ad1_rolling_zscore",
 ]
 
 

@@ -133,3 +133,94 @@ def connected_components(
     # tests use it to lock in the pointer-doubling log2(diameter) bound.
     out.last_rounds = rounds_used
     return out
+
+
+#: fixed-point scale for pagerank ranks: 6 decimal digits.
+PAGERANK_SCALE = 1_000_000
+
+# Edge/node caches pinned by recent pagerank calls, FIFO-capped — the
+# unrolled iteration plan references both once PER ROUND, so without a
+# persist every round re-derives the edge list from its upstream joins.
+# Same single-threaded contract as operators/dedup._PERSISTED_HANDLES:
+# evicting a still-pending plan's cache causes recomputation, never
+# wrong results.
+_PERSISTED_HANDLES: list[DataFrame] = []
+_MAX_PINNED = 4
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 3,
+    damping_pct: int = 85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Power-iteration PageRank in scaled-long integer arithmetic:
+    (id, rank_scaled) after ``iterations`` rounds, rank_scaled being the
+    rank times :data:`PAGERANK_SCALE`.
+
+    Per-node form of the original formula (Page et al. 1999, the
+    non-normalized variant):
+
+        r'(v) = (1 - d) + d * sum over in-edges (u, v) of r(u) / outdeg(u)
+
+    All arithmetic stays in 64-bit integers — contributions are
+    ``rank_scaled div outdeg`` (floor), the damped update is
+    ``(100 - pct) * SCALE / 100 + (pct * contrib_sum) div 100`` — so the
+    result is bit-identical in any engine and under any partition order,
+    unlike a double-summed rank (float addition order diverges across
+    engines; see functions/exact.py). The deliberate floor-division
+    rounding loss is ≤ outdeg ulps per node per round at 1e-6 scale —
+    irrelevant for ranking, decisive for hash-exactness.
+
+    Scale shape: outdegrees are attached to the edge list ONCE (one
+    groupBy + join, persisted across rounds); each round is then one
+    equi-join (ranks ⋈ edges on src) and one groupBy-sum on dst —
+    shuffle cost tracks |E| per round, the Pregel floor. Node set =
+    edge endpoints; a node with no in-edges keeps the base rank, a node
+    with no out-edges (dangling) contributes nothing — the classic
+    uniform dangling-mass redistribution is intentionally omitted so
+    the per-node update stays integer-exact (documented deviation).
+    With bigint ranks the groupBy sum overflows past ~1e12 nodes at
+    this scale; swap the sum to decimal(38,0) there (same pattern as
+    the connected-components fixpoint above).
+
+    ``iterations`` is bounded plan construction (unrolled lineage, no
+    per-round action) — fine for the small fixed counts an oracle can
+    mirror; a convergence-driven variant would localCheckpoint per
+    round exactly like :func:`connected_components`.
+    """
+    while len(_PERSISTED_HANDLES) >= _MAX_PINNED:
+        _PERSISTED_HANDLES.pop(0).unpersist()
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    e_deg = e.join(outdeg, "src").persist()
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .persist()
+    )
+    _PERSISTED_HANDLES.extend([e_deg, nodes])
+    base = (100 - damping_pct) * PAGERANK_SCALE // 100
+    ranks = nodes.select("id", F.lit(PAGERANK_SCALE).cast("long").alias("rank"))
+    for _ in range(iterations):
+        contrib = (
+            e_deg.join(ranks, e_deg["src"] == ranks["id"])
+            .select(
+                F.col("dst"),
+                F.expr("rank div outdeg").alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("csum"))
+        )
+        ranks = nodes.join(contrib, nodes["id"] == contrib["dst"], "left").select(
+            "id",
+            (
+                F.lit(base).cast("long")
+                + F.expr(
+                    f"({damping_pct} * coalesce(csum, 0L)) div 100"
+                )
+            ).alias("rank"),
+        )
+    return ranks.withColumnRenamed("rank", "rank_scaled")

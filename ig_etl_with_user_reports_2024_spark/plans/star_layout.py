@@ -1,0 +1,130 @@
+"""Storage-layout and data-quality catalog queries.
+
+Beyond-reference scale operators: zo1 checks the Z-order clustering key
+(operators/layout.py) by measuring per-z-range locality on lineitem;
+dq1 is the single-pass column profiler (operators/profiling.py) over
+orders. Both are pure integer/builtin expression plans, hash-exact
+against DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import layout, profiling
+from ..sources.readers import load_table
+from .registry import query
+
+_ZBITS = 16
+_ZBUCKETS = 256
+_ZCOLS = ["l_partkey", "l_suppkey"]
+
+
+@query(
+    "zo1_zorder_stats",
+    f"""
+    WITH keyed AS (
+        SELECT l_partkey, l_suppkey,
+               {layout.zorder_sql(_ZCOLS, _ZBITS)} AS zkey
+        FROM lineitem
+    ), span AS (
+        SELECT MIN(zkey) AS zmin, MAX(zkey) AS zmax FROM keyed
+    )
+    SELECT ((k.zkey - s.zmin) * {_ZBUCKETS}) // (s.zmax - s.zmin + 1)
+               AS z_bucket,
+           COUNT(*) AS n_rows,
+           MIN(l_partkey) AS part_lo, MAX(l_partkey) AS part_hi,
+           MIN(l_suppkey) AS supp_lo, MAX(l_suppkey) AS supp_hi,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts
+    FROM keyed k CROSS JOIN span s
+    GROUP BY 1
+    """,
+)
+def zo1_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout statistics: interleave (l_partkey, l_suppkey)
+    into a 32-bit curve key, cut the OBSERVED key range into 256
+    equal-width z-ranges (one file's worth each in a real rewrite),
+    and report per-range row counts and per-dimension min/max spans —
+    exactly the footer stats a z-ordered file would expose for
+    multi-dimension pruning.
+
+    The bucket rule is integer floor division over the observed span,
+    so it adapts to any scale factor with no sampled boundaries (a
+    production rewrite would use ``layout.layout_by_zorder``'s
+    repartitionByRange — sampling is fine for layout, not for an
+    oracle). One scan computes the key (codegen, no shuffle), the span
+    is a scalar agg broadcast back via cross join, and the stats are
+    one hash aggregation — two scans total, one shuffle of 256-ish
+    groups. Beyond-reference; closest analog is the reference's
+    single-key dict-order CSV write (jsontocsv_enhanced.py:214-233).
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(*_ZCOLS)
+    keyed = li.withColumn("zkey", layout.zorder_key(_ZCOLS, _ZBITS))
+    span = keyed.agg(
+        F.min("zkey").alias("zmin"), F.max("zkey").alias("zmax")
+    )
+    return (
+        keyed.crossJoin(F.broadcast(span))
+        .withColumn(
+            "z_bucket",
+            F.expr(f"((zkey - zmin) * {_ZBUCKETS}) div (zmax - zmin + 1)"),
+        )
+        .groupBy("z_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_partkey").alias("part_lo"),
+            F.max("l_partkey").alias("part_hi"),
+            F.min("l_suppkey").alias("supp_lo"),
+            F.max("l_suppkey").alias("supp_hi"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+        )
+    )
+
+
+def _profile_col_sql(
+    c: str, kind: str
+) -> str:
+    min_num = f"CAST(MIN({c}) AS DOUBLE)" if kind == "num" else "CAST(NULL AS DOUBLE)"
+    max_num = f"CAST(MAX({c}) AS DOUBLE)" if kind == "num" else "CAST(NULL AS DOUBLE)"
+    min_str = f"MIN({c})" if kind == "str" else "CAST(NULL AS VARCHAR)"
+    max_str = f"MAX({c})" if kind == "str" else "CAST(NULL AS VARCHAR)"
+    min_ts = f"MIN({c})" if kind == "ts" else "CAST(NULL AS TIMESTAMP)"
+    max_ts = f"MAX({c})" if kind == "ts" else "CAST(NULL AS TIMESTAMP)"
+    return f"""
+    SELECT '{c}' AS col_name,
+           COUNT(*) - COUNT({c}) AS n_nulls,
+           CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           {min_num} AS min_num, {max_num} AS max_num,
+           {min_str} AS min_str, {max_str} AS max_str,
+           {min_ts} AS min_ts, {max_ts} AS max_ts
+    FROM orders"""
+
+
+_DQ1_NUM = ["o_orderkey", "o_custkey", "o_totalprice"]
+_DQ1_STR = ["o_orderstatus", "o_orderpriority"]
+_DQ1_TS = ["o_orderdate"]
+
+
+@query(
+    "dq1_column_profile",
+    " UNION ALL ".join(
+        [_profile_col_sql(c, "num") for c in _DQ1_NUM]
+        + [_profile_col_sql(c, "str") for c in _DQ1_STR]
+        + [_profile_col_sql(c, "ts") for c in _DQ1_TS]
+    ),
+)
+def dq1_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profile of the orders table: per-column null count,
+    exact cardinality, and typed min/max — the ingest-gate stats a
+    training pipeline records per batch for schema-drift detection.
+
+    One aggregation pass over the table (operators/profiling.py): the
+    oracle is written as 6 UNION ALL scans for SQL clarity, the Spark
+    plan is a single scan whose multi-column distinct goes through one
+    Expand — at 100 TB the exact distinct swaps for the rf7-gated HLL.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return profiling.profile_columns(
+        orders, numeric=_DQ1_NUM, strings=_DQ1_STR, timestamps=_DQ1_TS
+    )

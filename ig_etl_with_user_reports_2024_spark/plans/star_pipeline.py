@@ -1254,3 +1254,100 @@ def sq3_matryoshka_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
     left-fold both engines run (see operators/similarity.py)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return sim.matryoshka_truncate(emb, "vec_id", "embedding", k=16)
+
+
+# ---------------------------------------------------------------------------
+# PR1 — PageRank centrality over the customer–supplier graph.
+# ---------------------------------------------------------------------------
+
+_PR_ITERS = 3
+
+
+def _pr_iteration_sql(prev: str, cur: str) -> str:
+    return f"""{cur} AS (
+        SELECT n.id,
+               CAST(150000 + (85 * COALESCE(s.csum, 0)) // 100 AS BIGINT)
+                   AS rank
+        FROM nodes n LEFT JOIN (
+            SELECT e.dst,
+                   SUM(r.rank // d.outdeg) AS csum
+            FROM edges e
+            JOIN {prev} r ON e.src = r.id
+            JOIN outdeg d ON e.src = d.src
+            GROUP BY e.dst
+        ) s ON n.id = s.dst
+    )"""
+
+
+@query(
+    "pr1_pagerank",
+    """
+    WITH pairs AS (
+        SELECT DISTINCT o_custkey * 2 AS c_id, l_suppkey * 2 + 1 AS s_id
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ), edges AS (
+        SELECT c_id AS src, s_id AS dst FROM pairs
+        UNION ALL
+        SELECT s_id AS src, c_id AS dst FROM pairs
+    ), outdeg AS (
+        SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src
+    ), nodes AS (
+        SELECT DISTINCT src AS id FROM edges
+    ), r0 AS (
+        SELECT id, CAST(1000000 AS BIGINT) AS rank FROM nodes
+    ), """
+    + ", ".join(
+        _pr_iteration_sql(f"r{i}", f"r{i + 1}") for i in range(_PR_ITERS)
+    )
+    + f"""
+    SELECT id AS node_id,
+           CASE WHEN id % 2 = 0 THEN 'customer' ELSE 'supplier' END
+               AS node_type,
+           rank AS rank_scaled,
+           CAST(rank AS DOUBLE) / 1000000 AS rank
+    FROM r{_PR_ITERS}
+    """,
+)
+def pr1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 power iterations, d = 0.85) over the undirected
+    customer–supplier purchase graph: nodes are custkeys (id*2) and
+    suppkeys (id*2+1), edges the distinct (customer, supplier) pairs
+    that share an order line, expanded to both directions. Widens the
+    graph family beyond dd6's connected components to weighted
+    centrality — the lineage/influence score a data-curation pipeline
+    uses to weight sources.
+
+    All rank arithmetic is scaled-long integer (operators/graph.py
+    pagerank): floor-divided contributions and a damped integer update
+    make the result bit-identical across engines and partition orders —
+    a double-summed rank would diverge from any oracle by float
+    addition order. Per iteration the plan is one |E|-shuffle join and
+    one groupBy-sum: the Pregel floor. Every node here has outdeg >= 1
+    by construction (isolated nodes can't appear in an edge list), so
+    the undirected expansion also sidesteps the dangling-mass question
+    the operator documents.
+    """
+    from ..operators.graph import pagerank
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("c_id"),
+            (F.col("l_suppkey") * 2 + 1).alias("s_id"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("c_id").alias("src"), F.col("s_id").alias("dst")
+    ).union(pairs.select(F.col("s_id").alias("src"), F.col("c_id").alias("dst")))
+    ranks = pagerank(edges, iterations=_PR_ITERS, damping_pct=85)
+    return ranks.select(
+        F.col("id").alias("node_id"),
+        F.when(F.col("id") % 2 == 0, F.lit("customer"))
+        .otherwise(F.lit("supplier"))
+        .alias("node_type"),
+        F.col("rank_scaled"),
+        (F.col("rank_scaled").cast("double") / 1_000_000).alias("rank"),
+    )

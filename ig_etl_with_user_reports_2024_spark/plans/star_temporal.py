@@ -299,3 +299,88 @@ def fn2_conversion_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stage = F.aggregate(F.col("seq"), acc0, step).getField("stage")
     return seq.select("user_id", stage.alias("funnel_stage"))
+
+
+# ---------------------------------------------------------------------------
+# AD1 — rolling z-score anomaly flags (trailing 20-event window).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ad1_rolling_zscore",
+    """
+    WITH w AS (
+        SELECT event_id, user_id, ts, value,
+               COUNT(value) OVER fr AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER fr AS DOUBLE)
+                   AS s,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))
+                        * CAST(value AS DECIMAL(18,2))) OVER fr AS DOUBLE)
+                   AS sq
+        FROM events
+        WINDOW fr AS (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN 19 PRECEDING AND CURRENT ROW
+        )
+    ), z AS (
+        SELECT event_id, user_id, ts, value,
+               s / n AS mean_20,
+               CASE WHEN n >= 2 THEN
+                   SQRT(GREATEST(0.0, (sq - (s * s) / n) / (n - 1)))
+               END AS std_20
+        FROM w
+    )
+    SELECT event_id, user_id, ts, value, mean_20, std_20,
+           COALESCE(ABS(value - mean_20) > 2 * std_20, FALSE) AS is_anomaly
+    FROM z
+    """,
+)
+def ad1_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling anomaly detection: per user, flag events whose value
+    sits more than 2 sample standard deviations from the trailing
+    20-event mean — the streaming-metrics outlier gate, expressed as
+    one batch window (the st2 sliding-window family's per-row cousin).
+
+    Exactness is the whole game here: a windowed SUM of raw doubles
+    accumulates in frame order and diverges between engines, so both
+    sums ride DECIMAL(18,2) (events.value is 2-dp money-like — the
+    cast is exact) and stddev comes from the same decimal-sum identity
+    as functions/exact.dstddev_samp, with the n>=2 guard INSIDE a CASE
+    so no engine ever evaluates the n-1=0 division (Spark 4 ANSI).
+    The frame is ROWS over the deterministic total order (ts,
+    event_id) — a RANGE frame over timestamps would hinge on
+    sub-second epoch conversions agreeing across engines; ROWS over a
+    unique key cannot drift. Single Exchange on user_id; all three
+    window aggregates share one frame and one sort.
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    fr = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, 0)
+    )
+    vd = F.col("value").cast("decimal(18,2)")
+    n = F.count("value").over(fr)
+    s = F.sum(vd).over(fr).cast("double")
+    sq = F.sum(vd * vd).over(fr).cast("double")
+    mean = s / n
+    std = F.when(
+        n >= 2, F.sqrt(F.greatest(F.lit(0.0), (sq - (s * s) / n) / (n - 1)))
+    )
+    z = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        mean.alias("mean_20"),
+        std.alias("std_20"),
+    )
+    return z.withColumn(
+        "is_anomaly",
+        F.coalesce(
+            F.abs(F.col("value") - F.col("mean_20")) > 2 * F.col("std_20"),
+            F.lit(False),
+        ),
+    )

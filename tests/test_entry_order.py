@@ -33,6 +33,10 @@ def test_stale_and_changed_queries_land_in_driver_window():
         "km1_kmeans_assign",
         "rf8_approx_percentile_accuracy",
         "rf9_kmeans_lloyd_floor",
+        "zo1_zorder_stats",
+        "dq1_column_profile",
+        "pr1_pagerank",
+        "ad1_rolling_zscore",
         # the 11 r2-stale queries, next in line this round
         "x10_c7_argmax_priority",
         "ro1_hourly_rollup",
@@ -67,7 +71,7 @@ def test_stale_and_changed_queries_land_in_driver_window():
         "a16_length_histogram",
         "f3_recent_flag",
         "txt6_vocab_top50",
-        # the 7 tier-(c) slots that paid for the round-5-new queries
+        # the 11 tier-(c) slots that paid for the round-5-new queries
         "a7_frequency_map",
         "c1_size_buckets",
         "f7_recent20_mixed_window",
@@ -75,6 +79,10 @@ def test_stale_and_changed_queries_land_in_driver_window():
         "j5_page_merge_dedup",
         "so1_first_occurrence_dedup",
         "mj1_shipping_priority",
+        "a5_consistency_score",
+        "a11_post_gap_frequency",
+        "c9_f9_niche_distribution",
+        "f8_stoplist_tokens",
     ):
         assert name not in first50, f"{name} should be deliberate overflow"
 

@@ -1,0 +1,161 @@
+"""Z-order key, range layout, and column-profiling operator tests:
+bit-interleave parity with a Python reference, physical-plan shape of
+the write-side layout, single-pass profiler correctness."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ig_etl_with_user_reports_2024_spark.operators.graph import pagerank
+from ig_etl_with_user_reports_2024_spark.operators.layout import (
+    layout_by_zorder,
+    zorder_key,
+    zorder_sql,
+)
+from ig_etl_with_user_reports_2024_spark.operators.profiling import (
+    profile_columns,
+)
+
+
+def _py_zorder(vals: list[int], bits: int) -> int:
+    z = 0
+    for j, v in enumerate(vals):
+        for i in range(bits):
+            z |= ((v >> i) & 1) << (i * len(vals) + j)
+    return z
+
+
+def test_zorder_key_matches_python_reference(spark):
+    rows = [(0, 0), (1, 0), (0, 1), (3, 5), (1999, 99), (65535, 65535)]
+    df = spark.createDataFrame(rows, "a bigint, b bigint")
+    got = {
+        (r.a, r.b): r.z
+        for r in df.withColumn("z", zorder_key(["a", "b"], 16)).collect()
+    }
+    for a, b in rows:
+        assert got[(a, b)] == _py_zorder([a, b], 16), (a, b)
+
+
+def test_zorder_locality_beats_lexicographic(spark):
+    # The point of the curve: on a 32x32 grid, consecutive z-keys span
+    # small (a, b) boxes. Cut the 1024 cells into 16 contiguous z-runs
+    # of 64 and check every run's bounding box is the expected 16x16
+    # quadtree cell — under a lexicographic (a*32+b) order the same
+    # cut yields runs spanning the full 0-31 b-range.
+    cells = [(a, b) for a in range(32) for b in range(32)]
+    df = spark.createDataFrame(cells, "a bigint, b bigint")
+    runs = (
+        df.withColumn("z", zorder_key(["a", "b"], 5))
+        .withColumn("run", F.expr("z div 64"))
+        .groupBy("run")
+        .agg(
+            (F.max("a") - F.min("a")).alias("aspan"),
+            (F.max("b") - F.min("b")).alias("bspan"),
+        )
+        .collect()
+    )
+    assert len(runs) == 16
+    for r in runs:
+        assert r.aspan == 7 and r.bspan == 7, r
+
+
+def test_zorder_sql_text_matches_column_expr(spark):
+    df = spark.createDataFrame(
+        [(i * 37 % 2048, i * 91 % 128) for i in range(200)],
+        "a bigint, b bigint",
+    )
+    df.createOrReplaceTempView("zz")
+    via_sql = spark.sql(
+        f"SELECT a, b, {zorder_sql(['a', 'b'], 12)} AS z FROM zz"
+    )
+    via_col = df.withColumn("z", zorder_key(["a", "b"], 12))
+    assert via_sql.exceptAll(via_col).count() == 0
+    assert via_col.exceptAll(via_sql).count() == 0
+
+
+def test_zorder_key_width_guard():
+    try:
+        zorder_key(["a", "b"], 32)
+    except ValueError:
+        pass
+    else:  # pragma: no cover
+        raise AssertionError("2 cols x 32 bits must not fit a long key")
+
+
+def test_layout_by_zorder_plan_is_one_range_exchange(spark, sf_smoke):
+    from ig_etl_with_user_reports_2024_spark.sources.readers import load_table
+
+    li = load_table(spark, sf_smoke, "lineitem")
+    out = layout_by_zorder(li, ["l_partkey", "l_suppkey"], bits=16, num_files=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower()
+    # the local sort must not introduce a second exchange
+    assert plan.lower().count("exchange") == 1
+
+
+def test_profile_columns_counts(spark):
+    rows = [
+        (1, "x", 10.0),
+        (2, "y", None),
+        (2, None, 3.5),
+        (None, "x", 3.5),
+    ]
+    df = spark.createDataFrame(rows, "k bigint, s string, v double")
+    prof = {
+        r.col_name: r
+        for r in profile_columns(
+            df, numeric=["k", "v"], strings=["s"], timestamps=[]
+        ).collect()
+    }
+    assert prof["k"].n_nulls == 1 and prof["k"].n_distinct == 2
+    assert prof["k"].min_num == 1.0 and prof["k"].max_num == 2.0
+    assert prof["s"].n_nulls == 1 and prof["s"].n_distinct == 2
+    assert prof["s"].min_str == "x" and prof["s"].max_str == "y"
+    assert prof["v"].n_nulls == 1 and prof["v"].n_distinct == 2
+    assert prof["v"].min_num == 3.5 and prof["v"].max_num == 10.0
+    # type-family slots not applicable to a column stay NULL
+    assert prof["k"].min_str is None and prof["v"].max_str is None
+    assert prof["s"].min_num is None
+
+
+def _brute_pagerank(edges: list[tuple[int, int]], iters: int) -> dict[int, int]:
+    nodes = sorted({n for e in edges for n in e})
+    outdeg: dict[int, int] = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    rank = {n: 1_000_000 for n in nodes}
+    for _ in range(iters):
+        contrib: dict[int, int] = {}
+        for s, d in edges:
+            contrib[d] = contrib.get(d, 0) + rank[s] // outdeg[s]
+        rank = {n: 150_000 + (85 * contrib.get(n, 0)) // 100 for n in nodes}
+    return rank
+
+
+def test_pagerank_matches_integer_brute_force(spark):
+    edges = [
+        (1, 2), (2, 1), (2, 3), (3, 1), (3, 4), (4, 3), (1, 4), (4, 1),
+        (5, 1),  # 5 has out-edges but no in-edges: floor rank
+    ]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {
+        r.id: r.rank_scaled for r in pagerank(df, iterations=3).collect()
+    }
+    assert got == _brute_pagerank(edges, 3)
+    # no-inbound node holds the undamped base rank exactly
+    assert got[5] == 150_000
+
+
+def test_pagerank_is_partitioning_invariant(spark):
+    edges = [(i, (i * 7 + 3) % 50) for i in range(200)] + [
+        ((i * 13) % 50, i % 40) for i in range(200)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    df1 = spark.createDataFrame(edges, "src bigint, dst bigint")
+    df64 = df1.repartition(64)
+    r1 = {r.id: r.rank_scaled for r in pagerank(df1, 3).collect()}
+    r64 = {r.id: r.rank_scaled for r in pagerank(df64, 3).collect()}
+    assert r1 == r64
+    # duplicate edges are legal input (parallel edges add weight);
+    # brute force sees the same multiset
+    assert r1 == _brute_pagerank(edges, 3)

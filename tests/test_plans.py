@@ -188,3 +188,40 @@ def test_creator_report_consumers_run_off_cached_partitioning(spark):
             assert n == 0, f"{name} re-shuffles the cached feature table ({n}x)"
     finally:
         feat.unpersist()
+
+
+def test_r5_additions_plan_shapes(spark, sf_oracle):
+    # ad1: three windowed aggregates over the same frame must share ONE
+    # user_id exchange (and one sort) — windowed stats that re-shuffle
+    # per aggregate would triple the dominant cost at scale.
+    from ig_etl_with_user_reports_2024_spark.plans.star_temporal import (
+        ad1_rolling_zscore,
+    )
+    plan = (
+        ad1_rolling_zscore(spark, sf_oracle)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.lower().count("exchange") == 1
+    # zo1: the observed-span scalar rides a broadcast nested loop (a
+    # 1-row build side), never a data-sized cartesian; and the z-key
+    # itself adds no exchange before the span/stat aggregations.
+    from ig_etl_with_user_reports_2024_spark.plans.star_layout import (
+        zo1_zorder_stats,
+    )
+    zplan = (
+        zo1_zorder_stats(spark, sf_oracle)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    low = zplan.lower()
+    assert low.count("broadcastnestedloopjoin") == 1
+    assert "cartesianproduct" not in low
+    # dq1: the profiler is a SINGLE scan of orders — six UNION ALL
+    # scans (the oracle's formulation) would read the table six times.
+    from ig_etl_with_user_reports_2024_spark.plans.star_layout import (
+        dq1_column_profile,
+    )
+    dplan = (
+        dq1_column_profile(spark, sf_oracle)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert dplan.lower().count("scan parquet") == 1
