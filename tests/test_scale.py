@@ -175,3 +175,48 @@ def test_cc_and_cascade_complete_at_8x(spark, big_sf):
     assert per_key.agg(F.max("n")).collect()[0][0] <= 3
     assert k6.filter((F.col("rn") < 1) | (F.col("rn") > 3)).count() == 0
     assert k6.count() > 0
+
+
+def test_r5_graph_window_layout_complete_at_8x(spark, big_sf):
+    # round-5 additions whose cost is most shape-dependent at 8x:
+    # pr1 (per-round |E| joins over ~8x edges), ad1 (windowed stats
+    # over 8x events per user), zo1 (span broadcast + stats agg over
+    # ~39M lineitem rows), dq1 (six exact distincts through one Expand)
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+
+    pr = qs["pr1_pagerank"](spark, big_sf)
+    stats = pr.agg(
+        F.count("*").alias("n"),
+        F.min("rank_scaled").alias("lo"),
+        F.sum(F.when(F.col("rank_scaled") < 150_000, 1).otherwise(0)).alias(
+            "below_floor"
+        ),
+    ).collect()[0]
+    # every node holds at least the undamped base rank; none lost
+    assert stats.n > 0 and stats.below_floor == 0 and stats.lo >= 150_000
+
+    ad = qs["ad1_rolling_zscore"](spark, big_sf)
+    n_events = spark.read.parquet(f"{big_sf}/events.parquet").count()
+    arow = ad.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("is_anomaly"), 1).otherwise(0)).alias("flags"),
+        F.sum(F.when(F.col("std_20") < 0, 1).otherwise(0)).alias("neg_std"),
+    ).collect()[0]
+    assert arow.n == n_events  # windowed projection is row-preserving
+    assert 0 < arow.flags < arow.n
+    assert arow.neg_std == 0
+
+    zo = qs["zo1_zorder_stats"](spark, big_sf).collect()
+    assert 0 < len(zo) <= 256
+    assert sum(r.n_rows for r in zo) == spark.read.parquet(
+        f"{big_sf}/lineitem.parquet"
+    ).count()
+
+    dq = qs["dq1_column_profile"](spark, big_sf).collect()
+    assert len(dq) == 6
+    orderkey = {r.col_name: r for r in dq}["o_orderkey"]
+    assert orderkey.n_distinct == spark.read.parquet(
+        f"{big_sf}/orders.parquet"
+    ).count()  # re-keyed replicas keep o_orderkey unique at 8x
