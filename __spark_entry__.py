@@ -36,9 +36,9 @@ from ig_etl_with_user_reports_2024_spark.plans import star_queries  # noqa: F401
 # The driver runs (and budgets) the FIRST ~50 queries in the order this
 # module yields them, so ordering is a correctness-signal resource
 # (VERDICT r4 "Next round" #1: after round 5, no query's latest driver
-# verdict should predate r3). Priority: (0) the 7 queries NEW in round
-# 5 (cdc1/cdc2, txt8, ii1, km1, rf8, rf9) — first driver contact
-# outranks any refresh; (a) the 11 queries whose latest verdict is
+# verdict should predate r3). Priority: (0) the 12 queries NEW in round
+# 5 (cdc1/cdc2, txt8, ii1, km1, rf8/rf9, zo1, dq1/dq2, pr1, ad1) —
+# first driver contact outranks any refresh; (a) the 11 queries whose latest verdict is
 # still r2 — round 4's deliberate overflow, next in line; (b) queries
 # whose modules round 5 changed (packing.py, sampling.py bucket
 # parameterization; dedup.py persist lifecycle; graph.py round-count
@@ -48,8 +48,9 @@ from ig_etl_with_user_reports_2024_spark.plans import star_queries  # noqa: F401
 # r4-fresh driver-hashed floor (dd3→rf3, dd4→rf4, ann2→rf1, ro2→rf5),
 # thin variants of fresher queries (a16 of a15, f3 of r4-green f2,
 # f4/f6 trivial predicates, x3 of r4-green x2_x4, mj2/mj3 of mj1,
-# txt6 of r4-green k3), and the 7 tier-(c) entries that paid for the
-# new queries' slots (a7, c1, f7, j3, j5, so1, mj1 — see below).
+# txt6 of r4-green k3), and the 12 tier-(c) entries that paid for the
+# new queries' slots (a7, c1, f7, j3, j5, so1, mj1, a5, txt5, a11,
+# c9, f8 — see below).
 # Everything after this list keeps registration order (r4-green,
 # unchanged this round).
 _DRIVER_PRIORITY = [
@@ -63,6 +64,7 @@ _DRIVER_PRIORITY = [
     "rf9_kmeans_lloyd_floor",
     "zo1_zorder_stats",
     "dq1_column_profile",
+    "dq2_schema_drift",
     "pr1_pagerank",
     "ad1_rolling_zscore",
     # (a) latest driver verdict is round 2 (VERDICT r4 item #1)
@@ -99,7 +101,6 @@ _DRIVER_PRIORITY = [
     "mm3_frame_select",
     "st7_session_window",
     "rj2_error_near_purchase",
-    "txt5_rolling_fingerprint",
     "txt7_repetition_stats",
     "a4_pricing_summary",
     "a15_length_percentiles",
@@ -110,17 +111,19 @@ _DRIVER_PRIORITY = [
     # ---- ~50-slot budget line; deliberate overflow below ----
     # Rows-only entries whose accuracy floors (rf1/rf3/rf4/rf5) are
     # in-budget or r4-fresh, plus thin variants of fresher queries —
-    # the cheapest r3-era drops. The 11 slots the round-5-new queries
+    # the cheapest r3-era drops. The 12 slots the round-5-new queries
     # cost came from here: a7 (k3/k4 carry the map semantics), c1
     # (thin classifier), f7, j3, j5, so1, mj1 (thin/structural twins
     # of in-window kin), a5 (its decimal-stddev identity rides the NEW
-    # in-window ad1), a11 (thin lag-gap classifier; a12's split-half
+    # in-window ad1), txt5 (thin twin of r4-green txt4's fingerprint),
+    # a11 (thin lag-gap classifier; a12's split-half
     # trend is r4-green), c9 (thin classifier over j4's in-window
     # keyword scores), f8 (stoplist set-difference; j1 carries the
     # anti-join semantics in-window) — all r3-verified and re-proved
     # exact by the local tri-scale gate this round; they lead round 6
     # with the rest.
     "a5_consistency_score",
+    "txt5_rolling_fingerprint",
     "a11_post_gap_frequency",
     "c9_f9_niche_distribution",
     "f8_stoplist_tokens",

@@ -76,6 +76,7 @@ HEADLINE = [
     "km1_kmeans_assign",
     "zo1_zorder_stats",
     "dq1_column_profile",
+    "dq2_schema_drift",
     "pr1_pagerank",
     "ad1_rolling_zscore",
 ]

@@ -31,14 +31,20 @@ def profile_columns(
     numeric: list[str],
     strings: list[str],
     timestamps: list[str],
+    group_by: str | None = None,
 ) -> DataFrame:
     """Profile the given columns in one aggregation pass.
 
     Returns one row per profiled column:
-    (col_name, n_nulls, n_distinct, min_num, max_num, min_str, max_str,
-    min_ts, max_ts) — min/max land in the slot matching the column's
+    (col_name, n_rows, n_nulls, n_distinct, min_num, max_num, min_str,
+    max_str, min_ts, max_ts) — min/max land in the slot matching the column's
     type family (numerics cast to DOUBLE: exact for BIGINT keys and raw
     doubles alike), the other slots are typed NULLs.
+
+    With ``group_by`` the profile is computed per group in the SAME
+    single pass (one row per group before the unpivot, ``group_by``
+    carried as the leading output column) — the drift-detection shape:
+    profile yesterday's batch and today's without scanning twice.
     """
     ordered = numeric + strings + timestamps
     ts_type = df.schema[timestamps[0]].dataType if timestamps else "timestamp"
@@ -52,7 +58,7 @@ def profile_columns(
     for c in strings + timestamps:
         aggs.append(F.min(F.col(c)).alias(f"{c}__min"))
         aggs.append(F.max(F.col(c)).alias(f"{c}__max"))
-    row = df.agg(*aggs)
+    row = df.groupBy(group_by).agg(*aggs) if group_by else df.agg(*aggs)
 
     null_num = F.lit(None).cast("double")
     null_str = F.lit(None).cast("string")
@@ -63,6 +69,7 @@ def profile_columns(
         structs.append(
             F.struct(
                 F.lit(c).alias("col_name"),
+                F.col("_n").alias("n_rows"),
                 (F.col("_n") - F.col(f"{c}__cnt")).alias("n_nulls"),
                 F.col(f"{c}__nd").alias("n_distinct"),
                 (F.col(f"{c}__min") if is_num else null_num).alias("min_num"),
@@ -77,4 +84,7 @@ def profile_columns(
                 ).alias("max_ts"),
             )
         )
-    return row.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
+    head = [F.col(group_by)] if group_by else []
+    return row.select(
+        *head, F.explode(F.array(*structs)).alias("p")
+    ).select(*head, "p.*")

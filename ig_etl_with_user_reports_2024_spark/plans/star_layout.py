@@ -93,6 +93,7 @@ def _profile_col_sql(
     max_ts = f"MAX({c})" if kind == "ts" else "CAST(NULL AS TIMESTAMP)"
     return f"""
     SELECT '{c}' AS col_name,
+           COUNT(*) AS n_rows,
            COUNT(*) - COUNT({c}) AS n_nulls,
            CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
            {min_num} AS min_num, {max_num} AS max_num,
@@ -127,4 +128,108 @@ def dq1_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     return profiling.profile_columns(
         orders, numeric=_DQ1_NUM, strings=_DQ1_STR, timestamps=_DQ1_TS
+    )
+
+
+_DQ2_COLS = ["user_id", "value", "event_type", "props"]
+_DQ2_PROFILE_SQL = " UNION ALL ".join(
+    f"""
+    SELECT batch, '{c}' AS col_name,
+           COUNT(*) AS n_rows,
+           COUNT(*) - COUNT({c}) AS n_nulls,
+           CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct
+    FROM base GROUP BY batch"""
+    for c in _DQ2_COLS
+)
+
+
+@query(
+    "dq2_schema_drift",
+    f"""
+    WITH base AS (
+        SELECT *, event_id % 2 AS batch FROM events
+    ), p AS (
+        {_DQ2_PROFILE_SQL}
+    )
+    SELECT a.col_name,
+           a.n_rows AS n_rows_a, b.n_rows AS n_rows_b,
+           a.n_nulls AS n_nulls_a, b.n_nulls AS n_nulls_b,
+           a.n_distinct AS nd_a, b.n_distinct AS nd_b,
+           CAST(a.n_nulls AS DOUBLE) / a.n_rows AS null_rate_a,
+           CAST(b.n_nulls AS DOUBLE) / b.n_rows AS null_rate_b,
+           CASE WHEN a.n_distinct > 0
+                THEN CAST(b.n_distinct AS DOUBLE) / a.n_distinct
+           END AS card_ratio,
+           COALESCE(
+               ABS(CAST(b.n_nulls AS DOUBLE) / b.n_rows
+                   - CAST(a.n_nulls AS DOUBLE) / a.n_rows) > 0.01
+               OR CAST(b.n_distinct AS DOUBLE) / a.n_distinct < 0.5
+               OR CAST(b.n_distinct AS DOUBLE) / a.n_distinct > 2.0,
+               TRUE) AS drift_flag
+    FROM p a JOIN p b
+      ON a.col_name = b.col_name AND a.batch = 0 AND b.batch = 1
+    """,
+)
+def dq2_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema/distribution drift between two ingest batches: profile
+    both halves of the events changelog (batch = event_id % 2 stands in
+    for yesterday/today) in ONE grouped pass, then flag columns whose
+    null rate moved more than 1 point or whose cardinality halved or
+    doubled — the ingest-gate alarm that catches a broken upstream
+    field before it poisons a training run.
+
+    The per-batch profile reuses operators/profiling.profile_columns
+    with ``group_by``: one scan, one Expand for the exact distincts,
+    one 2-row aggregate — the batch-vs-batch join touches 8 metadata
+    rows. Rates are compared as doubles derived from integer counts
+    with identical expressions on both engines (no float accumulation
+    anywhere); an undefined ratio (empty baseline) conservatively
+    flags drift. At 100 TB each batch profile would come from its own
+    incremental scan at ingest; the drift join is unchanged.
+    """
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "batch", F.col("event_id") % 2
+    )
+    prof = profiling.profile_columns(
+        ev,
+        numeric=["user_id", "value"],
+        strings=["event_type", "props"],
+        timestamps=[],
+        group_by="batch",
+    )
+    a = prof.filter(F.col("batch") == 0).select(
+        "col_name",
+        F.col("n_rows").alias("n_rows_a"),
+        F.col("n_nulls").alias("n_nulls_a"),
+        F.col("n_distinct").alias("nd_a"),
+    )
+    b = prof.filter(F.col("batch") == 1).select(
+        "col_name",
+        F.col("n_rows").alias("n_rows_b"),
+        F.col("n_nulls").alias("n_nulls_b"),
+        F.col("n_distinct").alias("nd_b"),
+    )
+    j = a.join(b, "col_name")
+    null_rate_a = F.col("n_nulls_a").cast("double") / F.col("n_rows_a")
+    null_rate_b = F.col("n_nulls_b").cast("double") / F.col("n_rows_b")
+    ratio = F.when(
+        F.col("nd_a") > 0, F.col("nd_b").cast("double") / F.col("nd_a")
+    )
+    return j.select(
+        "col_name",
+        "n_rows_a",
+        "n_rows_b",
+        "n_nulls_a",
+        "n_nulls_b",
+        "nd_a",
+        "nd_b",
+        null_rate_a.alias("null_rate_a"),
+        null_rate_b.alias("null_rate_b"),
+        ratio.alias("card_ratio"),
+        F.coalesce(
+            (F.abs(null_rate_b - null_rate_a) > 0.01)
+            | (F.col("nd_b").cast("double") / F.col("nd_a") < 0.5)
+            | (F.col("nd_b").cast("double") / F.col("nd_a") > 2.0),
+            F.lit(True),
+        ).alias("drift_flag"),
     )

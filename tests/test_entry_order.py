@@ -35,6 +35,7 @@ def test_stale_and_changed_queries_land_in_driver_window():
         "rf9_kmeans_lloyd_floor",
         "zo1_zorder_stats",
         "dq1_column_profile",
+        "dq2_schema_drift",
         "pr1_pagerank",
         "ad1_rolling_zscore",
         # the 11 r2-stale queries, next in line this round
@@ -80,6 +81,7 @@ def test_stale_and_changed_queries_land_in_driver_window():
         "so1_first_occurrence_dedup",
         "mj1_shipping_priority",
         "a5_consistency_score",
+        "txt5_rolling_fingerprint",
         "a11_post_gap_frequency",
         "c9_f9_niche_distribution",
         "f8_stoplist_tokens",

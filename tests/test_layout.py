@@ -118,6 +118,29 @@ def test_profile_columns_counts(spark):
     assert prof["s"].min_num is None
 
 
+def test_profile_columns_grouped_single_pass(spark):
+    rows = [
+        (0, 1, "x"),
+        (0, None, "y"),
+        (1, 3, None),
+        (1, 4, "z"),
+        (1, 4, "z"),
+    ]
+    df = spark.createDataFrame(rows, "batch int, k bigint, s string")
+    prof = profile_columns(
+        df, numeric=["k"], strings=["s"], timestamps=[], group_by="batch"
+    )
+    got = {(r.batch, r.col_name): r for r in prof.collect()}
+    assert got[(0, "k")].n_rows == 2 and got[(0, "k")].n_nulls == 1
+    assert got[(1, "k")].n_distinct == 2 and got[(1, "k")].max_num == 4.0
+    assert got[(1, "s")].n_nulls == 1 and got[(1, "s")].n_distinct == 1
+    # grouped profile stays ONE scan of the input (AQE plan text repeats
+    # the tree as "initial plan" — count inside the final plan only)
+    plan = prof._jdf.queryExecution().executedPlan().toString().lower()
+    final = plan.split("== initial plan ==")[0]
+    assert final.count("scan existingrdd") <= 1
+
+
 def _brute_pagerank(edges: list[tuple[int, int]], iters: int) -> dict[int, int]:
     nodes = sorted({n for e in edges for n in e})
     outdeg: dict[int, int] = {}
