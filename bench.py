@@ -82,21 +82,14 @@ HEADLINE = [
 ]
 
 
-def _creator_report_full(spark, ref_dir: str = "/root/reference"):
-    """Time the full creator_report DataFrame at sf0.1-equivalent rows.
-
-    Returns wall seconds for one materialization of the ~70-column report
-    over ~151k posts / 5.4k creators, or None when the reference fixture
-    is absent. Warm pass at 2 replicas first (same compile-warm contract
-    as the catalog queries); engine-native half-even rounding (the
-    CPython-compat pandas_udf path is an opt-in, not the deployed mode).
-    """
+def _replicated_report(spark, ref_dir: str = "/root/reference"):
+    """Factory for the sf0.1-equivalent creator report, or None when the
+    reference fixture is absent (partial checkouts: dir present, fixture
+    globs empty — require both globs up front so the measured run can't
+    raise mid-bench). Returns ``replicated(n_rep) -> DataFrame``."""
     import datetime as dt
     import glob
 
-    # Partial checkouts (dir present, fixture globs empty) would make
-    # load_users or the measured run raise and fail the whole bench —
-    # only the warm-up pass is exception-wrapped. Require both globs.
     if not glob.glob(f"{ref_dir}/*/userInfo.json") or not glob.glob(
         f"{ref_dir}/*/postInfo.json"
     ):
@@ -116,6 +109,22 @@ def _creator_report_full(spark, ref_dir: str = "/root/reference"):
         p = posts.crossJoin(rep).withColumn("username", rekey).drop("_rep")
         return cr.creator_report(spark, u, p, as_of=as_of)
 
+    return replicated
+
+
+def _creator_report_full(spark, ref_dir: str = "/root/reference"):
+    """Time the full creator_report DataFrame at sf0.1-equivalent rows.
+
+    Returns wall seconds for one materialization of the ~70-column report
+    over ~151k posts / 5.4k creators, or None when the reference fixture
+    is absent. Warm pass at 2 replicas first (same compile-warm contract
+    as the catalog queries); engine-native half-even rounding (the
+    CPython-compat pandas_udf path is an opt-in, not the deployed mode).
+    """
+    replicated = _replicated_report(spark, ref_dir)
+    if replicated is None:
+        return None
+
     # Warm at 10% scale (60 replicas ≈ 15k posts), not a token 2: the
     # report's generated code only crosses the C2 JIT compile threshold
     # with real row volume, and an un-JITted full-scale run measures the
@@ -128,6 +137,46 @@ def _creator_report_full(spark, ref_dir: str = "/root/reference"):
     t0 = time.time()
     df.write.format("noop").mode("overwrite").save()
     return time.time() - t0
+
+
+def _wide_csv_full(spark, ref_dir: str = "/root/reference"):
+    """Time the jsontocsv stage (flatten_report + X9 sanitize + real CSV
+    write) at sf0.1-equivalent creators, report inputs pre-materialized.
+
+    The report DataFrame is persisted and counted OUTSIDE the clock so
+    the measured cost is the wide-CSV serialization itself — the per-row
+    to_json/pipe-join/regexp work HANDOFF flagged — not a re-run of the
+    10-join report plan. Writes real CSV files to a temp dir (the
+    serialization cost IS the point; noop would skip the writer).
+    Returns wall seconds or None when the reference fixture is absent.
+    """
+    import shutil
+    import tempfile
+
+    from pyspark import StorageLevel
+
+    from ig_etl_with_user_reports_2024_spark.plans import wide_csv
+
+    replicated = _replicated_report(spark, ref_dir)
+    if replicated is None:
+        return None
+    rep = replicated(600).persist(StorageLevel.MEMORY_AND_DISK)
+    out = tempfile.mkdtemp(prefix="widecsv_")
+    try:
+        rep.count()  # untimed: materialize the report into the cache
+        try:  # compile-warm the flatten/sanitize codegen on 60 rows
+            wide_csv.sanitize_and_write(
+                wide_csv.flatten_report(rep.limit(60)), f"{out}/warm"
+            )
+        except Exception:  # noqa: BLE001 — warm-up must never fail the bench
+            pass
+        flat = wide_csv.flatten_report(rep)
+        t0 = time.time()
+        wide_csv.sanitize_and_write(flat, f"{out}/csv")
+        return time.time() - t0
+    finally:
+        rep.unpersist()
+        shutil.rmtree(out, ignore_errors=True)
 
 
 def _loadavg() -> list[float]:
@@ -219,6 +268,9 @@ def main() -> None:
     cr_t = _creator_report_full(spark)
     if cr_t is not None:
         timings["creator_report_full"] = round(cr_t, 3)
+    wc_t = _wide_csv_full(spark)
+    if wc_t is not None:
+        timings["wide_csv_full"] = round(wc_t, 3)
 
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
