@@ -74,3 +74,48 @@ def test_salted_count_distinct_exact(spark, sf_oracle):
         ).collect()
     }
     assert plain == salted
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark, sf_oracle):
+    # The 100 TB shuffle-reduction lever for selective fact⋈dim joins
+    # that are too big to broadcast: Catalyst's runtime bloom filter
+    # builds a filter from the selective side and injects might_contain
+    # on the fact scan, so non-qualifying fact rows die BEFORE the join
+    # exchange. Local testdata sits under the production size thresholds
+    # (creationSideThreshold 10MB), so the test widens them to prove the
+    # injection fires — at real scale the defaults qualify on their own.
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force a shuffle join
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        orders = spark.read.parquet(f"{sf_oracle}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = spark.read.parquet(f"{sf_oracle}/lineitem.parquet")
+        j = (
+            li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan.lower(), "bloom filter not injected"
+        # the injected filter must sit on the FACT (lineitem) branch
+        fact_branch = [
+            ln for ln in plan.splitlines() if "might_contain" in ln.lower()
+        ]
+        assert any("l_orderkey" in ln for ln in fact_branch)
+        # and the join still returns the right answer
+        rows = j.collect()
+        assert len(rows) == 1 and rows[0].n > 0
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
