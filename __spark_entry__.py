@@ -32,6 +32,7 @@ from ig_etl_with_user_reports_2024_spark.plans import star_classifiers  # noqa: 
 from ig_etl_with_user_reports_2024_spark.plans import star_multijoin  # noqa: F401
 from ig_etl_with_user_reports_2024_spark.plans import star_pipeline  # noqa: F401
 from ig_etl_with_user_reports_2024_spark.plans import star_queries  # noqa: F401
+from ig_etl_with_user_reports_2024_spark.plans import star_skew  # noqa: F401
 
 # The driver runs (and budgets) the FIRST ~50 queries in the order this
 # module yields them, so ordering is a correctness-signal resource
@@ -54,7 +55,16 @@ from ig_etl_with_user_reports_2024_spark.plans import star_queries  # noqa: F401
 # Everything after this list keeps registration order (r4-green,
 # unchanged this round).
 _DRIVER_PRIORITY = [
-    # (0) NEW in round 5 — first driver contact outranks every refresh
+    # (0) NEW in round 5 — first driver contact outranks every refresh.
+    # Late-r5 additions (dc2 portable-MinHash decontamination, ii2 BM25,
+    # sk1/sk2 salted-shape identities) lead; their 4 slots are paid for
+    # by moving the 4 weakest tier-(c) r3 refreshes (c12, j1, j2, j4 —
+    # all r3-verified and re-proved exact by the local tri-scale gate)
+    # into the deliberate overflow.
+    "dc2_fuzzy_decontaminate",
+    "ii2_bm25_topk",
+    "sk1_salted_distinct_users",
+    "sk2_salted_join_segment",
     "cdc1_merge_upsert",
     "cdc2_scd2_intervals",
     "txt8_filter_verdict",
@@ -104,11 +114,13 @@ _DRIVER_PRIORITY = [
     "txt7_repetition_stats",
     "a4_pricing_summary",
     "a15_length_percentiles",
+    # ---- ~50-slot budget line; deliberate overflow below ----
+    # c12/j1/j2/j4: the 4 tier-(c) slots that paid for the late-r5 new
+    # queries (dc2/ii2/sk1/sk2) — r3-verified, re-proved exact locally.
     "c12_collab_status",
     "j1_work_queue_anti_join",
     "j2_first_match_theta_join",
     "j4_a10_keyword_scores",
-    # ---- ~50-slot budget line; deliberate overflow below ----
     # Rows-only entries whose accuracy floors (rf1/rf3/rf4/rf5) are
     # in-budget or r4-fresh, plus thin variants of fresher queries —
     # the cheapest r3-era drops. The 12 slots the round-5-new queries

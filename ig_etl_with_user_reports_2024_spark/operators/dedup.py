@@ -357,3 +357,105 @@ def simhash_near_pairs(
     return cand.select("a_id", "b_id", hamming.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )
+
+
+def portable_minhash_bands(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+    n: int = 3,
+) -> DataFrame:
+    """MinHash band buckets computed ONLY from md5 — bit-reproducible in
+    any engine with an md5() builtin (the one hash Spark and DuckDB both
+    expose over strings), so LSH-banded joins built on top are exact-
+    oracle-checkable, unlike the xxhash64 paths above.
+
+    hash_i(shingle) = md5(i || ':' || shingle) compared as lowercase-hex
+    strings (ASCII-lexicographic == unsigned-numeric order for fixed-
+    width hex, identical in Spark and DuckDB), so
+    ``sig_i = min_over_shingles(hash_i)`` needs no engine-specific
+    integer hash. Band bucket = md5 of the '|'-joined r signature mins.
+
+    Same scale shape as :func:`minhash_signatures`: one shingle explode,
+    one groupBy(doc) with k min-aggregates (map-side combine — the
+    shuffle carries (doc, k × 32-char mins), never the text), then a
+    constant 4-rows-per-doc band explode. Costs k md5 calls per shingle
+    vs one xxhash64 + k affine transforms — the price of portability;
+    use the xxhash64 path when oracle parity isn't needed.
+
+    Returns (doc, band, bucket) rows ready for an equi-join.
+    """
+    if num_hashes % bands:
+        raise ValueError(f"num_hashes={num_hashes} not divisible by bands={bands}")
+    r = num_hashes // bands
+    sh = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            normalized_words(F.col(text_col)).alias("words"),
+        )
+        .select("doc", F.explode(word_shingles(F.col("words"), n)).alias("shingle"))
+        .filter(F.col("shingle") != "")
+    )
+    aggs = [
+        F.min(
+            F.md5(F.encode(F.concat(F.lit(f"{i}:"), F.col("shingle")), "UTF-8"))
+        ).alias(f"m{i}")
+        for i in range(num_hashes)
+    ]
+    sig = sh.groupBy("doc").agg(*aggs)
+    band_structs = [
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.md5(
+                F.encode(
+                    F.concat_ws(
+                        "|", *[F.col(f"m{bi * r + j}") for j in range(r)]
+                    ),
+                    "UTF-8",
+                )
+            ).alias("bucket"),
+        )
+        for bi in range(bands)
+    ]
+    return sig.select(
+        "doc", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+def sql_portable_minhash_bands(
+    table: str,
+    id_expr: str = "doc_id",
+    text_expr: str = "text",
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> str:
+    """DuckDB CTE body matching :func:`portable_minhash_bands` (3-word
+    shingles): yields (doc, band, bucket) rows. Keep in lockstep with the
+    Spark builder above — the md5 inputs must match byte-for-byte."""
+    r = num_hashes // bands
+    words = (
+        f"list_filter(string_split_regex(lower(trim({text_expr})), '\\s+'), "
+        "w -> w <> '')"
+    )
+    shingles = (
+        "list_distinct(list_transform(generate_series(1, greatest(len(ws) - 2, 0)), "
+        "i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))"
+    )
+    mins = ", ".join(
+        f"min(md5('{i}:' || s)) AS m{i}" for i in range(num_hashes)
+    )
+    band_rows = " UNION ALL ".join(
+        "SELECT doc, {b} AS band, md5({parts}) AS bucket FROM sig".format(
+            b=bi,
+            parts=" || '|' || ".join(f"m{bi * r + j}" for j in range(r)),
+        )
+        for bi in range(bands)
+    )
+    return f"""
+    ws AS (SELECT {id_expr} AS doc, {words} AS ws FROM {table}),
+    sh AS (SELECT doc, unnest({shingles}) AS s FROM ws),
+    sig AS (SELECT doc, {mins} FROM sh WHERE s <> '' GROUP BY doc),
+    bands AS ({band_rows})
+    """

@@ -1351,3 +1351,143 @@ def pr1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rank_scaled"),
         (F.col("rank_scaled").cast("double") / 1_000_000).alias("rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ii2 — BM25 retrieval on top of ii1's inverted-index statistics.
+# ---------------------------------------------------------------------------
+
+_BM25_QUERIES = [
+    (1, ["hash", "join"]),
+    (2, ["stream", "window", "agg"]),
+    (3, ["vector", "scan"]),
+    (4, ["customer", "order"]),
+    (5, ["spark", "query", "fast"]),
+]
+_BM25_VALUES_SQL = ", ".join(
+    f"({qid}, '{t}')" for qid, terms in _BM25_QUERIES for t in terms
+)
+
+
+@query(
+    "ii2_bm25_topk",
+    f"""
+    WITH qterms(query_id, token) AS (VALUES {_BM25_VALUES_SQL}),
+    ws AS (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents),
+    dl AS (SELECT doc_id, len(ws) AS dl FROM ws),
+    tot AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_len FROM dl),
+    tok AS (SELECT doc_id, unnest(ws) AS token FROM ws),
+    tf AS (
+        SELECT token, doc_id, COUNT(*) AS tf
+        FROM tok JOIN (SELECT DISTINCT token FROM qterms) t USING (token)
+        GROUP BY token, doc_id
+    ),
+    dfreq AS (SELECT token, COUNT(*) AS doc_freq FROM tf GROUP BY token),
+    scored AS (
+        SELECT q.query_id, f.doc_id, q.token,
+               ((t.n_docs - d.doc_freq + 0.5) / (d.doc_freq + 0.5))
+               * ((CAST(f.tf AS DOUBLE) * 2.2)
+                  / (f.tf + 1.2 * (0.25 + 0.75 * (CAST(l.dl AS DOUBLE)
+                     / (CAST(t.total_len AS DOUBLE) / t.n_docs))))) AS ts
+        FROM qterms q
+        JOIN tf f USING (token)
+        JOIN dfreq d USING (token)
+        JOIN dl l ON f.doc_id = l.doc_id
+        CROSS JOIN tot t
+    ),
+    agg AS (
+        SELECT query_id, doc_id,
+               list_reduce(list_transform(
+                   list_sort(list(struct_pack(token := token, s := ts))),
+                   x -> x.s), (a, b) -> a + b) AS score
+        FROM scored GROUP BY query_id, doc_id
+    )
+    SELECT query_id, doc_id,
+           CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, doc_id
+           ) AS INT) AS "rank",
+           score
+    FROM agg QUALIFY "rank" <= 5
+    """,
+)
+def ii2_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-5 retrieval (k1=1.2, b=0.75) for 5 fixed multi-term
+    queries — the ranking consumer of ii1's inverted-index statistics,
+    and the retrieval pass a curation pipeline runs for targeted
+    dedup/decontamination or quality-slice mining.
+
+    Cross-engine exactness: BM25's ln() is the one non-portable piece
+    (libm ulps differ — see ii1), so the idf term stays the pre-log
+    ratio (N - df + 0.5)/(df + 0.5): rank-equivalent per term, and
+    built ONLY from +,-,*,/ on doubles (each IEEE-correctly-rounded,
+    identical operand order both engines). The per-document score sums
+    its ≤3 term scores by FOLDING IN TOKEN ORDER (array_sort then
+    aggregate) — double addition is non-associative, so a canonical
+    fold order is what keeps a distributed sum hash-identical to the
+    oracle (functions/exact.py rule 2).
+
+    Scale shape: the query-term dim (11 rows) broadcast-prunes the
+    token explode BEFORE the (token, doc)-grain count (map-side
+    combine; the shuffle never carries non-query tokens), doc_freq is
+    a token-grain rollup of that same tiny tf relation (broadcast back),
+    corpus stats are one scalar crossJoin, and the only doc-grain
+    shuffle is the tf⋈dl join + final (query, doc) fold. Top-5 via one
+    window per query_id partition (5 partitions, each bounded by the
+    candidate-doc count)."""
+    docs = load_table(spark, sf_dir, "documents")
+    qterms = spark.createDataFrame(
+        [(qid, t) for qid, terms in _BM25_QUERIES for t in terms],
+        "query_id int, token string",
+    )
+    words = docs.select("doc_id", dd.normalized_words(F.col("text")).alias("ws"))
+    dl = words.select("doc_id", F.size("ws").cast("bigint").alias("dl"))
+    tot = dl.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("total_len")
+    )
+    tok = words.select("doc_id", F.explode("ws").alias("token"))
+    termset = qterms.select("token").distinct()
+    tf = (
+        tok.join(F.broadcast(termset), "token")
+        .groupBy("token", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("doc_freq"))
+    avgdl = F.col("total_len").cast("double") / F.col("n_docs")
+    ts = (
+        (F.col("n_docs") - F.col("doc_freq") + F.lit(0.5))
+        / (F.col("doc_freq") + F.lit(0.5))
+    ) * (
+        (F.col("tf").cast("double") * F.lit(2.2))
+        / (
+            F.col("tf")
+            + F.lit(1.2)
+            * (
+                F.lit(0.25)
+                + F.lit(0.75) * (F.col("dl").cast("double") / avgdl)
+            )
+        )
+    )
+    scored = (
+        qterms.join(tf, "token")
+        .join(F.broadcast(dfreq), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(tot))
+        .select("query_id", "doc_id", "token", ts.alias("ts"))
+    )
+    agg = scored.groupBy("query_id", "doc_id").agg(
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("token"), F.col("ts").alias("s")))
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["s"],
+        ).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "doc_id", "rank", "score")
+    )

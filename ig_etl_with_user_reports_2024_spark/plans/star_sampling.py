@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.dedup import sql_portable_minhash_bands
 from ..operators.multimodal import (
     decode_media_batch,
     frame_sample_plan,
@@ -251,3 +252,64 @@ def mm4_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         (h2 % (rate * 30) + rate).alias("n_samples"),
     )
     return audio_chunk_plan(decoded, chunk_seconds=5, hop_seconds=4)
+
+
+@query(
+    "dc2_fuzzy_decontaminate",
+    f"""
+    WITH {{bands}},
+    sp AS (
+        SELECT doc_id AS doc, {sql_hash_split('doc_id')} AS split
+        FROM documents
+    ),
+    tagged AS (
+        SELECT b.doc, b.band, b.bucket, sp.split
+        FROM bands b JOIN sp ON b.doc = sp.doc
+    )
+    SELECT t.doc AS doc_id,
+           COUNT(DISTINCT e.doc) AS n_eval_matches,
+           MIN(e.doc) AS first_eval_match
+    FROM tagged t
+    JOIN tagged e ON t.band = e.band AND t.bucket = e.bucket
+    WHERE t.split = 'train' AND e.split <> 'train'
+    GROUP BY t.doc
+    """.format(bands=sql_portable_minhash_bands("documents")),
+)
+def dc2_fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY train/eval decontamination — dc1's exact-fingerprint join
+    upgraded to MinHash-LSH banding, the GPT-3/PaLM-style near-match
+    sweep (a paraphrased or lightly-edited eval doc still collides in a
+    band). Uses the md5-only portable MinHash
+    (operators/dedup.portable_minhash_bands: 8 hashes, 4 bands x 2
+    rows), so unlike the xxhash64 dd3 path this LSH join is
+    hash-checked against the DuckDB oracle end-to-end — the first
+    exact-oracle verdict for the banded-join family, not just a recall
+    floor. Scale shape: shingle explode -> one groupBy(doc) with 8
+    map-side-combined mins (shuffle carries 8 x 32-char hex per doc,
+    never text), constant 4-rows-per-doc band table, candidate
+    equi-join on (band, bucket) whose size tracks cross-split
+    similarity density, then a (train-doc)-grain rollup. Returns each
+    contaminated TRAIN doc with how many eval/val docs it collides
+    with and the first such doc id."""
+    from ..operators.dedup import portable_minhash_bands
+
+    docs = load_table(spark, sf_dir, "documents")
+    bands = portable_minhash_bands(docs, "doc_id", "text")
+    split = hash_split(docs.select("doc_id"), key="doc_id").select(
+        F.col("doc_id").alias("doc"), "split"
+    )
+    tagged = bands.join(split, "doc")
+    t = tagged.filter(F.col("split") == "train").alias("t")
+    e = tagged.filter(F.col("split") != "train").alias("e")
+    return (
+        t.join(
+            e,
+            (F.col("t.band") == F.col("e.band"))
+            & (F.col("t.bucket") == F.col("e.bucket")),
+        )
+        .groupBy(F.col("t.doc").alias("doc_id"))
+        .agg(
+            F.count_distinct(F.col("e.doc")).alias("n_eval_matches"),
+            F.min(F.col("e.doc")).alias("first_eval_match"),
+        )
+    )

@@ -96,3 +96,47 @@ def test_shingle_cache_lifecycle_bounded_and_correct(spark):
     assert len(dedup._PERSISTED_HANDLES) <= dedup._MAX_PINNED
     # the first result still computes after its cache was released
     assert {(r.a_id, r.b_id) for r in first.collect()} == got1
+
+
+def test_portable_minhash_identical_docs_share_all_bands(spark):
+    bands = dd.portable_minhash_bands(_docs(spark), "doc_id", "text")
+    rows = bands.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc, {})[r.band] = r.bucket
+    # identical docs (1, 2) agree on every band bucket
+    assert by_doc[1] == by_doc[2]
+    # each doc emits exactly `bands` rows, band ids 0..3
+    assert sorted(by_doc[1]) == [0, 1, 2, 3]
+    # unrelated docs don't collide on all four bands
+    assert by_doc[1] != by_doc[4]
+
+
+def test_portable_minhash_rejects_bad_band_split(spark):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        dd.portable_minhash_bands(_docs(spark), "doc_id", "text", num_hashes=8, bands=3)
+
+
+def test_portable_minhash_matches_duckdb_fragment(spark):
+    # the md5-portability claim, asserted directly: the Spark operator
+    # and the SQL fragment emit identical (doc, band, bucket) sets
+    import duckdb
+
+    sp = {
+        (r.doc, r.band, r.bucket)
+        for r in dd.portable_minhash_bands(_docs(spark), "doc_id", "text").collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE docs AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t}')" for i, t in DOCS)
+        + ") AS v(doc_id, text)"
+    )
+    frag = dd.sql_portable_minhash_bands("docs")
+    du = {
+        (r[0], r[1], r[2])
+        for r in con.execute(f"WITH {frag} SELECT doc, band, bucket FROM bands").fetchall()
+    }
+    assert sp == du

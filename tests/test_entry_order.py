@@ -25,6 +25,11 @@ def test_stale_and_changed_queries_land_in_driver_window():
     # so the window isn't silently wasted on weak signals.
     first50 = list(entry.queries())[:50]
     for name in (
+        # new late in round 5 — first driver contact
+        "dc2_fuzzy_decontaminate",
+        "ii2_bm25_topk",
+        "sk1_salted_distinct_users",
+        "sk2_salted_join_segment",
         # new in round 5 — first driver contact
         "cdc1_merge_upsert",
         "cdc2_scd2_intervals",
@@ -65,6 +70,11 @@ def test_stale_and_changed_queries_land_in_driver_window():
     ):
         assert name in first50, f"{name} fell out of the driver's 50-slot window"
     for name in (
+        # the 4 tier-(c) slots that paid for the late-r5 new queries
+        "c12_collab_status",
+        "j1_work_queue_anti_join",
+        "j2_first_match_theta_join",
+        "j4_a10_keyword_scores",
         "dd3_minhash_lsh_pairs",
         "dd4_simhash_pairs",
         "ann2_lsh_topk",
