@@ -79,6 +79,10 @@ HEADLINE = [
     "dq2_schema_drift",
     "pr1_pagerank",
     "ad1_rolling_zscore",
+    "dc2_fuzzy_decontaminate",
+    "ii2_bm25_topk",
+    "sk1_salted_distinct_users",
+    "sk2_salted_join_segment",
 ]
 
 

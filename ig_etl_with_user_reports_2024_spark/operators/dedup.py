@@ -87,6 +87,18 @@ _PERSISTED_HANDLES: list[DataFrame] = []
 _MAX_PINNED = 4
 
 
+def pin_bounded(df: DataFrame) -> DataFrame:
+    """MEMORY_AND_DISK-persist ``df`` under the FIFO-capped registry
+    above (shared by any plan whose expensive subtree feeds multiple
+    consumers — shingle tables, MinHash band tables, tf relations).
+    Single-threaded contract as documented on _PERSISTED_HANDLES."""
+    while len(_PERSISTED_HANDLES) >= _MAX_PINNED:
+        _PERSISTED_HANDLES.pop(0).unpersist()
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _PERSISTED_HANDLES.append(df)
+    return df
+
+
 def shingle_pairs_jaccard(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5
 ) -> DataFrame:
@@ -106,8 +118,6 @@ def shingle_pairs_jaccard(
     session-lifetime leak stays bounded (previously every call leaked
     one cached table forever).
     """
-    while len(_PERSISTED_HANDLES) >= _MAX_PINNED:
-        _PERSISTED_HANDLES.pop(0).unpersist()
     # join/aggregate on the 64-bit shingle hash, not the string — smaller
     # shuffle rows and long-vs-long comparisons; collision odds at 10^9
     # distinct shingles are ~1e-2 per full corpus and affect one count by
@@ -133,9 +143,8 @@ def shingle_pairs_jaccard(
         # halves the cached footprint of these narrow (long, long) rows
         # at trivial CPU cost, and naming the level makes the policy
         # visible instead of implicit.
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    _PERSISTED_HANDLES.append(sh)
+    sh = pin_bounded(sh)
     sizes = sh.groupBy("doc").agg(F.count("*").alias("n_shingles"))
     # (a document-frequency prefilter — drop shingles seen in one doc —
     # pays off on real corpora with long-tail vocabularies; on this

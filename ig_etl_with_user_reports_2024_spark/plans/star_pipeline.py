@@ -1428,28 +1428,34 @@ def ii2_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the query-term dim (11 rows) broadcast-prunes the
     token explode BEFORE the (token, doc)-grain count (map-side
-    combine; the shuffle never carries non-query tokens), doc_freq is
-    a token-grain rollup of that same tiny tf relation (broadcast back),
-    corpus stats are one scalar crossJoin, and the only doc-grain
-    shuffle is the tf⋈dl join + final (query, doc) fold. Top-5 via one
-    window per query_id partition (5 partitions, each bounded by the
-    candidate-doc count)."""
+    combine; the shuffle never carries non-query tokens), and the
+    document length rides THROUGH the explode as a carried column (one
+    max() in the same aggregate — dl is constant per doc), so there is
+    no doc-grain dl join at all. doc_freq is a token-grain rollup of
+    the pinned tf relation (computed once, broadcast back), corpus
+    stats are one scalar crossJoin. Top-5 via one window per query_id
+    partition (5 partitions, each bounded by the candidate-doc
+    count)."""
     docs = load_table(spark, sf_dir, "documents")
     qterms = spark.createDataFrame(
         [(qid, t) for qid, terms in _BM25_QUERIES for t in terms],
         "query_id int, token string",
     )
     words = docs.select("doc_id", dd.normalized_words(F.col("text")).alias("ws"))
-    dl = words.select("doc_id", F.size("ws").cast("bigint").alias("dl"))
-    tot = dl.agg(
-        F.count("*").alias("n_docs"), F.sum("dl").alias("total_len")
+    tot = words.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size("ws").cast("bigint")).alias("total_len"),
     )
-    tok = words.select("doc_id", F.explode("ws").alias("token"))
+    tok = words.select(
+        "doc_id",
+        F.size("ws").cast("bigint").alias("dl"),
+        F.explode("ws").alias("token"),
+    )
     termset = qterms.select("token").distinct()
-    tf = (
+    tf = dd.pin_bounded(
         tok.join(F.broadcast(termset), "token")
         .groupBy("token", "doc_id")
-        .agg(F.count("*").alias("tf"))
+        .agg(F.count("*").alias("tf"), F.max("dl").alias("dl"))
     )
     dfreq = tf.groupBy("token").agg(F.count("*").alias("doc_freq"))
     avgdl = F.col("total_len").cast("double") / F.col("n_docs")
@@ -1468,9 +1474,8 @@ def ii2_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     scored = (
-        qterms.join(tf, "token")
+        tf.join(F.broadcast(qterms), "token")
         .join(F.broadcast(dfreq), "token")
-        .join(dl, "doc_id")
         .crossJoin(F.broadcast(tot))
         .select("query_id", "doc_id", "token", ts.alias("ts"))
     )

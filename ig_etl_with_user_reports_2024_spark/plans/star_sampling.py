@@ -291,14 +291,18 @@ def dc2_fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     similarity density, then a (train-doc)-grain rollup. Returns each
     contaminated TRAIN doc with how many eval/val docs it collides
     with and the first such doc id."""
-    from ..operators.dedup import portable_minhash_bands
+    from ..operators.dedup import pin_bounded, portable_minhash_bands
 
     docs = load_table(spark, sf_dir, "documents")
     bands = portable_minhash_bands(docs, "doc_id", "text")
     split = hash_split(docs.select("doc_id"), key="doc_id").select(
         F.col("doc_id").alias("doc"), "split"
     )
-    tagged = bands.join(split, "doc")
+    # both sides of the candidate self-join read the same (doc, band,
+    # bucket, split) table; pinning it makes the 8-md5-per-shingle
+    # signature stage compute ONCE, not once per join branch (the 100 TB
+    # equivalent is a checkpointed signature table)
+    tagged = pin_bounded(bands.join(split, "doc"))
     t = tagged.filter(F.col("split") == "train").alias("t")
     e = tagged.filter(F.col("split") != "train").alias("e")
     return (

@@ -225,3 +225,61 @@ def test_r5_additions_plan_shapes(spark, sf_oracle):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert dplan.lower().count("scan parquet") == 1
+
+
+def test_late_r5_additions_plan_shapes(spark, sf_oracle):
+    # dc2: the expensive MinHash-signature subtree feeds BOTH sides of
+    # the candidate self-join through ONE pinned intermediate — the
+    # 8-md5-per-shingle stage must not recompute per branch.
+    from ig_etl_with_user_reports_2024_spark.plans.star_sampling import (
+        dc2_fuzzy_decontaminate,
+    )
+    plan = (
+        dc2_fuzzy_decontaminate(spark, sf_oracle)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    low = plan.lower()
+    assert low.count("inmemorytablescan") == 2  # one per join branch
+    assert "cartesianproduct" not in low
+    # sk1: the salted distinct-count is the two-stage shape — partial
+    # dedup on (key, salt) then a sum — never a single-exchange
+    # countDistinct that funnels a hot key into one reducer.
+    from ig_etl_with_user_reports_2024_spark.plans.star_skew import (
+        sk1_salted_distinct_users,
+    )
+    splan = (
+        sk1_salted_distinct_users(spark, sf_oracle)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    slow = splan.lower()
+    assert "_salt" in splan
+    assert slow.count("scan parquet") == 1
+    # sk2: salted join keeps an equi-join on (key, salt) — no broadcast
+    # of the fact side, no cartesian fallback.
+    from ig_etl_with_user_reports_2024_spark.plans.star_skew import (
+        sk2_salted_join_segment,
+    )
+    jplan = (
+        sk2_salted_join_segment(spark, sf_oracle)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "_salt" in jplan
+    assert "cartesianproduct" not in jplan.lower()
+
+
+def test_ii2_prunes_tokens_before_shuffle(spark, sf_oracle):
+    # ii2: the 11-term query dim must broadcast-prune the token explode
+    # BEFORE the (token, doc)-grain aggregation — the shuffle carries
+    # only query-term hits, and document length rides through the
+    # explode (no separate doc-grain dl join).
+    from ig_etl_with_user_reports_2024_spark.plans.star_pipeline import (
+        ii2_bm25_topk,
+    )
+    plan = (
+        ii2_bm25_topk(spark, sf_oracle)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    low = plan.lower()
+    assert "cartesianproduct" not in low
+    assert low.count("sortmergejoin") == 0  # no doc-grain dl join left
+    assert low.count("broadcasthashjoin") >= 3  # termset, qterms, dfreq
