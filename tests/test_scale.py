@@ -220,3 +220,48 @@ def test_r5_graph_window_layout_complete_at_8x(spark, big_sf):
     assert orderkey.n_distinct == spark.read.parquet(
         f"{big_sf}/orders.parquet"
     ).count()  # re-keyed replicas keep o_orderkey unique at 8x
+
+
+def test_late_r5_retrieval_and_skew_complete_at_8x(spark, big_sf):
+    # dc2 (banded self-join whose candidate volume tracks cross-split
+    # similarity density — 8x replicas make every doc an exact dup of 7
+    # others, the worst case for band collisions), ii2 (tf shuffle over
+    # 8x token hits), sk1/sk2 (salted shapes at 8x fan-in)
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+
+    dc = qs["dc2_fuzzy_decontaminate"](spark, big_sf)
+    drows = dc.agg(
+        F.count("*").alias("n"),
+        F.min("n_eval_matches").alias("lo"),
+    ).collect()[0]
+    # replicas guarantee collisions: every train doc whose replica
+    # lands in eval must surface, each with >= 1 eval match
+    assert drows.n > 0 and drows.lo >= 1
+
+    ii = qs["ii2_bm25_topk"](spark, big_sf).collect()
+    assert len(ii) == 25  # 5 queries x top-5, independent of corpus size
+    by_q = {}
+    for r in ii:
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, rows in by_q.items():
+        scores = [r.score for r in sorted(rows, key=lambda r: r.rank)]
+        assert scores == sorted(scores, reverse=True)
+
+    sk1 = {r.event_type: r.n_distinct for r in
+           qs["sk1_salted_distinct_users"](spark, big_sf).collect()}
+    # the salted two-stage shape stays result-identical to the plain
+    # countDistinct at 8x fan-in (the claim the oracle checks at sf0.01)
+    unsalted = {
+        r.event_type: r.n
+        for r in spark.read.parquet(f"{big_sf}/events.parquet")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert sk1 == unsalted
+
+    sk2 = qs["sk2_salted_join_segment"](spark, big_sf).collect()
+    n_events = spark.read.parquet(f"{big_sf}/events.parquet").count()
+    assert sum(r.n_events for r in sk2) == n_events  # join loses no rows
