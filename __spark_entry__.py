@@ -34,6 +34,10 @@ from ig_etl_with_user_reports_2024_spark.plans import star_pipeline  # noqa: F40
 from ig_etl_with_user_reports_2024_spark.plans import star_queries  # noqa: F401
 from ig_etl_with_user_reports_2024_spark.plans import star_skew  # noqa: F401
 
+# star_manifest composes oracles from already-registered queries — it
+# must stay the LAST plans import.
+from ig_etl_with_user_reports_2024_spark.plans import star_manifest  # noqa: F401
+
 # The driver runs (and budgets) the FIRST ~50 queries in the order this
 # module yields them, so ordering is a correctness-signal resource
 # (VERDICT r4 "Next round" #1: after round 5, no query's latest driver
@@ -61,6 +65,7 @@ _DRIVER_PRIORITY = [
     # by moving the 4 weakest tier-(c) r3 refreshes (c12, j1, j2, j4 —
     # all r3-verified and re-proved exact by the local tri-scale gate)
     # into the deliberate overflow.
+    "cm1_corpus_manifest",
     "dc2_fuzzy_decontaminate",
     "ii2_bm25_topk",
     "sk1_salted_distinct_users",
@@ -113,10 +118,11 @@ _DRIVER_PRIORITY = [
     "rj2_error_near_purchase",
     "txt7_repetition_stats",
     "a4_pricing_summary",
-    "a15_length_percentiles",
     # ---- ~50-slot budget line; deliberate overflow below ----
-    # c12/j1/j2/j4: the 4 tier-(c) slots that paid for the late-r5 new
-    # queries (dc2/ii2/sk1/sk2) — r3-verified, re-proved exact locally.
+    # a15/c12/j1/j2/j4: the 5 tier-(c) slots that paid for the late-r5
+    # new queries (cm1/dc2/ii2/sk1/sk2) — r3-verified, re-proved exact
+    # locally by the tri-scale gate.
+    "a15_length_percentiles",
     "c12_collab_status",
     "j1_work_queue_anti_join",
     "j2_first_match_theta_join",

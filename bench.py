@@ -81,6 +81,7 @@ HEADLINE = [
     "ad1_rolling_zscore",
     "dc2_fuzzy_decontaminate",
     "ii2_bm25_topk",
+    "cm1_corpus_manifest",
     "sk1_salted_distinct_users",
     "sk2_salted_join_segment",
 ]

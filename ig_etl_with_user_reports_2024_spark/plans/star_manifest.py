@@ -1,0 +1,111 @@
+"""The curation end product: one manifest row per document with the
+final keep/drop decision and why.
+
+Every family in the catalog produces a *judgement* about a document —
+dd8 says "duplicate of cluster X", dc2 says "collides with an eval
+doc", txt8 says "too repetitive / wrong length", sp1 says "this is
+held-out eval data". A training run consumes none of those directly;
+it consumes the MANIFEST that folds them into a single action per doc.
+cm1 is that fold, built by composing the registered catalog queries
+themselves (the Spark side calls the same plan functions the driver
+checks individually; the oracle nests their oracle SQL as CTEs), so
+the composition is hash-checked end-to-end, not re-derived.
+
+Decision cascade (first match wins — mirrors the priority a curation
+pipeline applies):
+
+    1. split <> 'train'      -> 'hold_out'          (eval/val data)
+    2. dc2 collision         -> 'drop_contaminated' (leaked eval)
+    3. dd8 kept = false      -> 'drop_duplicate'    (near-dup cluster)
+    4. txt8 keep = false     -> 'drop_quality'      (filter verdict)
+    5. otherwise             -> 'keep'
+
+Scale note: dd8 and dc2 both start from the shingle table; at 100 TB
+the signature/shingle intermediates would be shared via a checkpointed
+table (the operators already pin their own subtrees per plan — see
+operators/dedup.pin_bounded); the manifest join itself is three
+doc_id-grain equi-joins, shuffle size ∝ corpus row count with
+metadata-width rows, never text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.sampling import hash_split, sql_hash_split
+from ..sources.readers import load_table
+from .registry import QUERIES, query
+
+# Compose the oracle from the already-registered building blocks —
+# import order in __spark_entry__ guarantees they exist (this module is
+# imported last). Nesting a `WITH RECURSIVE` body (dd8) inside a CTE is
+# valid DuckDB.
+_CM1_SQL = f"""
+    WITH dd8 AS ({{dd8}}),
+    t8 AS ({{txt8}}),
+    dc2x AS ({{dc2}}),
+    base AS (
+        SELECT doc_id, {sql_hash_split('doc_id')} AS split FROM documents
+    )
+    SELECT b.doc_id, b.split,
+           CASE WHEN b.split <> 'train' THEN 'hold_out'
+                WHEN c.doc_id IS NOT NULL THEN 'drop_contaminated'
+                WHEN NOT d.kept THEN 'drop_duplicate'
+                WHEN NOT t.keep THEN 'drop_quality'
+                ELSE 'keep' END AS action,
+           d.cluster_id, t.quality_score
+    FROM base b
+    JOIN dd8 d ON b.doc_id = d.doc_id
+    JOIN t8 t ON b.doc_id = t.doc_id
+    LEFT JOIN dc2x c ON b.doc_id = c.doc_id
+"""
+
+
+@query(
+    "cm1_corpus_manifest",
+    _CM1_SQL.format(
+        dd8=QUERIES["dd8_dedup_keep_list"].oracle,
+        txt8=QUERIES["txt8_filter_verdict"].oracle,
+        dc2=QUERIES["dc2_fuzzy_decontaminate"].oracle,
+    ),
+)
+def cm1_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per document: (doc_id, split, action, cluster_id,
+    quality_score) under the hold_out > contaminated > duplicate >
+    quality > keep cascade documented in the module docstring. Composes
+    the registered dd8/txt8/dc2 plans directly — the driver's verdict
+    on cm1 is therefore a verdict on the COMPOSITION of three families
+    it also checks individually."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = hash_split(docs.select("doc_id"), key="doc_id")
+    d = QUERIES["dd8_dedup_keep_list"].fn(spark, sf_dir).select(
+        "doc_id", "cluster_id", "kept"
+    )
+    t = QUERIES["txt8_filter_verdict"].fn(spark, sf_dir).select(
+        "doc_id", "keep", "quality_score"
+    )
+    c = (
+        QUERIES["dc2_fuzzy_decontaminate"].fn(spark, sf_dir)
+        .select("doc_id")
+        .withColumn("_contaminated", F.lit(True))
+    )
+    action = (
+        F.when(F.col("split") != "train", "hold_out")
+        .when(F.col("_contaminated").isNotNull(), "drop_contaminated")
+        .when(~F.col("kept"), "drop_duplicate")
+        .when(~F.col("keep"), "drop_quality")
+        .otherwise("keep")
+    )
+    return (
+        base.join(d, "doc_id")
+        .join(t, "doc_id")
+        .join(c, "doc_id", "left")
+        .select(
+            "doc_id",
+            "split",
+            action.alias("action"),
+            "cluster_id",
+            "quality_score",
+        )
+    )

@@ -26,6 +26,7 @@ def test_stale_and_changed_queries_land_in_driver_window():
     first50 = list(entry.queries())[:50]
     for name in (
         # new late in round 5 — first driver contact
+        "cm1_corpus_manifest",
         "dc2_fuzzy_decontaminate",
         "ii2_bm25_topk",
         "sk1_salted_distinct_users",
@@ -70,7 +71,8 @@ def test_stale_and_changed_queries_land_in_driver_window():
     ):
         assert name in first50, f"{name} fell out of the driver's 50-slot window"
     for name in (
-        # the 4 tier-(c) slots that paid for the late-r5 new queries
+        # the 5 tier-(c) slots that paid for the late-r5 new queries
+        "a15_length_percentiles",
         "c12_collab_status",
         "j1_work_queue_anti_join",
         "j2_first_match_theta_join",
