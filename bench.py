@@ -82,6 +82,7 @@ HEADLINE = [
     "dc2_fuzzy_decontaminate",
     "ii2_bm25_topk",
     "cm1_corpus_manifest",
+    "ann4_portable_lsh_topk",
     "sk1_salted_distinct_users",
     "sk2_salted_join_segment",
 ]

@@ -644,3 +644,130 @@ def kmeans_lloyd_inertia(
         ).alias("j_new")
     )
     return j_old.crossJoin(j_new)
+
+
+def portable_sign_planes(
+    dim: int, n_planes: int, salt: str = "ann4"
+) -> list[list[float]]:
+    """±1 sign-projection planes derived from md5 — no RNG, so the SAME
+    literal matrix can be baked into both the Spark plan and an oracle's
+    SQL text (the trick that makes sign-LSH exact-oracle-checkable,
+    unlike the Gaussian draws in :func:`_hyperplane`). Sign-random
+    projections with ±1 entries are the classic SimHash-style variant
+    (Charikar 2002): E[collision] still tracks the angle."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"{salt}:{p}:{j}".encode()).hexdigest()[:2], 16)
+            < 128
+            else -1.0
+            for j in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def sign_lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    planes: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bands: int = 4,
+    k: int = 5,
+) -> DataFrame:
+    """Sign-projection LSH ANN top-k with a fully deterministic,
+    engine-portable bucket assignment (planes from
+    :func:`portable_sign_planes`).
+
+    Per vector: n_planes projections (each a left-to-right fold — the
+    same deterministic accumulation as :func:`cosine_topk`), one sign
+    bit each, grouped into ``bands`` bucket strings. Candidates come
+    from an equi-join on (band, bucket) — shuffle size tracks bucket
+    occupancy, never |Q|·N — then the exact cosine re-ranks the
+    candidates with per-side precomputed norms (bit-identical to the
+    ann1 formula). Projections and bit-strings are computed ONCE per
+    vector (queries ⊆ corpus share the pass), and only (id, band,
+    bucket) rows enter the candidate join; vectors re-join after pair
+    dedup.
+    """
+    n_planes = len(planes)
+    r = n_planes // bands
+    if n_planes % bands:
+        raise ValueError(f"{n_planes} planes not divisible by {bands} bands")
+
+    def proj(p: int) -> Column:
+        return F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.array(*[F.lit(s) for s in planes[p]]),
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    def band_str(b: int) -> Column:
+        return F.concat(
+            *[
+                F.when(proj(b * r + j) >= 0, F.lit("1")).otherwise(F.lit("0"))
+                for j in range(r)
+            ]
+        )
+
+    sides = corpus.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        _norm(F.col(vec_col)).alias("nrm"),
+        *[band_str(b).alias(f"band{b}") for b in range(bands)],
+    )
+    band_rows = sides.select(
+        "vid",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"), F.col(f"band{b}").alias("bucket")
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("vid", "bb.band", "bb.bucket")
+    q_ids = queries.select(F.col(id_col).alias("q_id"))
+    qb = band_rows.join(
+        F.broadcast(q_ids), band_rows.vid == q_ids.q_id
+    ).select("q_id", "band", "bucket")
+    cand = (
+        qb.join(band_rows.withColumnRenamed("vid", "n_id"), ["band", "bucket"])
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id")
+        .dropDuplicates(["q_id", "n_id"])
+    )
+    q_side = sides.select(
+        F.col("vid").alias("q_id"),
+        F.col("vec").alias("q_vec"),
+        F.col("nrm").alias("q_norm"),
+    ).join(F.broadcast(q_ids), "q_id")
+    n_side = sides.select(
+        F.col("vid").alias("n_id"),
+        F.col("vec").alias("n_vec"),
+        F.col("nrm").alias("n_norm"),
+    )
+    scored = (
+        cand.join(F.broadcast(q_side), "q_id")
+        .join(n_side, "n_id")
+        .select(
+            "q_id",
+            "n_id",
+            (
+                _dot(F.col("q_vec"), F.col("n_vec"))
+                / (F.col("q_norm") * F.col("n_norm"))
+            ).alias("cos_sim"),
+        )
+    )
+    return top_k_per_group(
+        scored, ["q_id"], [F.col("cos_sim").desc(), F.col("n_id").asc()], k=k
+    ).select("q_id", "n_id", "cos_sim", F.col("rn").alias("rank"))

@@ -1496,3 +1496,83 @@ def ii2_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("query_id", "doc_id", "rank", "score")
     )
+
+
+# ---------------------------------------------------------------------------
+# ann4 — sign-projection LSH with an exact oracle (the ANN analog of
+# dc2's portable-MinHash upgrade: ann2's Gaussian hyperplanes are
+# engine-side and rows-only; md5-derived ±1 planes bake into BOTH the
+# Spark plan and the SQL text, so the banded ANN join is hash-checked).
+# ---------------------------------------------------------------------------
+
+_ANN4_PLANES = sim.portable_sign_planes(dim=64, n_planes=16)
+_ANN4_BANDS = 4
+
+
+def _ann4_oracle() -> str:
+    r = len(_ANN4_PLANES) // _ANN4_BANDS
+
+    def proj_sql(p: int) -> str:
+        lits = ", ".join(str(s) for s in _ANN4_PLANES[p])
+        return (
+            "list_reduce(list_transform(list_zip(embedding, "
+            f"[{lits}]), s -> CAST(s[1] AS DOUBLE) * s[2]), (a, b) -> a + b)"
+        )
+
+    def band_sql(b: int) -> str:
+        bits = " || ".join(
+            f"(CASE WHEN {proj_sql(b * r + j)} >= 0 THEN '1' ELSE '0' END)"
+            for j in range(r)
+        )
+        return f"({bits}) AS band{b}"
+
+    bands = ", ".join(band_sql(b) for b in range(_ANN4_BANDS))
+    band_match = " OR ".join(
+        f"q.band{b} = c.band{b}" for b in range(_ANN4_BANDS)
+    )
+    nrm = _NORM_SQL.format(a="embedding")
+    dot = _DOT_SQL.format(a="q_vec", b="n_vec")
+    return f"""
+    WITH sp AS (
+        SELECT vec_id, embedding, {nrm} AS nrm, {bands}
+        FROM embeddings
+    ), q AS (
+        SELECT * FROM sp WHERE vec_id < 10
+    ), cand AS (
+        SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS n_id,
+               q.embedding AS q_vec, c.embedding AS n_vec,
+               q.nrm AS q_norm, c.nrm AS n_norm
+        FROM q JOIN sp c
+          ON ({band_match}) AND q.vec_id <> c.vec_id
+    ), scored AS (
+        SELECT q_id, n_id, {dot} / (q_norm * n_norm) AS cos_sim
+        FROM cand
+    ), ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY q_id ORDER BY cos_sim DESC, n_id ASC
+        ) AS rank
+        FROM scored
+    )
+    SELECT q_id, n_id, cos_sim, rank FROM ranked WHERE rank <= 5
+    """
+
+
+@query("ann4_portable_lsh_topk", _ann4_oracle())
+def ann4_portable_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-projection LSH ANN top-5 (16 md5-derived ±1 planes, 4 bands
+    × 4 bits) for vec_id < 10 — ann2's scale shape with ann1's
+    checkability. Unlike ann2 (Gaussian hyperplanes drawn engine-side →
+    rows-only + rf1 recall floor), the ±1 plane matrix here is a pure
+    function of md5 (operators/similarity.portable_sign_planes), baked
+    as literals into both this plan and the oracle SQL, so the DRIVER
+    hash-checks the full banded-candidate + exact-cosine-re-rank
+    pipeline. Scale shape: one projection pass per vector (16
+    deterministic folds, queries share the corpus pass), candidate
+    equi-join on (band, bucket) carrying ids only, vectors re-join
+    after pair dedup, one window for the top-5."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return sim.sign_lsh_topk(
+        queries, emb, _ANN4_PLANES, "vec_id", "embedding",
+        bands=_ANN4_BANDS, k=5,
+    )

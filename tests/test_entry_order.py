@@ -27,6 +27,7 @@ def test_stale_and_changed_queries_land_in_driver_window():
     for name in (
         # new late in round 5 — first driver contact
         "cm1_corpus_manifest",
+        "ann4_portable_lsh_topk",
         "dc2_fuzzy_decontaminate",
         "ii2_bm25_topk",
         "sk1_salted_distinct_users",
@@ -71,7 +72,8 @@ def test_stale_and_changed_queries_land_in_driver_window():
     ):
         assert name in first50, f"{name} fell out of the driver's 50-slot window"
     for name in (
-        # the 5 tier-(c) slots that paid for the late-r5 new queries
+        # the 6 tier-(c) slots that paid for the late-r5 new queries
+        "a4_pricing_summary",
         "a15_length_percentiles",
         "c12_collab_status",
         "j1_work_queue_anti_join",

@@ -204,3 +204,34 @@ def test_kmeans_assign_plan_has_no_shuffle(spark, sf_oracle):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
     assert "Join" not in plan, plan
+
+
+def test_sign_lsh_recall_vs_bruteforce(spark, sf_oracle):
+    # ann4's portable md5-derived ±1 planes: same recall contract as the
+    # Gaussian lsh_topk, plus the exact-oracle property tested by the
+    # driver gate (4 bands × 4 bits — wider bands than lsh_topk's 12
+    # because the candidate join is also oracle-replicated, so the
+    # config must stay cheap in SQL too)
+    emb = spark.read.parquet(f"{sf_oracle}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.q_id, r.n_id)
+        for r in sim.cosine_topk(queries, emb, k=5).collect()
+    }
+    planes = sim.portable_sign_planes(dim=64, n_planes=16)
+    approx = {
+        (r.q_id, r.n_id)
+        for r in sim.sign_lsh_topk(queries, emb, planes, bands=4, k=5).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, f"sign-LSH recall {recall:.2f}"
+
+
+def test_portable_sign_planes_deterministic():
+    a = sim.portable_sign_planes(dim=8, n_planes=3)
+    b = sim.portable_sign_planes(dim=8, n_planes=3)
+    assert a == b
+    assert all(s in (1.0, -1.0) for row in a for s in row)
+    # not degenerate: both signs occur
+    flat = [s for row in a for s in row]
+    assert 1.0 in flat and -1.0 in flat
