@@ -67,6 +67,7 @@ _DRIVER_PRIORITY = [
     # into the deliberate overflow.
     "cm1_corpus_manifest",
     "ann4_portable_lsh_topk",
+    "dd9_portable_simhash_pairs",
     "dc2_fuzzy_decontaminate",
     "ii2_bm25_topk",
     "sk1_salted_distinct_users",
@@ -117,11 +118,11 @@ _DRIVER_PRIORITY = [
     "mm3_frame_select",
     "st7_session_window",
     "rj2_error_near_purchase",
-    "txt7_repetition_stats",
     # ---- ~50-slot budget line; deliberate overflow below ----
-    # a4/a15/c12/j1/j2/j4: the 6 tier-(c) slots that paid for the
-    # late-r5 new queries (cm1/ann4/dc2/ii2/sk1/sk2) — r3-verified,
+    # txt7/a4/a15/c12/j1/j2/j4: the 7 tier-(c) slots that paid for the
+    # late-r5 new queries (cm1/ann4/dd9/dc2/ii2/sk1/sk2) — r3-verified,
     # re-proved exact locally by the tri-scale gate.
+    "txt7_repetition_stats",
     "a4_pricing_summary",
     "a15_length_percentiles",
     "c12_collab_status",

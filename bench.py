@@ -83,6 +83,7 @@ HEADLINE = [
     "ii2_bm25_topk",
     "cm1_corpus_manifest",
     "ann4_portable_lsh_topk",
+    "dd9_portable_simhash_pairs",
     "sk1_salted_distinct_users",
     "sk2_salted_join_segment",
 ]

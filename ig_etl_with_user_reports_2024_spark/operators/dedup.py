@@ -468,3 +468,149 @@ def sql_portable_minhash_bands(
     sig AS (SELECT doc, {mins} FROM sh WHERE s <> '' GROUP BY doc),
     bands AS ({band_rows})
     """
+
+
+def portable_simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs computed ONLY from md5 + integer
+    arithmetic — the dd4 analog of :func:`portable_minhash_bands`:
+    engine-portable, so the banded Hamming join is exact-oracle-
+    checkable (dd4's 64-bit xxhash64 fingerprints are not).
+
+    Per (doc, word, count) row, bit i of md5(word)'s leading ``bits``
+    bits votes count·(+1/-1) into the doc's i-th accumulator;
+    fingerprint bit i = (vote sum >= 0). All-integer, so there is no
+    float to diverge. Banding: ``bands`` equal slices of the fingerprint,
+    candidate equi-join on (band, slice value), then an exact
+    bit_count(xor) Hamming filter. Scale shape mirrors
+    simhash_near_pairs: one (doc, word)-grain count (map-side combine),
+    one groupBy(doc) with `bits` conditional sums, constant
+    bands-per-doc explode, id-only candidate join.
+
+    Returns (a_id, b_id, hamming) with a_id < b_id.
+    """
+    r = bits // bands
+    if bits % bands:
+        raise ValueError(f"bits={bits} not divisible by bands={bands}")
+    wc = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.explode(normalized_words(F.col(text_col))).alias("w"),
+        )
+        .groupBy("doc", "w")
+        .agg(F.count("*").alias("c"))
+        .withColumn(
+            "hv", F.conv(F.substring(F.md5(F.encode(F.col("w"), "UTF-8")), 1, bits // 4), 16, 10).cast("bigint")
+        )
+    )
+    votes = [
+        F.sum(
+            F.when(
+                F.shiftright(F.col("hv"), i).bitwiseAND(F.lit(1)) == 1,
+                F.col("c"),
+            ).otherwise(-F.col("c"))
+        ).alias(f"v{i}")
+        for i in range(bits)
+    ]
+    fp = (
+        wc.groupBy("doc")
+        .agg(*votes)
+        .select(
+            "doc",
+            sum(
+                (F.when(F.col(f"v{i}") >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
+                for i in range(bits)
+            ).cast("bigint").alias("fp"),
+        )
+    )
+    band_rows = fp.select(
+        "doc",
+        "fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("fp"), b * r)
+                        .bitwiseAND(F.lit((1 << r) - 1))
+                        .alias("bval"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc", "fp", "bb.band", "bb.bval")
+    a, b = band_rows.alias("a"), band_rows.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("a_id"),
+            F.col("b.doc").alias("b_id"),
+            F.col("a.fp").alias("fp_a"),
+            F.col("b.fp").alias("fp_b"),
+        )
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).cast("int")
+    return cand.select("a_id", "b_id", hamming.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )
+
+
+def sql_portable_simhash_pairs(
+    table: str,
+    id_expr: str = "doc_id",
+    text_expr: str = "text",
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> str:
+    """DuckDB query matching :func:`portable_simhash_pairs`. Keep in
+    lockstep — the md5 nibble extraction and vote signs must match."""
+    r = bits // bands
+    nib = bits // 4
+    words = (
+        f"list_filter(string_split_regex(lower(trim({text_expr})), '\\s+'), "
+        "w -> w <> '')"
+    )
+    votes = ", ".join(
+        f"SUM(CASE WHEN (hv >> {i}) & 1 = 1 THEN c ELSE -c END) AS v{i}"
+        for i in range(bits)
+    )
+    fp_expr = " + ".join(
+        f"(CASE WHEN v{i} >= 0 THEN {1 << i} ELSE 0 END)" for i in range(bits)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc, fp, {b} AS band, (fp >> {b * r}) & {(1 << r) - 1} AS bval "
+        "FROM fp"
+        for b in range(bands)
+    )
+    return f"""
+    WITH tok AS (
+        SELECT {id_expr} AS doc, unnest({words}) AS w FROM {table}
+    ), wc AS (
+        SELECT doc, w, COUNT(*) AS c,
+               CAST('0x' || substring(md5(w), 1, {nib}) AS BIGINT) AS hv
+        FROM tok GROUP BY doc, w
+    ), v AS (
+        SELECT doc, {votes} FROM wc GROUP BY doc
+    ), fp AS (
+        SELECT doc, CAST({fp_expr} AS BIGINT) AS fp FROM v
+    ), bands AS ({band_rows})
+    SELECT DISTINCT a.doc AS a_id, b.doc AS b_id,
+           CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bval = b.bval AND a.doc < b.doc
+    WHERE bit_count(xor(a.fp, b.fp)) <= {max_hamming}
+    """

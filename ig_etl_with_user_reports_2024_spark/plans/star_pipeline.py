@@ -1576,3 +1576,23 @@ def ann4_portable_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries, emb, _ANN4_PLANES, "vec_id", "embedding",
         bands=_ANN4_BANDS, k=5,
     )
+
+
+@query(
+    "dd9_portable_simhash_pairs",
+    dd.sql_portable_simhash_pairs("documents"),
+)
+def dd9_portable_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs with an EXACT oracle — dd4's banding shape
+    rebuilt on md5 + integer votes (operators/dedup.
+    portable_simhash_pairs: 32-bit fingerprint, 4 byte-wide bands, Hamming
+    <= 3), completing the exact-oracle twin set: dc2 covers MinHash
+    banding, ann4 covers sign-projection ANN, dd9 covers SimHash. dd4's
+    64-bit xxhash64 fingerprints remain the scale default (wider
+    fingerprint = finer Hamming resolution); dd9 is the
+    driver-checkable witness that the banded-Hamming JOIN SHAPE —
+    explode nibble slices, equi-join (band, value), bit_count(xor)
+    verify — computes exactly what it claims. All-integer arithmetic:
+    nothing to diverge between engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.portable_simhash_pairs(docs, "doc_id", "text")

@@ -140,3 +140,31 @@ def test_portable_minhash_matches_duckdb_fragment(spark):
         for r in con.execute(f"WITH {frag} SELECT doc, band, bucket FROM bands").fetchall()
     }
     assert sp == du
+
+
+def test_portable_simhash_identical_docs_zero_hamming(spark):
+    pairs = {
+        (r.a_id, r.b_id): r.hamming
+        for r in dd.portable_simhash_pairs(_docs(spark), "doc_id", "text").collect()
+    }
+    assert pairs.get((1, 2)) == 0  # identical docs: same fingerprint
+
+
+def test_portable_simhash_matches_duckdb_query(spark):
+    import duckdb
+
+    sp = {
+        (r.a_id, r.b_id, r.hamming)
+        for r in dd.portable_simhash_pairs(_docs(spark), "doc_id", "text").collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE docs AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t}')" for i, t in DOCS)
+        + ") AS v(doc_id, text)"
+    )
+    du = {
+        tuple(r)
+        for r in con.execute(dd.sql_portable_simhash_pairs("docs")).fetchall()
+    }
+    assert sp == du

@@ -28,6 +28,7 @@ def test_stale_and_changed_queries_land_in_driver_window():
         # new late in round 5 — first driver contact
         "cm1_corpus_manifest",
         "ann4_portable_lsh_topk",
+        "dd9_portable_simhash_pairs",
         "dc2_fuzzy_decontaminate",
         "ii2_bm25_topk",
         "sk1_salted_distinct_users",
@@ -72,7 +73,8 @@ def test_stale_and_changed_queries_land_in_driver_window():
     ):
         assert name in first50, f"{name} fell out of the driver's 50-slot window"
     for name in (
-        # the 6 tier-(c) slots that paid for the late-r5 new queries
+        # the 7 tier-(c) slots that paid for the late-r5 new queries
+        "txt7_repetition_stats",
         "a4_pricing_summary",
         "a15_length_percentiles",
         "c12_collab_status",
