@@ -1,0 +1,97 @@
+"""One-off N× replication probe for the most shape-dependent plans.
+
+The per-round 8× stress (tests/test_scale.py) asserts completion and
+invariants; this tool pushes further (32×+) on demand and prints
+wall-times, for recording in SCALE_r{N}.md:
+
+    python tools/scale_probe.py --rep 32 dd3_minhash_lsh_pairs dd6_dup_clusters
+
+Replicates the base tables a query reads into a temp dir (re-keying id
+columns so replicas stay distinct), runs each named catalog query
+end-to-end (count() to force execution), and prints one JSON line:
+{"rep": N, "rows": {...}, "secs": {...}, "load_before": [...]}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+REKEY = {
+    "orders": "o_orderkey",
+    "lineitem": "l_orderkey",
+    "events": "event_id",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+}
+PLAIN = ("customer", "part", "supplier", "nation", "region")
+
+
+def build(spark, src: str, rep: int) -> str:
+    from ig_etl_with_user_reports_2024_spark.sources.readers import load_table
+
+    out = tempfile.mkdtemp(prefix=f"sfx{rep}_")
+    for t, keycol in REKEY.items():
+        df = load_table(spark, src, t)
+        copies = [df.withColumn("_rep", F.lit(i)) for i in range(rep)]
+        big = copies[0]
+        for c in copies[1:]:
+            big = big.unionByName(c)
+        big = big.withColumn(
+            keycol, F.col(keycol) + F.col("_rep").cast("long") * 1_000_000_000
+        ).drop("_rep")
+        big.write.mode("overwrite").parquet(f"{out}/{t}.parquet")
+    for t in PLAIN:
+        load_table(spark, src, t).write.mode("overwrite").parquet(
+            f"{out}/{t}.parquet"
+        )
+    return out
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rep", type=int, default=32)
+    ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    ap.add_argument("names", nargs="+")
+    args = ap.parse_args()
+
+    import __spark_entry__ as entry_mod
+    from ig_etl_with_user_reports_2024_spark.session import get_spark
+
+    spark = get_spark("scale_probe")
+    load_before = list(os.getloadavg())
+    big = build(spark, args.sf, args.rep)
+    qs = entry_mod.queries()
+    rows: dict[str, int] = {}
+    secs: dict[str, float] = {}
+    try:
+        for name in args.names:
+            t0 = time.time()
+            rows[name] = qs[name](spark, big).count()
+            secs[name] = round(time.time() - t0, 2)
+    finally:
+        shutil.rmtree(big, ignore_errors=True)
+    print(
+        json.dumps(
+            {
+                "rep": args.rep,
+                "rows": rows,
+                "secs": secs,
+                "load_before": load_before,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
