@@ -68,6 +68,8 @@ _DRIVER_PRIORITY = [
     "cm1_corpus_manifest",
     "ann4_portable_lsh_topk",
     "dd9_portable_simhash_pairs",
+    "st8_stream_static_join",
+    "st9_stream_stream_join",
     "dc2_fuzzy_decontaminate",
     "ii2_bm25_topk",
     "sk1_salted_distinct_users",
@@ -116,12 +118,14 @@ _DRIVER_PRIORITY = [
     "ann1_cosine_topk",
     "sq1_int8_quantize",
     "mm3_frame_select",
+    # ---- ~50-slot budget line; deliberate overflow below ----
+    # st7/rj2/txt7/a4/a15/c12/j1/j2/j4: the 9 tier-(c) slots that paid
+    # for the late-r5 new queries (cm1/ann4/dd9/st8/st9/dc2/ii2/sk1/
+    # sk2) — r3-verified, re-proved exact locally by the tri-scale
+    # gate; st7/rj2's semantics are carried in-window by their fresher
+    # twins (st5 sessions r4-green, rj1 r4-green).
     "st7_session_window",
     "rj2_error_near_purchase",
-    # ---- ~50-slot budget line; deliberate overflow below ----
-    # txt7/a4/a15/c12/j1/j2/j4: the 7 tier-(c) slots that paid for the
-    # late-r5 new queries (cm1/ann4/dd9/dc2/ii2/sk1/sk2) — r3-verified,
-    # re-proved exact locally by the tri-scale gate.
     "txt7_repetition_stats",
     "a4_pricing_summary",
     "a15_length_percentiles",

@@ -84,6 +84,8 @@ HEADLINE = [
     "cm1_corpus_manifest",
     "ann4_portable_lsh_topk",
     "dd9_portable_simhash_pairs",
+    "st8_stream_static_join",
+    "st9_stream_stream_join",
     "sk1_salted_distinct_users",
     "sk2_salted_join_segment",
 ]

@@ -276,3 +276,60 @@ def ro1_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").alias("n_events"),
         (F.sum("cents") / 100.0).alias("total_value"),
     )
+
+
+@query(
+    "st8_stream_static_join",
+    """
+    SELECT e.event_id, e.user_id, c.c_mktsegment, e.value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """,
+    eager=True,
+)
+def st8_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join under real readStream: events ⋈
+    customer dim, append mode, ZERO streaming state (the join is
+    stateless — the property that makes dim enrichment free on an
+    unbounded stream). Hash-checked against the plain batch JOIN —
+    streaming/batch parity for the join operator, as st4 proves it for
+    window aggregation."""
+    from ..streaming.events import streaming_static_join
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return streaming_static_join(
+        spark,
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(sf_dir, "customer.parquet"),
+    )
+
+
+@query(
+    "st9_stream_stream_join",
+    """
+    WITH c AS (
+        SELECT event_id AS click_id, user_id, ts FROM events
+        WHERE event_type = 'click'
+    ), p AS (
+        SELECT event_id AS purchase_id, user_id, ts FROM events
+        WHERE event_type = 'purchase'
+    )
+    SELECT c.user_id, c.click_id, p.purchase_id
+    FROM c JOIN p ON c.user_id = p.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '10 minutes'
+    """,
+    eager=True,
+)
+def st9_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval self-join (clicks ⋈ purchases within 10
+    minutes per user) with watermarked, range-bounded state on BOTH
+    sides — the attribution join of the rj/aj temporal family run as a
+    genuine two-stream join. Hash-checked against the batch inequality
+    join: every (click, purchase) pair the batch plan finds, the
+    streaming plan emits, and the watermark+range bound is what lets
+    state age out on an unbounded feed."""
+    from ..streaming.events import streaming_interval_join
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return streaming_interval_join(
+        spark, os.path.join(sf_dir, "events.parquet")
+    )

@@ -199,3 +199,86 @@ def streaming_dedup_keys(
         )
     )
     return _run_to_memory_sink(spark, deduped, "dedup_", "append")
+
+
+def _events_stream(spark: SparkSession, events_path: str) -> DataFrame:
+    """readStream over the events parquet (directory + glob-filter, nano
+    normalization) — the shared source block of the streaming family."""
+    import os
+
+    batch_df = spark.read.parquet(events_path)
+    stream = (
+        spark.readStream.schema(batch_df.schema)
+        .option("pathGlobFilter", os.path.basename(events_path))
+        .parquet(os.path.dirname(events_path))
+    )
+    if dict(stream.dtypes)["ts"] == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+        )
+    return stream
+
+
+def streaming_static_join(
+    spark: SparkSession, events_path: str, customer_path: str
+) -> DataFrame:
+    """Stream-static join: the event stream enriched with the customer
+    dim — the canonical streaming-ETL enrichment step. The static side
+    is a plain batch DataFrame re-read per micro-batch (and broadcast
+    by AQE when small); the join is STATELESS, so output mode is append
+    and no watermark is needed — state cost stays zero no matter how
+    long the stream runs. Result rows equal the batch join bit-for-bit
+    (the driver's oracle is the plain JOIN SQL)."""
+    stream = _events_stream(spark, events_path)
+    dim = spark.read.parquet(customer_path).select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = stream.join(dim, "user_id").select(
+        "event_id", "user_id", "c_mktsegment", "value"
+    )
+    return _run_to_memory_sink(
+        spark, joined, "stjoin_", "append", state_partitions=None
+    )
+
+
+def streaming_interval_join(
+    spark: SparkSession, events_path: str, window_minutes: int = 10
+) -> DataFrame:
+    """Stream-stream interval self-join: each purchase matched to the
+    same user's clicks in the preceding ``window_minutes`` — the
+    streaming form of the rj/aj temporal-join family (attribution at
+    ingest time).
+
+    Both sides carry a 1-hour watermark and the join predicate bounds
+    purchase time to [click, click + window], so Spark can PURGE
+    matched/expired state instead of buffering both streams forever —
+    the requirement for running this on an unbounded feed. Inner joins
+    emit eagerly on match, so AvailableNow materializes the complete
+    result; rows equal the batch inequality join (the oracle)."""
+    stream = _events_stream(spark, events_path)
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").cast("timestamp").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").cast("timestamp").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "c_user = p_user AND p_ts >= c_ts "
+            f"AND p_ts <= c_ts + interval {window_minutes} minutes"
+        ),
+    ).select(F.col("c_user").alias("user_id"), "click_id", "purchase_id")
+    return _run_to_memory_sink(spark, joined, "ssjoin_", "append")

@@ -29,6 +29,8 @@ def test_stale_and_changed_queries_land_in_driver_window():
         "cm1_corpus_manifest",
         "ann4_portable_lsh_topk",
         "dd9_portable_simhash_pairs",
+        "st8_stream_static_join",
+        "st9_stream_stream_join",
         "dc2_fuzzy_decontaminate",
         "ii2_bm25_topk",
         "sk1_salted_distinct_users",
@@ -73,7 +75,9 @@ def test_stale_and_changed_queries_land_in_driver_window():
     ):
         assert name in first50, f"{name} fell out of the driver's 50-slot window"
     for name in (
-        # the 7 tier-(c) slots that paid for the late-r5 new queries
+        # the 9 tier-(c) slots that paid for the late-r5 new queries
+        "st7_session_window",
+        "rj2_error_near_purchase",
         "txt7_repetition_stats",
         "a4_pricing_summary",
         "a15_length_percentiles",
