@@ -134,23 +134,7 @@ def streaming_tumbling_counts(
     ``tumbling_window_agg`` on the same data, which is how the driver's
     oracle can check a streaming query with plain SQL.
     """
-    import os
-
-    batch_df = spark.read.parquet(events_path)
-    schema = batch_df.schema
-    # the streaming file source watches a DIRECTORY; glob-filter to the
-    # one table file inside the sf dir
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", os.path.basename(events_path))
-        .parquet(os.path.dirname(events_path))
-    )
-    # nanos ts arrives as long when the legacy conf is set; normalize
-    if dict(stream.dtypes)["ts"] == "bigint":
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
-        )
-    agg = tumbling_window_agg(stream, width)
+    agg = tumbling_window_agg(_events_stream(spark, events_path), width)
     return _run_to_memory_sink(spark, agg, "tumbling_", "complete")
 
 
@@ -168,18 +152,7 @@ def streaming_dedup_keys(
     than the watermark age out instead of accumulating forever — the
     property that keeps this runnable on an unbounded 100 TB stream.
     """
-    import os
-
-    batch_df = spark.read.parquet(events_path)
-    stream = (
-        spark.readStream.schema(batch_df.schema)
-        .option("pathGlobFilter", os.path.basename(events_path))
-        .parquet(os.path.dirname(events_path))
-    )
-    if dict(stream.dtypes)["ts"] == "bigint":
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
-        )
+    stream = _events_stream(spark, events_path)
     # epoch-aligned bucket as a plain TIMESTAMP column: the watermark
     # must ride an event-time column that is itself part of the dedup
     # key, or the dedup state never ages out
