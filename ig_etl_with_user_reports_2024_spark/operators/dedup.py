@@ -368,6 +368,27 @@ def simhash_near_pairs(
     )
 
 
+def sql_words(text_expr: str = "text") -> str:
+    """DuckDB fragment matching :func:`normalized_words` — THE canonical
+    tokenizer text; every oracle that tokenizes must use this fragment
+    (or the module-level constants built from it) so a tokenizer tweak
+    can never desynchronize Spark from the oracles."""
+    return (
+        f"list_filter(string_split_regex(lower(trim({text_expr})), '\\s+'), "
+        "w -> w <> '')"
+    )
+
+
+def sql_shingles(ws_expr: str = "ws", n: int = 3) -> str:
+    """DuckDB fragment matching :func:`word_shingles` over a words-list
+    column."""
+    parts = " || ' ' || ".join(f"{ws_expr}[i+{j}]" if j else f"{ws_expr}[i]" for j in range(n))
+    return (
+        "list_distinct(list_transform(generate_series(1, "
+        f"greatest(len({ws_expr}) - {n - 1}, 0)), i -> {parts}))"
+    )
+
+
 def portable_minhash_bands(
     df: DataFrame,
     id_col: str,
@@ -444,14 +465,8 @@ def sql_portable_minhash_bands(
     shingles): yields (doc, band, bucket) rows. Keep in lockstep with the
     Spark builder above — the md5 inputs must match byte-for-byte."""
     r = num_hashes // bands
-    words = (
-        f"list_filter(string_split_regex(lower(trim({text_expr})), '\\s+'), "
-        "w -> w <> '')"
-    )
-    shingles = (
-        "list_distinct(list_transform(generate_series(1, greatest(len(ws) - 2, 0)), "
-        "i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))"
-    )
+    words = sql_words(text_expr)
+    shingles = sql_shingles("ws")
     mins = ", ".join(
         f"min(md5('{i}:' || s)) AS m{i}" for i in range(num_hashes)
     )
@@ -580,10 +595,7 @@ def sql_portable_simhash_pairs(
     lockstep — the md5 nibble extraction and vote signs must match."""
     r = bits // bands
     nib = bits // 4
-    words = (
-        f"list_filter(string_split_regex(lower(trim({text_expr})), '\\s+'), "
-        "w -> w <> '')"
-    )
+    words = sql_words(text_expr)
     votes = ", ".join(
         f"SUM(CASE WHEN (hv >> {i}) & 1 = 1 THEN c ELSE -c END) AS v{i}"
         for i in range(bits)

@@ -717,11 +717,19 @@ def sign_lsh_topk(
             ]
         )
 
-    sides = corpus.select(
-        F.col(id_col).alias("vid"),
-        F.col(vec_col).alias("vec"),
-        _norm(F.col(vec_col)).alias("nrm"),
-        *[band_str(b).alias(f"band{b}") for b in range(bands)],
+    from .dedup import pin_bounded
+
+    # the projection pass (n_planes folds over every vector) feeds four
+    # consumers (both candidate-join sides, q_side, n_side) — pin it so
+    # it computes once, not once per branch (the docstring's 'ONCE per
+    # vector' is this persist, same pattern as dc2's band table)
+    sides = pin_bounded(
+        corpus.select(
+            F.col(id_col).alias("vid"),
+            F.col(vec_col).alias("vec"),
+            _norm(F.col(vec_col)).alias("nrm"),
+            *[band_str(b).alias(f"band{b}") for b in range(bands)],
+        )
     )
     band_rows = sides.select(
         "vid",

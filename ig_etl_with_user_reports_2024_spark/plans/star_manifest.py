@@ -52,12 +52,12 @@ _CM1_SQL = f"""
            CASE WHEN b.split <> 'train' THEN 'hold_out'
                 WHEN c.doc_id IS NOT NULL THEN 'drop_contaminated'
                 WHEN NOT d.kept THEN 'drop_duplicate'
-                WHEN NOT t.keep THEN 'drop_quality'
+                WHEN NOT COALESCE(t.keep, false) THEN 'drop_quality'
                 ELSE 'keep' END AS action,
            d.cluster_id, t.quality_score
     FROM base b
     JOIN dd8 d ON b.doc_id = d.doc_id
-    JOIN t8 t ON b.doc_id = t.doc_id
+    LEFT JOIN t8 t ON b.doc_id = t.doc_id
     LEFT JOIN dc2x c ON b.doc_id = c.doc_id
 """
 
@@ -69,6 +69,10 @@ _CM1_SQL = f"""
         txt8=QUERIES["txt8_filter_verdict"].oracle,
         dc2=QUERIES["dc2_fuzzy_decontaminate"].oracle,
     ),
+    # composes dd8, whose connected-components run per-round
+    # collect/localCheckpoint at CONSTRUCTION time — the bench clock
+    # must start before fn, like dd6/dd8 themselves
+    eager=True,
 )
 def cm1_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One row per document: (doc_id, split, action, cluster_id,
@@ -90,16 +94,21 @@ def cm1_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .withColumn("_contaminated", F.lit(True))
     )
+    # txt8 has no row for token-less documents (its token explode emits
+    # nothing) — a LEFT join + null-as-not-keep keeps the per-document
+    # contract: such docs get 'drop_quality' with a null quality_score,
+    # never a missing manifest row. dd8 covers every document by
+    # construction (documents LEFT JOIN reach), so its join stays inner.
     action = (
         F.when(F.col("split") != "train", "hold_out")
         .when(F.col("_contaminated").isNotNull(), "drop_contaminated")
         .when(~F.col("kept"), "drop_duplicate")
-        .when(~F.col("keep"), "drop_quality")
+        .when(~F.coalesce(F.col("keep"), F.lit(False)), "drop_quality")
         .otherwise("keep")
     )
     return (
         base.join(d, "doc_id")
-        .join(t, "doc_id")
+        .join(t, "doc_id", "left")
         .join(c, "doc_id", "left")
         .select(
             "doc_id",

@@ -24,15 +24,10 @@ from ..operators.sampling import sql_hash_split
 from ..sources.readers import load_table
 from .registry import query
 
-# Shared DuckDB fragments (match operators/dedup.normalized_words and
-# word_shingles exactly).
-_WORDS_SQL = (
-    "list_filter(string_split_regex(lower(trim(text)), '\\s+'), w -> w <> '')"
-)
-_SHINGLES_SQL = (
-    "list_distinct(list_transform(generate_series(1, greatest(len(ws) - 2, 0)), "
-    "i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))"
-)
+# Shared DuckDB fragments — built from the canonical helpers in
+# operators/dedup so the tokenizer text has ONE definition repo-wide.
+_WORDS_SQL = dd.sql_words()
+_SHINGLES_SQL = dd.sql_shingles()
 
 # ---------------------------------------------------------------------------
 # DD1 — exact dedup via content digest.

@@ -9,7 +9,6 @@ from __future__ import annotations
 
 import os
 import shutil
-import tempfile
 
 import pytest
 from pyspark.sql import functions as F
@@ -24,32 +23,13 @@ REPLICATION = 8
 
 @pytest.fixture(scope="module")
 def big_sf(spark):
-    from ig_etl_with_user_reports_2024_spark.sources.readers import load_table
+    # one replicate-and-rekey routine repo-wide (also drives the 32×+
+    # probe): tools/scale_probe.build — embeddings are replicated and
+    # re-keyed there too, so vec-count assertions below derive counts
+    # from the written file, never from the base sf
+    from tools.scale_probe import build
 
-    src = "/root/testdata/sf0.1"
-    out = tempfile.mkdtemp(prefix="sfbig_")
-    for t in ("orders", "lineitem", "customer", "events", "documents", "embeddings",
-              "part", "supplier", "nation", "region"):
-        df = load_table(spark, src, t)  # handles the events nano-timestamps
-        if t in ("orders", "lineitem", "events", "documents"):
-            copies = [
-                df.withColumn(
-                    "_rep", F.lit(i)
-                )
-                for i in range(REPLICATION)
-            ]
-            big = copies[0]
-            for c in copies[1:]:
-                big = big.unionByName(c)
-            # re-key so keys stay unique across replicas
-            keycol = {"orders": "o_orderkey", "lineitem": "l_orderkey",
-                      "events": "event_id", "documents": "doc_id"}[t]
-            big = big.withColumn(
-                keycol, F.col(keycol) + F.col("_rep").cast("long") * 100_000_000
-            ).drop("_rep")
-            big.write.mode("overwrite").parquet(f"{out}/{t}.parquet")
-        else:
-            df.write.mode("overwrite").parquet(f"{out}/{t}.parquet")
+    out = build(spark, "/root/testdata/sf0.1", REPLICATION)
     yield out
     shutil.rmtree(out, ignore_errors=True)
 
