@@ -175,16 +175,24 @@ def streaming_dedup_keys(
 
 
 def _events_stream(spark: SparkSession, events_path: str) -> DataFrame:
-    """readStream over the events parquet (directory + glob-filter, nano
-    normalization) — the shared source block of the streaming family."""
+    """readStream over the events parquet — the shared source block of
+    the streaming family, handling BOTH layouts: a single file (the
+    driver's testdata: watch the parent dir, glob-filter to the one
+    file) and a directory of part files (any real written dataset:
+    watch the directory itself — a glob filter on the directory NAME
+    would match no part file and silently stream zero rows, the bug the
+    8× replicated layout exposed)."""
     import os
 
     batch_df = spark.read.parquet(events_path)
-    stream = (
-        spark.readStream.schema(batch_df.schema)
-        .option("pathGlobFilter", os.path.basename(events_path))
-        .parquet(os.path.dirname(events_path))
-    )
+    if os.path.isdir(events_path):
+        stream = spark.readStream.schema(batch_df.schema).parquet(events_path)
+    else:
+        stream = (
+            spark.readStream.schema(batch_df.schema)
+            .option("pathGlobFilter", os.path.basename(events_path))
+            .parquet(os.path.dirname(events_path))
+        )
     if dict(stream.dtypes)["ts"] == "bigint":
         stream = stream.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")

@@ -245,3 +245,10 @@ def test_late_r5_retrieval_and_skew_complete_at_8x(spark, big_sf):
     sk2 = qs["sk2_salted_join_segment"](spark, big_sf).collect()
     n_events = spark.read.parquet(f"{big_sf}/events.parquet").count()
     assert sum(r.n_events for r in sk2) == n_events  # join loses no rows
+
+    # st8 over the DIRECTORY parquet layout (replicas are written as
+    # part-file dirs): the streaming source must read them — a glob
+    # filter on the directory name silently streamed ZERO rows before
+    # the _events_stream layout fix
+    st8 = qs["st8_stream_static_join"](spark, big_sf)
+    assert st8.count() == n_events
