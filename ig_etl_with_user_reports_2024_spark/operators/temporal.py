@@ -51,10 +51,20 @@ def asof_join(
     ts_col: str = "ts",
     right_cols: list[str] | None = None,
     prefix: str = "asof_",
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """Backward as-of join: each left row picks the right row with the
     greatest ``ts_col`` at-or-before its own, per ``on`` key (DuckDB
     ``ASOF LEFT JOIN`` semantics; ties on equal ts match).
+
+    ``tiebreak_col``: when several RIGHT rows share the winning ts, the
+    one with the GREATEST value of this right-side column wins —
+    declared, engine- and partition-order-independent. Without it the
+    winner among equal-ts right rows is whichever the sort happened to
+    place last (fine when (key, ts) is unique on the right, exactly the
+    nondeterminism an 8× replicated corpus exposed — every replica
+    shares its original's timestamp). Pass it whenever right-side ts
+    ties are possible.
 
     Plan: tag sides, align schemas (right's carried columns packed into
     ONE nullable struct), union, then ``last(_rpack, ignorenulls=True)``
@@ -78,12 +88,22 @@ def asof_join(
         right.select(pack.alias("p")).schema["p"].dataType
     )
 
-    lhs = left.withColumn("_side", F.lit(1)).withColumn("_rpack", null_pack)
+    if tiebreak_col is not None and tiebreak_col not in right.columns:
+        raise ValueError(f"tiebreak_col {tiebreak_col!r} not in right columns")
+    tb_right = (
+        F.col(tiebreak_col) if tiebreak_col is not None else F.lit(None)
+    ).cast("long")
+    lhs = (
+        left.withColumn("_side", F.lit(1))
+        .withColumn("_rpack", null_pack)
+        .withColumn("_tb", F.lit(None).cast("long"))
+    )
     rhs = right.select(
         *keys,
         F.col(ts_col),
         F.lit(0).alias("_side"),
         pack.alias("_rpack"),
+        tb_right.alias("_tb"),
     )
     # align: add left-only columns as NULLs on the right side
     for c in lhs.columns:
@@ -91,16 +111,23 @@ def asof_join(
             rhs = rhs.withColumn(c, F.lit(None).cast(lhs.schema[c].dataType))
     unioned = lhs.unionByName(rhs.select(lhs.columns))
 
+    # at equal ts: right rows sort before left (_side), and among tied
+    # right rows the greatest _tb sorts LAST, so last(ignorenulls) picks
+    # it (asc_nulls_first keeps the no-tiebreak case byte-compatible)
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.col(ts_col).asc(), F.col("_side").asc())
+        .orderBy(
+            F.col(ts_col).asc(),
+            F.col("_side").asc(),
+            F.col("_tb").asc_nulls_first(),
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     picked = unioned.withColumn("_m", F.last("_rpack", ignorenulls=True).over(w))
     out = picked.filter(F.col("_side") == 1)
     for c in [ts_col] + right_cols:
         out = out.withColumn(prefix + c, F.col("_m")[c])
-    return out.drop("_side", "_rpack", "_m")
+    return out.drop("_side", "_rpack", "_m", "_tb")
 
 
 def in_window_agg(

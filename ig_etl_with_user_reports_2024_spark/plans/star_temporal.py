@@ -37,21 +37,36 @@ def _events(spark: SparkSession, sf_dir: str, *types: str) -> DataFrame:
 
 @query(
     "aj1_asof_click_purchase",
+    # NOT DuckDB's native ASOF JOIN: with several clicks tied on the
+    # winning ts, ASOF's pick is engine-internal (as is any un-tie-broken
+    # window) — an 8× replicated corpus, where every replica shares its
+    # original's timestamp, exposed exactly that. The oracle declares
+    # the same tie-break the Spark plan uses: greatest click event_id.
     """
     WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
          c AS (SELECT * FROM events WHERE event_type = 'click')
-    SELECT p.event_id, p.user_id, p.ts,
-           c.ts AS click_ts,
-           COALESCE(c.event_id, -1) AS click_event_id,
-           c.value AS click_value
-    FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+    SELECT event_id, user_id, ts, click_ts, click_event_id, click_value
+    FROM (
+        SELECT p.event_id, p.user_id, p.ts,
+               c.ts AS click_ts,
+               COALESCE(c.event_id, -1) AS click_event_id,
+               c.value AS click_value,
+               row_number() OVER (
+                   PARTITION BY p.event_id
+                   ORDER BY c.ts DESC NULLS LAST, c.event_id DESC NULLS LAST
+               ) AS rn
+        FROM p LEFT JOIN c
+          ON c.user_id = p.user_id AND c.ts <= p.ts
+    ) WHERE rn = 1
     """,
 )
 def aj1_asof_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Backward as-of join: each purchase picks the user's latest click
-    at-or-before it. Plan: union + one window pass (operators/temporal
-    .asof_join) — one shuffle on user_id, no join node, no pair
-    explosion; vs DuckDB's native ASOF LEFT JOIN."""
+    at-or-before it; ties on equal click ts go to the greatest click
+    event_id (declared — see asof_join's tiebreak_col). Plan: union +
+    one window pass (operators/temporal.asof_join) — one shuffle on
+    user_id, no join node, no pair explosion; the oracle is the
+    equivalent windowed LEFT JOIN with the same declared tie-break."""
     purchases = _events(spark, sf_dir, "purchase").select(
         "event_id", "user_id", "ts"
     )
@@ -61,6 +76,7 @@ def aj1_asof_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = asof_join(
         purchases, clicks, on="user_id", ts_col="ts",
         right_cols=["event_id", "value"], prefix="click_",
+        tiebreak_col="event_id",
     )
     return joined.select(
         "event_id",

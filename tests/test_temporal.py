@@ -180,3 +180,22 @@ if _HAS_HYPOTHESIS:
             cands = [(rts, rv) for rk, rts, rv in rrows if rk == k and rts <= ts]
             want[(k, ts, v)] = max(cands) if cands else (None, None)
         assert got == want
+
+
+def test_asof_join_tiebreak_is_declared(spark):
+    # several right rows tied on the winning ts: the greatest
+    # tiebreak_col value must win, regardless of input order
+    from ig_etl_with_user_reports_2024_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100)], "k bigint, ts bigint"
+    )
+    for right_rows in ([(1, 100, 7), (1, 100, 9), (1, 100, 8)],
+                       [(1, 100, 9), (1, 100, 8), (1, 100, 7)]):
+        right = spark.createDataFrame(
+            right_rows, "k bigint, ts bigint, rid bigint"
+        ).repartition(3)
+        [row] = asof_join(
+            left, right, on="k", right_cols=["rid"], tiebreak_col="rid"
+        ).collect()
+        assert row.asof_rid == 9

@@ -29,9 +29,11 @@ def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
         "region nation customer supplier part orders lineitem events "
         "documents embeddings"
     ).split():
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
+        p = f"{sf_dir}/{t}.parquet"
+        # driver testdata is one file per table; Spark-written datasets
+        # (e.g. tools/scale_probe replicas) are directories of parts
+        pat = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pat}')")
     return con
 
 
