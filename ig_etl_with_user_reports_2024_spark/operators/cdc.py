@@ -87,7 +87,14 @@ def merge_upsert(
         joined.filter(~touched | ~F.col("is_delete"))
         .select(
             F.coalesce(F.col(key), F.col("_dk")).alias("key"),
-            F.coalesce(F.col("value"), F.col(base_value)).alias("value"),
+            # select by MATCH, not by value nullness: coalesce(value,
+            # base) silently kept the old base value when the winning
+            # upsert wrote NULL — a lost write (review finding). An
+            # upsert's value wins whenever the key was touched, NULL
+            # included, matching MERGE last-writer-wins.
+            F.when(touched, F.col("value"))
+            .otherwise(F.col(base_value))
+            .alias("value"),
             F.when(~touched, F.lit("unchanged"))
             .when(F.col(key).isNull(), F.lit("inserted"))
             .otherwise(F.lit("updated"))

@@ -26,9 +26,6 @@ from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-MERSENNE_PRIME = (1 << 61) - 1
-
-
 def normalized_words(text: Column) -> Column:
     """Lowercased whitespace tokens — the canonical text for dedup."""
     return F.filter(
@@ -183,14 +180,17 @@ def minhash_signatures(
     single shuffle keyed on the doc id, signature size is k*8 bytes
     regardless of document length (the property that makes this the
     100 TB dedup path).
-    """
-    import random
 
-    rnd = random.Random(42)
-    coeffs = [(rnd.randrange(1, 1 << 20), rnd.randrange(0, 1 << 20)) for _ in range(num_hashes)]
-    # materialize words, then hash each shingle ONCE — the k min-hash
-    # draws are affine transforms of the same base hash, so the string
-    # only gets hashed one time, not k times
+    Each draw is ``xxhash64(i, base_hash)`` — the string is hashed once
+    (the base), then k cheap long-input hashes give k INDEPENDENT
+    permutations. The previous affine scheme (``a*x + b mod M61`` with
+    a < 2^20, x < 2^40) never wrapped the modulus, so min commuted with
+    the transform and every component shared one argmin shingle: the 32
+    'permutations' were a single permutation, est_jaccard was always
+    exactly 0 or 1, and the banding S-curve degenerated to
+    P(candidate)=s. Caught by review, verified empirically (all 32
+    components reconstructed the same base argmin).
+    """
     sh = (
         df.select(
             F.col(id_col).alias("doc"),
@@ -198,13 +198,11 @@ def minhash_signatures(
         )
         .select("doc", F.explode(word_shingles(F.col("words"), n)).alias("shingle"))
         .filter(F.col("shingle") != "")
-        .select("doc", F.pmod(F.xxhash64("shingle"), F.lit(1 << 40)).alias("x"))
+        .select("doc", F.xxhash64("shingle").alias("x"))
     )
     aggs = [
-        F.min(F.pmod(F.lit(a) * F.col("x") + F.lit(b), F.lit(MERSENNE_PRIME))).alias(
-            f"h{i}"
-        )
-        for i, (a, b) in enumerate(coeffs)
+        F.min(F.xxhash64(F.lit(i), F.col("x"))).alias(f"h{i}")
+        for i in range(num_hashes)
     ]
     sig = sh.groupBy("doc").agg(*aggs)
     return sig.select(
@@ -230,7 +228,9 @@ def minhash_lsh_pairs(
     an equi-join on (band, bucket): shuffle size tracks duplicate density.
     """
     r = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, n).cache()
+    # pin under the FIFO-capped registry: a bare .cache() here leaked one
+    # signature table per call for the session lifetime (review finding)
+    sig = pin_bounded(minhash_signatures(df, id_col, text_col, num_hashes, n))
     # the candidate join carries only (doc, band, bucket) — the 32-hash
     # signature arrays rejoin once AFTER pair dedup, not once per band
     band_rows = sig.select(

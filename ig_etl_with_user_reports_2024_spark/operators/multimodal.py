@@ -30,7 +30,7 @@ MEDIA_META_SCHEMA = (
 
 DECODED_SCHEMA = (
     "doc_id bigint, mime string, n_bytes bigint, width int, height int, "
-    "n_frames int, sample_rate int"
+    "n_frames int, sample_rate int, n_samples bigint"
 )
 
 
@@ -52,7 +52,7 @@ def with_media_columns(df: DataFrame, id_col: str, payload_col: str) -> DataFram
     )
 
 
-def _fake_decode(doc_id: int, payload: bytes) -> tuple[int, int, int, int]:
+def _fake_decode(doc_id: int, payload: bytes) -> tuple[int, int, int, int, int]:
     """Deterministic stand-in decoder: dimensions derived from content
     bytes so tests are stable and partition-independent."""
     h = 0
@@ -62,7 +62,12 @@ def _fake_decode(doc_id: int, payload: bytes) -> tuple[int, int, int, int]:
     height = 64 + ((h >> 8) % 1080)
     n_frames = 1 + ((h >> 16) % 240)
     sample_rate = 8000 + ((h >> 4) % 40000)
-    return width, height, n_frames, sample_rate
+    # 1-31 s of audio at the drawn rate — the column audio_chunk_plan
+    # consumes; the decode must emit it for the documented decode->chunk
+    # chaining to resolve (review finding: DECODED_SCHEMA previously
+    # ended at sample_rate, so the composition raised UNRESOLVED_COLUMN)
+    n_samples = (h % (sample_rate * 30)) + sample_rate
+    return width, height, n_frames, sample_rate, n_samples
 
 
 def decode_media_batch(
@@ -96,6 +101,7 @@ def decode_media_batch(
                     "height": [d[1] for d in dims],
                     "n_frames": [d[2] for d in dims],
                     "sample_rate": [d[3] for d in dims],
+                    "n_samples": [d[4] for d in dims],
                 }
             )
 
@@ -106,9 +112,13 @@ def frame_sample_plan(decoded: DataFrame, every_n: int = 30) -> DataFrame:
     """Frame-sampling plan: one output row per sampled frame index.
 
     ``sequence`` + ``explode`` JVM-side — the expensive decode already
-    happened once per item; sampling is pure plan logic.
+    happened once per item; sampling is pure plan logic. Items with no
+    frames (n_frames <= 0 or NULL — audio-only media from a real
+    decoder) yield NO rows: without the filter, greatest(n-1, 0) made
+    them emit a phantom frame_idx=0 (review finding; audio_chunk_plan
+    already guarded the same case).
     """
-    return decoded.select(
+    return decoded.filter(F.col("n_frames") > 0).select(
         "doc_id",
         F.explode(
             F.sequence(F.lit(0), F.greatest(F.col("n_frames") - 1, F.lit(0)), F.lit(every_n))

@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .dedup import pin_bounded
 from .windows import top_k_per_group
 
 
@@ -66,16 +67,20 @@ def cosine_topk(
     # Norms are per-row quantities: compute them once per side before
     # the pair join instead of per pair (same fold, bit-identical; cuts
     # the per-pair HOF work from 3×dim to 1×dim lambda evals).
+    # Zero-norm vectors (dead rows, failed encoders) are EXCLUDED: their
+    # cosine is 0/0 = NaN, and Spark's nan-safe ordering puts NaN above
+    # every number — an all-zero embedding would otherwise rank #1 for
+    # every query (review finding). Cosine is undefined for them; out.
     q = queries.select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("q_vec"),
         _norm(F.col(vec_col)).alias("q_norm"),
-    )
+    ).filter(F.col("q_norm") > 0)
     c = corpus.select(
         F.col(id_col).alias("n_id"),
         F.col(vec_col).alias("n_vec"),
         _norm(F.col(vec_col)).alias("n_norm"),
-    )
+    ).filter(F.col("n_norm") > 0)
     pairs = c.join(F.broadcast(q), F.col("q_id") != F.col("n_id"))
     scored = pairs.select(
         "q_id",
@@ -158,16 +163,17 @@ def lsh_topk(
     ]
     r = bits_per_band
 
-    def with_bands(df: DataFrame, idc: str, vc: str, prefix: str) -> DataFrame:
+    def with_sides(df: DataFrame, idc: str, vc: str, prefix: str) -> DataFrame:
         # Materialize the 48 projections as ONE array column first —
         # downstream element_at() then reads the computed array instead
-        # of re-deriving the transform per reference.
+        # of re-deriving the transform per reference. Zero-norm vectors
+        # are excluded (NaN cosine would rank #1 — see cosine_topk).
         banded = df.select(
             df[idc].alias(f"{prefix}_id"),
             df[vc].alias(f"{prefix}_vec"),
             _norm(F.col(vc)).alias(f"{prefix}_norm"),
             _dots_against(F.col(vc), flat_planes).alias("_dots"),
-        )
+        ).filter(F.col(f"{prefix}_norm") > 0)
         # bucket id folds the band's sign bits MSB-first (acc*2 + bit):
         # a bijection of the previous LSB-first packing, so bucket
         # equality — and therefore candidates and recall — is unchanged.
@@ -188,33 +194,40 @@ def lsh_topk(
             ),
         )
         return banded.select(
-            f"{prefix}_id",
-            f"{prefix}_vec",
-            f"{prefix}_norm",
-            F.explode(bb).alias("bb"),
-        ).select(
-            f"{prefix}_id",
-            f"{prefix}_vec",
-            f"{prefix}_norm",
-            "bb.band",
-            "bb.bucket",
+            f"{prefix}_id", f"{prefix}_vec", f"{prefix}_norm", bb.alias("_bb")
         )
 
-    qb = with_bands(queries, id_col, vec_col, "q")
-    cb = with_bands(corpus, id_col, vec_col, "n")
+    def band_rows(sides: DataFrame, prefix: str) -> DataFrame:
+        # ids-only through the 12-way explode and the candidate join —
+        # 64-dim vectors re-join AFTER pair dedup instead of being
+        # materialized once per band row (same shape as sign_lsh_topk
+        # and minhash_lsh_pairs; review finding)
+        return sides.select(
+            f"{prefix}_id", F.explode("_bb").alias("bb")
+        ).select(f"{prefix}_id", "bb.band", "bb.bucket")
+
+    q_sides = with_sides(queries, id_col, vec_col, "q")
+    c_sides = pin_bounded(with_sides(corpus, id_col, vec_col, "n"))
     cand = (
-        cb.join(F.broadcast(qb), ["band", "bucket"])
+        band_rows(c_sides, "n")
+        .join(F.broadcast(band_rows(q_sides, "q")), ["band", "bucket"])
         .filter(F.col("q_id") != F.col("n_id"))
-        .select("q_id", "q_vec", "q_norm", "n_id", "n_vec", "n_norm")
+        .select("q_id", "n_id")
         .dropDuplicates(["q_id", "n_id"])
     )
-    scored = cand.select(
-        "q_id",
-        "n_id",
-        (
-            _dot(F.col("q_vec"), F.col("n_vec"))
-            / (F.col("q_norm") * F.col("n_norm"))
-        ).alias("cos_sim"),
+    scored = (
+        cand.join(
+            F.broadcast(q_sides.select("q_id", "q_vec", "q_norm")), "q_id"
+        )
+        .join(c_sides.select("n_id", "n_vec", "n_norm"), "n_id")
+        .select(
+            "q_id",
+            "n_id",
+            (
+                _dot(F.col("q_vec"), F.col("n_vec"))
+                / (F.col("q_norm") * F.col("n_norm"))
+            ).alias("cos_sim"),
+        )
     )
     return top_k_per_group(
         scored, ["q_id"], [F.col("cos_sim").desc(), F.col("n_id").asc()], k=k
@@ -234,16 +247,18 @@ def embedding_neardup_pairs(
     candidate set comes from lsh_topk/ivf_topk buckets and this exact
     scoring runs only on candidates.
     """
+    # zero-norm vectors excluded: NaN cosine passes any >= threshold
+    # under nan-safe comparison (see cosine_topk)
     a = vectors.select(
         F.col(id_col).alias("a_id"),
         F.col(vec_col).alias("a_vec"),
         _norm(F.col(vec_col)).alias("a_norm"),
-    )
+    ).filter(F.col("a_norm") > 0)
     b = vectors.select(
         F.col(id_col).alias("b_id"),
         F.col(vec_col).alias("b_vec"),
         _norm(F.col(vec_col)).alias("b_norm"),
-    )
+    ).filter(F.col("b_norm") > 0)
     pairs = a.join(b, F.col("a_id") < F.col("b_id"))
     scored = pairs.select(
         "a_id",
@@ -415,31 +430,46 @@ def ivf_topk(
             lambda s: s["cell"],
         )
 
-    c_assigned = corpus.select(
-        F.col(id_col).alias("n_id"),
-        F.col(vec_col).alias("n_vec"),
-        _norm(F.col(vec_col)).alias("n_norm"),
-        _dots_against(F.col(vec_col), cent_mat).alias("_dots"),
-    ).select(
-        "n_id",
-        "n_vec",
-        "n_norm",
-        F.element_at(nearest_cells(F.col("_dots"), 1), 1).alias("cell"),
+    # zero-norm vectors excluded on both sides: NaN cosine would rank
+    # #1 under nan-safe ordering (see cosine_topk)
+    c_assigned = (
+        corpus.select(
+            F.col(id_col).alias("n_id"),
+            F.col(vec_col).alias("n_vec"),
+            _norm(F.col(vec_col)).alias("n_norm"),
+            _dots_against(F.col(vec_col), cent_mat).alias("_dots"),
+        )
+        .filter(F.col("n_norm") > 0)
+        .select(
+            "n_id",
+            "n_vec",
+            "n_norm",
+            F.element_at(nearest_cells(F.col("_dots"), 1), 1).alias("cell"),
+        )
     )
-    q_assigned = queries.select(
-        F.col(id_col).alias("q_id"),
-        F.col(vec_col).alias("q_vec"),
-        _norm(F.col(vec_col)).alias("q_norm"),
-        _dots_against(F.col(vec_col), cent_mat).alias("_dots"),
-    ).select(
-        "q_id",
-        "q_vec",
-        "q_norm",
-        F.explode(nearest_cells(F.col("_dots"), n_probe)).alias("cell"),
+    q_assigned = (
+        queries.select(
+            F.col(id_col).alias("q_id"),
+            F.col(vec_col).alias("q_vec"),
+            _norm(F.col(vec_col)).alias("q_norm"),
+            _dots_against(F.col(vec_col), cent_mat).alias("_dots"),
+        )
+        .filter(F.col("q_norm") > 0)
+        .select(
+            "q_id",
+            "q_vec",
+            "q_norm",
+            F.explode(nearest_cells(F.col("_dots"), n_probe)).alias("cell"),
+        )
     )
     cand = c_assigned.join(F.broadcast(q_assigned), "cell").filter(
         F.col("q_id") != F.col("n_id")
     )
+    # no pair dedup needed: each corpus vector sits in exactly ONE cell
+    # and a query's probe cells are distinct, so (q, n) matches at most
+    # once — the previous dropDuplicates was a full extra shuffle of the
+    # scored candidates for no semantic effect (review finding; contrast
+    # lsh_topk, where multi-band matches make the dedup necessary)
     scored = cand.select(
         "q_id",
         "n_id",
@@ -447,7 +477,7 @@ def ivf_topk(
             _dot(F.col("q_vec"), F.col("n_vec"))
             / (F.col("q_norm") * F.col("n_norm"))
         ).alias("cos_sim"),
-    ).dropDuplicates(["q_id", "n_id"])
+    )
     return top_k_per_group(
         scored, ["q_id"], [F.col("cos_sim").desc(), F.col("n_id").asc()], k=k
     ).select("q_id", "n_id", "cos_sim", F.col("rn").alias("rank"))
@@ -717,8 +747,6 @@ def sign_lsh_topk(
             ]
         )
 
-    from .dedup import pin_bounded
-
     # the projection pass (n_planes folds over every vector) feeds four
     # consumers (both candidate-join sides, q_side, n_side) — pin it so
     # it computes once, not once per branch (the docstring's 'ONCE per
@@ -729,7 +757,9 @@ def sign_lsh_topk(
             F.col(vec_col).alias("vec"),
             _norm(F.col(vec_col)).alias("nrm"),
             *[band_str(b).alias(f"band{b}") for b in range(bands)],
-        )
+        # zero-norm vectors out of the index entirely: their cosine is
+        # NaN and would rank #1 under nan-safe ordering (see cosine_topk)
+        ).filter(F.col("nrm") > 0)
     )
     band_rows = sides.select(
         "vid",

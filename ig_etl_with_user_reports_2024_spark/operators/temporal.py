@@ -90,13 +90,19 @@ def asof_join(
 
     if tiebreak_col is not None and tiebreak_col not in right.columns:
         raise ValueError(f"tiebreak_col {tiebreak_col!r} not in right columns")
+    # keep the tiebreak's NATURAL type: a cast to long would crash under
+    # ANSI for string tiebreaks and coarsen timestamps to whole seconds
+    # (re-introducing the tie nondeterminism the column exists to remove)
+    tb_type = (
+        right.schema[tiebreak_col].dataType if tiebreak_col is not None else "long"
+    )
     tb_right = (
-        F.col(tiebreak_col) if tiebreak_col is not None else F.lit(None)
-    ).cast("long")
+        F.col(tiebreak_col) if tiebreak_col is not None else F.lit(None).cast("long")
+    )
     lhs = (
         left.withColumn("_side", F.lit(1))
         .withColumn("_rpack", null_pack)
-        .withColumn("_tb", F.lit(None).cast("long"))
+        .withColumn("_tb", F.lit(None).cast(tb_type))
     )
     rhs = right.select(
         *keys,

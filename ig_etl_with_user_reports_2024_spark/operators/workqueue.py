@@ -80,10 +80,21 @@ def commit_batch(
     new_done_rows = new_done.orderBy("url").collect()
     remaining_rows = remaining.orderBy("url").collect()
     import csv
+    import os
 
+    # the staging that makes the docstring's atomicity claim true: write
+    # the complete file NEXT TO the target, fsync, then os.replace (an
+    # atomic rename on POSIX) — a crash mid-write leaves the old file
+    # intact, never a truncated queue. done commits BEFORE input shrinks,
+    # so the worst crash window only re-processes (idempotent), never
+    # loses pending urls.
     for path, rows in ((done_path, new_done_rows), (input_path, remaining_rows)):
-        with open(path, "w", newline="") as fh:
+        tmp = path + ".staging"
+        with open(tmp, "w", newline="") as fh:
             w = csv.writer(fh)
             w.writerow(["url"])
             for r in rows:
                 w.writerow([r.url])
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, path)

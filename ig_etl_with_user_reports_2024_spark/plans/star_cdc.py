@@ -42,7 +42,8 @@ _BASE_MIN_KEY = 10
         WHERE c_custkey >= {_BASE_MIN_KEY}
     )
     SELECT COALESCE(b.c_custkey, d.user_id) AS key,
-           COALESCE(d.value, b.c_acctbal) AS value,
+           CASE WHEN d.user_id IS NOT NULL THEN d.value
+                ELSE b.c_acctbal END AS value,
            CASE WHEN d.user_id IS NULL THEN 'unchanged'
                 WHEN b.c_custkey IS NULL THEN 'inserted'
                 ELSE 'updated' END AS change_type,

@@ -252,12 +252,14 @@ _NORM_SQL = (
     WITH q AS (
         SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
         WHERE vec_id < 10
+          AND sqrt(list_reduce(list_transform(embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x, y) -> x + y)) > 0
     ), scored AS (
         SELECT q.q_id, e.vec_id AS n_id,
                {_DOT_SQL.format(a='q.q_vec', b='e.embedding')}
                    / ({_NORM_SQL.format(a='q.q_vec')}
                       * {_NORM_SQL.format(a='e.embedding')}) AS cos_sim
         FROM embeddings e JOIN q ON e.vec_id <> q.q_id
+        WHERE sqrt(list_reduce(list_transform(embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x, y) -> x + y)) > 0
     ), ranked AS (
         SELECT *, row_number() OVER (
             PARTITION BY q_id ORDER BY cos_sim DESC, n_id ASC
@@ -476,7 +478,9 @@ def mm1_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
                / ({_NORM_SQL.format(a='a.embedding')}
                   * {_NORM_SQL.format(a='b.embedding')}) AS cos_sim
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE {_DOT_SQL.format(a='a.embedding', b='b.embedding')}
+    WHERE sqrt(list_reduce(list_transform(a.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x, y) -> x + y)) > 0
+      AND sqrt(list_reduce(list_transform(b.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x, y) -> x + y)) > 0
+      AND {_DOT_SQL.format(a='a.embedding', b='b.embedding')}
                / ({_NORM_SQL.format(a='a.embedding')}
                   * {_NORM_SQL.format(a='b.embedding')}) >= 0.5
     """,
@@ -1531,6 +1535,7 @@ def _ann4_oracle() -> str:
     WITH sp AS (
         SELECT vec_id, embedding, {nrm} AS nrm, {bands}
         FROM embeddings
+        WHERE {nrm} > 0
     ), q AS (
         SELECT * FROM sp WHERE vec_id < 10
     ), cand AS (

@@ -88,3 +88,33 @@ def test_audio_chunk_plan_zero_length_clip_yields_no_chunks(spark):
     )
     out = audio_chunk_plan(decoded).collect()
     assert {r.doc_id for r in out} == {2}
+
+
+def test_decode_chains_into_audio_chunks(spark):
+    # the documented decode -> chunk composition must RESOLVE: the fake
+    # decode now emits n_samples (review finding: DECODED_SCHEMA ended
+    # at sample_rate, so this raised UNRESOLVED_COLUMN)
+    decoded = mm.decode_media_batch(_payloads(spark), fake=True)
+    chunks = mm.audio_chunk_plan(decoded)
+    rows = chunks.collect()
+    assert len(rows) > 0
+    meta = {r.doc_id: (r.sample_rate, r.n_samples) for r in decoded.collect()}
+    for r in rows:
+        rate, n = meta[r.doc_id]
+        assert 0 <= r.start_sample < n
+        assert r.end_sample <= n
+
+
+def test_frame_sample_plan_skips_frameless_items(spark):
+    # n_frames = 0 (audio-only media from a real decoder) must yield NO
+    # sampled frames, not a phantom frame_idx=0
+    decoded = spark.createDataFrame(
+        [(1, 61), (2, 0), (3, None)],
+        "doc_id bigint, n_frames int",
+    )
+    got = {
+        r.doc_id: r.frame_idx
+        for r in mm.frame_sample_plan(decoded, every_n=30).collect()
+    }
+    assert 2 not in got and 3 not in got
+    assert 1 in got
