@@ -28,7 +28,14 @@ def post_hour(epoch: Column) -> Column:
 def within_days_epoch(epoch: Column, as_of: dt.datetime, days: int) -> Column:
     """``taken_at >= as_of - days`` on epoch-seconds columns — the F1/F2/F3
     window predicate (analyze_insta_enhanced.py:80,1502,1282) with a pinned
-    as_of. A plain range predicate → parquet min/max pushdown at scale."""
+    as_of. A plain range predicate → parquet min/max pushdown at scale.
+
+    A naive ``as_of`` is interpreted as UTC (matching the UTC-pinned
+    session and ``within_days_ts``): ``datetime.timestamp()`` on a naive
+    value uses the OS timezone, which made the cutoff machine-dependent
+    (review finding)."""
+    if as_of.tzinfo is None:
+        as_of = as_of.replace(tzinfo=dt.timezone.utc)
     cutoff = int(as_of.timestamp()) - days * DAY_SECONDS
     return epoch >= F.lit(cutoff)
 

@@ -10,7 +10,11 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 # X1 — reference regexes (analyze_insta_enhanced.py:145,604-605,1591,1597).
-HASHTAG_RE = r"#(\w+)"
+# (?U): the reference's Python \w is Unicode-aware; Java regex \w is
+# ASCII-only by default, which would truncate '#café' to 'caf' (review
+# finding). MENTION_RE keeps its explicit ASCII class — that IS the
+# reference's own pattern.
+HASHTAG_RE = r"(?U)#(\w+)"
 MENTION_RE = r"@([A-Za-z0-9._]+)"
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 

@@ -185,7 +185,6 @@ def st4_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The genuine readStream pipeline (parquet source → window agg →
     memory sink, AvailableNow): hash-checked against the SAME SQL oracle
     as st1, proving streaming/batch result parity."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return streaming_tumbling_counts(
         spark, os.path.join(sf_dir, "events.parquet")
     )
@@ -239,7 +238,6 @@ def st6_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds dedup state on an unbounded stream."""
     from ..streaming.events import streaming_dedup_keys
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return streaming_dedup_keys(spark, os.path.join(sf_dir, "events.parquet"))
 
 
@@ -295,7 +293,6 @@ def st8_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     window aggregation."""
     from ..streaming.events import streaming_static_join
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return streaming_static_join(
         spark,
         os.path.join(sf_dir, "events.parquet"),
@@ -329,7 +326,6 @@ def st9_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     state age out on an unbounded feed."""
     from ..streaming.events import streaming_interval_join
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return streaming_interval_join(
         spark, os.path.join(sf_dir, "events.parquet")
     )

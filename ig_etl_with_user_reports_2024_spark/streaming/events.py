@@ -89,6 +89,10 @@ def session_agg(
     )
 
 
+_SINK_NAMES: list[str] = []
+_MAX_SINKS = 8
+
+
 def _run_to_memory_sink(
     spark: SparkSession,
     df: DataFrame,
@@ -104,7 +108,15 @@ def _run_to_memory_sink(
     (at test scale, 32 stores over ~10k keys measured 3.5x pure
     overhead). Raise with key cardinality at 100 TB.
     """
+    # each run registers an in-memory table holding the full result;
+    # FIFO-cap them (same bounded single-threaded contract as
+    # operators/dedup.pin_bounded) so bench loops / scale sweeps don't
+    # accumulate every past result set in driver memory. Handles older
+    # than the cap become invalid — callers here collect immediately.
     name = prefix + next(tempfile._get_candidate_names())
+    while len(_SINK_NAMES) >= _MAX_SINKS:
+        spark.catalog.dropTempView(_SINK_NAMES.pop(0))
+    _SINK_NAMES.append(name)
     old_sp = spark.conf.get("spark.sql.shuffle.partitions")
     if state_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
@@ -157,8 +169,11 @@ def streaming_dedup_keys(
     # must ride an event-time column that is itself part of the dedup
     # key, or the dedup state never ages out
     um = F.unix_micros(F.col("ts").cast("timestamp"))
-    width_us = 5 * 60 * 1_000_000
-    assert width == "5 minutes", "bucket arithmetic is fixed at 5 minutes"
+    # derive the bucket arithmetic from the parameter (an assert would
+    # vanish under python -O and silently dedup on the wrong width)
+    n, unit = width.split()
+    width_us = int(n) * {"minutes": 60, "minute": 60, "seconds": 1,
+                         "second": 1, "hours": 3600, "hour": 3600}[unit] * 1_000_000
     deduped = (
         stream.withColumn(
             "window_start", F.timestamp_micros(um - F.pmod(um, F.lit(width_us)))
@@ -184,6 +199,9 @@ def _events_stream(spark: SparkSession, events_path: str) -> DataFrame:
     8× replicated layout exposed)."""
     import os
 
+    # legacy nanos events.parquet needs this BEFORE the schema probe;
+    # harmless for micros layouts — callers no longer each set it
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     batch_df = spark.read.parquet(events_path)
     if os.path.isdir(events_path):
         stream = spark.readStream.schema(batch_df.schema).parquet(events_path)

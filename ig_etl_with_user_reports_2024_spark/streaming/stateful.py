@@ -25,7 +25,6 @@ partitioning or batch split.
 from __future__ import annotations
 
 import os
-import tempfile
 from collections.abc import Iterator
 from typing import Any
 
@@ -78,9 +77,15 @@ def _session_fn(gap_us: int):
             return
         batch = pd.concat(rows, ignore_index=True)
         us = (batch["ts_ns"].to_numpy(np.int64) // 1000).astype(np.int64)
-        cents = np.rint(batch["value"].to_numpy(np.float64) * 100).astype(
-            np.int64
-        )
+        # null value -> 0 cents, row still counted and still extends the
+        # session: mirrors the batch twin (SUM null-skips, COUNT(*)
+        # doesn't). Without the mask, np.rint(NaN).astype(int64) is
+        # INT64_MIN and one null row corrupts the total by ~9.2e16
+        # (review finding).
+        vals = batch["value"].to_numpy(np.float64)
+        cents = np.where(
+            np.isnan(vals), 0, np.rint(vals * 100)
+        ).astype(np.int64)
         order = np.argsort(us, kind="stable")
         us, cents = us[order], cents[order]
 
@@ -139,9 +144,14 @@ def stateful_sessionize_stream(
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(events_path).schema
     reader = spark.readStream.schema(schema)
-    if os.path.isdir(events_path) and glob is None:
+    if os.path.isdir(events_path):
         # directory-of-part-files layout: stream the directory itself
+        # (watching the PARENT with a glob would match other tables'
+        # part files — review finding); an explicit glob filters WITHIN
+        # the dataset directory
         stream_path = events_path
+        if glob is not None:
+            reader = reader.option("pathGlobFilter", glob)
     else:
         # single-file layout: the file source watches a directory, so
         # glob-filter down to the one table file inside the sf dir
@@ -175,24 +185,11 @@ def stateful_sessionize_stream(
             GroupStateTimeout.NoTimeout,
         )
     )
-    name = "sessions_" + next(tempfile._get_candidate_names())
-    # state-store parallelism = shuffle partitions AT STREAM START, and
-    # each state partition costs a store instance per micro-batch — size
-    # it to the KEY SPACE (users), not the session's scan width. At
-    # 100 TB you raise this with user cardinality; at test scale 32
-    # stores for 150 users is 3.5x pure overhead (measured 6.8s → 1.9s).
-    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
-    if state_partitions is not None:
-        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
-    try:
-        q = (
-            sessions.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(name)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
-    return spark.table(name)
+    # shared AvailableNow memory-sink runner (events.py) — the previous
+    # verbatim copy of that block here had already started drifting
+    # (review finding); state-partition sizing rationale lives there
+    from .events import _run_to_memory_sink
+
+    return _run_to_memory_sink(
+        spark, sessions, "sessions_", "append", state_partitions
+    )

@@ -131,3 +131,64 @@ def test_stateful_sessionize_state_carries_across_batches(spark, sf_smoke, tmp_p
         stateful_sessionize_stream(spark, f"{sf_smoke}/events.parquet")
     )
     assert two_batch == one_batch and len(one_batch) > 0
+
+
+def test_stateful_sessionizer_null_value_contributes_zero(spark, tmp_path):
+    # a NULL value row must count as an event but add 0 to the total —
+    # the batch SUM/COUNT(*) semantics. Before the NaN mask,
+    # np.rint(NaN).astype(int64) injected INT64_MIN into the total.
+    import datetime as dt
+
+    from ig_etl_with_user_reports_2024_spark.streaming.stateful import (
+        stateful_sessionize_stream,
+    )
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, base, 1, "click", 2.50, "{}"),
+        (2, base + dt.timedelta(minutes=1), 1, "click", None, "{}"),
+        (3, base + dt.timedelta(minutes=2), 1, "click", 1.25, "{}"),
+        # a second session far later closes the first one so it emits
+        (4, base + dt.timedelta(hours=5), 1, "click", 9.0, "{}"),
+    ]
+    d = tmp_path / "nullval"
+    d.mkdir()
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp_ntz, user_id bigint, "
+        "event_type string, value double, props string",
+    ).coalesce(1).write.parquet(str(d / "events.parquet"))
+    out = stateful_sessionize_stream(
+        spark, str(d / "events.parquet"), gap_minutes=30
+    ).collect()
+    [first] = [r for r in out if r.n_events == 3]
+    assert first.total_value == 3.75  # 2.50 + 0 + 1.25 (exact cents math)
+
+
+def test_stateful_sessionize_directory_layout_with_glob(spark, tmp_path):
+    # a directory dataset + explicit glob must watch the DIRECTORY, not
+    # its parent (which would stream sibling tables' part files)
+    import datetime as dt
+
+    from ig_etl_with_user_reports_2024_spark.streaming.stateful import (
+        stateful_sessionize_stream,
+    )
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    d = tmp_path / "dirglob"
+    d.mkdir()
+    spark.createDataFrame(
+        [(1, base, 1, "click", 1.0, "{}"),
+         (2, base + dt.timedelta(hours=5), 1, "click", 2.0, "{}")],
+        "event_id bigint, ts timestamp_ntz, user_id bigint, "
+        "event_type string, value double, props string",
+    ).write.parquet(str(d / "events.parquet"))
+    # a sibling dataset whose part files the old parent-watch would match
+    spark.createDataFrame([(99,)], "x bigint").write.parquet(
+        str(d / "other.parquet")
+    )
+    out = stateful_sessionize_stream(
+        spark, str(d / "events.parquet"), gap_minutes=30, glob="*.parquet"
+    ).collect()
+    assert len(out) >= 1
+    assert all(r.user_id == 1 for r in out)

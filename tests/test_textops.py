@@ -68,3 +68,18 @@ def test_fingerprints_ordering_semantics(spark):
     assert content[1] == content[2]  # order-insensitive
     assert content[1] != content[3]
     assert rolling[1] != rolling[2]  # order-sensitive
+
+
+def test_hashtag_regex_is_unicode_aware(spark):
+    # the reference's Python \w is Unicode; Java \w is ASCII unless (?U)
+    from pyspark.sql import functions as F
+
+    from ig_etl_with_user_reports_2024_spark.functions.text import (
+        extract_hashtags,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "love it #café #日本 #plain")], "id bigint, caption string"
+    )
+    [r] = df.select(extract_hashtags(F.col("caption")).alias("h")).collect()
+    assert r.h == ["café", "日本", "plain"]
