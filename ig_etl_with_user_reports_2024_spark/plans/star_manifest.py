@@ -35,6 +35,14 @@ from pyspark.sql import functions as F
 
 from ..operators.sampling import hash_split, sql_hash_split
 from ..sources.readers import load_table
+
+# Side-effect imports: the composed oracles below look up dd8/txt8/dc2
+# in the registry at import time, so this module must be able to load
+# STANDALONE (a bare `import plans.star_manifest` crashed with KeyError
+# when nothing had imported the dependency modules first — review
+# finding). No cycle: neither module imports star_manifest.
+from . import star_pipeline  # noqa: F401
+from . import star_sampling  # noqa: F401
 from .registry import QUERIES, query
 
 # Compose the oracle from the already-registered building blocks —

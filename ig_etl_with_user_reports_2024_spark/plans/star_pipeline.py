@@ -252,14 +252,14 @@ _NORM_SQL = (
     WITH q AS (
         SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
         WHERE vec_id < 10
-          AND sqrt(list_reduce(list_transform(embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x, y) -> x + y)) > 0
+          AND {_NORM_SQL.format(a='embedding')} > 0
     ), scored AS (
         SELECT q.q_id, e.vec_id AS n_id,
                {_DOT_SQL.format(a='q.q_vec', b='e.embedding')}
                    / ({_NORM_SQL.format(a='q.q_vec')}
                       * {_NORM_SQL.format(a='e.embedding')}) AS cos_sim
         FROM embeddings e JOIN q ON e.vec_id <> q.q_id
-        WHERE sqrt(list_reduce(list_transform(embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x, y) -> x + y)) > 0
+        WHERE {_NORM_SQL.format(a='e.embedding')} > 0
     ), ranked AS (
         SELECT *, row_number() OVER (
             PARTITION BY q_id ORDER BY cos_sim DESC, n_id ASC
@@ -478,8 +478,8 @@ def mm1_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
                / ({_NORM_SQL.format(a='a.embedding')}
                   * {_NORM_SQL.format(a='b.embedding')}) AS cos_sim
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE sqrt(list_reduce(list_transform(a.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x, y) -> x + y)) > 0
-      AND sqrt(list_reduce(list_transform(b.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x, y) -> x + y)) > 0
+    WHERE {_NORM_SQL.format(a='a.embedding')} > 0
+      AND {_NORM_SQL.format(a='b.embedding')} > 0
       AND {_DOT_SQL.format(a='a.embedding', b='b.embedding')}
                / ({_NORM_SQL.format(a='a.embedding')}
                   * {_NORM_SQL.format(a='b.embedding')}) >= 0.5
@@ -1410,20 +1410,28 @@ _BM25_VALUES_SQL = ", ".join(
     """,
 )
 def ii2_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 top-5 retrieval (k1=1.2, b=0.75) for 5 fixed multi-term
-    queries — the ranking consumer of ii1's inverted-index statistics,
-    and the retrieval pass a curation pipeline runs for targeted
-    dedup/decontamination or quality-slice mining.
+    """BM25-SHAPED top-5 retrieval (k1=1.2, b=0.75, pre-log RSJ idf)
+    for 5 fixed multi-term queries — the ranking consumer of ii1's
+    inverted-index statistics, and the retrieval pass a curation
+    pipeline runs for targeted dedup/decontamination or quality-slice
+    mining.
 
-    Cross-engine exactness: BM25's ln() is the one non-portable piece
-    (libm ulps differ — see ii1), so the idf term stays the pre-log
-    ratio (N - df + 0.5)/(df + 0.5): rank-equivalent per term, and
-    built ONLY from +,-,*,/ on doubles (each IEEE-correctly-rounded,
-    identical operand order both engines). The per-document score sums
-    its ≤3 term scores by FOLDING IN TOKEN ORDER (array_sort then
-    aggregate) — double addition is non-associative, so a canonical
-    fold order is what keeps a distributed sum hash-identical to the
-    oracle (functions/exact.py rule 2).
+    Cross-engine exactness trade, stated precisely: BM25's ln() is the
+    one non-portable piece (libm ulps differ — see ii1), so the idf
+    term stays the pre-log ratio (N - df + 0.5)/(df + 0.5), built ONLY
+    from +,-,*,/ on doubles (each IEEE-correctly-rounded, identical
+    operand order both engines). Per TERM this is a monotone transform
+    of BM25's idf (rank-equivalent); the per-document SUM of raw
+    ratios, however, weights rare terms far more steeply than a sum of
+    logs, so MULTI-term rankings can differ from textbook BM25 (a doc
+    matching one df=1 term outscores one matching three df=100 terms
+    here; ln-BM25 can order them the other way). True BM25 ranking is
+    ln(Π ratio^tfn) — recoverable downstream where bit-exactness isn't
+    required. The per-document score sums its ≤3 term scores by
+    FOLDING IN TOKEN ORDER (array_sort then aggregate) — double
+    addition is non-associative, so a canonical fold order is what
+    keeps a distributed sum hash-identical to the oracle
+    (functions/exact.py rule 2).
 
     Scale shape: the query-term dim (11 rows) broadcast-prunes the
     token explode BEFORE the (token, doc)-grain count (map-side
