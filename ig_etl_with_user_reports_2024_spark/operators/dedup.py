@@ -513,6 +513,11 @@ def portable_simhash_pairs(
     r = bits // bands
     if bits % bands:
         raise ValueError(f"bits={bits} not divisible by bands={bands}")
+    if bits % 4 or not 0 < bits <= 60:
+        # md5 is consumed in whole hex nibbles (bits//4 chars), and the
+        # fingerprint must fit a signed bigint with room for 1 << (bits-1):
+        # bits=64 would overflow conv()'s bigint cast and the literal.
+        raise ValueError(f"bits={bits} must be a multiple of 4 in (0, 60]")
     wc = (
         df.select(
             F.col(id_col).alias("doc"),
@@ -593,6 +598,10 @@ def sql_portable_simhash_pairs(
 ) -> str:
     """DuckDB query matching :func:`portable_simhash_pairs`. Keep in
     lockstep — the md5 nibble extraction and vote signs must match."""
+    if bits % bands:
+        raise ValueError(f"bits={bits} not divisible by bands={bands}")
+    if bits % 4 or not 0 < bits <= 60:
+        raise ValueError(f"bits={bits} must be a multiple of 4 in (0, 60]")
     r = bits // bands
     nib = bits // 4
     words = sql_words(text_expr)

@@ -722,6 +722,13 @@ def sign_lsh_topk(
     vector (queries ⊆ corpus share the pass), and only (id, band,
     bucket) rows enter the candidate join; vectors re-join after pair
     dedup.
+
+    CONTRACT: ``queries`` must be an id-subset of ``corpus`` — the
+    index is built from the corpus pass only and query rows are
+    resolved by an inner id-join against it, so a query id absent from
+    the corpus (or whose corpus vector is zero-norm) is silently
+    dropped from the output rather than erroring. Callers with
+    external query vectors must union them into ``corpus`` first.
     """
     n_planes = len(planes)
     r = n_planes // bands

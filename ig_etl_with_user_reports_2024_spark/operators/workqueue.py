@@ -98,3 +98,12 @@ def commit_batch(
             fh.flush()
             os.fsync(fh.fileno())
         os.replace(tmp, path)
+        # fsync the parent directory too: the replace() rename is only
+        # durable once the directory entry itself is on disk — without
+        # this a power loss right after commit could resurface the old
+        # queue file (old-or-new still holds; this pins it to "new").
+        dfd = os.open(os.path.dirname(os.path.abspath(path)) or ".", os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)

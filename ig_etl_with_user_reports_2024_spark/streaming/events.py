@@ -102,6 +102,14 @@ def _run_to_memory_sink(
 ) -> DataFrame:
     """Start an AvailableNow memory-sink query and return the result.
 
+    CONTRACT: consume (collect/convert) the returned DataFrame BEFORE
+    starting more streaming runs. It is a lazy view over a FIFO-capped
+    in-memory sink table: after ``_MAX_SINKS`` further runs the backing
+    temp view is dropped and any still-held handle fails with
+    TABLE_OR_VIEW_NOT_FOUND on its next action. All in-repo callers
+    collect immediately; hold a `.localCheckpoint()` copy if you need
+    the result to outlive the cap.
+
     Streaming state parallelism = shuffle partitions at stream start,
     and every state partition costs a store instance per micro-batch —
     size it to the aggregation KEY SPACE, not the session's scan width
@@ -241,7 +249,10 @@ def streaming_static_join(
 
 
 def streaming_interval_join(
-    spark: SparkSession, events_path: str, window_minutes: int = 10
+    spark: SparkSession,
+    events_path: str,
+    window_minutes: int = 10,
+    watermark_delay: str = "1 hour",
 ) -> DataFrame:
     """Stream-stream interval self-join: each purchase matched to the
     same user's clicks in the preceding ``window_minutes`` — the
@@ -253,7 +264,17 @@ def streaming_interval_join(
     matched/expired state instead of buffering both streams forever —
     the requirement for running this on an unbounded feed. Inner joins
     emit eagerly on match, so AvailableNow materializes the complete
-    result; rows equal the batch inequality join (the oracle)."""
+    result; rows equal the batch inequality join (the oracle).
+
+    ASSUMPTION for the batch-parity claim: event time may arrive out
+    of order by at most ``watermark_delay`` across micro-batches. A
+    directory source whose part files disorder event time by MORE than
+    the delay (e.g. per-day files replayed out of order) would purge
+    state early and silently drop click/purchase pairs relative to the
+    batch oracle — raise ``watermark_delay`` toward the source's
+    cross-file event-time span in that layout (state cost grows with
+    the delay; batch-parity tests in tests/test_streaming.py pin the
+    default against the single-file testdata)."""
     stream = _events_stream(spark, events_path)
     clicks = (
         stream.filter(F.col("event_type") == "click")
@@ -262,7 +283,7 @@ def streaming_interval_join(
             F.col("user_id").alias("c_user"),
             F.col("ts").cast("timestamp").alias("c_ts"),
         )
-        .withWatermark("c_ts", "1 hour")
+        .withWatermark("c_ts", watermark_delay)
     )
     purchases = (
         stream.filter(F.col("event_type") == "purchase")
@@ -271,7 +292,7 @@ def streaming_interval_join(
             F.col("user_id").alias("p_user"),
             F.col("ts").cast("timestamp").alias("p_ts"),
         )
-        .withWatermark("p_ts", "1 hour")
+        .withWatermark("p_ts", watermark_delay)
     )
     joined = clicks.join(
         purchases,
