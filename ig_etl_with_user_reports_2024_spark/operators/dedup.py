@@ -485,6 +485,113 @@ def sql_portable_minhash_bands(
     """
 
 
+def portable_minhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Near-dup pairs the way a 100 TB pipeline actually produces them:
+    LSH-banded CANDIDATES (from :func:`portable_minhash_bands`) verified
+    by exact n-gram Jaccard computed ONLY on the candidate pairs — never
+    an all-pairs shingle self-join. md5-only hashing keeps the whole
+    plan engine-portable, so unlike the xxhash64 dd3 path the banded
+    join is exact-oracle-checkable end-to-end
+    (:func:`sql_portable_minhash_pairs` is the lockstep DuckDB twin).
+
+    Scale shape: one shingle explode + groupBy(doc) signature pass
+    (map-side combined; the shuffle carries 8×32-char mins per doc),
+    a constant bands-per-doc band table self-joined on (band, bucket)
+    — candidate volume tracks true duplicate density, not |corpus|² —
+    then a verify join that ships each candidate pair its two DISTINCT
+    shingle arrays (doc-length-sized rows, candidate-count-many) and
+    filters on |∩| / |∪| >= threshold. Semantics equal
+    :func:`shingle_pairs_jaccard` restricted to banded candidates:
+    a true near-dup pair that collides in no band is missed — that
+    recall trade IS the LSH contract (recall floors in
+    plans/star_recall.py quantify it for the xxhash64 twin).
+
+    Returns (a_id, b_id, jaccard) with a_id < b_id.
+    """
+    bandtab = pin_bounded(
+        portable_minhash_bands(df, id_col, text_col, num_hashes, bands, n)
+    )
+    a, b = bandtab.alias("a"), bandtab.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("a_id"), F.col("b.doc").alias("b_id"))
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    shs = df.select(
+        F.col(id_col).alias("doc"),
+        F.array_remove(
+            word_shingles(normalized_words(F.col(text_col)), n), ""
+        ).alias("sh"),
+    )
+    paired = cand.join(
+        shs.select(F.col("doc").alias("a_id"), F.col("sh").alias("sh_a")), "a_id"
+    ).join(
+        shs.select(F.col("doc").alias("b_id"), F.col("sh").alias("sh_b")), "b_id"
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    # candidates exist only for docs with >= 1 shingle, so the union
+    # size is >= 1 — the ANSI-mode division cannot hit zero
+    jac = inter.cast("double") / (
+        F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
+    )
+    return (
+        paired.select("a_id", "b_id", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def sql_portable_minhash_pairs(
+    table: str,
+    id_expr: str = "doc_id",
+    text_expr: str = "text",
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.2,
+) -> str:
+    """DuckDB CTE body matching :func:`portable_minhash_pairs` (ends at
+    a ``pairs(a_id, b_id)`` CTE; jaccard is folded into the filter).
+    Reuses :func:`sql_portable_minhash_bands`'s ``sh`` CTE for the
+    verify stage so the shingle construction has ONE definition. The
+    intersection count equals Spark's ``array_intersect`` size because
+    ``sh`` unnests the DISTINCT shingle list."""
+    body = sql_portable_minhash_bands(table, id_expr, text_expr, num_hashes, bands)
+    return f"""{body},
+    cand AS (
+        SELECT DISTINCT a.doc AS a_id, b.doc AS b_id
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc < b.doc
+    ),
+    ssz AS (SELECT doc, COUNT(*) AS n FROM sh WHERE s <> '' GROUP BY doc),
+    inter AS (
+        SELECT c.a_id, c.b_id, COUNT(*) AS n_common
+        FROM cand c
+        JOIN sh x ON x.doc = c.a_id AND x.s <> ''
+        JOIN sh y ON y.doc = c.b_id AND y.s = x.s
+        GROUP BY c.a_id, c.b_id
+    ),
+    pairs AS (
+        SELECT i.a_id, i.b_id
+        FROM inter i
+        JOIN ssz sa ON sa.doc = i.a_id
+        JOIN ssz sb ON sb.doc = i.b_id
+        WHERE i.n_common / (sa.n + sb.n - i.n_common) >= {threshold}
+    )
+    """
+
+
 def portable_simhash_pairs(
     df: DataFrame,
     id_col: str,

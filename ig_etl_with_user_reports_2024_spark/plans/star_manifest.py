@@ -2,7 +2,7 @@
 final keep/drop decision and why.
 
 Every family in the catalog produces a *judgement* about a document —
-dd8 says "duplicate of cluster X", dc2 says "collides with an eval
+dd10 says "duplicate of cluster X", dc2 says "collides with an eval
 doc", txt8 says "too repetitive / wrong length", sp1 says "this is
 held-out eval data". A training run consumes none of those directly;
 it consumes the MANIFEST that folds them into a single action per doc.
@@ -16,11 +16,11 @@ pipeline applies):
 
     1. split <> 'train'      -> 'hold_out'          (eval/val data)
     2. dc2 collision         -> 'drop_contaminated' (leaked eval)
-    3. dd8 kept = false      -> 'drop_duplicate'    (near-dup cluster)
+    3. dd10 kept = false     -> 'drop_duplicate'    (near-dup cluster)
     4. txt8 keep = false     -> 'drop_quality'      (filter verdict)
     5. otherwise             -> 'keep'
 
-Scale note: dd8 and dc2 both start from the shingle table; at 100 TB
+Scale note: dd10 and dc2 both start from the shingle table; at 100 TB
 the signature/shingle intermediates would be shared via a checkpointed
 table (the operators already pin their own subtrees per plan — see
 operators/dedup.pin_bounded); the manifest join itself is three
@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 from ..operators.sampling import hash_split, sql_hash_split
 from ..sources.readers import load_table
 
-# Side-effect imports: the composed oracles below look up dd8/txt8/dc2
+# Side-effect imports: the composed oracles below look up dd10/txt8/dc2
 # in the registry at import time, so this module must be able to load
 # STANDALONE (a bare `import plans.star_manifest` crashed with KeyError
 # when nothing had imported the dependency modules first — review
@@ -47,10 +47,10 @@ from .registry import QUERIES, query
 
 # Compose the oracle from the already-registered building blocks —
 # import order in __spark_entry__ guarantees they exist (this module is
-# imported last). Nesting a `WITH RECURSIVE` body (dd8) inside a CTE is
-# valid DuckDB.
+# imported last). Nesting a `WITH RECURSIVE` body (dd10) inside a CTE
+# is valid DuckDB.
 _CM1_SQL = f"""
-    WITH dd8 AS ({{dd8}}),
+    WITH dd10 AS ({{dd10}}),
     t8 AS ({{txt8}}),
     dc2x AS ({{dc2}}),
     base AS (
@@ -64,7 +64,7 @@ _CM1_SQL = f"""
                 ELSE 'keep' END AS action,
            d.cluster_id, t.quality_score
     FROM base b
-    JOIN dd8 d ON b.doc_id = d.doc_id
+    JOIN dd10 d ON b.doc_id = d.doc_id
     LEFT JOIN t8 t ON b.doc_id = t.doc_id
     LEFT JOIN dc2x c ON b.doc_id = c.doc_id
 """
@@ -73,25 +73,29 @@ _CM1_SQL = f"""
 @query(
     "cm1_corpus_manifest",
     _CM1_SQL.format(
-        dd8=QUERIES["dd8_dedup_keep_list"].oracle,
+        dd10=QUERIES["dd10_keep_list_banded"].oracle,
         txt8=QUERIES["txt8_filter_verdict"].oracle,
         dc2=QUERIES["dc2_fuzzy_decontaminate"].oracle,
     ),
-    # composes dd8, whose connected-components run per-round
+    # composes dd10, whose connected-components run per-round
     # collect/localCheckpoint at CONSTRUCTION time — the bench clock
-    # must start before fn, like dd6/dd8 themselves
+    # must start before fn, like dd6/dd8/dd10 themselves
     eager=True,
 )
 def cm1_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One row per document: (doc_id, split, action, cluster_id,
     quality_score) under the hold_out > contaminated > duplicate >
     quality > keep cascade documented in the module docstring. Composes
-    the registered dd8/txt8/dc2 plans directly — the driver's verdict
+    the registered dd10/txt8/dc2 plans directly — the driver's verdict
     on cm1 is therefore a verdict on the COMPOSITION of three families
-    it also checks individually."""
+    it also checks individually. Since r6 the dedup input is dd10's
+    BANDED keep-list (LSH candidates + candidate-restricted verify), so
+    the checked end-product plan contains no quadratic pair stage —
+    dd8's exact composition remains available as the yardstick but is
+    no longer on cm1's path."""
     docs = load_table(spark, sf_dir, "documents")
     base = hash_split(docs.select("doc_id"), key="doc_id")
-    d = QUERIES["dd8_dedup_keep_list"].fn(spark, sf_dir).select(
+    d = QUERIES["dd10_keep_list_banded"].fn(spark, sf_dir).select(
         "doc_id", "cluster_id", "kept"
     )
     t = QUERIES["txt8_filter_verdict"].fn(spark, sf_dir).select(
@@ -105,7 +109,7 @@ def cm1_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # txt8 has no row for token-less documents (its token explode emits
     # nothing) — a LEFT join + null-as-not-keep keeps the per-document
     # contract: such docs get 'drop_quality' with a null quality_score,
-    # never a missing manifest row. dd8 covers every document by
+    # never a missing manifest row. dd10 covers every document by
     # construction (documents LEFT JOIN reach), so its join stays inner.
     action = (
         F.when(F.col("split") != "train", "hold_out")

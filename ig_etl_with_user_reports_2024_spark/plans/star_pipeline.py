@@ -189,9 +189,10 @@ def dd8_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonical (minimum-id) doc per cluster, with the cluster size as
     the removal accounting a corpus report needs. ``kept=false`` rows
     ARE the dedup savings; ``sum(cluster_size - 1) where kept`` is the
-    removed-doc count. At 100 TB the same composition runs with dd3's
-    LSH candidates feeding the pair stage instead of the exact
-    quadratic baseline — the downstream CC + keep logic is unchanged.
+    removed-doc count. This entry is the EXACT-pair yardstick (like
+    dd2): at 100 TB run dd10_keep_list_banded below — the same CC +
+    keep logic fed from LSH-banded verified candidates, itself
+    hash-checked — instead of this quadratic pair stage.
     Oracle: dd6's recursive-CTE closure extended with the keep flag and
     a cluster-size window."""
     from pyspark.sql import Window
@@ -200,6 +201,63 @@ def dd8_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     pairs = dd.shingle_pairs_jaccard(docs, "doc_id", "text", n=3, threshold=0.2)
+    cc = connected_components(docs.select("doc_id"), pairs)
+    return cc.select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("kept"),
+        F.count("*").over(Window.partitionBy("cluster_id")).alias(
+            "cluster_size"
+        ),
+    )
+
+
+@query(
+    "dd10_keep_list_banded",
+    f"""
+    WITH RECURSIVE {dd.sql_portable_minhash_pairs("documents")},
+    edges AS (
+        SELECT a_id AS a, b_id AS b FROM pairs
+        UNION ALL
+        SELECT b_id AS a, a_id AS b FROM pairs
+    ),
+    reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    labeled AS (
+        SELECT d.doc_id,
+               CAST(LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS BIGINT)
+                   AS cluster_id
+        FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+        GROUP BY d.doc_id
+    )
+    SELECT doc_id, cluster_id, doc_id = cluster_id AS kept,
+           CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+               AS cluster_size
+    FROM labeled
+    """,
+    eager=True,  # per-round collect/localCheckpoint at construction
+)
+def dd10_keep_list_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE-SAFE dedup end product: dd8's keep-list with the pair
+    stage swapped from dd2's quadratic exact shingle self-join to
+    LSH-banded candidates verified by candidate-restricted exact
+    Jaccard (operators/dedup.portable_minhash_pairs — md5-only, so the
+    banding is baked into the DuckDB oracle exactly, dc2-style). This
+    is the composition a 100 TB corpus actually runs: candidate volume
+    tracks duplicate density, the CC + keep logic downstream is
+    unchanged from dd8, and the whole plan — banding, verify, closure,
+    keep flag — is hash-checked end-to-end. dd8 stays registered as the
+    exact-pair yardstick (its recall: a near-dup pair colliding in no
+    band is missed here by LSH design).
+    Oracle: the banded-pairs CTE chain feeding dd8's recursive-CTE
+    closure + keep-flag/cluster-size select."""
+    from ..operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.portable_minhash_pairs(docs, "doc_id", "text", threshold=0.2)
     cc = connected_components(docs.select("doc_id"), pairs)
     return cc.select(
         "doc_id",

@@ -168,3 +168,31 @@ def test_portable_simhash_matches_duckdb_query(spark):
         for r in con.execute(dd.sql_portable_simhash_pairs("docs")).fetchall()
     }
     assert sp == du
+
+
+def test_portable_minhash_pairs_verified_subset(spark, sf_oracle):
+    """dd10's pair stage: every banded-verified pair must also appear in
+    the exact all-pairs baseline with the same jaccard (candidate
+    restriction can only DROP pairs, never add or rescore), and every
+    emitted jaccard respects the threshold."""
+    docs = spark.read.parquet(f"{sf_oracle}/documents.parquet")
+    exact = {
+        (r.a_id, r.b_id): r.jaccard
+        for r in dd.shingle_pairs_jaccard(
+            docs, "doc_id", "text", n=3, threshold=0.2
+        ).collect()
+    }
+    banded = {
+        (r.a_id, r.b_id): r.jaccard
+        for r in dd.portable_minhash_pairs(
+            docs, "doc_id", "text", threshold=0.2
+        ).collect()
+    }
+    assert banded, "banded pair stage found no pairs on the dup-bearing testdata"
+    for pair, jac in banded.items():
+        assert jac >= 0.2
+        assert pair in exact
+        assert abs(exact[pair] - jac) < 1e-12
+    # 8-hash / 4-band LSH at threshold 0.2 should catch the bulk of the
+    # true pairs on this corpus — a recall collapse means broken banding
+    assert len(banded) >= 0.6 * len(exact)
