@@ -277,7 +277,7 @@ def pq_codes(
     vec_col: str = "embedding",
     m: int = 8,
     n_centroids: int = 16,
-    seed: int = 42,
+    salt: str = "sq2",
 ) -> DataFrame:
     """Product quantization: slice each vector into ``m`` subvectors and
     assign each slice to the nearest of ``n_centroids`` per-subspace
@@ -285,12 +285,15 @@ def pq_codes(
     ANN index (FAISS IVFPQ and kin) stores instead of raw floats
     (64-dim float32 → 8 bytes here, 32x).
 
-    Training-free codebook like :func:`ivf_topk`: a seeded
-    ``xxhash64``-ordered draw of ``n_centroids`` corpus vectors, sliced
-    per subspace (TakeOrderedAndProject — constant-size collect, cheap
-    at any scale). The codebook rides into the plan as ONE from_json
-    literal (see ``_dots_against``); assignment is a pure column
-    expression, so encoding is a single scan with no shuffle.
+    Training-free codebook like :func:`ivf_topk`: a salted-md5-ordered
+    draw of ``n_centroids`` corpus vectors, sliced per subspace
+    (TakeOrderedAndProject — constant-size collect, cheap at any
+    scale). The salted-md5 ordering is ENGINE-PORTABLE (the km1
+    recipe: ``md5(salt || ':' || id)`` sorts identically in DuckDB),
+    which is what lets sq2 carry an exact oracle instead of a
+    rows-only verdict. The codebook rides into the plan as ONE
+    from_json literal (see ``_dots_against``); assignment is a pure
+    column expression, so encoding is a single scan with no shuffle.
 
     Returns (id, subspace, code, err2, norm2) — one row per (vector,
     subspace); ``err2``/``norm2`` are the squared reconstruction error
@@ -308,7 +311,9 @@ def pq_codes(
 
     draw = [
         [float(x) for x in r[vec_col]]
-        for r in vectors.orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
+        for r in vectors.orderBy(
+            F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+        )
         .limit(n_centroids)
         .collect()
     ]
@@ -388,24 +393,28 @@ def ivf_topk(
     k: int = 5,
     n_cells: int = 16,
     n_probe: int = 4,
-    seed: int = 42,
+    salt: str = "ann3",
 ) -> DataFrame:
     """IVF-style ANN: coarse-quantize the corpus into cells around sampled
     centroids, search only the query's n_probe nearest cells.
 
     Training-free centroid selection: a seeded pseudo-random draw of
     corpus vectors becomes the codebook (broadcast; fine for coarse
-    quantization). The draw orders by ``xxhash64(id, seed)`` — uniform
-    over the corpus even when the input is sorted/clustered, and the
-    orderBy+limit compiles to TakeOrderedAndProject (per-partition top-k,
-    no full sort shuffle), so it stays cheap at any scale. Cell
-    assignment and probing are pure column expressions — the corpus is
-    scanned once to build the cell index, and each query touches
-    ~n_probe/n_cells of the corpus.
+    quantization). The draw orders by ``md5(salt || ':' || id)`` —
+    uniform over the corpus even when the input is sorted/clustered,
+    ENGINE-PORTABLE (the km1 recipe — DuckDB sorts the same hex
+    strings identically, which is what gives ann3 an exact oracle),
+    and the orderBy+limit compiles to TakeOrderedAndProject
+    (per-partition top-k, no full sort shuffle), so it stays cheap at
+    any scale. Cell assignment and probing are pure column expressions
+    — the corpus is scanned once to build the cell index, and each
+    query touches ~n_probe/n_cells of the corpus.
     """
     cent_mat = [
         [float(x) for x in r[vec_col]]
-        for r in corpus.orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
+        for r in corpus.orderBy(
+            F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+        )
         .limit(n_cells)
         .collect()
     ]

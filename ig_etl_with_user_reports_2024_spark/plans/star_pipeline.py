@@ -303,6 +303,12 @@ _NORM_SQL = (
     "v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x, y) -> x + y))"
 )
 
+_L2_SQL = (
+    "list_reduce(list_transform(list_zip({a}, {b}), "
+    "s -> (CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE)) "
+    "* (CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE))), (x, y) -> x + y)"
+)
+
 
 @query(
     "ann1_cosine_topk",
@@ -550,10 +556,59 @@ def dd5_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.embedding_neardup_pairs(emb, "vec_id", "embedding", threshold=0.5)
 
 
-@query("ann3_ivf_topk", None)  # sampled-centroid codebook → rows-only
+@query(
+    "ann3_ivf_topk",
+    f"""
+    WITH h AS (
+        SELECT vec_id, embedding,
+               md5('ann3:' || CAST(vec_id AS VARCHAR)) AS hh
+        FROM embeddings
+    ), cent AS (
+        SELECT embedding AS c_vec,
+               CAST(row_number() OVER (ORDER BY hh) AS INTEGER) - 1 AS cell
+        FROM h ORDER BY hh LIMIT 16
+    ), base AS (
+        SELECT vec_id, embedding, {_NORM_SQL.format(a='embedding')} AS nrm
+        FROM embeddings
+        WHERE {_NORM_SQL.format(a='embedding')} > 0
+    ), dots AS (
+        SELECT b.vec_id, b.embedding, b.nrm, c.cell,
+               {_DOT_SQL.format(a='b.embedding', b='c.c_vec')} AS dot
+        FROM base b CROSS JOIN cent c
+    ), ranked_cells AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY vec_id ORDER BY dot DESC, cell ASC
+        ) AS cr
+        FROM dots
+    ), corp AS (
+        SELECT vec_id AS n_id, embedding AS n_vec, nrm AS n_norm, cell
+        FROM ranked_cells WHERE cr = 1
+    ), probes AS (
+        SELECT vec_id AS q_id, embedding AS q_vec, nrm AS q_norm, cell
+        FROM ranked_cells WHERE vec_id < 10 AND cr <= 4
+    ), scored AS (
+        SELECT p.q_id, c.n_id,
+               {_DOT_SQL.format(a='p.q_vec', b='c.n_vec')}
+                   / (p.q_norm * c.n_norm) AS cos_sim
+        FROM probes p JOIN corp c
+          ON p.cell = c.cell AND c.n_id <> p.q_id
+    ), ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY q_id ORDER BY cos_sim DESC, n_id ASC
+        ) AS rank
+        FROM scored
+    )
+    SELECT q_id, n_id, cos_sim, rank FROM ranked WHERE rank <= 5
+    """,
+)
 def ann3_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN top-5 (16 cells, 4 probes) for vec_id < 10; recall
-    vs brute force asserted in tests/test_similarity.py."""
+    vs brute force asserted in tests/test_similarity.py and floored by
+    rf2. HASH-EXACT since r6: the centroid draw is the km1-style
+    salted-md5 order (engine-portable), so the oracle reproduces the
+    codebook, the max-dot cell assignment (ties → lower cell), the
+    4-probe candidate join, and the sequential-fold cosine re-rank
+    bit-for-bit."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return sim.ivf_topk(queries, emb, "vec_id", "embedding", k=5)
@@ -708,13 +763,49 @@ def ro2_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_source_rows.unionByName(merged)
 
 
-@query("sq2_product_quantize", None)  # seeded codebook draw → rows-only
+@query(
+    "sq2_product_quantize",
+    f"""
+    WITH h AS (
+        SELECT vec_id, embedding,
+               md5('sq2:' || CAST(vec_id AS VARCHAR)) AS hh
+        FROM embeddings
+    ), cent AS (
+        SELECT embedding AS c_vec,
+               CAST(row_number() OVER (ORDER BY hh) AS INTEGER) - 1 AS code
+        FROM h ORDER BY hh LIMIT 16
+    ), sub AS (
+        SELECT e.vec_id, CAST(g.s AS INT) AS subspace,
+               list_slice(e.embedding, g.s * 8 + 1, g.s * 8 + 8) AS sl
+        FROM embeddings e
+        CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS s) g
+    ), scored AS (
+        SELECT sub.vec_id, sub.subspace, c.code,
+               {_L2_SQL.format(
+                   a='sub.sl',
+                   b='list_slice(c.c_vec, sub.subspace * 8 + 1, '
+                     'sub.subspace * 8 + 8)',
+               )} AS err2
+        FROM sub CROSS JOIN cent c
+    ), best AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY vec_id, subspace ORDER BY err2 ASC, code ASC
+        ) AS rn
+        FROM scored
+    )
+    SELECT vec_id AS id, subspace, code FROM best WHERE rn = 1
+    """,
+)
 def sq2_product_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product quantization codes (m=8 subspaces x 16 centroids): the
     32x-compressed representation a disk-resident ANN index stores
     (FAISS IVFPQ-style), completing the vector-compression family next
-    to sq1's int8 path. Codebook is the seeded deterministic corpus
-    draw (engine-side → rows-only); reconstruction distortion carries
+    to sq1's int8 path. HASH-EXACT since r6: the codebook is the
+    km1-style salted-md5 corpus draw (engine-portable), so the oracle
+    reproduces the 16 drawn vectors, the 8-wide slices (the testdata
+    embeddings are 64-dim — the oracle hardcodes d_sub=8 and breaks
+    loudly if that changes), and the sequential-fold argmin (ties →
+    lower code) bit-for-bit. Reconstruction distortion still carries
     the driver-hashed rf6 floor, and determinism/quality are asserted
     in tests/test_similarity.py."""
     emb = load_table(spark, sf_dir, "embeddings")
@@ -981,13 +1072,6 @@ def ii1_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("idf_ratio"),
         "postings_head",
     )
-
-
-_L2_SQL = (
-    "list_reduce(list_transform(list_zip({a}, {b}), "
-    "s -> (CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE)) "
-    "* (CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE))), (x, y) -> x + y)"
-)
 
 
 @query(
