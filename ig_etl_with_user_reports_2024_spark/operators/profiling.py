@@ -88,3 +88,84 @@ def profile_columns(
     return row.select(
         *head, F.explode(F.array(*structs)).alias("p")
     ).select(*head, "p.*")
+
+
+def profile_columns_approx_gated(
+    df: DataFrame,
+    numeric: list[str],
+    strings: list[str],
+    timestamps: list[str],
+    rsd: float = 0.02,
+    tol: float = 0.05,
+) -> DataFrame:
+    """The 100 TB profiler: :func:`profile_columns` with cardinality via
+    ``approx_count_distinct`` (HLL++, rsd ``rsd``) instead of the exact
+    multi-column distinct — the swap the dq1 docstring promises at
+    scale, where the exact path's Expand multiplies the shuffle by the
+    profiled-column count and per-partition distinct state by key
+    cardinality, while one HLL register set per column is O(kB).
+
+    Because the estimate itself is engine-specific, the output carries
+    ``nd_ok`` — relative error of the estimate vs the exact distinct
+    <= ``tol`` — in the cardinality slot instead of the raw estimate
+    (the rf7 gate pattern), which keeps the catalog entry
+    driver-hashable: every other field is exact and hash-compared, and
+    a sketch regression flips ``nd_ok`` to false. The exact distinct
+    rides in the SAME single aggregation pass purely as the gate; a
+    production deployment drops the gate aggregates and trusts the
+    estimate at the certified tolerance.
+
+    Returns one row per profiled column:
+    (col_name, n_rows, n_nulls, nd_ok, min_num, max_num, min_str,
+    max_str, min_ts, max_ts).
+    """
+    ordered = numeric + strings + timestamps
+    ts_type = df.schema[timestamps[0]].dataType if timestamps else "timestamp"
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in ordered:
+        aggs.append(F.count(F.col(c)).alias(f"{c}__cnt"))
+        aggs.append(F.countDistinct(F.col(c)).alias(f"{c}__nd"))
+        aggs.append(
+            F.approx_count_distinct(F.col(c), rsd).alias(f"{c}__nda")
+        )
+    for c in numeric:
+        aggs.append(F.min(F.col(c)).cast("double").alias(f"{c}__min"))
+        aggs.append(F.max(F.col(c)).cast("double").alias(f"{c}__max"))
+    for c in strings + timestamps:
+        aggs.append(F.min(F.col(c)).alias(f"{c}__min"))
+        aggs.append(F.max(F.col(c)).alias(f"{c}__max"))
+    row = df.agg(*aggs)
+
+    def nd_ok(c: str) -> F.Column:
+        exact, approx = F.col(f"{c}__nd"), F.col(f"{c}__nda")
+        # ANSI guard (rf5/rf7 pattern): an all-NULL column has exact=0 —
+        # ok iff the sketch agrees
+        return F.when(
+            exact > 0, F.abs(approx - exact) / exact <= tol
+        ).otherwise(approx == 0)
+
+    null_num = F.lit(None).cast("double")
+    null_str = F.lit(None).cast("string")
+    null_ts = F.lit(None).cast(ts_type)
+    structs = []
+    for c in ordered:
+        is_num, is_str = c in numeric, c in strings
+        structs.append(
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col("_n").alias("n_rows"),
+                (F.col("_n") - F.col(f"{c}__cnt")).alias("n_nulls"),
+                nd_ok(c).alias("nd_ok"),
+                (F.col(f"{c}__min") if is_num else null_num).alias("min_num"),
+                (F.col(f"{c}__max") if is_num else null_num).alias("max_num"),
+                (F.col(f"{c}__min") if is_str else null_str).alias("min_str"),
+                (F.col(f"{c}__max") if is_str else null_str).alias("max_str"),
+                (
+                    null_ts if (is_num or is_str) else F.col(f"{c}__min")
+                ).alias("min_ts"),
+                (
+                    null_ts if (is_num or is_str) else F.col(f"{c}__max")
+                ).alias("max_ts"),
+            )
+        )
+    return row.select(F.explode(F.array(*structs)).alias("p")).select("p.*")

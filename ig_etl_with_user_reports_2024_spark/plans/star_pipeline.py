@@ -1510,6 +1510,77 @@ _BM25_VALUES_SQL = ", ".join(
 )
 
 
+
+def _bm25_topk(spark: SparkSession, sf_dir: str, log_idf: bool) -> DataFrame:
+    """Shared BM25 machinery behind ii2 (pre-log RSJ idf ratio) and ii3
+    (true ln idf): broadcast term-dim prune before the (token, doc)
+    count, dl carried through the explode, pinned tf relation,
+    canonical token-order score fold, top-5 window per query.
+    Returns (query_id, doc_id, rank, score)."""
+    docs = load_table(spark, sf_dir, "documents")
+    qterms = spark.createDataFrame(
+        [(qid, t) for qid, terms in _BM25_QUERIES for t in terms],
+        "query_id int, token string",
+    )
+    words = docs.select("doc_id", dd.normalized_words(F.col("text")).alias("ws"))
+    tot = words.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size("ws").cast("bigint")).alias("total_len"),
+    )
+    tok = words.select(
+        "doc_id",
+        F.size("ws").cast("bigint").alias("dl"),
+        F.explode("ws").alias("token"),
+    )
+    termset = qterms.select("token").distinct()
+    tf = dd.pin_bounded(
+        tok.join(F.broadcast(termset), "token")
+        .groupBy("token", "doc_id")
+        .agg(F.count("*").alias("tf"), F.max("dl").alias("dl"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("doc_freq"))
+    avgdl = F.col("total_len").cast("double") / F.col("n_docs")
+    idf = (
+        F.col("n_docs") - F.col("doc_freq") + F.lit(0.5)
+    ) / (F.col("doc_freq") + F.lit(0.5))
+    if log_idf:
+        idf = F.log(idf)
+    ts = idf * (
+        (F.col("tf").cast("double") * F.lit(2.2))
+        / (
+            F.col("tf")
+            + F.lit(1.2)
+            * (
+                F.lit(0.25)
+                + F.lit(0.75) * (F.col("dl").cast("double") / avgdl)
+            )
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(qterms), "token")
+        .join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(tot))
+        .select("query_id", "doc_id", "token", ts.alias("ts"))
+    )
+    agg = scored.groupBy("query_id", "doc_id").agg(
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("token"), F.col("ts").alias("s")))
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["s"],
+        ).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "doc_id", "rank", "score")
+    )
+
+
 @query(
     "ii2_bm25_topk",
     f"""
@@ -1585,66 +1656,72 @@ def ii2_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats are one scalar crossJoin. Top-5 via one window per query_id
     partition (5 partitions, each bounded by the candidate-doc
     count)."""
-    docs = load_table(spark, sf_dir, "documents")
-    qterms = spark.createDataFrame(
-        [(qid, t) for qid, terms in _BM25_QUERIES for t in terms],
-        "query_id int, token string",
+    return _bm25_topk(spark, sf_dir, log_idf=False)
+
+
+@query(
+    "ii3_bm25_log_idf",
+    f"""
+    WITH qterms(query_id, token) AS (VALUES {_BM25_VALUES_SQL}),
+    ws AS (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents),
+    dl AS (SELECT doc_id, len(ws) AS dl FROM ws),
+    tot AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_len FROM dl),
+    tok AS (SELECT doc_id, unnest(ws) AS token FROM ws),
+    tf AS (
+        SELECT token, doc_id, COUNT(*) AS tf
+        FROM tok JOIN (SELECT DISTINCT token FROM qterms) t USING (token)
+        GROUP BY token, doc_id
+    ),
+    dfreq AS (SELECT token, COUNT(*) AS doc_freq FROM tf GROUP BY token),
+    scored AS (
+        SELECT q.query_id, f.doc_id, q.token,
+               ln((t.n_docs - d.doc_freq + 0.5) / (d.doc_freq + 0.5))
+               * ((CAST(f.tf AS DOUBLE) * 2.2)
+                  / (f.tf + 1.2 * (0.25 + 0.75 * (CAST(l.dl AS DOUBLE)
+                     / (CAST(t.total_len AS DOUBLE) / t.n_docs))))) AS ts
+        FROM qterms q
+        JOIN tf f USING (token)
+        JOIN dfreq d USING (token)
+        JOIN dl l ON f.doc_id = l.doc_id
+        CROSS JOIN tot t
+    ),
+    agg AS (
+        SELECT query_id, doc_id,
+               list_reduce(list_transform(
+                   list_sort(list(struct_pack(token := token, s := ts))),
+                   x -> x.s), (a, b) -> a + b) AS score
+        FROM scored GROUP BY query_id, doc_id
     )
-    words = docs.select("doc_id", dd.normalized_words(F.col("text")).alias("ws"))
-    tot = words.agg(
-        F.count("*").alias("n_docs"),
-        F.sum(F.size("ws").cast("bigint")).alias("total_len"),
-    )
-    tok = words.select(
-        "doc_id",
-        F.size("ws").cast("bigint").alias("dl"),
-        F.explode("ws").alias("token"),
-    )
-    termset = qterms.select("token").distinct()
-    tf = dd.pin_bounded(
-        tok.join(F.broadcast(termset), "token")
-        .groupBy("token", "doc_id")
-        .agg(F.count("*").alias("tf"), F.max("dl").alias("dl"))
-    )
-    dfreq = tf.groupBy("token").agg(F.count("*").alias("doc_freq"))
-    avgdl = F.col("total_len").cast("double") / F.col("n_docs")
-    ts = (
-        (F.col("n_docs") - F.col("doc_freq") + F.lit(0.5))
-        / (F.col("doc_freq") + F.lit(0.5))
-    ) * (
-        (F.col("tf").cast("double") * F.lit(2.2))
-        / (
-            F.col("tf")
-            + F.lit(1.2)
-            * (
-                F.lit(0.25)
-                + F.lit(0.75) * (F.col("dl").cast("double") / avgdl)
-            )
-        )
-    )
-    scored = (
-        tf.join(F.broadcast(qterms), "token")
-        .join(F.broadcast(dfreq), "token")
-        .crossJoin(F.broadcast(tot))
-        .select("query_id", "doc_id", "token", ts.alias("ts"))
-    )
-    agg = scored.groupBy("query_id", "doc_id").agg(
-        F.aggregate(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("token"), F.col("ts").alias("s")))
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x["s"],
-        ).alias("score")
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("doc_id")
-    )
-    return (
-        agg.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= 5)
-        .select("query_id", "doc_id", "rank", "score")
-    )
+    SELECT query_id, doc_id,
+           CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, doc_id
+           ) AS INT) AS "rank"
+    FROM agg QUALIFY "rank" <= 5
+    """,
+)
+def ii3_bm25_log_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE BM25 top-5 (k1=1.2, b=0.75, Robertson-Spärck Jones log idf
+    ``ln((N - df + 0.5)/(df + 0.5))``) over the same 5 fixed queries —
+    the textbook multi-term ranking ii2 deliberately trades away (ii2
+    sums pre-log ratios for bit-exact doubles; that weights rare terms
+    more steeply, so a user asking for "BM25" could get a different
+    multi-term order there — this entry is the standard one).
+
+    The driver checks the RANKING, not the scores: the oracle emits
+    (query_id, doc_id, rank) only, because ``ln`` is the one
+    non-portable operation (libm ulps differ across engines — the
+    documented ii1/ii2 trade). Rank equality is still a strong check —
+    a 1-ulp ln divergence flips an order only if two docs' scores
+    coincide to ~1e-15 relative, which on distinct (tf, dl, df) stats
+    does not occur, and docs with IDENTICAL stats tie exactly in both
+    engines and fall to the doc_id tie-break. Score parity itself is
+    asserted cross-engine at 1e-9 relative tolerance in
+    tests/test_textops.py.
+
+    Scale shape identical to ii2 (same broadcast term-dim prune,
+    carried dl, pinned tf relation, canonical token-order score fold);
+    only the idf transform differs."""
+    return _bm25_topk(spark, sf_dir, log_idf=True).drop("score")
 
 
 # ---------------------------------------------------------------------------

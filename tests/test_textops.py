@@ -83,3 +83,45 @@ def test_hashtag_regex_is_unicode_aware(spark):
     )
     [r] = df.select(extract_hashtags(F.col("caption")).alias("h")).collect()
     assert r.h == ["café", "日本", "plain"]
+
+
+def test_ii3_bm25_scores_match_duckdb_within_tolerance(spark, sf_oracle):
+    """ii3's driver oracle checks ranks only (ln is libm-dependent);
+    this pins the SCORES cross-engine at 1e-9 relative tolerance, so a
+    formula drift (wrong k1/b, missing avgdl, swapped idf) cannot hide
+    behind an accidentally-preserved ranking."""
+    from tools.oracle_check import duck_connect
+
+    from ig_etl_with_user_reports_2024_spark.plans.star_pipeline import (
+        _bm25_topk,
+    )
+
+    sp = {
+        (r.query_id, r.doc_id): r.score
+        for r in _bm25_topk(spark, sf_oracle, log_idf=True).collect()
+    }
+    con = duck_connect(sf_oracle)
+    try:
+        from ig_etl_with_user_reports_2024_spark.plans.registry import QUERIES
+
+        oracle = QUERIES["ii3_bm25_log_idf"].oracle
+        # reuse the registered oracle's CTE chain, surface the score
+        body = oracle[: oracle.rindex("SELECT query_id, doc_id,")]
+        rows = con.execute(
+            body
+            + """SELECT query_id, doc_id, score,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id ORDER BY score DESC, doc_id
+               ) AS INT) AS r
+            FROM agg QUALIFY r <= 5"""
+        ).fetchall()
+    finally:
+        con.close()
+    du = {(q, d): sc for q, d, sc, _ in rows}
+    assert set(sp) == set(du)
+    for key, s_val in sp.items():
+        assert abs(s_val - du[key]) <= 1e-9 * max(abs(s_val), abs(du[key])), (
+            key,
+            s_val,
+            du[key],
+        )
