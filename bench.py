@@ -88,6 +88,11 @@ HEADLINE = [
     "st9_stream_stream_join",
     "sk1_salted_distinct_users",
     "sk2_salted_join_segment",
+    # r6 additions. The r5-comparable subset is everything above this
+    # comment.
+    "dd10_keep_list_banded",
+    "ii3_bm25_log_idf",
+    "dq1a_column_profile_approx",
 ]
 
 

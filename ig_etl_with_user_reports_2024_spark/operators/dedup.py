@@ -389,6 +389,61 @@ def sql_shingles(ws_expr: str = "ws", n: int = 3) -> str:
     )
 
 
+def _exploded_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """(doc, shingle) — DISTINCT non-empty word-n-grams, exploded. The
+    shared input of the portable MinHash signature pass and the
+    candidate-verify stage (one tokenize+shingle per doc, not one per
+    consumer). The tokenization is materialized as a column BEFORE the
+    shingle transform (the shingle_pairs_jaccard 5x rule)."""
+    return (
+        df.select(
+            F.col(id_col).alias("doc"),
+            normalized_words(F.col(text_col)).alias("words"),
+        )
+        .select("doc", F.explode(word_shingles(F.col("words"), n)).alias("shingle"))
+        .filter(F.col("shingle") != "")
+    )
+
+
+def _minhash_bands_from_exploded(
+    sh: DataFrame, num_hashes: int, bands: int
+) -> DataFrame:
+    """(doc, band, bucket) from an :func:`_exploded_shingles` table: one
+    groupBy(doc) with k min-aggregates (map-side combined, md5 inside
+    whole-stage codegen — a higher-order ``transform`` form was tried
+    and measured 3.5x SLOWER: HOF lambda bodies are interpreted per
+    element), then a constant bands-per-doc explode."""
+    if num_hashes % bands:
+        raise ValueError(f"num_hashes={num_hashes} not divisible by bands={bands}")
+    r = num_hashes // bands
+    aggs = [
+        F.min(
+            F.md5(F.encode(F.concat(F.lit(f"{i}:"), F.col("shingle")), "UTF-8"))
+        ).alias(f"m{i}")
+        for i in range(num_hashes)
+    ]
+    sig = sh.groupBy("doc").agg(*aggs)
+    band_structs = [
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.md5(
+                F.encode(
+                    F.concat_ws(
+                        "|", *[F.col(f"m{bi * r + j}") for j in range(r)]
+                    ),
+                    "UTF-8",
+                )
+            ).alias("bucket"),
+        )
+        for bi in range(bands)
+    ]
+    return sig.select(
+        "doc", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
 def portable_minhash_bands(
     df: DataFrame,
     id_col: str,
@@ -417,41 +472,9 @@ def portable_minhash_bands(
 
     Returns (doc, band, bucket) rows ready for an equi-join.
     """
-    if num_hashes % bands:
-        raise ValueError(f"num_hashes={num_hashes} not divisible by bands={bands}")
-    r = num_hashes // bands
-    sh = (
-        df.select(
-            F.col(id_col).alias("doc"),
-            normalized_words(F.col(text_col)).alias("words"),
-        )
-        .select("doc", F.explode(word_shingles(F.col("words"), n)).alias("shingle"))
-        .filter(F.col("shingle") != "")
+    return _minhash_bands_from_exploded(
+        _exploded_shingles(df, id_col, text_col, n), num_hashes, bands
     )
-    aggs = [
-        F.min(
-            F.md5(F.encode(F.concat(F.lit(f"{i}:"), F.col("shingle")), "UTF-8"))
-        ).alias(f"m{i}")
-        for i in range(num_hashes)
-    ]
-    sig = sh.groupBy("doc").agg(*aggs)
-    band_structs = [
-        F.struct(
-            F.lit(bi).alias("band"),
-            F.md5(
-                F.encode(
-                    F.concat_ws(
-                        "|", *[F.col(f"m{bi * r + j}") for j in range(r)]
-                    ),
-                    "UTF-8",
-                )
-            ).alias("bucket"),
-        )
-        for bi in range(bands)
-    ]
-    return sig.select(
-        "doc", F.explode(F.array(*band_structs)).alias("bb")
-    ).select("doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
 
 def sql_portable_minhash_bands(
@@ -502,23 +525,37 @@ def portable_minhash_pairs(
     join is exact-oracle-checkable end-to-end
     (:func:`sql_portable_minhash_pairs` is the lockstep DuckDB twin).
 
-    Scale shape: one shingle explode + groupBy(doc) signature pass
-    (map-side combined; the shuffle carries 8×32-char mins per doc),
-    a constant bands-per-doc band table self-joined on (band, bucket)
-    — candidate volume tracks true duplicate density, not |corpus|² —
-    then a verify join that ships each candidate pair its two DISTINCT
-    shingle arrays (doc-length-sized rows, candidate-count-many) and
-    filters on |∩| / |∪| >= threshold. Semantics equal
-    :func:`shingle_pairs_jaccard` restricted to banded candidates:
-    a true near-dup pair that collides in no band is missed — that
-    recall trade IS the LSH contract (recall floors in
+    Scale shape: ONE pinned exploded-shingle table feeds both the
+    signature pass (groupBy(doc) with k map-side-combined mins — the
+    shuffle carries 8×32-char mins per doc) and the verify stage, so
+    the corpus is tokenized once (the 100 TB equivalent is a
+    checkpointed shingle table shared by both). The band table
+    self-joins on (band, bucket) — candidate volume tracks true
+    duplicate density, not |corpus|² — and verification mirrors the
+    oracle's own join-count shape: candidate pairs pick up their
+    a-side shingles by id (an inherent semi-join prune: only candidate
+    docs' shingles flow), match b-side shingles on (id, shingle), and
+    the per-pair count + per-doc sizes give |∩| / |∪| >= threshold.
+    All codegen — no higher-order functions in the hot path. Semantics
+    equal :func:`shingle_pairs_jaccard` restricted to banded
+    candidates: a true near-dup pair that collides in no band is
+    missed — that recall trade IS the LSH contract (recall floors in
     plans/star_recall.py quantify it for the xxhash64 twin).
 
     Returns (a_id, b_id, jaccard) with a_id < b_id.
     """
-    bandtab = pin_bounded(
-        portable_minhash_bands(df, id_col, text_col, num_hashes, bands, n)
-    )
+    spark = df.sparkSession
+    src = df.select(F.col(id_col), F.col(text_col))
+    # Degenerate-layout guard: a single-file local corpus arrives as 1
+    # input split, serializing the md5-heavy signature stage on one
+    # core. A real 100 TB corpus has thousands of splits and skips
+    # this; only inputs narrower than the session's parallelism pay
+    # the one corpus-sized redistribution (round-robin — no key skew).
+    defpar = spark.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < defpar:
+        src = src.repartition(defpar)
+    sh = pin_bounded(_exploded_shingles(src, id_col, text_col, n))
+    bandtab = _minhash_bands_from_exploded(sh, num_hashes, bands)
     a, b = bandtab.alias("a"), bandtab.alias("b")
     cand = (
         a.join(
@@ -530,25 +567,33 @@ def portable_minhash_pairs(
         .select(F.col("a.doc").alias("a_id"), F.col("b.doc").alias("b_id"))
         .dropDuplicates(["a_id", "b_id"])
     )
-    shs = df.select(
-        F.col(id_col).alias("doc"),
-        F.array_remove(
-            word_shingles(normalized_words(F.col(text_col)), n), ""
-        ).alias("sh"),
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
+    inter = (
+        cand.join(
+            sh.select(F.col("doc").alias("a_id"), "shingle"), "a_id"
+        )
+        .join(
+            sh.select(F.col("doc").alias("b_id"), "shingle"),
+            ["b_id", "shingle"],
+        )
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("n_common"))
     )
-    paired = cand.join(
-        shs.select(F.col("doc").alias("a_id"), F.col("sh").alias("sh_a")), "a_id"
-    ).join(
-        shs.select(F.col("doc").alias("b_id"), F.col("sh").alias("sh_b")), "b_id"
-    )
-    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-    # candidates exist only for docs with >= 1 shingle, so the union
-    # size is >= 1 — the ANSI-mode division cannot hit zero
-    jac = inter.cast("double") / (
-        F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
+    jac = F.col("n_common").cast("double") / (
+        # candidates exist only for docs with >= 1 shingle, so the
+        # union size is >= 1 — the ANSI-mode division cannot hit zero
+        F.col("a_size") + F.col("b_size") - F.col("n_common")
     )
     return (
-        paired.select("a_id", "b_id", jac.alias("jaccard"))
+        inter.join(
+            sizes.select(F.col("doc").alias("a_id"), F.col("n_sh").alias("a_size")),
+            "a_id",
+        )
+        .join(
+            sizes.select(F.col("doc").alias("b_id"), F.col("n_sh").alias("b_size")),
+            "b_id",
+        )
+        .select("a_id", "b_id", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 
