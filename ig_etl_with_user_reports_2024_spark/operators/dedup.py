@@ -389,6 +389,19 @@ def sql_shingles(ws_expr: str = "ws", n: int = 3) -> str:
     )
 
 
+def _spread_narrow_input(df: DataFrame) -> DataFrame:
+    """Degenerate-layout guard for md5-heavy passes: a single-file local
+    corpus arrives as 1 input split, serializing the per-shingle k-md5
+    signature work on one core. A real 100 TB corpus has thousands of
+    splits and skips this; only inputs narrower than the session's
+    parallelism pay the one corpus-sized round-robin redistribution
+    (no key skew by construction)."""
+    defpar = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < defpar:
+        return df.repartition(defpar)
+    return df
+
+
 def _exploded_shingles(
     df: DataFrame, id_col: str, text_col: str, n: int = 3
 ) -> DataFrame:
@@ -473,7 +486,9 @@ def portable_minhash_bands(
     Returns (doc, band, bucket) rows ready for an equi-join.
     """
     return _minhash_bands_from_exploded(
-        _exploded_shingles(df, id_col, text_col, n), num_hashes, bands
+        _exploded_shingles(_spread_narrow_input(df), id_col, text_col, n),
+        num_hashes,
+        bands,
     )
 
 
@@ -544,16 +559,7 @@ def portable_minhash_pairs(
 
     Returns (a_id, b_id, jaccard) with a_id < b_id.
     """
-    spark = df.sparkSession
-    src = df.select(F.col(id_col), F.col(text_col))
-    # Degenerate-layout guard: a single-file local corpus arrives as 1
-    # input split, serializing the md5-heavy signature stage on one
-    # core. A real 100 TB corpus has thousands of splits and skips
-    # this; only inputs narrower than the session's parallelism pay
-    # the one corpus-sized redistribution (round-robin — no key skew).
-    defpar = spark.sparkContext.defaultParallelism
-    if src.rdd.getNumPartitions() < defpar:
-        src = src.repartition(defpar)
+    src = _spread_narrow_input(df.select(F.col(id_col), F.col(text_col)))
     sh = pin_bounded(_exploded_shingles(src, id_col, text_col, n))
     bandtab = _minhash_bands_from_exploded(sh, num_hashes, bands)
     a, b = bandtab.alias("a"), bandtab.alias("b")
