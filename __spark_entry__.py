@@ -39,137 +39,75 @@ from ig_etl_with_user_reports_2024_spark.plans import star_skew  # noqa: F401
 from ig_etl_with_user_reports_2024_spark.plans import star_manifest  # noqa: F401
 
 # The driver runs (and budgets) the FIRST ~50 queries in the order this
-# module yields them, so ordering is a correctness-signal resource
-# (VERDICT r4 "Next round" #1: after round 5, no query's latest driver
-# verdict should predate r3). Priority: (0) the 12 queries NEW in round
-# 5 (cdc1/cdc2, txt8, ii1, km1, rf8/rf9, zo1, dq1/dq2, pr1, ad1) —
-# first driver contact outranks any refresh; (a) the 11 queries whose latest verdict is
-# still r2 — round 4's deliberate overflow, next in line; (b) queries
-# whose modules round 5 changed (packing.py, sampling.py bucket
-# parameterization; dedup.py persist lifecycle; graph.py round-count
-# return); (c) r3-era verdicts, refreshed while budget remains.
-# Overflow past the ~50-slot budget is deliberately the weakest r3
-# signals: rows-only entries whose quality rides an in-budget or
-# r4-fresh driver-hashed floor (dd3→rf3, dd4→rf4, ann2→rf1, ro2→rf5),
-# thin variants of fresher queries (a16 of a15, f3 of r4-green f2,
-# f4/f6 trivial predicates, x3 of r4-green x2_x4, mj2/mj3 of mj1,
-# txt6 of r4-green k3), and the 12 tier-(c) entries that paid for the
-# new queries' slots (a7, c1, f7, j3, j5, so1, mj1, a5, txt5, a11,
-# c9, f8 — see below).
-# Everything after this list keeps registration order (r4-green,
-# unchanged this round).
+# module yields them, so ordering is a correctness-signal resource.
+# Round-6 rotation (VERDICT r5 "Next round" #2): (0) the 7 queries
+# whose ORACLE or PLAN is new/changed in round 6 — dd10 (new banded
+# keep-list), ann3/sq2 (moved from rows-only to exact via portable
+# codebook draws), dq1a (new gated approx profiler), ii3 (new log-idf
+# BM25 rank oracle), cm1 (recomposed on dd10 — its oracle text
+# changed), dc2 (pair-stage machinery rebuilt); (a) the 33 queries
+# whose latest driver verdict is still r3 (the exact list from
+# HANDOFF_r06 — all re-proved `exact` by the local tri-scale gate, so
+# this is verdict freshness, not risk); (b) 10 queries whose modules
+# round 6 touched (dedup.py signature/verify restructure, profiling.py
+# split pass, star_pipeline BM25 refactor, similarity.py draw change,
+# streaming/events.py watermark param). Deliberate overflow: everything
+# r4/r5-green and untouched this round — the strongest standing
+# signals are the cheapest to defer.
 _DRIVER_PRIORITY = [
-    # (0) NEW in round 5 — first driver contact outranks every refresh.
-    # Late-r5 additions (dc2 portable-MinHash decontamination, ii2 BM25,
-    # sk1/sk2 salted-shape identities) lead; their 4 slots are paid for
-    # by moving the 4 weakest tier-(c) r3 refreshes (c12, j1, j2, j4 —
-    # all r3-verified and re-proved exact by the local tri-scale gate)
-    # into the deliberate overflow.
+    # (0) new/changed oracles in round 6 — first driver contact
+    "dd10_keep_list_banded",
+    "ann3_ivf_topk",
+    "sq2_product_quantize",
+    "dq1a_column_profile_approx",
+    "ii3_bm25_log_idf",
     "cm1_corpus_manifest",
-    "ann4_portable_lsh_topk",
-    "dd9_portable_simhash_pairs",
-    "st8_stream_static_join",
-    "st9_stream_stream_join",
     "dc2_fuzzy_decontaminate",
-    "ii2_bm25_topk",
-    "sk1_salted_distinct_users",
-    "sk2_salted_join_segment",
-    "cdc1_merge_upsert",
-    "cdc2_scd2_intervals",
-    "txt8_filter_verdict",
-    "ii1_inverted_index",
-    "km1_kmeans_assign",
-    "rf8_approx_percentile_accuracy",
-    "rf9_kmeans_lloyd_floor",
-    "zo1_zorder_stats",
-    "dq1_column_profile",
-    "dq2_schema_drift",
-    "pr1_pagerank",
-    "ad1_rolling_zscore",
-    # (a) latest driver verdict is round 2 (VERDICT r4 item #1)
-    "x10_c7_argmax_priority",
-    "ro1_hourly_rollup",
-    "st1_tumbling_window",
-    "st2_sliding_window",
-    "st3_sessionization",
-    "k7_top5_preview",
-    "x8b_json_extract",
-    "st4_streaming_tumbling",
-    "st6_streaming_dedup",
-    "mm2_frame_sample",
-    "a8_approx_distinct",
-    # (b) modules changed in round 5
-    "ds1_corpus_shuffle",  # packing.py: prefix_chars parameterized
-    "mx1_temperature_mix",  # sampling.py: prefix_chars parameterized
-    "dp1_sequence_packing",  # packing.py sibling
-    "sp1_hash_split",  # sampling.py sibling
-    "sp2_stratified_sample",  # sampling.py sibling
-    "sp3_k_per_stratum",  # sampling.py sibling
-    "dc1_decontaminate",  # sampling.py sibling
-    "dd2_ngram_jaccard_pairs",  # dedup.py: bounded persist lifecycle
-    "dd6_dup_clusters",  # graph.py: round-count return (ADVICE)
-    "dd8_dedup_keep_list",  # NEW r5: dedup end-product keep-list
-    # (c) r3-era verdicts, strongest-signal-first
-    "dd1_exact_dedup",
-    "dd7_ngram_contamination",
-    "rf1_lsh_topk_recall",
-    "rf2_ivf_topk_recall",
-    "rf5_sketch_accuracy",
-    "ann1_cosine_topk",
-    "sq1_int8_quantize",
-    "mm3_frame_select",
-    # ---- ~50-slot budget line; deliberate overflow below ----
-    # st7/rj2/txt7/a4/a15/c12/j1/j2/j4: the 9 tier-(c) slots that paid
-    # for the late-r5 new queries (cm1/ann4/dd9/st8/st9/dc2/ii2/sk1/
-    # sk2) — r3-verified, re-proved exact locally by the tri-scale
-    # gate; st7/rj2's semantics are carried in-window by their fresher
-    # twins (st5 sessions r4-green, rj1 r4-green).
-    "st7_session_window",
-    "rj2_error_near_purchase",
-    "txt7_repetition_stats",
+    # (a) latest driver verdict is round 3 (33 queries)
     "a4_pricing_summary",
+    "a5_consistency_score",
+    "a7_frequency_map",
+    "a11_post_gap_frequency",
     "a15_length_percentiles",
+    "a16_length_histogram",
+    "c1_size_buckets",
+    "c9_f9_niche_distribution",
     "c12_collab_status",
+    "f3_recent_flag",
+    "f4_category_filter",
+    "f6_null_guard_filter",
+    "f7_recent20_mixed_window",
+    "f8_stoplist_tokens",
     "j1_work_queue_anti_join",
     "j2_first_match_theta_join",
-    "j4_a10_keyword_scores",
-    # Rows-only entries whose accuracy floors (rf1/rf3/rf4/rf5) are
-    # in-budget or r4-fresh, plus thin variants of fresher queries —
-    # the cheapest r3-era drops. The 12 slots the round-5-new queries
-    # cost came from here: a7 (k3/k4 carry the map semantics), c1
-    # (thin classifier), f7, j3, j5, so1, mj1 (thin/structural twins
-    # of in-window kin), a5 (its decimal-stddev identity rides the NEW
-    # in-window ad1), txt5 (thin twin of r4-green txt4's fingerprint),
-    # a11 (thin lag-gap classifier; a12's split-half
-    # trend is r4-green), c9 (thin classifier over j4's in-window
-    # keyword scores), f8 (stoplist set-difference; j1 carries the
-    # anti-join semantics in-window) — all r3-verified and re-proved
-    # exact by the local tri-scale gate this round; they lead round 6
-    # with the rest.
-    "a5_consistency_score",
-    "txt5_rolling_fingerprint",
-    "a11_post_gap_frequency",
-    "c9_f9_niche_distribution",
-    "f8_stoplist_tokens",
-    "a7_frequency_map",
-    "c1_size_buckets",
-    "f7_recent20_mixed_window",
     "j3_users_posts_join",
+    "j4_a10_keyword_scores",
     "j5_page_merge_dedup",
-    "so1_first_occurrence_dedup",
     "mj1_shipping_priority",
+    "mj2_region_volume",
+    "mj3_large_order_customers",
+    "so1_first_occurrence_dedup",
+    "st7_session_window",
+    "rj2_error_near_purchase",
+    "txt5_rolling_fingerprint",
+    "txt6_vocab_top50",
+    "txt7_repetition_stats",
+    "x3_substring_membership",
     "dd3_minhash_lsh_pairs",
     "dd4_simhash_pairs",
     "ann2_lsh_topk",
     "ro2_sketch_rollup",
-    "a16_length_histogram",
-    "f3_recent_flag",
-    "f4_category_filter",
-    "f6_null_guard_filter",
-    "x3_substring_membership",
-    "mj2_region_volume",
-    "mj3_large_order_customers",
-    "txt6_vocab_top50",
+    # (b) modules changed in round 6
+    "dd2_ngram_jaccard_pairs",  # dedup.py: shared shingle/verify restructure
+    "dd6_dup_clusters",  # dedup.py consumer via graph CC
+    "dd8_dedup_keep_list",  # dedup.py consumer (exact yardstick)
+    "ii2_bm25_topk",  # star_pipeline: shared _bm25_topk refactor
+    "km1_kmeans_assign",  # similarity.py changed
+    "ann4_portable_lsh_topk",  # similarity.py changed
+    "st8_stream_static_join",  # streaming/events.py changed
+    "st9_stream_stream_join",  # streaming/events.py watermark param
+    "dq1_column_profile",  # profiling.py changed
+    "dq2_schema_drift",  # profiling.py changed
 ]
 
 
