@@ -1475,6 +1475,12 @@ def creator_report(
     _PERSISTED_HANDLES.append(hours)
     keys = creator_collab_keys(feat).persist(StorageLevel.MEMORY_AND_DISK)
     _PERSISTED_HANDLES.append(keys)
+    # (r6 stage profile note: an eager .count() materialization of these
+    # caches was tried against the theory that concurrent broadcast
+    # subtrees race the cold cache — wall was unchanged-to-slightly-worse
+    # (12.4s -> 12.7-13.0s at 600 replicas), because the caches ARE hit:
+    # the heavy stages' 31 MB "input" is the serialized feat cache, not
+    # JSON re-reads. See BENCH_NOTES_r06.md for the stage-level table.)
 
     # top_6_posts and the C13 partnership scalars/timeline ride inside
     # creator_post_aggregates' single wide aggregation (three fewer
