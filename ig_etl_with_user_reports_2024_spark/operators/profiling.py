@@ -111,9 +111,10 @@ def profile_columns_approx_gated(
     (the rf7 gate pattern), which keeps the catalog entry
     driver-hashable: every other field is exact and hash-compared, and
     a sketch regression flips ``nd_ok`` to false. The exact distinct
-    rides in the SAME single aggregation pass purely as the gate; a
-    production deployment drops the gate aggregates and trusts the
-    estimate at the certified tolerance.
+    exists purely as the gate and runs as its own pass (see the inline
+    note on why the sketch must NOT share the multi-distinct
+    aggregation); a production deployment drops the gate pass entirely
+    and trusts the estimate at the certified tolerance — one scan.
 
     Returns one row per profiled column:
     (col_name, n_rows, n_nulls, nd_ok, min_num, max_num, min_str,
