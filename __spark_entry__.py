@@ -57,6 +57,8 @@ from ig_etl_with_user_reports_2024_spark.plans import star_manifest  # noqa: F40
 _DRIVER_PRIORITY = [
     # (0) new/changed oracles in round 6 — first driver contact
     "dd10_keep_list_banded",
+    "ann5_ivfpq_topk",
+    "rf10_ivfpq_recall",
     "ann3_ivf_topk",
     "sq2_product_quantize",
     "dq1a_column_profile_approx",
@@ -106,8 +108,10 @@ _DRIVER_PRIORITY = [
     "ann4_portable_lsh_topk",  # similarity.py changed
     "st8_stream_static_join",  # streaming/events.py changed
     "st9_stream_stream_join",  # streaming/events.py watermark param
-    "dq1_column_profile",  # profiling.py changed
-    "dq2_schema_drift",  # profiling.py changed
+    # dq1/dq2 moved to overflow to pay for ann5/rf10's first-contact
+    # slots: profiling.py's r6 change is driver-covered by dq1a (tier
+    # 0), and dq1/dq2 are r5-green with the full local gate re-proving
+    # them exact this round.
 ]
 
 

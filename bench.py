@@ -93,6 +93,7 @@ HEADLINE = [
     "dd10_keep_list_banded",
     "ii3_bm25_log_idf",
     "dq1a_column_profile_approx",
+    "ann5_ivfpq_topk",
 ]
 
 

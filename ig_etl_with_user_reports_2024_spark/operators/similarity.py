@@ -825,3 +825,199 @@ def sign_lsh_topk(
     return top_k_per_group(
         scored, ["q_id"], [F.col("cos_sim").desc(), F.col("n_id").asc()], k=k
     ).select("q_id", "n_id", "cos_sim", F.col("rn").alias("rank"))
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    n_centroids: int = 16,
+    refine: int = 100,
+    cell_salt: str = "ann3",
+    pq_salt: str = "sq2",
+) -> DataFrame:
+    """IVF-PQ ANN with exact refine — the disk-resident serving path
+    FAISS calls IVFPQ+refine, composed from this repo's two PORTABLE
+    codebooks: ann3's coarse cells (salted-md5 draw, ``cell_salt``)
+    pick which ~n_probe/n_cells of the corpus to touch, sq2's
+    product-quantization codes (``pq_salt``) give every candidate an
+    m-byte approximate distance (ADC: sum over subspaces of
+    ||q_slice − centroid[code]||², folded in subspace order), and only
+    the top-``refine`` ADC candidates per query are re-ranked with the
+    exact cosine.
+
+    The scale property this plan encodes: the candidate join carries
+    (id, cell, m small ints) — never vectors — so at 100 TB the raw
+    embedding column is read exactly twice per query: the ``refine``
+    winners' vectors for the re-rank, and the query's own. Codebooks
+    ride as two from_json literals; cell assignment, codes, and ADC
+    are pure column expressions.
+
+    Engine-portable end to end (both draws are salted-md5 orders,
+    every distance a sequential left fold), so cells, codes, ADC
+    ranking, the refine cut, and the final rank are exact-oracle-
+    checkable. CONTRACT (as :func:`sign_lsh_topk`): ``queries`` must
+    be an id-subset of ``corpus``; zero-norm vectors are excluded from
+    both index and queries.
+
+    Returns (q_id, n_id, cos_sim, rank).
+    """
+    import json
+
+    def _draw(salt: str, limit: int) -> list[list[float]]:
+        return [
+            [float(x) for x in r[vec_col]]
+            for r in corpus.orderBy(
+                F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+            )
+            .limit(limit)
+            .collect()
+        ]
+
+    cent_mat = _draw(cell_salt, n_cells)
+    if not cent_mat:
+        raise ValueError("ivfpq_topk: empty corpus")
+    dim = len(cent_mat[0])
+    if dim % m != 0:
+        raise ValueError(f"ivfpq_topk: dim {dim} not divisible by m={m}")
+    d_sub = dim // m
+    pq_draw = _draw(pq_salt, n_centroids)
+    n_centroids = len(pq_draw)
+    codebook = [
+        [v[s * d_sub : (s + 1) * d_sub] for v in pq_draw] for s in range(m)
+    ]
+    cb = F.from_json(
+        F.lit(json.dumps(codebook)), "array<array<array<double>>>"
+    )
+
+    def dist2(slice_col: Column, cent: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(
+                slice_col,
+                cent,
+                lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    def nearest_cells(dots: Column, n: int) -> Column:
+        return F.transform(
+            F.slice(
+                F.array_sort(
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(n_cells - 1)),
+                        lambda ci: F.struct(
+                            (-F.element_at(dots, ci + 1)).alias("neg_sim"),
+                            ci.alias("cell"),
+                        ),
+                    )
+                ),
+                1,
+                n,
+            ),
+            lambda s: s["cell"],
+        )
+
+    vec = F.col("vec")
+    codes = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda s: F.element_at(
+            F.array_sort(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(n_centroids - 1)),
+                    lambda c: F.struct(
+                        dist2(
+                            F.slice(vec, s * d_sub + 1, d_sub),
+                            F.element_at(F.element_at(cb, s + 1), c + 1),
+                        ).alias("err2"),
+                        c.cast("int").alias("code"),
+                    ),
+                )
+            ),
+            1,
+        )["code"],
+    )
+    # one pinned pass computes norm, cell, codes, and probe dots for
+    # every vector (queries ⊆ corpus share it, sign_lsh pattern)
+    base = pin_bounded(
+        corpus.select(
+            F.col(id_col).alias("vid"),
+            F.col(vec_col).alias("vec"),
+            _norm(F.col(vec_col)).alias("nrm"),
+            _dots_against(F.col(vec_col), cent_mat).alias("_dots"),
+        )
+        .filter(F.col("nrm") > 0)
+        .select(
+            "vid",
+            "vec",
+            "nrm",
+            "_dots",
+            F.element_at(nearest_cells(F.col("_dots"), 1), 1).alias("cell"),
+            codes.alias("codes"),
+        )
+    )
+    q_ids = queries.select(F.col(id_col).alias("q_id"))
+    q_side = (
+        base.join(F.broadcast(q_ids), base.vid == q_ids.q_id)
+        .select(
+            "q_id",
+            F.col("vec").alias("q_vec"),
+            F.col("nrm").alias("q_norm"),
+            F.explode(nearest_cells(F.col("_dots"), n_probe)).alias("cell"),
+        )
+    )
+    n_side = base.select(
+        F.col("vid").alias("n_id"), "cell", "codes"
+    )
+    q_vec = F.col("q_vec")
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + dist2(
+            F.slice(q_vec, s * d_sub + 1, d_sub),
+            F.element_at(
+                F.element_at(cb, s + 1),
+                F.element_at(F.col("codes"), s + 1) + 1,
+            ),
+        ),
+    )
+    cand = (
+        n_side.join(F.broadcast(q_side), "cell")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id", adc.alias("adc"))
+    )
+    shortlist = top_k_per_group(
+        cand, ["q_id"], [F.col("adc").asc(), F.col("n_id").asc()], k=refine
+    ).select("q_id", "n_id")
+    q_exact = base.select(
+        F.col("vid").alias("q_id"),
+        F.col("vec").alias("q_vec"),
+        F.col("nrm").alias("q_norm"),
+    ).join(F.broadcast(q_ids), "q_id")
+    n_exact = base.select(
+        F.col("vid").alias("n_id"),
+        F.col("vec").alias("n_vec"),
+        F.col("nrm").alias("n_norm"),
+    )
+    rescored = (
+        shortlist.join(F.broadcast(q_exact), "q_id")
+        .join(n_exact, "n_id")
+        .select(
+            "q_id",
+            "n_id",
+            (
+                _dot(F.col("q_vec"), F.col("n_vec"))
+                / (F.col("q_norm") * F.col("n_norm"))
+            ).alias("cos_sim"),
+        )
+    )
+    return top_k_per_group(
+        rescored, ["q_id"], [F.col("cos_sim").desc(), F.col("n_id").asc()], k=k
+    ).select("q_id", "n_id", "cos_sim", F.col("rn").alias("rank"))

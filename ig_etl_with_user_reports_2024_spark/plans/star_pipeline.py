@@ -1806,6 +1806,124 @@ def ann4_portable_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ann5_ivfpq_topk",
+    f"""
+    WITH hc AS (
+        SELECT vec_id, embedding,
+               md5('ann3:' || CAST(vec_id AS VARCHAR)) AS hh
+        FROM embeddings
+    ), cent AS (
+        SELECT embedding AS c_vec,
+               CAST(row_number() OVER (ORDER BY hh) AS INTEGER) - 1 AS cell
+        FROM hc ORDER BY hh LIMIT 16
+    ), hp AS (
+        SELECT vec_id, embedding,
+               md5('sq2:' || CAST(vec_id AS VARCHAR)) AS hh
+        FROM embeddings
+    ), pqc AS (
+        SELECT embedding AS p_vec,
+               CAST(row_number() OVER (ORDER BY hh) AS INTEGER) - 1 AS code
+        FROM hp ORDER BY hh LIMIT 16
+    ), base AS (
+        SELECT vec_id, embedding, {_NORM_SQL.format(a='embedding')} AS nrm
+        FROM embeddings
+        WHERE {_NORM_SQL.format(a='embedding')} > 0
+    ), dots AS (
+        SELECT b.vec_id, b.embedding, b.nrm, c.cell,
+               {_DOT_SQL.format(a='b.embedding', b='c.c_vec')} AS dot
+        FROM base b CROSS JOIN cent c
+    ), rc AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY vec_id ORDER BY dot DESC, cell ASC
+        ) AS cr
+        FROM dots
+    ), corp AS (
+        SELECT vec_id AS n_id, cell FROM rc WHERE cr = 1
+    ), sub AS (
+        SELECT b.vec_id, CAST(g.s AS INT) AS subspace,
+               list_slice(b.embedding, g.s * 8 + 1, g.s * 8 + 8) AS sl
+        FROM base b
+        CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS s) g
+    ), serr AS (
+        SELECT sub.vec_id, sub.subspace, p.code,
+               {_L2_SQL.format(
+                   a='sub.sl',
+                   b='list_slice(p.p_vec, sub.subspace * 8 + 1, '
+                     'sub.subspace * 8 + 8)',
+               )} AS err2
+        FROM sub CROSS JOIN pqc p
+    ), bestc AS (
+        SELECT vec_id, subspace, code FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id, subspace ORDER BY err2 ASC, code ASC
+            ) AS rn
+            FROM serr
+        ) WHERE rn = 1
+    ), probes AS (
+        SELECT vec_id AS q_id, embedding AS q_vec, cell
+        FROM rc WHERE vec_id < 10 AND cr <= 4
+    ), cand AS (
+        SELECT p.q_id, p.q_vec, c.n_id
+        FROM probes p JOIN corp c
+          ON p.cell = c.cell AND c.n_id <> p.q_id
+    ), adcrows AS (
+        SELECT cd.q_id, cd.n_id, bc.subspace,
+               {_L2_SQL.format(
+                   a='list_slice(cd.q_vec, bc.subspace * 8 + 1, '
+                     'bc.subspace * 8 + 8)',
+                   b='list_slice(p.p_vec, bc.subspace * 8 + 1, '
+                     'bc.subspace * 8 + 8)',
+               )} AS d2
+        FROM cand cd
+        JOIN bestc bc ON bc.vec_id = cd.n_id
+        JOIN pqc p ON p.code = bc.code
+    ), adc AS (
+        SELECT q_id, n_id,
+               list_reduce(list_transform(
+                   list_sort(list(struct_pack(s := subspace, d := d2))),
+                   x -> x.d), (a, b) -> a + b) AS adc
+        FROM adcrows GROUP BY q_id, n_id
+    ), topr AS (
+        SELECT q_id, n_id FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY q_id ORDER BY adc ASC, n_id ASC
+            ) AS rr
+            FROM adc
+        ) WHERE rr <= 100
+    ), rer AS (
+        SELECT t.q_id, t.n_id,
+               {_DOT_SQL.format(a='q.embedding', b='nb.embedding')}
+                   / (q.nrm * nb.nrm) AS cos_sim
+        FROM topr t
+        JOIN base q ON q.vec_id = t.q_id
+        JOIN base nb ON nb.vec_id = t.n_id
+    )
+    SELECT q_id, n_id, cos_sim, rank FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY q_id ORDER BY cos_sim DESC, n_id ASC
+        ) AS rank
+        FROM rer
+    ) WHERE rank <= 5
+    """,
+)
+def ann5_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with exact refine (FAISS's IVFPQ+refine serving path) for
+    vec_id < 10: ann3's portable coarse cells (salt 'ann3') bound which
+    corpus slice is touched, sq2's portable PQ codes (salt 'sq2') give
+    each candidate an 8-byte ADC distance, the top-100 ADC candidates
+    re-rank by exact cosine. The candidate join carries (id, cell,
+    8 codes) — never vectors — which is the property that makes
+    quantized ANN the only option at 100 TB. Everything (both
+    codebooks, cell/code tie-breaks, the subspace-ordered ADC fold,
+    the refine cut, the final rank) is engine-portable, so this is the
+    quantized-search family's first END-TO-END hash-checked entry;
+    recall vs ann1 is additionally floored by rf10."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return sim.ivfpq_topk(queries, emb, "vec_id", "embedding", k=5)
+
+
+@query(
     "dd9_portable_simhash_pairs",
     dd.sql_portable_simhash_pairs("documents"),
 )

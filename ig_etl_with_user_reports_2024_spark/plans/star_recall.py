@@ -105,6 +105,28 @@ def rf2_ivf_topk_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _floor_only(rf2_diag(spark, sf_dir))
 
 
+def rf10_diag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full diagnostic row behind rf10."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = sim.cosine_topk(queries, emb, "vec_id", "embedding", k=5)
+    approx = sim.ivfpq_topk(queries, emb, "vec_id", "embedding", k=5)
+    return _recall_row(exact, approx, ["q_id", "n_id"], floor=0.3)
+
+
+@query("rf10_ivfpq_recall", _floor_oracle(0.3))
+def rf10_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@5 of IVF-PQ + exact refine (ann5, refine=100) vs brute
+    force; floor 0.3. Random near-orthogonal vectors are vector
+    quantization's worst case (rf6 measures distortion 0.73-0.77), so
+    the ADC shortlist genuinely loses neighbors here — measured
+    0.38-0.48 across sf0.001/0.01/0.1, converging to ann3's own IVF
+    ceiling as refine grows (0.46-0.48 at refine=200). The floor
+    catches codebook/ADC/refine-cut regressions while conceding the
+    data-pathological gap the rf6 distortion floor already prices in."""
+    return _floor_only(rf10_diag(spark, sf_dir))
+
+
 def rf3_diag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full diagnostic row behind rf3."""
     docs = load_table(spark, sf_dir, "documents")
