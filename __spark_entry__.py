@@ -59,6 +59,7 @@ _DRIVER_PRIORITY = [
     "dd10_keep_list_banded",
     "ann5_ivfpq_topk",
     "rf10_ivfpq_recall",
+    "st10_streaming_upsert",
     "ann3_ivf_topk",
     "sq2_product_quantize",
     "dq1a_column_profile_approx",
@@ -104,7 +105,9 @@ _DRIVER_PRIORITY = [
     "dd6_dup_clusters",  # dedup.py consumer via graph CC
     "dd8_dedup_keep_list",  # dedup.py consumer (exact yardstick)
     "ii2_bm25_topk",  # star_pipeline: shared _bm25_topk refactor
-    "km1_kmeans_assign",  # similarity.py changed
+    # (km1 moved to overflow to pay for st10's first-contact slot:
+    # similarity.py's r6 changes are driver-covered by ann3/sq2/ann5
+    # in tier 0, and km1 is r5-green, re-proved by the local gate.)
     "ann4_portable_lsh_topk",  # similarity.py changed
     "st8_stream_static_join",  # streaming/events.py changed
     "st9_stream_stream_join",  # streaming/events.py watermark param

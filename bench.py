@@ -94,6 +94,7 @@ HEADLINE = [
     "ii3_bm25_log_idf",
     "dq1a_column_profile_approx",
     "ann5_ivfpq_topk",
+    "st10_streaming_upsert",
 ]
 
 

@@ -301,6 +301,34 @@ def st8_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "st10_streaming_upsert",
+    """
+    SELECT user_id, ts AS last_ts, event_id AS last_event_id,
+           event_type AS last_type, value AS last_value
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+        ) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+    eager=True,
+)
+def st10_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming upsert view under real readStream: the current
+    last-writer-wins row per user (latest ts, highest event_id on
+    ties) — cdc1's reduction as continuous materialized-view
+    maintenance, state bounded by key cardinality. Hash-checked
+    against the batch argmax — streaming/batch parity for the upsert
+    operator, as st4 proves it for windows and st8 for joins."""
+    from ..streaming.events import streaming_last_writer_wins
+
+    return streaming_last_writer_wins(
+        spark, os.path.join(sf_dir, "events.parquet")
+    )
+
+
+@query(
     "st9_stream_stream_join",
     """
     WITH c AS (

@@ -302,3 +302,37 @@ def streaming_interval_join(
         ),
     ).select(F.col("c_user").alias("user_id"), "click_id", "purchase_id")
     return _run_to_memory_sink(spark, joined, "ssjoin_", "append")
+
+
+def streaming_last_writer_wins(
+    spark: SparkSession, events_path: str
+) -> DataFrame:
+    """Streaming UPSERT VIEW: the current row per user maintained from
+    the event stream — cdc1's last-writer-wins reduction
+    (operators/cdc.py) re-expressed as streaming materialized-view
+    maintenance, the streaming×warehouse cross the CDC family was
+    missing.
+
+    One ``max(struct(ts, event_id, ...))`` aggregate per key: struct
+    ordering compares ts first, then event_id, so the winner is the
+    latest event with the highest event_id breaking exact-ts ties —
+    deterministic under any arrival order, which is what makes the
+    AvailableNow complete-mode emission equal the batch argmax oracle
+    bit-for-bit. State = ONE small struct per live key (bounded by key
+    cardinality, never by stream length — no watermark needed because
+    the aggregate itself is the retention policy). At 100 TB the same
+    aggregate runs in update mode with the sink applying cdc1's MERGE
+    per micro-batch instead of complete-mode re-emission.
+    """
+    stream = _events_stream(spark, events_path)
+    agg = stream.groupBy("user_id").agg(
+        F.max(F.struct("ts", "event_id", "event_type", "value")).alias("last")
+    )
+    out = agg.select(
+        "user_id",
+        F.col("last.ts").alias("last_ts"),
+        F.col("last.event_id").alias("last_event_id"),
+        F.col("last.event_type").alias("last_type"),
+        F.col("last.value").alias("last_value"),
+    )
+    return _run_to_memory_sink(spark, out, "lww_", "complete")
