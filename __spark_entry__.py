@@ -60,6 +60,7 @@ _DRIVER_PRIORITY = [
     "ann5_ivfpq_topk",
     "rf10_ivfpq_recall",
     "st10_streaming_upsert",
+    "txt9_bigram_surprisal",
     "ann3_ivf_topk",
     "sq2_product_quantize",
     "dq1a_column_profile_approx",
@@ -109,7 +110,10 @@ _DRIVER_PRIORITY = [
     # similarity.py's r6 changes are driver-covered by ann3/sq2/ann5
     # in tier 0, and km1 is r5-green, re-proved by the local gate.)
     "ann4_portable_lsh_topk",  # similarity.py changed
-    "st8_stream_static_join",  # streaming/events.py changed
+    # (st8 moved to overflow to pay for txt9's first-contact slot: the
+    # r6 events.py change is driver-covered by st9 — the watermark
+    # param's actual consumer — and st10, which shares the source
+    # block; st8 is r5-green, re-proved by the local gate.)
     "st9_stream_stream_join",  # streaming/events.py watermark param
     # dq1/dq2 moved to overflow to pay for ann5/rf10's first-contact
     # slots: profiling.py's r6 change is driver-covered by dq1a (tier

@@ -95,6 +95,7 @@ HEADLINE = [
     "dq1a_column_profile_approx",
     "ann5_ivfpq_topk",
     "st10_streaming_upsert",
+    "txt9_bigram_surprisal",
 ]
 
 

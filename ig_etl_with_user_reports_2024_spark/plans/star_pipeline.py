@@ -992,6 +992,126 @@ def txt8_filter_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bigram_surprisal_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, ms) — per-doc mean bigram surprisal behind txt9; split
+    out so tests can pin the SCORES cross-engine (the catalog entry
+    exposes ranks only)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", dd.normalized_words(F.col("text")).alias("ws")
+    )
+    pairs = F.when(
+        F.size("ws") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("ws") - 1),
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.element_at(F.col("ws"), i).alias("w1"),
+                F.element_at(F.col("ws"), i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,w1:string,w2:string>>"))
+    big = words.select("doc_id", F.explode(pairs).alias("b")).select(
+        "doc_id", "b.pos", "b.w1", "b.w2"
+    )
+    big = dd.pin_bounded(big)
+    uni = big.groupBy("w1").agg(F.count("*").alias("cu"))
+    bi = big.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
+    scored = (
+        big.join(bi, ["w1", "w2"])
+        .join(uni, "w1")
+        .select(
+            "doc_id",
+            "pos",
+            (-F.log(F.col("cb").cast("double") / F.col("cu"))).alias("s"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        (
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("s")))
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x["s"],
+            )
+            / F.count("*")
+        ).alias("ms")
+    )
+
+
+@query(
+    "txt9_bigram_surprisal",
+    f"""
+    WITH ws AS (
+        SELECT doc_id, {_WORDS_SQL} AS ws FROM documents
+    ), big AS (
+        SELECT doc_id, pos, ws[pos] AS w1, ws[pos + 1] AS w2
+        FROM (
+            SELECT doc_id, ws,
+                   unnest(generate_series(1, greatest(len(ws) - 1, 0)))
+                       AS pos
+            FROM ws
+        )
+    ), uni AS (
+        SELECT w1, COUNT(*) AS cu FROM big GROUP BY w1
+    ), bi AS (
+        SELECT w1, w2, COUNT(*) AS cb FROM big GROUP BY w1, w2
+    ), scored AS (
+        SELECT b.doc_id, b.pos,
+               -ln(CAST(bi.cb AS DOUBLE) / uni.cu) AS s
+        FROM big b
+        JOIN bi ON b.w1 = bi.w1 AND b.w2 = bi.w2
+        JOIN uni ON b.w1 = uni.w1
+    ), agg AS (
+        SELECT doc_id,
+               list_reduce(list_transform(
+                   list_sort(list(struct_pack(p := pos, s := s))),
+                   x -> x.s), (a, b) -> a + b) / COUNT(*) AS ms
+        FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, rank FROM (
+        SELECT doc_id, CAST(row_number() OVER (
+            ORDER BY ms DESC, doc_id ASC
+        ) AS INT) AS rank
+        FROM agg
+    ) WHERE rank <= 20
+    """,
+)
+def txt9_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 20 most SURPRISING documents under a corpus bigram LM — the
+    perplexity-shaped quality signal (Gopher/MassiveText-style) the
+    txt family was missing: per-doc mean surprisal
+    ``-(1/n) Σ ln(c(w1,w2) / c(w1))`` with MLE counts over the whole
+    corpus (every doc bigram has corpus count >= 1, so the ratio is
+    never 0 and ln is finite; c(w1) counts bigram STARTS, i.e. the
+    proper Σ_w2 c(w1,w2) denominator). High mean = the doc's
+    transitions are rare in this corpus — gibberish, boilerplate-free
+    outliers, or wrong-language content; a curation pass drops or
+    down-weights them.
+
+    Like ii3, the driver checks the RANKING only (ln is the one
+    libm-dependent op): the per-doc sum folds ln terms in bigram
+    POSITION order (array_sort then aggregate — functions/exact.py
+    rule 2), so both engines fold identical values in identical order
+    and only ln ulps differ; docs with IDENTICAL token streams (the
+    dup clusters) tie exactly and fall to the doc_id tie-break. Score
+    parity is pinned cross-engine at 1e-9 in tests/test_textops.py.
+
+    Scale shape: one bigram explode (pos carried for the canonical
+    fold), two count rollups (map-side combined; at 100 TB these are
+    the LM's count tables, vocabulary-sized), two keyed joins back to
+    the bigram stream (AQE broadcasts them at test scale), one per-doc
+    aggregate, and a global top-20 via TakeOrderedAndProject — no
+    all-rows single-partition window."""
+    agg = _bigram_surprisal_scores(spark, sf_dir)
+    top = agg.orderBy(F.col("ms").desc(), F.col("doc_id").asc()).limit(20)
+    w = Window.orderBy(F.col("ms").desc(), F.col("doc_id").asc())
+    return top.select(
+        "doc_id", F.row_number().over(w).cast("int").alias("rank")
+    )
+
+
 @query(
     "ii1_inverted_index",
     f"""

@@ -125,3 +125,35 @@ def test_ii3_bm25_scores_match_duckdb_within_tolerance(spark, sf_oracle):
             s_val,
             du[key],
         )
+
+
+def test_txt9_surprisal_scores_match_duckdb_within_tolerance(spark, sf_oracle):
+    """txt9's driver oracle checks ranks only (ln is libm-dependent);
+    this pins the per-doc mean surprisal cross-engine at 1e-9 relative
+    tolerance, so a count/denominator/fold drift cannot hide behind an
+    accidentally-preserved ranking."""
+    from tools.oracle_check import duck_connect
+
+    from ig_etl_with_user_reports_2024_spark.plans.star_pipeline import (
+        _bigram_surprisal_scores,
+    )
+    from ig_etl_with_user_reports_2024_spark.plans.registry import QUERIES
+
+    sp = {
+        r.doc_id: r.ms
+        for r in _bigram_surprisal_scores(spark, sf_oracle).collect()
+    }
+    oracle = QUERIES["txt9_bigram_surprisal"].oracle
+    body = oracle[: oracle.rindex("SELECT doc_id, rank FROM (")]
+    con = duck_connect(sf_oracle)
+    try:
+        rows = con.execute(body + "SELECT doc_id, ms FROM agg").fetchall()
+    finally:
+        con.close()
+    du = dict(rows)
+    assert set(sp) == set(du)
+    assert len(sp) > 100  # docs with >= 2 words — the bulk of the corpus
+    for doc, v in sp.items():
+        assert abs(v - du[doc]) <= 1e-9 * max(abs(v), abs(du[doc]), 1e-30), (
+            doc, v, du[doc],
+        )

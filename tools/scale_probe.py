@@ -36,21 +36,35 @@ REKEY = {
 PLAIN = ("customer", "part", "supplier", "nation", "region")
 
 
-def build(spark, src: str, rep: int) -> str:
+def build(spark, src: str, rep: int, tables: list[str] | None = None) -> str:
+    """Replicate the base tables into a temp dir. ``tables`` restricts
+    which tables are replicated/copied (default: all) — a 128× probe of
+    a documents-only plan need not write 128× lineitem. Replication is
+    a crossJoin with spark.range(rep): O(1) plan size, where the old
+    rep-branch unionByName built a plan that at rep=128 crashed the
+    optimizer/codegen before the first row was written."""
     from ig_etl_with_user_reports_2024_spark.sources.readers import load_table
 
     out = tempfile.mkdtemp(prefix=f"sfx{rep}_")
+    reps = F.broadcast(
+        spark.range(rep).select(F.col("id").alias("_rep"))
+    )
     for t, keycol in REKEY.items():
+        if tables is not None and t not in tables:
+            continue
         df = load_table(spark, src, t)
-        copies = [df.withColumn("_rep", F.lit(i)) for i in range(rep)]
-        big = copies[0]
-        for c in copies[1:]:
-            big = big.unionByName(c)
-        big = big.withColumn(
-            keycol, F.col(keycol) + F.col("_rep").cast("long") * 1_000_000_000
-        ).drop("_rep")
+        big = (
+            df.crossJoin(reps)
+            .withColumn(
+                keycol,
+                F.col(keycol) + F.col("_rep").cast("long") * 1_000_000_000,
+            )
+            .drop("_rep")
+        )
         big.write.mode("overwrite").parquet(f"{out}/{t}.parquet")
     for t in PLAIN:
+        if tables is not None and t not in tables:
+            continue
         load_table(spark, src, t).write.mode("overwrite").parquet(
             f"{out}/{t}.parquet"
         )
@@ -61,6 +75,11 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rep", type=int, default=32)
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    ap.add_argument(
+        "--tables",
+        default=None,
+        help="comma-separated subset of tables to replicate (default all)",
+    )
     ap.add_argument("names", nargs="+")
     args = ap.parse_args()
 
@@ -69,7 +88,8 @@ def main() -> int:
 
     spark = get_spark("scale_probe")
     load_before = list(os.getloadavg())
-    big = build(spark, args.sf, args.rep)
+    tables = args.tables.split(",") if args.tables else None
+    big = build(spark, args.sf, args.rep, tables=tables)
     qs = entry_mod.queries()
     rows: dict[str, int] = {}
     secs: dict[str, float] = {}
