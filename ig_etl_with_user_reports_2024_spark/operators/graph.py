@@ -83,8 +83,15 @@ def connected_components(
 
     for _ in range(max_iter + 1):
         rounds_used += 1
+        # merge-hint both per-round joins: the labels table is NODE-grain
+        # — broadcasting it contradicts this operator's own |E| + 2|V|
+        # shuffle contract and cannot work at 10^12 nodes; concretely, a
+        # 128× local probe OOMed when AQE chose to broadcast 640k labels
+        # while the heap was already carrying the pair stage's pinned
+        # shingle cache. Sort-merge keeps the round's memory footprint
+        # streaming on both sides at any scale.
         neighbor_labels = edges.join(
-            labels, edges["src"] == labels["id"]
+            labels.hint("merge"), edges["src"] == labels["id"]
         ).select(F.col("dst").alias("id"), "label")
         propagated = (
             labels.union(neighbor_labels).groupBy("id").agg(F.min("label").alias("label"))
@@ -101,7 +108,7 @@ def connected_components(
         # the plan to a leaf; old rounds' blocks are freed by Spark's
         # ContextCleaner once the previous `labels` ref drops.
         labels = (
-            propagated.join(parent, "label", "left")
+            propagated.join(parent.hint("merge"), "label", "left")
             .select("id", F.coalesce("_label2", "label").alias("label"))
             .localCheckpoint(eager=True)
         )
