@@ -57,6 +57,7 @@ from ig_etl_with_user_reports_2024_spark.plans import star_manifest  # noqa: F40
 _DRIVER_PRIORITY = [
     # (0) new/changed oracles in round 6 — first driver contact
     "dd10_keep_list_banded",
+    "dd11_staged_keep_list",
     "ann5_ivfpq_topk",
     "rf10_ivfpq_recall",
     "st10_streaming_upsert",
@@ -106,10 +107,10 @@ _DRIVER_PRIORITY = [
     "dd6_dup_clusters",  # dedup.py consumer via graph CC
     "dd8_dedup_keep_list",  # dedup.py consumer (exact yardstick)
     "ii2_bm25_topk",  # star_pipeline: shared _bm25_topk refactor
-    # (km1 moved to overflow to pay for st10's first-contact slot:
-    # similarity.py's r6 changes are driver-covered by ann3/sq2/ann5
-    # in tier 0, and km1 is r5-green, re-proved by the local gate.)
-    "ann4_portable_lsh_topk",  # similarity.py changed
+    # (km1 and ann4 moved to overflow to pay for st10/dd11's
+    # first-contact slots: similarity.py's r6 changes are
+    # driver-covered by ann3/sq2/ann5/rf10 in tier 0, and both are
+    # r5-green, re-proved by the local gate.)
     # (st8 moved to overflow to pay for txt9's first-contact slot: the
     # r6 events.py change is driver-covered by st9 — the watermark
     # param's actual consumer — and st10, which shares the source

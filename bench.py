@@ -96,6 +96,7 @@ HEADLINE = [
     "ann5_ivfpq_topk",
     "st10_streaming_upsert",
     "txt9_bigram_surprisal",
+    "dd11_staged_keep_list",
 ]
 
 

@@ -2,7 +2,7 @@
 final keep/drop decision and why.
 
 Every family in the catalog produces a *judgement* about a document —
-dd10 says "duplicate of cluster X", dc2 says "collides with an eval
+dd11 says "duplicate of cluster X", dc2 says "collides with an eval
 doc", txt8 says "too repetitive / wrong length", sp1 says "this is
 held-out eval data". A training run consumes none of those directly;
 it consumes the MANIFEST that folds them into a single action per doc.
@@ -16,11 +16,11 @@ pipeline applies):
 
     1. split <> 'train'      -> 'hold_out'          (eval/val data)
     2. dc2 collision         -> 'drop_contaminated' (leaked eval)
-    3. dd10 kept = false     -> 'drop_duplicate'    (near-dup cluster)
+    3. dd11 kept = false     -> 'drop_duplicate'    (near-dup cluster)
     4. txt8 keep = false     -> 'drop_quality'      (filter verdict)
     5. otherwise             -> 'keep'
 
-Scale note: dd10 and dc2 both start from the shingle table; at 100 TB
+Scale note: dd11 and dc2 both start from the shingle table; at 100 TB
 the signature/shingle intermediates would be shared via a checkpointed
 table (the operators already pin their own subtrees per plan — see
 operators/dedup.pin_bounded); the manifest join itself is three
@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 from ..operators.sampling import hash_split, sql_hash_split
 from ..sources.readers import load_table
 
-# Side-effect imports: the composed oracles below look up dd10/txt8/dc2
+# Side-effect imports: the composed oracles below look up dd11/txt8/dc2
 # in the registry at import time, so this module must be able to load
 # STANDALONE (a bare `import plans.star_manifest` crashed with KeyError
 # when nothing had imported the dependency modules first — review
@@ -47,7 +47,7 @@ from .registry import QUERIES, query
 
 # Compose the oracle from the already-registered building blocks —
 # import order in __spark_entry__ guarantees they exist (this module is
-# imported last). Nesting a `WITH RECURSIVE` body (dd10) inside a CTE
+# imported last). Nesting a `WITH RECURSIVE` body (dd11) inside a CTE
 # is valid DuckDB.
 _CM1_SQL = f"""
     WITH dd10 AS ({{dd10}}),
@@ -73,29 +73,31 @@ _CM1_SQL = f"""
 @query(
     "cm1_corpus_manifest",
     _CM1_SQL.format(
-        dd10=QUERIES["dd10_keep_list_banded"].oracle,
+        dd10=QUERIES["dd11_staged_keep_list"].oracle,
         txt8=QUERIES["txt8_filter_verdict"].oracle,
         dc2=QUERIES["dc2_fuzzy_decontaminate"].oracle,
     ),
-    # composes dd10, whose connected-components run per-round
+    # composes dd11, whose connected-components run per-round
     # collect/localCheckpoint at CONSTRUCTION time — the bench clock
-    # must start before fn, like dd6/dd8/dd10 themselves
+    # must start before fn, like dd6/dd8/dd10/dd11 themselves
     eager=True,
 )
 def cm1_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One row per document: (doc_id, split, action, cluster_id,
     quality_score) under the hold_out > contaminated > duplicate >
     quality > keep cascade documented in the module docstring. Composes
-    the registered dd10/txt8/dc2 plans directly — the driver's verdict
+    the registered dd11/txt8/dc2 plans directly — the driver's verdict
     on cm1 is therefore a verdict on the COMPOSITION of three families
-    it also checks individually. Since r6 the dedup input is dd10's
-    BANDED keep-list (LSH candidates + candidate-restricted verify), so
-    the checked end-product plan contains no quadratic pair stage —
-    dd8's exact composition remains available as the yardstick but is
-    no longer on cm1's path."""
+    it also checks individually. Since r6 the dedup input is dd11's
+    STAGED keep-list (digest-dedup first, then banded LSH candidates +
+    candidate-restricted verify over text-distinct docs — result-
+    identical to dd10, linear in duplicate multiplicity), so the
+    checked end-product plan contains no quadratic stage anywhere and
+    survives dup-dense corpora; dd8's exact composition remains the
+    yardstick but is no longer on cm1's path."""
     docs = load_table(spark, sf_dir, "documents")
     base = hash_split(docs.select("doc_id"), key="doc_id")
-    d = QUERIES["dd10_keep_list_banded"].fn(spark, sf_dir).select(
+    d = QUERIES["dd11_staged_keep_list"].fn(spark, sf_dir).select(
         "doc_id", "cluster_id", "kept"
     )
     t = QUERIES["txt8_filter_verdict"].fn(spark, sf_dir).select(
@@ -109,7 +111,7 @@ def cm1_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # txt8 has no row for token-less documents (its token explode emits
     # nothing) — a LEFT join + null-as-not-keep keeps the per-document
     # contract: such docs get 'drop_quality' with a null quality_score,
-    # never a missing manifest row. dd10 covers every document by
+    # never a missing manifest row. dd11 covers every document by
     # construction (documents LEFT JOIN reach), so its join stays inner.
     action = (
         F.when(F.col("split") != "train", "hold_out")

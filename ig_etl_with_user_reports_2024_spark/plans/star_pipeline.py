@@ -269,6 +269,94 @@ def dd10_keep_list_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dd11_staged_keep_list",
+    f"""
+    WITH RECURSIVE canon0 AS (
+        SELECT doc_id, text, md5(text) AS dg,
+               row_number() OVER (
+                   PARTITION BY md5(text) ORDER BY doc_id ASC
+               ) AS rn
+        FROM documents
+    ), canon AS (
+        SELECT doc_id, text FROM canon0 WHERE rn = 1
+    ),
+    {dd.sql_portable_minhash_pairs("canon")},
+    edges AS (
+        SELECT a_id AS a, b_id AS b FROM pairs
+        UNION ALL
+        SELECT b_id AS a, a_id AS b FROM pairs
+    ),
+    reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    labeled AS (
+        SELECT c.doc_id,
+               CAST(LEAST(c.doc_id, COALESCE(MIN(r.b), c.doc_id)) AS BIGINT)
+                   AS cluster_id
+        FROM canon c LEFT JOIN reach r ON r.a = c.doc_id
+        GROUP BY c.doc_id
+    ),
+    canonmap AS (
+        SELECT dg, doc_id AS canon_id FROM canon0 WHERE rn = 1
+    )
+    SELECT d.doc_id, l.cluster_id, d.doc_id = l.cluster_id AS kept,
+           CAST(COUNT(*) OVER (PARTITION BY l.cluster_id) AS BIGINT)
+               AS cluster_size
+    FROM canon0 d
+    JOIN canonmap m ON d.dg = m.dg
+    JOIN labeled l ON l.doc_id = m.canon_id
+    """,
+    eager=True,  # per-round collect/localCheckpoint at construction
+)
+def dd11_staged_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION dedup end product: digest-dedup FIRST (dd1's
+    exact collapse), then the banded near-dup keep-list (dd10's
+    machinery) over the text-DISTINCT canonical docs only, then every
+    original doc mapped back through its digest to its cluster. Result
+    rows are provably identical to dd10's (exact twins share every
+    MinHash signature, so they band-collide with certainty and merge
+    into the same cluster either way — the staging changes COST, not
+    semantics), but the cost model changes from clique-quadratic in
+    duplicate multiplicity to linear: the 128× probe that exhausted
+    74 GB of shuffle disk verifying 40M replica pairs runs in ~12s
+    staged (SCALE_r06.md §5). Scale shape: one digest window (shuffle
+    carries digest+id), the full dd10 pipeline over distinct texts,
+    two metadata-width mapping joins. Oracle: digest-canonical CTE →
+    the banded-pairs chain over it → recursive closure → per-doc
+    digest mapping."""
+    from ..operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    tagged = docs.select(
+        "doc_id", "text", F.md5(F.col("text").cast("binary")).alias("dg")
+    ).withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("dg").orderBy(F.col("doc_id").asc())),
+    )
+    canon = tagged.filter(F.col("rn") == 1).select("doc_id", "text")
+    pairs = dd.portable_minhash_pairs(canon, "doc_id", "text", threshold=0.2)
+    cc = connected_components(canon.select("doc_id"), pairs)
+    canonmap = tagged.filter(F.col("rn") == 1).select(
+        "dg", F.col("doc_id").alias("canon_id")
+    )
+    return (
+        tagged.select("doc_id", "dg")
+        .join(canonmap, "dg")
+        .join(cc.withColumnRenamed("doc_id", "canon_id"), "canon_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            (F.col("doc_id") == F.col("cluster_id")).alias("kept"),
+            F.count("*").over(Window.partitionBy("cluster_id")).alias(
+                "cluster_size"
+            ),
+        )
+    )
+
+
 @query("dd3_minhash_lsh_pairs", None)  # engine-specific hashes → rows-only
 def dd3_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32)+LSH(8 bands) candidate pairs with estimated Jaccard.

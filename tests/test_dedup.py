@@ -196,3 +196,21 @@ def test_portable_minhash_pairs_verified_subset(spark, sf_oracle):
     # 8-hash / 4-band LSH at threshold 0.2 should catch the bulk of the
     # true pairs on this corpus — a recall collapse means broken banding
     assert len(banded) >= 0.6 * len(exact)
+
+
+def test_dd11_staged_equals_dd10_direct(spark, sf_oracle):
+    """The staging claim: digest-dedup-then-banded (dd11) produces
+    EXACTLY dd10's keep-list — exact twins share every MinHash
+    signature, so collapsing them first changes cost, never semantics."""
+    from ig_etl_with_user_reports_2024_spark.plans.registry import QUERIES
+    import ig_etl_with_user_reports_2024_spark.plans.star_pipeline  # noqa: F401
+
+    a = {
+        tuple(r)
+        for r in QUERIES["dd10_keep_list_banded"].fn(spark, sf_oracle).collect()
+    }
+    b = {
+        tuple(r)
+        for r in QUERIES["dd11_staged_keep_list"].fn(spark, sf_oracle).collect()
+    }
+    assert a == b
