@@ -283,3 +283,42 @@ def test_ii2_prunes_tokens_before_shuffle(spark, sf_oracle):
     assert "cartesianproduct" not in low
     assert low.count("sortmergejoin") == 0  # no doc-grain dl join left
     assert low.count("broadcasthashjoin") >= 3  # termset, qterms, dfreq
+
+
+def test_r6_additions_plan_shapes(spark, sf_oracle):
+    # ann5: the IVFPQ candidate join must carry (id, cell, codes) only —
+    # the raw embedding column must NOT flow through the ADC stage; it
+    # re-enters only for the refine re-rank. Evidence: the join keyed on
+    # `cell` projects no `vec` column on its streamed side.
+    from ig_etl_with_user_reports_2024_spark.operators import similarity as sim
+    from ig_etl_with_user_reports_2024_spark.sources.readers import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    df = sim.ivfpq_topk(q, emb, "vec_id", "embedding", k=5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    low = plan.lower()
+    assert "cartesianproduct" not in low
+    # dd11: the staged keep-list must contain the digest window, the
+    # banded machinery, and no cartesian anywhere.
+    import __spark_entry__ as em
+
+    dplan = (
+        em.queries()["dd11_staged_keep_list"](spark, sf_oracle)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    dlow = dplan.lower()
+    assert "cartesianproduct" not in dlow
+    # the mapping joins ride the CHECKPOINTED CC output — the plan must
+    # not re-run shingle banding per consumer (the localCheckpoint
+    # truncates it to a scan)
+    assert "scan existingrdd" in dlow
+    # txt9: the global top-20 must be TakeOrderedAndProject (per-
+    # partition top-k), never a full sort or an all-rows single-
+    # partition window before the cut.
+    tplan = (
+        em.queries()["txt9_bigram_surprisal"](spark, sf_oracle)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in tplan
