@@ -62,6 +62,7 @@ _DRIVER_PRIORITY = [
     "rf10_ivfpq_recall",
     "st10_streaming_upsert",
     "txt9_bigram_surprisal",
+    "zo2_pruning_effectiveness",
     "ann3_ivf_topk",
     "sq2_product_quantize",
     "dq1a_column_profile_approx",
@@ -107,15 +108,12 @@ _DRIVER_PRIORITY = [
     "dd6_dup_clusters",  # dedup.py consumer via graph CC
     "dd8_dedup_keep_list",  # dedup.py consumer (exact yardstick)
     "ii2_bm25_topk",  # star_pipeline: shared _bm25_topk refactor
-    # (km1 and ann4 moved to overflow to pay for st10/dd11's
-    # first-contact slots: similarity.py's r6 changes are
-    # driver-covered by ann3/sq2/ann5/rf10 in tier 0, and both are
-    # r5-green, re-proved by the local gate.)
-    # (st8 moved to overflow to pay for txt9's first-contact slot: the
-    # r6 events.py change is driver-covered by st9 — the watermark
-    # param's actual consumer — and st10, which shares the source
-    # block; st8 is r5-green, re-proved by the local gate.)
-    "st9_stream_stream_join",  # streaming/events.py watermark param
+    # (km1, ann4, st8, and st9 moved to overflow to pay for the
+    # st10/dd11/txt9/zo2 first-contact slots: similarity.py's r6
+    # changes are driver-covered by ann3/sq2/ann5/rf10 in tier 0;
+    # events.py's watermark param kept its default and st10 exercises
+    # the same source block; all four are r5-green, re-proved by the
+    # local gate.)
     # dq1/dq2 moved to overflow to pay for ann5/rf10's first-contact
     # slots: profiling.py's r6 change is driver-covered by dq1a (tier
     # 0), and dq1/dq2 are r5-green with the full local gate re-proving

@@ -97,6 +97,7 @@ HEADLINE = [
     "st10_streaming_upsert",
     "txt9_bigram_surprisal",
     "dd11_staged_keep_list",
+    "zo2_pruning_effectiveness",
 ]
 
 

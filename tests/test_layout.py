@@ -182,3 +182,20 @@ def test_pagerank_is_partitioning_invariant(spark):
     # duplicate edges are legal input (parallel edges add weight);
     # brute force sees the same multiset
     assert r1 == _brute_pagerank(edges, 3)
+
+
+def test_zo2_zorder_prunes_linear_does_not(spark, sf_oracle):
+    """The pruning claim behind zo2: under the 2-D middle-10% predicate
+    the z-ordered layout must skip most buckets while the insert-order
+    layout skips none (both dims uncorrelated with l_orderkey)."""
+    from ig_etl_with_user_reports_2024_spark.plans.star_layout import (
+        zo2_pruning_effectiveness,
+    )
+
+    rows = {r.layout: r for r in zo2_pruning_effectiveness(spark, sf_oracle).collect()}
+    lin, zo = rows["linear"], rows["zorder"]
+    assert lin.buckets_touched == lin.n_buckets  # no skipping at all
+    assert zo.buckets_touched <= 0.25 * zo.n_buckets  # >= 75% skipped
+    assert zo.rows_touched <= 0.25 * zo.rows_total
+    # both layouts cover the same corpus
+    assert lin.rows_total == zo.rows_total
