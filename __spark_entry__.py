@@ -40,20 +40,21 @@ from ig_etl_with_user_reports_2024_spark.plans import star_manifest  # noqa: F40
 
 # The driver runs (and budgets) the FIRST ~50 queries in the order this
 # module yields them, so ordering is a correctness-signal resource.
-# Round-6 rotation (VERDICT r5 "Next round" #2): (0) the 7 queries
-# whose ORACLE or PLAN is new/changed in round 6 — dd10 (new banded
-# keep-list), ann3/sq2 (moved from rows-only to exact via portable
-# codebook draws), dq1a (new gated approx profiler), ii3 (new log-idf
-# BM25 rank oracle), cm1 (recomposed on dd10 — its oracle text
-# changed), dc2 (pair-stage machinery rebuilt); (a) the 33 queries
-# whose latest driver verdict is still r3 (the exact list from
-# HANDOFF_r06 — all re-proved `exact` by the local tri-scale gate, so
-# this is verdict freshness, not risk); (b) 10 queries whose modules
-# round 6 touched (dedup.py signature/verify restructure, profiling.py
-# split pass, star_pipeline BM25 refactor, similarity.py draw change,
-# streaming/events.py watermark param). Deliberate overflow: everything
-# r4/r5-green and untouched this round — the strongest standing
-# signals are the cheapest to defer.
+# Round-6 rotation (VERDICT r5 "Next round" #2): (0) the 14 queries
+# whose ORACLE or PLAN is new/changed in round 6 — the 8 brand-new
+# entries (dd10/dd11 banded+staged keep-lists, ann5 IVFPQ + rf10
+# floor, st10 streaming upsert, txt9 bigram surprisal, zo2 pruning
+# evidence, mm5 image patches), ann3/sq2 (moved from rows-only to
+# exact via portable codebook draws), dq1a (gated approx profiler),
+# ii3 (log-idf BM25 rank oracle), cm1 (recomposed on dd11 — its
+# oracle text changed), dc2 (pair-stage machinery rebuilt); (a) 32 of
+# the 33 queries whose latest driver verdict is still r3 (the
+# HANDOFF_r06 list minus ro2, whose rf5 floor carries the signal —
+# all re-proved `exact` by the local gate, so this is verdict
+# freshness, not risk); (b) the 4 dedup/BM25 queries whose modules
+# round 6 restructured. Deliberate overflow: everything r4/r5-green
+# and untouched this round — the strongest standing signals are the
+# cheapest to defer (each displacement is annotated inline below).
 _DRIVER_PRIORITY = [
     # (0) new/changed oracles in round 6 — first driver contact
     "dd10_keep_list_banded",
@@ -63,6 +64,7 @@ _DRIVER_PRIORITY = [
     "st10_streaming_upsert",
     "txt9_bigram_surprisal",
     "zo2_pruning_effectiveness",
+    "mm5_image_patches",
     "ann3_ivf_topk",
     "sq2_product_quantize",
     "dq1a_column_profile_approx",
@@ -102,7 +104,9 @@ _DRIVER_PRIORITY = [
     "dd3_minhash_lsh_pairs",
     "dd4_simhash_pairs",
     "ann2_lsh_topk",
-    "ro2_sketch_rollup",
+    # (ro2 moved to overflow to pay for mm5's first-contact slot: it is
+    # rows-only by design and its HLL accuracy floor rf5 carries the
+    # checkable signal; re-proved rows-green by the local gate.)
     # (b) modules changed in round 6
     "dd2_ngram_jaccard_pairs",  # dedup.py: shared shingle/verify restructure
     "dd6_dup_clusters",  # dedup.py consumer via graph CC

@@ -98,6 +98,7 @@ HEADLINE = [
     "txt9_bigram_surprisal",
     "dd11_staged_keep_list",
     "zo2_pruning_effectiveness",
+    "mm5_image_patches",
 ]
 
 

@@ -163,3 +163,50 @@ def audio_chunk_plan(
             ).alias("end_sample"),
         )
     )
+
+
+def image_patch_plan(decoded: DataFrame, patch: int = 16) -> DataFrame:
+    """Native-resolution ViT patch grid (NaViT/Pix2Struct-style) from
+    per-image (height, width) metadata: one output row per ``patch`` ×
+    ``patch`` tile, row-major, edge tiles clipped to the image bounds —
+    the patchification pass a vision encoder runs before embedding,
+    with the pixel decode remaining the stubbed boundary (mm2).
+
+    Pure plan logic like :func:`frame_sample_plan`: two nested
+    ``sequence`` + ``explode`` steps JVM-side over metadata only; no
+    payload bytes move. Degenerate images (height or width <= 0) yield
+    NO rows (the frame/audio-plan guard). Returns
+    (doc_id, patch_row, patch_col, y0, x0, y1, x1) with y1/x1
+    EXCLUSIVE, so every pixel belongs to exactly one patch.
+    """
+    rows = F.sequence(F.lit(0), F.expr(f"(height - 1) div {patch}"))
+    cols = F.sequence(F.lit(0), F.expr(f"(width - 1) div {patch}"))
+    return (
+        decoded.filter((F.col("height") > 0) & (F.col("width") > 0))
+        .select(
+            "doc_id",
+            "height",
+            "width",
+            F.explode(rows).alias("patch_row"),
+        )
+        .select(
+            "doc_id",
+            "height",
+            "width",
+            "patch_row",
+            F.explode(cols).alias("patch_col"),
+        )
+        .select(
+            "doc_id",
+            F.col("patch_row").cast("int").alias("patch_row"),
+            F.col("patch_col").cast("int").alias("patch_col"),
+            (F.col("patch_row") * patch).cast("long").alias("y0"),
+            (F.col("patch_col") * patch).cast("long").alias("x0"),
+            F.least(
+                (F.col("patch_row") + 1) * patch, F.col("height")
+            ).cast("long").alias("y1"),
+            F.least(
+                (F.col("patch_col") + 1) * patch, F.col("width")
+            ).cast("long").alias("x1"),
+        )
+    )

@@ -199,6 +199,58 @@ def dc1_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mm5_image_patches",
+    """
+    WITH meta AS (
+        SELECT doc_id,
+               CAST('0x' || substring(md5(text), 1, 6) AS BIGINT)
+                   % 448 + 64 AS height,
+               CAST('0x' || substring(md5(text), 7, 6) AS BIGINT)
+                   % 448 + 64 AS width
+        FROM documents
+    ), rows_t AS (
+        SELECT doc_id, height, width,
+               unnest(generate_series(0, (height - 1) // 32)) AS pr
+        FROM meta
+    ), cells AS (
+        SELECT doc_id, height, width, pr,
+               unnest(generate_series(0, (width - 1) // 32)) AS pc
+        FROM rows_t
+    )
+    SELECT doc_id,
+           CAST(pr AS INT) AS patch_row, CAST(pc AS INT) AS patch_col,
+           CAST(pr * 32 AS BIGINT) AS y0, CAST(pc * 32 AS BIGINT) AS x0,
+           CAST(LEAST((pr + 1) * 32, height) AS BIGINT) AS y1,
+           CAST(LEAST((pc + 1) * 32, width) AS BIGINT) AS x1
+    FROM cells
+    """,
+)
+def mm5_image_patches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The image third of the multimodal selection trio (mm3 video
+    frames, mm4 audio chunks, mm5 image patches): a NaViT-style
+    native-resolution 32×32 patch grid over per-image (height, width)
+    metadata — the patchification a vision encoder runs before
+    embedding — through the real ``image_patch_plan`` operator, with
+    the metadata derived from md5 prefixes (H, W ∈ [64, 512)) so DuckDB
+    reproduces every tile boundary bit-exactly. Edge tiles clip to the
+    image bounds (y1/x1 exclusive: each pixel in exactly one patch);
+    as with mm2/mm3/mm4, only the pixel decode is the stubbed Python
+    boundary — every (doc, tile) the pipeline would feed it is
+    hash-checked."""
+    from ..operators.multimodal import image_patch_plan
+
+    docs = load_table(spark, sf_dir, "documents")
+    h1 = F.conv(F.substring(F.md5(F.col("text")), 1, 6), 16, 10).cast("bigint")
+    h2 = F.conv(F.substring(F.md5(F.col("text")), 7, 6), 16, 10).cast("bigint")
+    decoded = docs.select(
+        "doc_id",
+        (h1 % 448 + 64).alias("height"),
+        (h2 % 448 + 64).alias("width"),
+    )
+    return image_patch_plan(decoded, patch=32)
+
+
+@query(
     "mm4_audio_chunks",
     """
     WITH meta AS (
