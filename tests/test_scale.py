@@ -252,3 +252,37 @@ def test_late_r5_retrieval_and_skew_complete_at_8x(spark, big_sf):
     # the _events_stream layout fix
     st8 = qs["st8_stream_static_join"](spark, big_sf)
     assert st8.count() == n_events
+
+
+def test_r6_staged_dedup_and_quantized_ann_complete_at_8x(spark, big_sf):
+    """dd11 at 8× dup density: every original doc becomes an 8-clique of
+    exact dups; the staged plan must collapse them in the digest stage
+    (canon count == 1× text-distinct count) and every cluster size must
+    be a multiple of 8. ann5 must complete with full top-5 lists."""
+    import __spark_entry__ as entry_mod
+    qs = entry_mod.queries()
+
+    keep = qs["dd11_staged_keep_list"](spark, big_sf)
+    rows = keep.collect()
+    n_docs = spark.read.parquet(f"{big_sf}/documents.parquet").count()
+    assert len(rows) == n_docs  # one manifest row per doc
+    kept = [r for r in rows if r.kept]
+    # the 8 replicas of every doc share a text → kept is at most the 1×
+    # text-distinct count, and every cluster size is a multiple of 8
+    assert len(kept) * 8 <= n_docs
+    assert all(r.cluster_size % REPLICATION == 0 for r in rows)
+    # cluster rep must be the global min doc id of its cluster
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, []).append(r.doc_id)
+    assert all(cid == min(ids) for cid, ids in by_cluster.items())
+
+    ann = qs["ann5_ivfpq_topk"](spark, big_sf)
+    res = ann.collect()
+    assert len(res) == 50  # 10 queries x top-5 at this density
+    assert all(1 <= r.rank <= 5 for r in res)
+
+    zo = {r.layout: r for r in qs["zo2_pruning_effectiveness"](spark, big_sf).collect()}
+    # replication preserves key SPANS, so pruning ratios must persist
+    assert zo["zorder"].buckets_touched < 0.25 * zo["zorder"].n_buckets
+    assert zo["linear"].buckets_touched == zo["linear"].n_buckets
