@@ -31,8 +31,8 @@ _ZCOLS = ["l_partkey", "l_suppkey"]
     ), span AS (
         SELECT MIN(zkey) AS zmin, MAX(zkey) AS zmax FROM keyed
     )
-    SELECT ((k.zkey - s.zmin) * {_ZBUCKETS}) // (s.zmax - s.zmin + 1)
-               AS z_bucket,
+    SELECT ((k.zkey - s.zmin) * {_ZBUCKETS})
+               // greatest(s.zmax - s.zmin + 1, 1) AS z_bucket,
            COUNT(*) AS n_rows,
            MIN(l_partkey) AS part_lo, MAX(l_partkey) AS part_hi,
            MIN(l_suppkey) AS supp_lo, MAX(l_suppkey) AS supp_hi,
@@ -49,7 +49,10 @@ def zo1_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly the footer stats a z-ordered file would expose for
     multi-dimension pruning.
 
-    The bucket rule is integer floor division over the observed span,
+    The bucket rule is integer floor division over the observed span
+    (``greatest(span, 1)``-guarded identically in both engines, so a
+    degenerate single-valued key column maps every row to bucket 0
+    instead of tripping ANSI-mode division checks),
     so it adapts to any scale factor with no sampled boundaries (a
     production rewrite would use ``layout.layout_by_zorder``'s
     repartitionByRange — sampling is fine for layout, not for an
@@ -68,7 +71,10 @@ def zo1_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         keyed.crossJoin(F.broadcast(span))
         .withColumn(
             "z_bucket",
-            F.expr(f"((zkey - zmin) * {_ZBUCKETS}) div (zmax - zmin + 1)"),
+            F.expr(
+                f"((zkey - zmin) * {_ZBUCKETS})"
+                " div greatest(zmax - zmin + 1, 1L)"
+            ),
         )
         .groupBy("z_bucket")
         .agg(
@@ -104,14 +110,14 @@ def zo1_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM span
     ), tagged AS (
         SELECT 'zorder' AS layout,
-               ((k.zkey - b.zmin) * {_ZBUCKETS}) // (b.zmax - b.zmin + 1)
-                   AS bucket,
+               ((k.zkey - b.zmin) * {_ZBUCKETS})
+                   // greatest(b.zmax - b.zmin + 1, 1) AS bucket,
                k.l_partkey, k.l_suppkey
         FROM keyed k CROSS JOIN bounds b
         UNION ALL
         SELECT 'linear' AS layout,
                ((k.l_orderkey - b.omin) * {_ZBUCKETS})
-                   // (b.omax - b.omin + 1) AS bucket,
+                   // greatest(b.omax - b.omin + 1, 1) AS bucket,
                k.l_partkey, k.l_suppkey
         FROM keyed k CROSS JOIN bounds b
     ), bstats AS (
@@ -146,7 +152,10 @@ def zo2_pruning_effectiveness(spark: SparkSession, sf_dir: str) -> DataFrame:
     at sf0.01); the Z-order layout localizes both dimensions at once,
     skipping ~90% of buckets (6/54 touched, 13% of rows — asserted in
     tests/test_layout.py). All-integer arithmetic
-    (spans, floor-division buckets, percentile bounds) → hash-exact.
+    (spans, floor-division buckets, percentile bounds) → hash-exact;
+    both bucket divisors carry the same ``greatest(span, 1)`` guard as
+    zo1 (single-valued key column → everything in bucket 0, no
+    ANSI-mode error).
     One scan feeds both bucketings via a kind-tagged union, the spans
     are one broadcast scalar row, and the final rollup is 512 groups."""
     li = load_table(spark, sf_dir, "lineitem").select(
@@ -172,14 +181,15 @@ def zo2_pruning_effectiveness(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.struct(
                     F.lit("zorder").alias("layout"),
                     F.expr(
-                        f"((zkey - zmin) * {_ZBUCKETS}) div (zmax - zmin + 1)"
+                        f"((zkey - zmin) * {_ZBUCKETS})"
+                        " div greatest(zmax - zmin + 1, 1L)"
                     ).alias("bucket"),
                 ),
                 F.struct(
                     F.lit("linear").alias("layout"),
                     F.expr(
                         f"((l_orderkey - omin) * {_ZBUCKETS})"
-                        " div (omax - omin + 1)"
+                        " div greatest(omax - omin + 1, 1L)"
                     ).alias("bucket"),
                 ),
             )

@@ -94,7 +94,14 @@ def cm1_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical to dd10, linear in duplicate multiplicity), so the
     checked end-product plan contains no quadratic stage anywhere and
     survives dup-dense corpora; dd8's exact composition remains the
-    yardstick but is no longer on cm1's path."""
+    yardstick but is no longer on cm1's path.
+
+    Dedup semantics inherited from dd11 (see its docstring): exact
+    twins merge REGARDLESS of length — shingle-less duplicates
+    (< 3 words, or NULL text) that dd10's LSH would leave as
+    singletons are 'drop_duplicate' here, and a NULL-text doc still
+    gets a manifest row (its digest is coalesced to '<null>', so the
+    inner join on dd11 cannot drop it)."""
     docs = load_table(spark, sf_dir, "documents")
     base = hash_split(docs.select("doc_id"), key="doc_id")
     d = QUERIES["dd11_staged_keep_list"].fn(spark, sf_dir).select(

@@ -273,9 +273,10 @@ def dd10_keep_list_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dd11_staged_keep_list",
     f"""
     WITH RECURSIVE canon0 AS (
-        SELECT doc_id, text, md5(text) AS dg,
+        SELECT doc_id, text, coalesce(md5(text), '<null>') AS dg,
                row_number() OVER (
-                   PARTITION BY md5(text) ORDER BY doc_id ASC
+                   PARTITION BY coalesce(md5(text), '<null>')
+                   ORDER BY doc_id ASC
                ) AS rn
         FROM documents
     ), canon AS (
@@ -315,11 +316,24 @@ def dd11_staged_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PRODUCTION dedup end product: digest-dedup FIRST (dd1's
     exact collapse), then the banded near-dup keep-list (dd10's
     machinery) over the text-DISTINCT canonical docs only, then every
-    original doc mapped back through its digest to its cluster. Result
-    rows are provably identical to dd10's (exact twins share every
-    MinHash signature, so they band-collide with certainty and merge
-    into the same cluster either way — the staging changes COST, not
-    semantics), but the cost model changes from clique-quadratic in
+    original doc mapped back through its digest to its cluster.
+
+    Semantics vs dd10 (the claim, scoped precisely): for docs whose
+    text yields >= 1 shingle (>= 3 normalized words), result rows are
+    provably identical — exact twins share every MinHash signature, so
+    they band-collide with certainty and merge into the same cluster
+    either way. For SHINGLE-LESS exact twins (< 3 words, or NULL text
+    — digested as '<null>'), dd11 STRICTLY SUPERSETS dd10's merging:
+    the digest stage collapses them while dd10's LSH never sees them
+    (no shingles → no bands). That is the intended production
+    semantics — byte-identical documents are duplicates regardless of
+    length, and LSH's shingle floor is a candidate-generation
+    limitation, not a definition of "duplicate". cm1 composes dd11 and
+    inherits exactly this. tests/test_dedup.py pins both halves:
+    equality with dd10 restricted to shingled docs, and the
+    short-twin/NULL-text superset behavior explicitly.
+
+    The cost model changes from clique-quadratic in
     duplicate multiplicity to linear: the 128× probe that exhausted
     74 GB of shuffle disk verifying 40M replica pairs runs in ~12s
     staged (SCALE_r06.md §5). Scale shape: one digest window (shuffle
@@ -331,7 +345,17 @@ def dd11_staged_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     tagged = docs.select(
-        "doc_id", "text", F.md5(F.col("text").cast("binary")).alias("dg")
+        "doc_id",
+        "text",
+        # NULL-safe digest: a NULL text must still flow through the
+        # digest equi-joins below (NULL = NULL matches nothing in
+        # either engine, so an un-coalesced digest would silently drop
+        # the doc from the keep-list — and from cm1's manifest).
+        # '<null>' makes all NULL-text docs exact twins of each other:
+        # identical (absent) content, one canonical survivor.
+        F.coalesce(
+            F.md5(F.col("text").cast("binary")), F.lit("<null>")
+        ).alias("dg"),
     ).withColumn(
         "rn",
         F.row_number().over(Window.partitionBy("dg").orderBy(F.col("doc_id").asc())),

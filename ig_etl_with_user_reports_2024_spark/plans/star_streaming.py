@@ -307,7 +307,8 @@ def st8_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
            event_type AS last_type, value AS last_value
     FROM (
         SELECT *, row_number() OVER (
-            PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+            PARTITION BY user_id
+            ORDER BY ts DESC, event_id DESC, event_type DESC, value DESC
         ) AS rn
         FROM events
     ) WHERE rn = 1
@@ -320,7 +321,14 @@ def st10_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     ties) — cdc1's reduction as continuous materialized-view
     maintenance, state bounded by key cardinality. Hash-checked
     against the batch argmax — streaming/batch parity for the upsert
-    operator, as st4 proves it for windows and st8 for joins."""
+    operator, as st4 proves it for windows and st8 for joins.
+
+    Both sides are TOTAL orders: the streaming side's
+    ``max(struct(ts, event_id, event_type, value))`` breaks exact
+    (ts, event_id) ties on event_type then value, and the oracle's
+    row_number ORDER BY lists the same four keys — so a duplicate-
+    event replay (two rows sharing (user_id, ts, event_id)) picks the
+    same winner in both engines instead of a nondeterministic one."""
     from ..streaming.events import streaming_last_writer_wins
 
     return streaming_last_writer_wins(

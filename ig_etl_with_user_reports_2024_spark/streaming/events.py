@@ -314,9 +314,10 @@ def streaming_last_writer_wins(
     missing.
 
     One ``max(struct(ts, event_id, ...))`` aggregate per key: struct
-    ordering compares ts first, then event_id, so the winner is the
-    latest event with the highest event_id breaking exact-ts ties —
-    deterministic under any arrival order, which is what makes the
+    ordering compares ts first, then event_id, then event_type, then
+    value — a TOTAL order, so even a duplicate-event replay (two rows
+    sharing (user_id, ts, event_id)) has one deterministic winner
+    under any arrival order, which is what makes the
     AvailableNow complete-mode emission equal the batch argmax oracle
     bit-for-bit. State = ONE small struct per live key (bounded by key
     cardinality, never by stream length — no watermark needed because

@@ -199,18 +199,79 @@ def test_portable_minhash_pairs_verified_subset(spark, sf_oracle):
 
 
 def test_dd11_staged_equals_dd10_direct(spark, sf_oracle):
-    """The staging claim: digest-dedup-then-banded (dd11) produces
-    EXACTLY dd10's keep-list — exact twins share every MinHash
-    signature, so collapsing them first changes cost, never semantics."""
+    """The staging claim, scoped as dd11's docstring states it: on docs
+    with >= 1 shingle (>= 3 normalized words) dd11 produces EXACTLY
+    dd10's keep-list — exact twins share every MinHash signature, so
+    collapsing them first changes cost, never semantics. Shingle-less
+    docs are excluded here because there dd11 deliberately merges
+    exact twins dd10's LSH cannot see (pinned by
+    test_dd11_supersets_dd10_on_shingleless_twins below)."""
     from ig_etl_with_user_reports_2024_spark.plans.registry import QUERIES
     import ig_etl_with_user_reports_2024_spark.plans.star_pipeline  # noqa: F401
 
+    shingled = {
+        r.doc_id
+        for r in spark.read.parquet(f"{sf_oracle}/documents.parquet")
+        .select("doc_id", dd.normalized_words(F.col("text")).alias("ws"))
+        .filter(F.size("ws") >= 3)
+        .collect()
+    }
+    assert shingled, "testdata corpus unexpectedly has no shingled docs"
     a = {
         tuple(r)
         for r in QUERIES["dd10_keep_list_banded"].fn(spark, sf_oracle).collect()
+        if r.doc_id in shingled
     }
     b = {
         tuple(r)
         for r in QUERIES["dd11_staged_keep_list"].fn(spark, sf_oracle).collect()
+        if r.doc_id in shingled
     }
     assert a == b
+
+
+def test_dd11_supersets_dd10_on_shingleless_twins(spark, tmp_path):
+    """ADVICE r6 (medium): short exact-duplicate texts (< 3 words → zero
+    shingles) never band-collide, so dd10 leaves each as a singleton;
+    dd11's digest stage merges them — the documented intended
+    semantics. Also pins the NULL-text contract (ADVICE r6 low): a
+    NULL text digests to '<null>', so the doc still gets a keep-list
+    row instead of vanishing through the digest equi-join, and two
+    NULL-text docs are exact twins of each other."""
+    from ig_etl_with_user_reports_2024_spark.plans.registry import QUERIES
+    import ig_etl_with_user_reports_2024_spark.plans.star_pipeline  # noqa: F401
+
+    rows = [
+        (1, "hi there", "en", "web", 8),
+        (2, "hi there", "en", "web", 8),  # shingle-less exact twin of 1
+        (3, None, None, "web", 0),  # NULL text
+        (4, None, None, "web", 0),  # NULL-text twin of 3
+        (5, "the quick brown fox jumps over the lazy dog", "en", "web", 43),
+        (6, "the quick brown fox jumps over the lazy dog", "en", "web", 43),
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.parquet(f"{sf}/documents.parquet")
+
+    dd10 = {
+        r.doc_id: (r.cluster_id, r.kept, r.cluster_size)
+        for r in QUERIES["dd10_keep_list_banded"].fn(spark, sf).collect()
+    }
+    dd11 = {
+        r.doc_id: (r.cluster_id, r.kept, r.cluster_size)
+        for r in QUERIES["dd11_staged_keep_list"].fn(spark, sf).collect()
+    }
+    # every doc — including the NULL-text ones — has a row in BOTH
+    assert set(dd10) == set(dd11) == {1, 2, 3, 4, 5, 6}
+    # dd10: shingle-less docs are invisible to LSH → all singletons
+    for i in (1, 2, 3, 4):
+        assert dd10[i] == (i, True, 1)
+    # dd11: digest stage merges the short twins and the NULL twins
+    assert dd11[1] == (1, True, 2)
+    assert dd11[2] == (1, False, 2)
+    assert dd11[3] == (3, True, 2)
+    assert dd11[4] == (3, False, 2)
+    # shingled exact twins merge identically in both pipelines
+    assert dd10[5] == dd11[5] == (5, True, 2)
+    assert dd10[6] == dd11[6] == (5, False, 2)
