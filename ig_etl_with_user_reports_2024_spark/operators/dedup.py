@@ -457,6 +457,25 @@ def _minhash_bands_from_exploded(
     ).select("doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
 
+def exploded_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Public entry to the (doc, shingle) exploded table — narrow-input
+    spread included — for callers that build SHARED shingle tables fed
+    to :func:`portable_minhash_pairs_from_shingles` /
+    :func:`portable_minhash_bands_from_shingles` (cm1's composition).
+    The caller owns pinning/checkpointing."""
+    return _exploded_shingles(_spread_narrow_input(df), id_col, text_col, n)
+
+
+def portable_minhash_bands_from_shingles(
+    sh: DataFrame, num_hashes: int = 8, bands: int = 4
+) -> DataFrame:
+    """:func:`portable_minhash_bands` over a caller-supplied exploded
+    shingle table (see :func:`exploded_shingles`): (doc, band, bucket)."""
+    return _minhash_bands_from_exploded(sh, num_hashes, bands)
+
+
 def portable_minhash_bands(
     df: DataFrame,
     id_col: str,
@@ -561,6 +580,26 @@ def portable_minhash_pairs(
     """
     src = _spread_narrow_input(df.select(F.col(id_col), F.col(text_col)))
     sh = pin_bounded(_exploded_shingles(src, id_col, text_col, n))
+    return portable_minhash_pairs_from_shingles(
+        sh, num_hashes=num_hashes, bands=bands, threshold=threshold
+    )
+
+
+def portable_minhash_pairs_from_shingles(
+    sh: DataFrame,
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """:func:`portable_minhash_pairs`'s band/verify stages over a
+    CALLER-SUPPLIED exploded-shingle table ``sh`` (doc, shingle) — the
+    shape :func:`_exploded_shingles` produces. The caller owns pinning
+    (``sh`` is read by the signature pass, the per-doc sizes, and the
+    verify join — pass it through :func:`pin_bounded`, or a checkpoint
+    at 100 TB). This split exists so a composition like cm1 can
+    tokenize+shingle the corpus ONCE and thread the same table through
+    its dedup and decontamination subtrees instead of each re-deriving
+    it (VERDICT r6 "Next round" #3)."""
     bandtab = _minhash_bands_from_exploded(sh, num_hashes, bands)
     a, b = bandtab.alias("a"), bandtab.alias("b")
     cand = (

@@ -341,18 +341,26 @@ def dd11_staged_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     two metadata-width mapping joins. Oracle: digest-canonical CTE →
     the banded-pairs chain over it → recursive closure → per-doc
     digest mapping."""
-    from ..operators.graph import connected_components
-
     docs = load_table(spark, sf_dir, "documents")
-    tagged = docs.select(
+    return staged_keep_list_plan(spark, docs)
+
+
+def digest_tagged(docs: DataFrame) -> DataFrame:
+    """(doc_id, text, dg, rn): every doc with its NULL-safe content
+    digest and its rank within the digest group (rn=1 = the canonical
+    lowest-id survivor). The first stage of dd11, exposed so cm1 can
+    derive it ONCE and thread it through both its dedup and
+    decontamination subtrees.
+
+    NULL-safe digest: a NULL text must still flow through the digest
+    equi-joins downstream (NULL = NULL matches nothing in either
+    engine, so an un-coalesced digest would silently drop the doc from
+    the keep-list — and from cm1's manifest). '<null>' makes all
+    NULL-text docs exact twins of each other: identical (absent)
+    content, one canonical survivor."""
+    return docs.select(
         "doc_id",
         "text",
-        # NULL-safe digest: a NULL text must still flow through the
-        # digest equi-joins below (NULL = NULL matches nothing in
-        # either engine, so an un-coalesced digest would silently drop
-        # the doc from the keep-list — and from cm1's manifest).
-        # '<null>' makes all NULL-text docs exact twins of each other:
-        # identical (absent) content, one canonical survivor.
         F.coalesce(
             F.md5(F.col("text").cast("binary")), F.lit("<null>")
         ).alias("dg"),
@@ -360,8 +368,29 @@ def dd11_staged_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rn",
         F.row_number().over(Window.partitionBy("dg").orderBy(F.col("doc_id").asc())),
     )
+
+
+def staged_keep_list_plan(
+    spark: SparkSession,
+    docs: DataFrame,
+    tagged: DataFrame | None = None,
+    sh_canon: DataFrame | None = None,
+) -> DataFrame:
+    """dd11's plan over an arbitrary documents DataFrame. ``tagged``
+    (a :func:`digest_tagged` table, ideally pinned) and ``sh_canon``
+    (the canon docs' exploded-shingle table, pinned by the caller) are
+    injectable so cm1 can share ONE digest pass and ONE shingle
+    explode across its dd11/dc2 subtrees instead of each re-deriving
+    them; standalone dd11 builds both itself."""
+    from ..operators.graph import connected_components
+
+    if tagged is None:
+        tagged = digest_tagged(docs)
     canon = tagged.filter(F.col("rn") == 1).select("doc_id", "text")
-    pairs = dd.portable_minhash_pairs(canon, "doc_id", "text", threshold=0.2)
+    if sh_canon is None:
+        pairs = dd.portable_minhash_pairs(canon, "doc_id", "text", threshold=0.2)
+    else:
+        pairs = dd.portable_minhash_pairs_from_shingles(sh_canon, threshold=0.2)
     cc = connected_components(canon.select("doc_id"), pairs)
     canonmap = tagged.filter(F.col("rn") == 1).select(
         "dg", F.col("doc_id").alias("canon_id")

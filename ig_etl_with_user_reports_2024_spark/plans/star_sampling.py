@@ -343,10 +343,23 @@ def dc2_fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     similarity density, then a (train-doc)-grain rollup. Returns each
     contaminated TRAIN doc with how many eval/val docs it collides
     with and the first such doc id."""
+    docs = load_table(spark, sf_dir, "documents")
+    return fuzzy_decontaminate_plan(spark, docs)
+
+
+def fuzzy_decontaminate_plan(
+    spark: SparkSession, docs: DataFrame, bands: DataFrame | None = None
+) -> DataFrame:
+    """dc2's plan over an arbitrary documents DataFrame. ``bands`` —
+    a (doc, band, bucket) table semantically equal to
+    ``portable_minhash_bands(docs, 'doc_id', 'text')`` — is injectable
+    so cm1 can derive the signature table ONCE (over digest-distinct
+    texts, re-keyed per doc) and share it with its dd11 subtree;
+    standalone dc2 builds its own."""
     from ..operators.dedup import pin_bounded, portable_minhash_bands
 
-    docs = load_table(spark, sf_dir, "documents")
-    bands = portable_minhash_bands(docs, "doc_id", "text")
+    if bands is None:
+        bands = portable_minhash_bands(docs, "doc_id", "text")
     split = hash_split(docs.select("doc_id"), key="doc_id").select(
         F.col("doc_id").alias("doc"), "split"
     )
