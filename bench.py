@@ -99,6 +99,9 @@ HEADLINE = [
     "dd11_staged_keep_list",
     "zo2_pruning_effectiveness",
     "mm5_image_patches",
+    # r7 additions. The r6-comparable subset is everything above this
+    # comment.
+    "dd12_repeated_span_trim",
 ]
 
 

@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 def normalized_words(text: Column) -> Column:
     """Lowercased whitespace tokens — the canonical text for dedup."""
@@ -831,4 +832,182 @@ def sql_portable_simhash_pairs(
     FROM bands a JOIN bands b
       ON a.band = b.band AND a.bval = b.bval AND a.doc < b.doc
     WHERE bit_count(xor(a.fp, b.fp)) <= {max_hamming}
+    """
+
+
+def repeated_span_profile(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8
+) -> DataFrame:
+    """Repeated-substring dedup (the deduplicate-text-datasets pass,
+    Lee et al. 2021 "Deduplicating Training Data Makes Language Models
+    Better"): find every maximal run of tokens covered by a word
+    k-gram that occurs >= 2 times ANYWHERE in the corpus — within the
+    same document or across documents — and report, per document, the
+    span accounting plus the digest of the TRIMMED text (the tokens
+    outside every repeated span, in order).
+
+    Anchored k-gram construction instead of a suffix array: a repeated
+    span of length >= k tokens is exactly a maximal interval covered
+    by duplicated k-gram anchors (every k-gram inside a repeat is
+    itself repeated), so anchoring + interval union finds the same
+    >= k-token spans a suffix array would, with only hash joins and
+    per-document windows. The trade: a suffix array also finds the
+    true maximal EXTENT below k granularity and never glues two
+    distinct repeats separated by < k fresh tokens; anchoring
+    resolution is the k-gram — the standard scale trade (distributed
+    suffix-array construction needs specialized global sorts; this is
+    three keyed exchanges of narrow rows).
+
+    Plan shape: posexplode to (doc, pos, word) — arrival order is an
+    explicit position column, never partition order — then ONE
+    per-doc window builds the k-gram at each anchor via lead()
+    (codegen concat + one md5 per anchor; no HOF lambdas), a
+    map-side-combined groupBy(gram-hash) counts occurrences, dup
+    anchors join back on (doc, pos) (the gh join deliberately takes
+    only NOT-NULL anchors so the k-1 gram-less tail positions of
+    every doc — all NULL — never pile into one hash partition), and
+    per-doc coverage/island windows + the final rollup share one
+    hash partitioning on doc. The trimmed-text digest rides
+    an explicit position sort (collect_list of (pos, word) structs →
+    array_sort), so it is identical under any partitioning.
+
+    Returns one row per INPUT doc (token-less docs included):
+    (doc_id, n_tokens, n_dup_tokens, n_spans, clean_digest) where
+    clean_digest = md5 of the space-joined surviving tokens, or
+    '<empty>' when nothing survives (or the doc had no tokens).
+    """
+    w = Window.partitionBy("doc").orderBy("pos")
+    tok = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            normalized_words(F.col(text_col)).alias("ws"),
+        )
+        .select("doc", F.posexplode("ws").alias("p0", "word"))
+        .select("doc", (F.col("p0") + F.lit(1)).alias("pos"), "word")
+    )
+    gram_parts: list = [F.col("word")]
+    for j in range(1, k):
+        gram_parts += [F.lit(" "), F.lead("word", j).over(w)]
+    # F.concat propagates NULL: the last k-1 positions of each doc have
+    # no full k-gram and get gh = NULL (never counted, never anchors)
+    g2 = tok.withColumn(
+        "gh", F.md5(F.encode(F.concat(*gram_parts), "UTF-8"))
+    )
+    dup = (
+        g2.filter(F.col("gh").isNotNull())
+        .groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("gh")
+    )
+    dup_anchors = (
+        g2.filter(F.col("gh").isNotNull())
+        .join(dup, "gh")
+        .select("doc", "pos", F.lit(1).alias("isdup"))
+    )
+    flagged = (
+        g2.select("doc", "pos", "word")
+        .join(dup_anchors, ["doc", "pos"], "left")
+        .withColumn("isdup", F.coalesce(F.col("isdup"), F.lit(0)))
+    )
+    cov = flagged.withColumn(
+        "covered", F.max("isdup").over(w.rowsBetween(-(k - 1), 0))
+    )
+    spans = cov.withColumn(
+        "span_start",
+        F.when(
+            (F.col("covered") == 1)
+            & (F.coalesce(F.lag("covered").over(w), F.lit(0)) == 0),
+            1,
+        ).otherwise(0),
+    )
+    surviving = F.array_sort(
+        F.collect_list(
+            F.when(F.col("covered") == 0, F.struct("pos", "word"))
+        )
+    )
+    # the transform lambda is a per-element struct-field read on a
+    # per-doc array — not a hashing/regex hot path (the md5 runs once
+    # per doc on the joined string, outside the lambda)
+    joined = F.array_join(
+        F.transform(surviving, lambda s: s["word"]), " "
+    )
+    per = spans.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("covered").alias("n_dup_tokens"),
+        F.sum("span_start").alias("n_spans"),
+        F.when(F.size(surviving) == 0, F.lit("<empty>"))
+        .otherwise(F.md5(F.encode(joined, "UTF-8")))
+        .alias("clean_digest"),
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(per.withColumnRenamed("doc", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("n_dup_tokens", F.lit(0)).alias("n_dup_tokens"),
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("clean_digest", F.lit("<empty>")).alias(
+                "clean_digest"
+            ),
+        )
+    )
+
+
+def sql_repeated_span_profile(
+    table: str, id_expr: str = "doc_id", text_expr: str = "text", k: int = 8
+) -> str:
+    """DuckDB twin of :func:`repeated_span_profile` — keep in lockstep
+    (same tokenizer fragment, same '<empty>' sentinel, same k)."""
+    words = sql_words(text_expr)
+    gram = " || ' ' || ".join(
+        ["word"] + [f"lead(word, {j}) OVER w" for j in range(1, k)]
+    )
+    return f"""
+    WITH ws12 AS (
+        SELECT {id_expr} AS doc, {words} AS ws FROM {table}
+    ), tok12 AS (
+        SELECT doc, unnest(ws) AS word,
+               unnest(generate_series(1, len(ws))) AS pos
+        FROM ws12
+    ), g12 AS (
+        SELECT doc, pos, word, md5({gram}) AS gh
+        FROM tok12 WINDOW w AS (PARTITION BY doc ORDER BY pos)
+    ), dup12 AS (
+        SELECT gh FROM g12 WHERE gh IS NOT NULL
+        GROUP BY gh HAVING COUNT(*) >= 2
+    ), fl12 AS (
+        SELECT g.doc, g.pos, g.word,
+               CASE WHEN d.gh IS NULL THEN 0 ELSE 1 END AS isdup
+        FROM g12 g LEFT JOIN dup12 d ON g.gh = d.gh
+    ), cv12 AS (
+        SELECT doc, pos, word,
+               max(isdup) OVER (
+                   PARTITION BY doc ORDER BY pos
+                   ROWS BETWEEN {k - 1} PRECEDING AND CURRENT ROW
+               ) AS covered
+        FROM fl12
+    ), sp12 AS (
+        SELECT doc, pos, word, covered,
+               CASE WHEN covered = 1 AND coalesce(lag(covered) OVER (
+                        PARTITION BY doc ORDER BY pos), 0) = 0
+                    THEN 1 ELSE 0 END AS span_start
+        FROM cv12
+    ), per12 AS (
+        SELECT doc,
+               COUNT(*) AS n_tokens,
+               CAST(SUM(covered) AS BIGINT) AS n_dup_tokens,
+               CAST(SUM(span_start) AS BIGINT) AS n_spans,
+               coalesce(md5(string_agg(
+                   CASE WHEN covered = 0 THEN word END, ' ' ORDER BY pos
+               )), '<empty>') AS clean_digest
+        FROM sp12 GROUP BY doc
+    )
+    SELECT d.{id_expr} AS doc_id,
+           coalesce(p.n_tokens, 0) AS n_tokens,
+           coalesce(p.n_dup_tokens, 0) AS n_dup_tokens,
+           coalesce(p.n_spans, 0) AS n_spans,
+           coalesce(p.clean_digest, '<empty>') AS clean_digest
+    FROM {table} d LEFT JOIN per12 p ON d.{id_expr} = p.doc
     """

@@ -410,6 +410,28 @@ def staged_keep_list_plan(
     )
 
 
+@query(
+    "dd12_repeated_span_trim",
+    dd.sql_repeated_span_profile("documents"),
+)
+def dd12_repeated_span_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-SUBSTRING dedup (the family dd1–dd11 don't cover):
+    find every maximal token run covered by a word 8-gram occurring
+    >= 2 times anywhere in the corpus — within OR across documents —
+    and emit, per document, the span accounting plus md5 of the
+    TRIMMED text (surviving tokens in order; '<empty>' when nothing
+    survives). This is the deduplicate-text-datasets capability
+    (suffix-array repeated-substring removal) re-expressed as anchored
+    k-gram coverage — operators/dedup.repeated_span_profile documents
+    the plan shape, the suffix-array-vs-anchoring trade, and why the
+    NULL-tail anchors never skew the hash join. Complements dd7
+    (which flags WHICH eval 8-grams leak into train docs) by instead
+    producing the per-doc trim a curation pipeline applies. One row
+    per document, all-integer + md5 output → hash-exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.repeated_span_profile(docs, "doc_id", "text", k=8)
+
+
 @query("dd3_minhash_lsh_pairs", None)  # engine-specific hashes → rows-only
 def dd3_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32)+LSH(8 bands) candidate pairs with estimated Jaccard.

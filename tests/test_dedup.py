@@ -275,3 +275,43 @@ def test_dd11_supersets_dd10_on_shingleless_twins(spark, tmp_path):
     # shingled exact twins merge identically in both pipelines
     assert dd10[5] == dd11[5] == (5, True, 2)
     assert dd10[6] == dd11[6] == (5, False, 2)
+
+
+def test_dd12_repeated_span_semantics(spark, tmp_path):
+    """dd12 on a corpus with known repeats: cross-doc shared prefix,
+    within-doc phrase repeat, a unique doc, and an empty doc — span
+    accounting and trimmed-text digests computed by hand."""
+    import hashlib
+
+    from ig_etl_with_user_reports_2024_spark.plans.registry import QUERIES
+    import ig_etl_with_user_reports_2024_spark.plans.star_pipeline  # noqa: F401
+
+    phrase = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    rows = [
+        (1, phrase + " iota kappa", "en", "web", 0),
+        (2, phrase + " lambda mu", "en", "web", 0),
+        (3, "totally unique words here nothing repeats at all whatsoever indeed", "en", "web", 0),
+        (4, "", "en", "web", 0),  # token-less
+        (5, phrase.replace("alpha", "pone") + " " + phrase.replace("alpha", "pone"), "en", "web", 0),  # 16 tokens, 8-phrase twice
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.parquet(f"{sf}/documents.parquet")
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    out = {
+        r.doc_id: (r.n_tokens, r.n_dup_tokens, r.n_spans, r.clean_digest)
+        for r in QUERIES["dd12_repeated_span_trim"].fn(spark, sf).collect()
+    }
+    # docs 1/2 share exactly one 8-gram (their common prefix): the
+    # anchor at pos 1 covers tokens 1-8, the 2-token tails survive
+    assert out[1] == (10, 8, 1, md5("iota kappa"))
+    assert out[2] == (10, 8, 1, md5("lambda mu"))
+    # unique doc: nothing trimmed, digest = full normalized text
+    assert out[3] == (10, 0, 0, md5(rows[2][1]))
+    # empty text -> no tokens, sentinel digest
+    assert out[4] == (0, 0, 0, "<empty>")
+    # within-doc repeat: anchors at pos 1 and 9 (identical 8-grams)
+    # cover all 16 tokens as ONE merged span, nothing survives
+    assert out[5] == (16, 16, 1, "<empty>")
