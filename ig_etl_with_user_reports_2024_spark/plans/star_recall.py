@@ -14,16 +14,21 @@ driver verdict, not just a number the judge must read by hand. The
 diagnostic recall values stay available through the ``*_diag``
 functions and are asserted in tests/test_recall.py.
 
-The floors match the measured behavior on the synthetic testdata
-(r2 driver-visible values at sf0.01: 0.86 / 0.58 / 1.00 / 0.92):
-random 64-d vectors are near-orthogonal, so ANN recall floors are
-intentionally modest (hyperplane-LSH 0.5, IVF 0.4); the lexical
-MinHash floor is 0.8.
+The floors match measured behavior. Since r7 the ANN end-to-end floors
+(rf1 hyperplane-LSH 0.9, rf10 IVF-PQ+refine 0.8) are measured on the
+deterministic CLUSTERED fixture (:func:`clustered_embeddings`) — the
+regime ANN exists for — instead of the uniform-random embeddings
+table, which is vector quantization's worst case (near-orthogonal
+vectors; old floors 0.5/0.3 asserted little). rf2 (IVF cell recall)
+and rf6 (PQ distortion) still run on the uniform corpus so the
+pathological-input behavior keeps a driver-checked signal, and
+tests/test_recall.py keeps loose uniform-corpus assertions for the
+rf1/rf10 operators. The lexical MinHash floor is 0.8.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import dedup as dd
@@ -72,20 +77,99 @@ def _floor_only(diag: DataFrame) -> DataFrame:
     return diag.select("meets_floor", "recall_floor")
 
 
+def clustered_embeddings(
+    spark: SparkSession,
+    sf_dir: str,
+    n_centers: int = 16,
+    dim: int = 64,
+    eps: float = 0.3,
+) -> DataFrame:
+    """Deterministic CLUSTERED embedding fixture for the ANN recall
+    floors (VERDICT r6 "Next round" #6): uniform-random vectors are
+    vector quantization's worst case (every point near-orthogonal to
+    every other), so floors measured there assert little about what
+    the ANN plans deliver on real embedding corpora, which cluster.
+
+    One fixture vector per real embeddings row (so the fixture scales
+    with sf): vector i belongs to center ``i mod n_centers``; each
+    coordinate = center coordinate + jitter, both drawn from salted
+    md5 (the km1/ann3 portable-draw recipe — no RNG, identical under
+    any engine, partitioning, or replication). Centers are uniform in
+    [-1, 1]^dim, jitter uniform in [-eps, eps]: at eps=0.3 the jitter
+    norm² (~1.9) is small against the center norm² (~dim/3 ≈ 21), so
+    same-cluster cosine ≈ 0.95+ while cross-cluster cosine ≈ 0 —
+    top-k neighbors are same-cluster by construction, the regime ANN
+    is built for.
+
+    Plan shape: ids × dim explode, md5 per (center|vec, coord) in
+    codegen (NOT inside a HOF lambda — the r6 rule), one groupBy(id)
+    with an explicit-position array_sort rebuild. Linear, one shuffle.
+    Returns (vec_id, embedding array<float>, label int).
+    """
+    ids = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    cell = F.pmod(F.col("vec_id"), F.lit(n_centers)).cast("int")
+    coords = ids.select(
+        "vec_id",
+        cell.alias("label"),
+        F.explode(F.sequence(F.lit(0), F.lit(dim - 1))).alias("j"),
+    )
+
+    def _unit(prefix: Column, salt: str) -> Column:
+        # 6 hex chars of salted md5 → uniform in [0, 1)
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.encode(
+                        F.concat_ws(":", F.lit(salt), prefix, F.col("j")),
+                        "UTF-8",
+                    )
+                ),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("long")
+        return h / F.lit(float(1 << 24))
+
+    val = (
+        (_unit(F.col("label"), "c") * 2 - 1)
+        + (_unit(F.col("vec_id"), "e") * 2 - 1) * F.lit(eps)
+    ).cast("float")
+    return (
+        coords.select("vec_id", "label", "j", val.alias("v"))
+        .groupBy("vec_id", "label")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("j", "v"))).alias("jv")
+        )
+        .select(
+            "vec_id",
+            # per-element struct-field read only — no hashing in the lambda
+            F.transform(F.col("jv"), lambda s: s["v"]).alias("embedding"),
+            "label",
+        )
+    )
+
+
 def rf1_diag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full diagnostic row (n_exact, n_hit, recall, …) behind rf1."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = clustered_embeddings(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 10)
     exact = sim.cosine_topk(queries, emb, "vec_id", "embedding", k=5)
     approx = sim.lsh_topk(queries, emb, "vec_id", "embedding", k=5)
-    return _recall_row(exact, approx, ["q_id", "n_id"], floor=0.5)
+    return _recall_row(exact, approx, ["q_id", "n_id"], floor=0.9)
 
 
-@query("rf1_lsh_topk_recall", _floor_oracle(0.5))
+@query("rf1_lsh_topk_recall", _floor_oracle(0.9))
 def rf1_lsh_topk_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """recall@5 of hyperplane-LSH ANN (ann2) vs brute-force cosine
-    (ann1) over the same query set; floor 0.5 (random near-orthogonal
-    vectors — see tests/test_recall.py for the measured number)."""
+    """recall@5 of hyperplane-LSH ANN (ann2's operator) vs brute-force
+    cosine (ann1's) over the same query set, measured on the
+    CLUSTERED fixture (see :func:`clustered_embeddings`) where a
+    recall floor says something — floor 0.9 (measured 1.00 at
+    sf0.001/0.01/0.1). The uniform-random
+    corpus numbers (≈0.5-0.9, VQ's worst case) remain asserted with
+    a loose bound in tests/test_recall.py so the pathological-input
+    behavior stays visible without gating on it."""
     return _floor_only(rf1_diag(spark, sf_dir))
 
 
@@ -107,23 +191,26 @@ def rf2_ivf_topk_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def rf10_diag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full diagnostic row behind rf10."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = clustered_embeddings(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 10)
     exact = sim.cosine_topk(queries, emb, "vec_id", "embedding", k=5)
     approx = sim.ivfpq_topk(queries, emb, "vec_id", "embedding", k=5)
-    return _recall_row(exact, approx, ["q_id", "n_id"], floor=0.3)
+    return _recall_row(exact, approx, ["q_id", "n_id"], floor=0.8)
 
 
-@query("rf10_ivfpq_recall", _floor_oracle(0.3))
+@query("rf10_ivfpq_recall", _floor_oracle(0.8))
 def rf10_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """recall@5 of IVF-PQ + exact refine (ann5, refine=100) vs brute
-    force; floor 0.3. Random near-orthogonal vectors are vector
-    quantization's worst case (rf6 measures distortion 0.73-0.77), so
-    the ADC shortlist genuinely loses neighbors here — measured
-    0.38-0.48 across sf0.001/0.01/0.1, converging to ann3's own IVF
-    ceiling as refine grows (0.46-0.48 at refine=200). The floor
-    catches codebook/ADC/refine-cut regressions while conceding the
-    data-pathological gap the rf6 distortion floor already prices in."""
+    """recall@5 of IVF-PQ + exact refine (ann5's operator, refine=100)
+    vs brute force on the CLUSTERED fixture
+    (:func:`clustered_embeddings`) — floor 0.8 (measured 0.88-0.98
+    across sf0.001/0.01/0.1), what the serving-path
+    composition actually delivers in the clustered regime ANN exists
+    for. The old uniform-random floor (0.3, measured 0.38-0.48) is
+    VQ's worst case — rf6 still measures that distortion, and
+    tests/test_recall.py keeps a loose random-corpus assertion — but
+    the driver-checked gate now asserts real retrieval quality: a
+    codebook/ADC/refine-cut regression that drops clustered recall
+    below 0.8 flips this verdict."""
     return _floor_only(rf10_diag(spark, sf_dir))
 
 

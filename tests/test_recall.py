@@ -19,10 +19,51 @@ def _row(diag_df):
 
 
 def test_rf1_lsh_recall_meets_floor_with_margin(spark, sf_oracle):
+    # r7: rf1 runs on the clustered fixture (floor 0.9, measured 1.0)
     r = _row(rf.rf1_diag(spark, sf_oracle))
     assert r.meets_floor
-    assert r.recall >= 0.5
+    assert r.recall >= 0.9
     assert r.n_exact > 0
+
+
+def test_ann_recall_on_uniform_corpus_stays_loose(spark, sf_oracle):
+    """The OLD rf1/rf10 regime, kept visible without gating on it:
+    uniform-random vectors are VQ's worst case, so ANN recall there is
+    genuinely modest — assert only the loose historical bounds
+    (hyperplane-LSH >= 0.5, IVF-PQ+refine >= 0.3) on the raw
+    embeddings table."""
+    from ig_etl_with_user_reports_2024_spark.operators import similarity as sim
+    from ig_etl_with_user_reports_2024_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    queries = emb.filter("vec_id < 10")
+    exact = sim.cosine_topk(queries, emb, "vec_id", "embedding", k=5)
+    lsh = sim.lsh_topk(queries, emb, "vec_id", "embedding", k=5)
+    pq = sim.ivfpq_topk(queries, emb, "vec_id", "embedding", k=5)
+    r_lsh = _row(rf._recall_row(exact, lsh, ["q_id", "n_id"], floor=0.5))
+    r_pq = _row(rf._recall_row(exact, pq, ["q_id", "n_id"], floor=0.3))
+    assert r_lsh.recall >= 0.5 and r_pq.recall >= 0.3
+
+
+def test_clustered_fixture_is_deterministic_and_clustered(spark, sf_oracle):
+    """The fixture contract: same rows under re-evaluation and
+    repartitioning (salted-md5 draws, no RNG), one vector per
+    embeddings row, 64-d, labels = vec_id mod 16."""
+    fx = rf.clustered_embeddings(spark, sf_oracle)
+    a = {r.vec_id: (r.label, tuple(r.embedding)) for r in fx.collect()}
+    b = {
+        r.vec_id: (r.label, tuple(r.embedding))
+        for r in rf.clustered_embeddings(spark, sf_oracle)
+        .repartition(7)
+        .collect()
+    }
+    assert a == b
+    n_emb = spark.read.parquet(f"{sf_oracle}/embeddings.parquet").count()
+    assert len(a) == n_emb
+    for vid, (label, vec) in list(a.items())[:20]:
+        assert label == vid % 16
+        assert len(vec) == 64
+        assert all(-1.5 <= v <= 1.5 for v in vec)
 
 
 def test_rf2_ivf_recall_meets_floor(spark, sf_oracle):
