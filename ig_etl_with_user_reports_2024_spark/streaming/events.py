@@ -92,6 +92,14 @@ def session_agg(
 _SINK_NAMES: list[str] = []
 _MAX_SINKS = 8
 
+# Observational: the final micro-batch's state-store metrics
+# (stateOperators: numRowsTotal / memoryUsedBytes / …) of the most
+# recent run per sink prefix, so scale probes can report state GROWTH
+# vs stream growth without re-instrumenting every query
+# (VERDICT r6 "Next round" #5). AvailableNow runs are finished before
+# the capture reads recentProgress — no race with a live query.
+LAST_STATE_METRICS: dict[str, list] = {}
+
 
 def _run_to_memory_sink(
     spark: SparkSession,
@@ -137,6 +145,15 @@ def _run_to_memory_sink(
             .start()
         )
         q.awaitTermination()
+        try:
+            progs = [
+                p for p in q.recentProgress if p and p.get("stateOperators")
+            ]
+            LAST_STATE_METRICS[prefix.rstrip("_")] = (
+                progs[-1]["stateOperators"] if progs else []
+            )
+        except Exception:  # noqa: BLE001 — metrics capture is best-effort
+            LAST_STATE_METRICS[prefix.rstrip("_")] = []
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
     return spark.table(name)
