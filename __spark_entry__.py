@@ -40,88 +40,81 @@ from ig_etl_with_user_reports_2024_spark.plans import star_manifest  # noqa: F40
 
 # The driver runs (and budgets) the FIRST ~50 queries in the order this
 # module yields them, so ordering is a correctness-signal resource.
-# Round-6 rotation (VERDICT r5 "Next round" #2): (0) the 14 queries
-# whose ORACLE or PLAN is new/changed in round 6 — the 8 brand-new
-# entries (dd10/dd11 banded+staged keep-lists, ann5 IVFPQ + rf10
-# floor, st10 streaming upsert, txt9 bigram surprisal, zo2 pruning
-# evidence, mm5 image patches), ann3/sq2 (moved from rows-only to
-# exact via portable codebook draws), dq1a (gated approx profiler),
-# ii3 (log-idf BM25 rank oracle), cm1 (recomposed on dd11 — its
-# oracle text changed), dc2 (pair-stage machinery rebuilt); (a) 32 of
-# the 33 queries whose latest driver verdict is still r3 (the
-# HANDOFF_r06 list minus ro2, whose rf5 floor carries the signal —
-# all re-proved `exact` by the local gate, so this is verdict
-# freshness, not risk); (b) the 4 dedup/BM25 queries whose modules
-# round 6 restructured. Deliberate overflow: everything r4/r5-green
-# and untouched this round — the strongest standing signals are the
-# cheapest to defer (each displacement is annotated inline below).
+#
+# STANDING ROTATION RULE (VERDICT r6 "Next round" #1): each round the
+# window is (0) every query whose ORACLE or PLAN is new or changed
+# this round, then (a) all remaining slots filled OLDEST-DRIVER-VERDICT
+# FIRST (union of CORRECTNESS_r*.json; ties in catalog order). No
+# query's latest verdict should ever lag the catalog by more than
+# ceil(catalog_size / 50) rounds. Deliberate overflow = the youngest
+# verdicts — the strongest standing signals are the cheapest to defer.
+#
+# Round-7 window: (0) the 8 new/changed entries — dd12 (new
+# repeated-substring dedup), dd11 (digest coalesced NULL-safe — oracle
+# text changed), cm1 (recomposed on shared digest/shingle
+# intermediates — plan changed, oracle unchanged), st10 (oracle ORDER
+# BY totalized), rf1/rf10 (re-floored 0.9/0.8 on the clustered
+# fixture — oracle literals changed), zo1/zo2 (greatest(span,1)
+# division guards in both engines); (a) the 42 queries whose latest
+# driver verdict predates r5: ro2 (r3), then the 41 r4-era verdicts.
+# 8 + 42 = 50 exactly. dc2's r7 refactor is pure function extraction
+# (plan-identical, re-proved exact by the local gate) and its r6
+# verdict is fresh, so it stays in overflow along with everything
+# r5/r6-green and untouched.
 _DRIVER_PRIORITY = [
-    # (0) new/changed oracles in round 6 — first driver contact
-    "dd10_keep_list_banded",
+    # (0) new/changed oracle or plan in round 7 — first driver contact
+    "dd12_repeated_span_trim",
     "dd11_staged_keep_list",
-    "ann5_ivfpq_topk",
-    "rf10_ivfpq_recall",
-    "st10_streaming_upsert",
-    "txt9_bigram_surprisal",
-    "zo2_pruning_effectiveness",
-    "mm5_image_patches",
-    "ann3_ivf_topk",
-    "sq2_product_quantize",
-    "dq1a_column_profile_approx",
-    "ii3_bm25_log_idf",
     "cm1_corpus_manifest",
-    "dc2_fuzzy_decontaminate",
-    # (a) latest driver verdict is round 3 (33 queries)
-    "a4_pricing_summary",
-    "a5_consistency_score",
-    "a7_frequency_map",
-    "a11_post_gap_frequency",
-    "a15_length_percentiles",
-    "a16_length_histogram",
-    "c1_size_buckets",
-    "c9_f9_niche_distribution",
-    "c12_collab_status",
-    "f3_recent_flag",
-    "f4_category_filter",
-    "f6_null_guard_filter",
-    "f7_recent20_mixed_window",
-    "f8_stoplist_tokens",
-    "j1_work_queue_anti_join",
-    "j2_first_match_theta_join",
-    "j3_users_posts_join",
-    "j4_a10_keyword_scores",
-    "j5_page_merge_dedup",
-    "mj1_shipping_priority",
-    "mj2_region_volume",
-    "mj3_large_order_customers",
-    "so1_first_occurrence_dedup",
-    "st7_session_window",
-    "rj2_error_near_purchase",
-    "txt5_rolling_fingerprint",
-    "txt6_vocab_top50",
-    "txt7_repetition_stats",
-    "x3_substring_membership",
-    "dd3_minhash_lsh_pairs",
-    "dd4_simhash_pairs",
-    "ann2_lsh_topk",
-    # (ro2 moved to overflow to pay for mm5's first-contact slot: it is
-    # rows-only by design and its HLL accuracy floor rf5 carries the
-    # checkable signal; re-proved rows-green by the local gate.)
-    # (b) modules changed in round 6
-    "dd2_ngram_jaccard_pairs",  # dedup.py: shared shingle/verify restructure
-    "dd6_dup_clusters",  # dedup.py consumer via graph CC
-    "dd8_dedup_keep_list",  # dedup.py consumer (exact yardstick)
-    "ii2_bm25_topk",  # star_pipeline: shared _bm25_topk refactor
-    # (km1, ann4, st8, and st9 moved to overflow to pay for the
-    # st10/dd11/txt9/zo2 first-contact slots: similarity.py's r6
-    # changes are driver-covered by ann3/sq2/ann5/rf10 in tier 0;
-    # events.py's watermark param kept its default and st10 exercises
-    # the same source block; all four are r5-green, re-proved by the
-    # local gate.)
-    # dq1/dq2 moved to overflow to pay for ann5/rf10's first-contact
-    # slots: profiling.py's r6 change is driver-covered by dq1a (tier
-    # 0), and dq1/dq2 are r5-green with the full local gate re-proving
-    # them exact this round.
+    "st10_streaming_upsert",
+    "rf1_lsh_topk_recall",
+    "rf10_ivfpq_recall",
+    "zo1_zorder_stats",
+    "zo2_pruning_effectiveness",
+    # (a) oldest driver verdict first: ro2 (r3) …
+    "ro2_sketch_rollup",
+    # … then the 41 r4-era verdicts, catalog order
+    "a123_er_formulas",
+    "a6_viral_count",
+    "a8_distinct_diversity",
+    "a9_platform_stats",
+    "a12_split_half_trend",
+    "a13_class_means_pivot",
+    "a14_c6_fake_score",
+    "aj1_asof_click_purchase",
+    "c2_type_tier",
+    "c3_pricing_dim",
+    "c8_account_type",
+    "c10_personality_insights",
+    "c13_sponsor_detector",
+    "dd5_embedding_neardup",
+    "f2_recent_window",
+    "fn1_user_funnel",
+    "fn2_conversion_window_funnel",
+    "k1_top6_er",
+    "k2_latest6_pivot",
+    "k3_top10_tokens",
+    "k4_c5_modal_hour",
+    "k6_priority_cascade",
+    "mm1_binary_metadata",
+    "mm4_audio_chunks",
+    "rf3_minhash_recall",
+    "rf4_simhash_recall",
+    "rf6_pq_distortion",
+    "rf7_approx_distinct_accuracy",
+    "rj1_views_before_purchase",
+    "sq3_matryoshka_truncate",
+    "st5_stateful_sessions",
+    "txt1_lang_id",
+    "txt2_quality_score",
+    "txt3_token_counts",
+    "txt4_content_fingerprint",
+    "x1_regex_extract",
+    "x2_x4_string_ops",
+    "x5_date_parts",
+    "x6_c14_age_buckets",
+    "x7_bankers_rounding",
+    "x8_struct_to_json",
 ]
 
 

@@ -15,34 +15,34 @@ def test_priority_names_all_registered():
 
 
 def test_stale_and_changed_queries_land_in_driver_window():
-    # Round-6 rotation (VERDICT r5 "Next round" #2): the 7 new/changed
-    # oracles lead, then ALL 33 r3-stale queries (so after r6 no
-    # query's latest driver verdict predates r4), then the 10 queries
-    # whose modules r6 touched. Deliberate overflow = r4/r5-green and
-    # untouched — asserted OUT so the window isn't silently wasted.
+    # Round-7 rotation under the STANDING RULE (VERDICT r6 "Next
+    # round" #1, stated in __spark_entry__): new/changed first, then
+    # all remaining slots oldest-driver-verdict first. r7: 8
+    # new/changed + ro2 (r3) + the 41 r4-era verdicts = exactly 50, so
+    # after this round no verdict predates r5. Deliberate overflow =
+    # r5/r6-green and untouched — asserted OUT so the window isn't
+    # silently wasted.
     first50 = list(entry.queries())[:50]
     for name in entry._DRIVER_PRIORITY:
         assert name in first50, f"{name} fell out of the driver's 50-slot window"
     for name in (
-        # r5-green on first contact, untouched in r6 — strongest
-        # standing signals, cheapest to defer
+        # r6-green on first contact or re-contact, untouched-in-plan
+        # this round — the youngest verdicts, cheapest to defer
+        "dd10_keep_list_banded",
+        "ann5_ivfpq_topk",
+        "ann3_ivf_topk",
+        "sq2_product_quantize",
+        "dq1a_column_profile_approx",
+        "ii3_bm25_log_idf",
+        "txt9_bigram_surprisal",
+        "mm5_image_patches",
+        # dc2: r7 refactor is pure function extraction (plan-identical,
+        # local gate re-proves exact); r6 verdict fresh
+        "dc2_fuzzy_decontaminate",
+        # r5-green, untouched
         "cdc1_merge_upsert",
-        "cdc2_scd2_intervals",
-        "txt8_filter_verdict",
-        "ii1_inverted_index",
-        "zo1_zorder_stats",
         "pr1_pagerank",
-        "ad1_rolling_zscore",
-        "sk1_salted_distinct_users",
-        "sk2_salted_join_segment",
-        "dd9_portable_simhash_pairs",
-        # r4-green, untouched
-        "a12_split_half_trend",
-        "x10_c7_argmax_priority",
-        "ro1_hourly_rollup",
-        "k7_top5_preview",
-        "mm2_frame_sample",
-        "a8_approx_distinct",
+        "km1_kmeans_assign",
     ):
         assert name not in first50, f"{name} should be deliberate overflow"
 
