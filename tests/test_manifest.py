@@ -45,3 +45,48 @@ def test_manifest_covers_every_document(spark, tiny_sf):
     # held out / contaminated by the split
     actions = {rows[1].action, rows[2].action}
     assert "drop_duplicate" in actions or actions <= {"hold_out", "drop_contaminated"}
+
+
+def test_rekeyed_canon_bands_equal_direct_bands(spark, sf_oracle):
+    """cm1's shared-intermediates claim (r7): deriving dc2's band table
+    by re-keying the canon docs' bands through the digest map is an
+    EQUALITY, not an approximation — identical text means identical
+    MinHash signature, so every doc's (band, bucket) set matches the
+    direct portable_minhash_bands over all documents, and the dc2
+    output built from either table is identical."""
+    from ig_etl_with_user_reports_2024_spark.operators import dedup as dd
+    from ig_etl_with_user_reports_2024_spark.plans import star_pipeline, star_sampling
+    from ig_etl_with_user_reports_2024_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_oracle, "documents")
+    tagged = star_pipeline.digest_tagged(docs)
+    canon = tagged.filter(F.col("rn") == 1).select("doc_id", "text")
+    sh_canon = dd.exploded_shingles(canon, "doc_id", "text")
+    canonmap = tagged.filter(F.col("rn") == 1).select(
+        "dg", F.col("doc_id").alias("canon_id")
+    )
+    rekeyed = (
+        tagged.select("doc_id", "dg")
+        .join(canonmap, "dg")
+        .join(
+            dd.portable_minhash_bands_from_shingles(sh_canon)
+            .withColumnRenamed("doc", "canon_id"),
+            "canon_id",
+        )
+        .select(F.col("doc_id").alias("doc"), "band", "bucket")
+    )
+    direct = dd.portable_minhash_bands(docs, "doc_id", "text")
+    assert {tuple(r) for r in rekeyed.collect()} == {
+        tuple(r) for r in direct.collect()
+    }
+    via_rekey = {
+        tuple(r)
+        for r in star_sampling.fuzzy_decontaminate_plan(
+            spark, docs, bands=rekeyed
+        ).collect()
+    }
+    standalone = {
+        tuple(r)
+        for r in star_sampling.fuzzy_decontaminate_plan(spark, docs).collect()
+    }
+    assert via_rekey == standalone
