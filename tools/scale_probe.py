@@ -10,6 +10,11 @@ Replicates the base tables a query reads into a temp dir (re-keying id
 columns so replicas stay distinct), runs each named catalog query
 end-to-end (count() to force execution), and prints one JSON line:
 {"rep": N, "rows": {...}, "secs": {...}, "load_before": [...]}.
+
+CAVEAT: count() lets Catalyst PRUNE expensive output-only projections
+(e.g. dd12's per-doc collect_list + md5 trim digest — measured ~10x
+under-report at 32x). For plans whose cost lives in projected columns,
+probe with a noop write instead (SCALE_r07.md §3 shows the pattern).
 """
 
 from __future__ import annotations
