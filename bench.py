@@ -324,21 +324,12 @@ def main() -> None:
     except OSError:
         pass  # sidecar is best-effort; stdout lines are the contract
     print(json.dumps(full))
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "n_queries": len(timings),
-                "sf": sf,
-                "load_before": load_before,
-                "load_after": load_after,
-                "cpus": os.cpu_count(),
-                "queries_line": "previous stdout line + bench_queries.json",
-            }
-        )
-    )
+    # summary = full minus the per-query map, built FROM full so the
+    # two lines cannot drift field-by-field
+    summary = {k: v for k, v in full.items() if k != "queries"}
+    summary["n_queries"] = len(timings)
+    summary["queries_line"] = "previous stdout line + bench_queries.json"
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":

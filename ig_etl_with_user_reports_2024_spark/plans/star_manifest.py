@@ -127,9 +127,7 @@ def cm1_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = star_pipeline.staged_keep_list_plan(
         spark, docs, tagged=tagged, sh_canon=sh_canon
     ).select("doc_id", "cluster_id", "kept")
-    canonmap = tagged.filter(F.col("rn") == 1).select(
-        "dg", F.col("doc_id").alias("canon_id")
-    )
+    canonmap = star_pipeline.canon_map(tagged)
     bands_all = (
         tagged.select("doc_id", "dg")
         .join(canonmap, "dg")

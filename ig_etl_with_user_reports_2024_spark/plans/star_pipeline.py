@@ -370,6 +370,16 @@ def digest_tagged(docs: DataFrame) -> DataFrame:
     )
 
 
+def canon_map(tagged: DataFrame) -> DataFrame:
+    """(dg, canon_id) — each digest's canonical lowest-id survivor,
+    from a :func:`digest_tagged` table. ONE definition of the
+    survivor rule, shared by the keep-list mapping and cm1's band
+    re-keying."""
+    return tagged.filter(F.col("rn") == 1).select(
+        "dg", F.col("doc_id").alias("canon_id")
+    )
+
+
 def staged_keep_list_plan(
     spark: SparkSession,
     docs: DataFrame,
@@ -392,9 +402,7 @@ def staged_keep_list_plan(
     else:
         pairs = dd.portable_minhash_pairs_from_shingles(sh_canon, threshold=0.2)
     cc = connected_components(canon.select("doc_id"), pairs)
-    canonmap = tagged.filter(F.col("rn") == 1).select(
-        "dg", F.col("doc_id").alias("canon_id")
-    )
+    canonmap = canon_map(tagged)
     return (
         tagged.select("doc_id", "dg")
         .join(canonmap, "dg")

@@ -204,7 +204,11 @@ def rf10_diag(spark: SparkSession, sf_dir: str) -> DataFrame:
     the hash-checked verdict is unchanged; ann5's registered catalog
     entry keeps its fixed refine=100 contract."""
     emb = clustered_embeddings(spark, sf_dir)
-    n_vecs = emb.count()  # one scalar action to size the refine budget
+    # fixture rows == embeddings rows by construction (test-pinned), so
+    # size the budget from the raw table's parquet-footer-cheap count
+    # instead of materializing the 64x-explode fixture a third time
+    n_vecs = load_table(spark, sf_dir, "embeddings").count()
+    n_cells = 16  # keep in lockstep with ivfpq_topk's n_cells below
     queries = emb.filter(F.col("vec_id") < 10)
     exact = sim.cosine_topk(queries, emb, "vec_id", "embedding", k=5)
     approx = sim.ivfpq_topk(
@@ -213,7 +217,8 @@ def rf10_diag(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "embedding",
         k=5,
-        refine=max(100, (2 * n_vecs) // 16),
+        n_cells=n_cells,
+        refine=max(100, (2 * n_vecs) // n_cells),
     )
     return _recall_row(exact, approx, ["q_id", "n_id"], floor=0.8)
 

@@ -62,9 +62,7 @@ def test_rekeyed_canon_bands_equal_direct_bands(spark, sf_oracle):
     tagged = star_pipeline.digest_tagged(docs)
     canon = tagged.filter(F.col("rn") == 1).select("doc_id", "text")
     sh_canon = dd.exploded_shingles(canon, "doc_id", "text")
-    canonmap = tagged.filter(F.col("rn") == 1).select(
-        "dg", F.col("doc_id").alias("canon_id")
-    )
+    canonmap = star_pipeline.canon_map(tagged)
     rekeyed = (
         tagged.select("doc_id", "dg")
         .join(canonmap, "dg")

@@ -55,7 +55,6 @@ def main() -> int:
     spark = get_spark("state-probe")
     import tools.scale_probe as sp
 
-    out: list[dict] = []
     for rep in [int(r) for r in args.reps.split(",")]:
         if rep == 1:
             d, cleanup = args.sf, None
@@ -71,9 +70,11 @@ def main() -> int:
                 for k, v in ev.LAST_STATE_METRICS.items()
                 if before.get(k) is not v
             }
+            emitted = 0
             for prefix, ops in new.items():
                 for op in ops:
-                    rec = {
+                    emitted += 1
+                    print(json.dumps({
                         "query": name,
                         "rep": rep,
                         "sink": prefix,
@@ -81,10 +82,13 @@ def main() -> int:
                         "state_rows": op.get("numRowsTotal"),
                         "state_bytes": op.get("memoryUsedBytes"),
                         "out_rows": n_out,
-                    }
-                    out.append(rec)
-                    print(json.dumps(rec))
-            if not new:
+                    }))
+            if not emitted:
+                # no metrics captured (stateless query, or the capture's
+                # best-effort except stored an EMPTY list — which still
+                # updates the prefix key, so `new` alone can't be the
+                # emptiness test): always emit one null record so the
+                # query never silently vanishes from the probe output
                 print(json.dumps({"query": name, "rep": rep, "sink": None,
                                   "operator": None, "state_rows": None,
                                   "state_bytes": None, "out_rows": n_out}))
