@@ -315,3 +315,79 @@ def test_dd12_repeated_span_semantics(spark, tmp_path):
     # within-doc repeat: anchors at pos 1 and 9 (identical 8-grams)
     # cover all 16 tokens as ONE merged span, nothing survives
     assert out[5] == (16, 16, 1, "<empty>")
+
+
+# --- property-based: dd12 operator vs a pure-Python reference -------------
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _HAS_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    _HAS_HYPOTHESIS = False
+
+if _HAS_HYPOTHESIS:
+
+    def _span_reference(corpus: dict[int, list[str]], k: int):
+        """Pure-Python reference of the anchored-k-gram semantics:
+        anchor = k-gram occurring >= 2 times corpus-wide; token q of a
+        doc is covered iff some dup anchor starts in [q-k+1, q]."""
+        import hashlib
+        from collections import Counter
+
+        grams = Counter()
+        for ws in corpus.values():
+            for i in range(len(ws) - k + 1):
+                grams[tuple(ws[i : i + k])] += 1
+        out = {}
+        for doc, ws in corpus.items():
+            n = len(ws)
+            anchor = [
+                i < n - k + 1 and grams[tuple(ws[i : i + k])] >= 2
+                for i in range(n)
+            ]
+            covered = [
+                any(anchor[max(0, q - k + 1) : q + 1]) for q in range(n)
+            ]
+            spans = sum(
+                1
+                for q in range(n)
+                if covered[q] and (q == 0 or not covered[q - 1])
+            )
+            clean = " ".join(w for q, w in enumerate(ws) if not covered[q])
+            digest = (
+                hashlib.md5(clean.encode()).hexdigest() if clean else "<empty>"
+            )
+            out[doc] = (n, sum(covered), spans, digest)
+        return out
+
+    # small vocab + short docs force frequent cross- and within-doc
+    # repeats, the regime where the window/island logic can break
+    _corpus = st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd"]),
+            min_size=0,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+
+    @settings(
+        max_examples=15,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(docs=_corpus, k=st.integers(min_value=2, max_value=4))
+    def test_dd12_operator_matches_reference(spark, docs, k):
+        corpus = {i + 1: ws for i, ws in enumerate(docs)}
+        df = spark.createDataFrame(
+            [(i, " ".join(ws)) for i, ws in corpus.items()],
+            "doc_id bigint, text string",
+        )
+        got = {
+            r.doc_id: (r.n_tokens, r.n_dup_tokens, r.n_spans, r.clean_digest)
+            for r in dd.repeated_span_profile(df, "doc_id", "text", k=k).collect()
+        }
+        assert got == _span_reference(corpus, k)
