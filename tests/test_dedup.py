@@ -293,6 +293,7 @@ def test_dd12_repeated_span_semantics(spark, tmp_path):
         (3, "totally unique words here nothing repeats at all whatsoever indeed", "en", "web", 0),
         (4, "", "en", "web", 0),  # token-less
         (5, phrase.replace("alpha", "pone") + " " + phrase.replace("alpha", "pone"), "en", "web", 0),  # 16 tokens, 8-phrase twice
+        (6, None, None, "web", 0),  # NULL text -> same contract as empty
     ]
     sf = str(tmp_path)
     spark.createDataFrame(
@@ -310,8 +311,9 @@ def test_dd12_repeated_span_semantics(spark, tmp_path):
     assert out[2] == (10, 8, 1, md5("lambda mu"))
     # unique doc: nothing trimmed, digest = full normalized text
     assert out[3] == (10, 0, 0, md5(rows[2][1]))
-    # empty text -> no tokens, sentinel digest
+    # empty and NULL text -> no tokens, sentinel digest, row still present
     assert out[4] == (0, 0, 0, "<empty>")
+    assert out[6] == (0, 0, 0, "<empty>")
     # within-doc repeat: anchors at pos 1 and 9 (identical 8-grams)
     # cover all 16 tokens as ONE merged span, nothing survives
     assert out[5] == (16, 16, 1, "<empty>")
