@@ -286,3 +286,37 @@ def test_r6_staged_dedup_and_quantized_ann_complete_at_8x(spark, big_sf):
     # replication preserves key SPANS, so pruning ratios must persist
     assert zo["zorder"].buckets_touched < 0.25 * zo["zorder"].n_buckets
     assert zo["linear"].buckets_touched == zo["linear"].n_buckets
+
+
+def test_r7_span_trim_and_clustered_recall_complete_at_8x(spark, big_sf):
+    """dd12 at 8x dup density: every doc has 8 exact copies, so EVERY
+    anchored 8-gram is corpus-duplicated — every token of every doc
+    with >= 8 tokens must be covered, the trim must empty those docs,
+    and per-doc stats must be identical across replicas of the same
+    text. rf10 must hold its clustered floor (the r7 sweep's refine
+    sizing) and cm1's shared-intermediates composition must still
+    cover every doc."""
+    import __spark_entry__ as entry_mod
+    qs = entry_mod.queries()
+
+    dd12 = qs["dd12_repeated_span_trim"](spark, big_sf)
+    rows = dd12.collect()
+    n_docs = spark.read.parquet(f"{big_sf}/documents.parquet").count()
+    assert len(rows) == n_docs  # one row per doc, token-less included
+    full = [r for r in rows if r.n_tokens >= 8]
+    assert full, "replicated corpus unexpectedly has no 8-token docs"
+    # replication duplicates every 8-gram: full coverage, empty trims
+    assert all(r.n_dup_tokens == r.n_tokens for r in full)
+    assert all(r.n_spans == 1 for r in full)
+    assert all(r.clean_digest == "<empty>" for r in full)
+    # short docs (< 8 tokens) have no anchors — never covered, even
+    # though they too are replicated (the documented k-token floor)
+    for r in rows:
+        if r.n_tokens < 8:
+            assert r.n_dup_tokens == 0 and r.n_spans == 0
+
+    rf10 = qs["rf10_ivfpq_recall"](spark, big_sf).collect()[0]
+    assert rf10.meets_floor  # refine sized to cell population (r7 fix)
+
+    cm1 = qs["cm1_corpus_manifest"](spark, big_sf)
+    assert cm1.count() == n_docs
