@@ -97,6 +97,55 @@ def pin_bounded(df: DataFrame) -> DataFrame:
     return df
 
 
+def keep_list_with_sizes(
+    members: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    n_salts: int = 8,
+) -> DataFrame:
+    """(id, cluster) membership → the dedup end-product columns
+    (id, cluster, kept, cluster_size) with a SKEW-SAFE size computation.
+
+    The obvious form — ``count(*) over (partition by cluster_id)`` —
+    colocates every member of a cluster on one task; on the corpus
+    shape dedup exists for (one document duplicated millions of times)
+    that window partition IS the pathology. Here instead:
+
+    1. ``groupBy(cluster).count()`` — map-side partial aggregation
+       means the hot cluster contributes ONE row per input partition
+       to the shuffle, so counting a 10^7-member cluster is free;
+    2. the count joins back via :func:`skew.salted_join` (counts side
+       replicated ``n_salts``×, members sharded by a deterministic
+       hash of their own id), so the hot cluster's member rows spread
+       across ``n_salts`` tasks instead of melting one. The counts
+       table is cluster-grain — broadcastable on toy data but NOT at
+       10^12 docs (≈ one row per distinct text), hence the salted
+       shuffle join rather than a broadcast hint.
+
+    Result-identical to the window form (inner join: every cluster_id
+    in ``members`` exists in its own count table by construction);
+    probed at 640k copies of ONE document in tools/scale_probe.py
+    (SCALE_r08.md), results bit-identical to the window plan.
+    """
+    from .skew import salted_join
+
+    counts = members.select(cluster_col).groupBy(cluster_col).agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return salted_join(
+        members.select(id_col, cluster_col),
+        counts,
+        on=cluster_col,
+        n_salts=n_salts,
+        salt_by=[id_col],
+    ).select(
+        id_col,
+        cluster_col,
+        (F.col(id_col) == F.col(cluster_col)).alias("kept"),
+        "cluster_size",
+    )
+
+
 def shingle_pairs_jaccard(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5
 ) -> DataFrame:

@@ -121,23 +121,24 @@ def cm1_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # identical MinHash signature, so this is an equality, not an
     # approximation — the registered dc2 oracle is unchanged). The
     # pins are the toy-scale stand-in for a checkpointed table.
+    from ..operators.skew import salted_join
+
     tagged = dd.pin_bounded(star_pipeline.digest_tagged(docs))
-    canon = tagged.filter(F.col("rn") == 1).select("doc_id", "text")
+    canon = tagged.filter(F.col("is_canon")).select("doc_id", "text")
     sh_canon = dd.pin_bounded(dd.exploded_shingles(canon, "doc_id", "text"))
     d = star_pipeline.staged_keep_list_plan(
         spark, docs, tagged=tagged, sh_canon=sh_canon
     ).select("doc_id", "cluster_id", "kept")
-    canonmap = star_pipeline.canon_map(tagged)
-    bands_all = (
-        tagged.select("doc_id", "dg")
-        .join(canonmap, "dg")
-        .join(
-            dd.portable_minhash_bands_from_shingles(sh_canon)
-            .withColumnRenamed("doc", "canon_id"),
-            "canon_id",
-        )
-        .select(F.col("doc_id").alias("doc"), "band", "bucket")
-    )
+    # tagged carries canon_id directly (r8 skew-safe digest stage), so
+    # the band re-key is ONE canon-grain join — salted, because a
+    # mega-cluster's docs all meet the same canon_id's bands.
+    bands_all = salted_join(
+        tagged.select("doc_id", "canon_id"),
+        dd.portable_minhash_bands_from_shingles(sh_canon)
+        .withColumnRenamed("doc", "canon_id"),
+        on="canon_id",
+        salt_by=["doc_id"],
+    ).select(F.col("doc_id").alias("doc"), "band", "bucket")
     t = QUERIES["txt8_filter_verdict"].fn(spark, sf_dir).select(
         "doc_id", "keep", "quality_score"
     )

@@ -194,22 +194,16 @@ def dd8_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep logic fed from LSH-banded verified candidates, itself
     hash-checked — instead of this quadratic pair stage.
     Oracle: dd6's recursive-CTE closure extended with the keep flag and
-    a cluster-size window."""
-    from pyspark.sql import Window
-
+    a cluster-size window (the Spark plan computes the identical size
+    via map-side-combined groupBy + salted join — see
+    operators/dedup.keep_list_with_sizes — so a degenerate mega-cluster
+    never pins one task)."""
     from ..operators.graph import connected_components
 
     docs = load_table(spark, sf_dir, "documents")
     pairs = dd.shingle_pairs_jaccard(docs, "doc_id", "text", n=3, threshold=0.2)
     cc = connected_components(docs.select("doc_id"), pairs)
-    return cc.select(
-        "doc_id",
-        "cluster_id",
-        (F.col("doc_id") == F.col("cluster_id")).alias("kept"),
-        F.count("*").over(Window.partitionBy("cluster_id")).alias(
-            "cluster_size"
-        ),
-    )
+    return dd.keep_list_with_sizes(cc)
 
 
 @query(
@@ -253,20 +247,14 @@ def dd10_keep_list_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-pair yardstick (its recall: a near-dup pair colliding in no
     band is missed here by LSH design).
     Oracle: the banded-pairs CTE chain feeding dd8's recursive-CTE
-    closure + keep-flag/cluster-size select."""
+    closure + keep-flag/cluster-size select (sizes computed skew-safe
+    on the Spark side — operators/dedup.keep_list_with_sizes)."""
     from ..operators.graph import connected_components
 
     docs = load_table(spark, sf_dir, "documents")
     pairs = dd.portable_minhash_pairs(docs, "doc_id", "text", threshold=0.2)
     cc = connected_components(docs.select("doc_id"), pairs)
-    return cc.select(
-        "doc_id",
-        "cluster_id",
-        (F.col("doc_id") == F.col("cluster_id")).alias("kept"),
-        F.count("*").over(Window.partitionBy("cluster_id")).alias(
-            "cluster_size"
-        ),
-    )
+    return dd.keep_list_with_sizes(cc)
 
 
 @query(
@@ -346,11 +334,24 @@ def dd11_staged_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def digest_tagged(docs: DataFrame) -> DataFrame:
-    """(doc_id, text, dg, rn): every doc with its NULL-safe content
-    digest and its rank within the digest group (rn=1 = the canonical
-    lowest-id survivor). The first stage of dd11, exposed so cm1 can
-    derive it ONCE and thread it through both its dedup and
-    decontamination subtrees.
+    """(doc_id, text, dg, canon_id, is_canon): every doc with its
+    NULL-safe content digest, its digest group's canonical lowest-id
+    survivor, and whether this row IS that survivor. The first stage of
+    dd11, exposed so cm1 can derive it ONCE and thread it through both
+    its dedup and decontamination subtrees.
+
+    Skew-safe since r8: the old form ranked with ``row_number() over
+    (partition by dg order by doc_id)``, which ships every copy of a
+    duplicated document into ONE window task — on the corpus shape
+    dedup exists for (one document duplicated millions of times) the
+    hot digest partition is the whole pathology. The survivor rule only
+    ever needs rank 1, and rank 1 = ``doc_id = min(doc_id) within dg``,
+    so the plan is now a map-side-combined ``groupBy(dg).min(doc_id)``
+    (the hot digest contributes one row per input partition to that
+    shuffle) plus a salted join back (operators/skew.salted_join; the
+    mega-cluster's member rows spread across the salt shards). Probed
+    at 640k copies of one document — tools/megacluster_probe.py,
+    SCALE_r08.md.
 
     NULL-safe digest: a NULL text must still flow through the digest
     equi-joins downstream (NULL = NULL matches nothing in either
@@ -358,15 +359,22 @@ def digest_tagged(docs: DataFrame) -> DataFrame:
     the keep-list — and from cm1's manifest). '<null>' makes all
     NULL-text docs exact twins of each other: identical (absent)
     content, one canonical survivor."""
-    return docs.select(
+    from ..operators.skew import salted_join
+
+    base = docs.select(
         "doc_id",
         "text",
         F.coalesce(
             F.md5(F.col("text").cast("binary")), F.lit("<null>")
         ).alias("dg"),
-    ).withColumn(
-        "rn",
-        F.row_number().over(Window.partitionBy("dg").orderBy(F.col("doc_id").asc())),
+    )
+    mins = base.groupBy("dg").agg(F.min("doc_id").alias("canon_id"))
+    return salted_join(base, mins, on="dg", salt_by=["doc_id"]).select(
+        "doc_id",
+        "text",
+        "dg",
+        "canon_id",
+        (F.col("doc_id") == F.col("canon_id")).alias("is_canon"),
     )
 
 
@@ -375,9 +383,7 @@ def canon_map(tagged: DataFrame) -> DataFrame:
     from a :func:`digest_tagged` table. ONE definition of the
     survivor rule, shared by the keep-list mapping and cm1's band
     re-keying."""
-    return tagged.filter(F.col("rn") == 1).select(
-        "dg", F.col("doc_id").alias("canon_id")
-    )
+    return tagged.filter(F.col("is_canon")).select("dg", "canon_id")
 
 
 def staged_keep_list_plan(
@@ -394,28 +400,29 @@ def staged_keep_list_plan(
     them; standalone dd11 builds both itself."""
     from ..operators.graph import connected_components
 
+    from ..operators.skew import salted_join
+
     if tagged is None:
         tagged = digest_tagged(docs)
-    canon = tagged.filter(F.col("rn") == 1).select("doc_id", "text")
+    canon = tagged.filter(F.col("is_canon")).select("doc_id", "text")
     if sh_canon is None:
         pairs = dd.portable_minhash_pairs(canon, "doc_id", "text", threshold=0.2)
     else:
         pairs = dd.portable_minhash_pairs_from_shingles(sh_canon, threshold=0.2)
     cc = connected_components(canon.select("doc_id"), pairs)
-    canonmap = canon_map(tagged)
-    return (
-        tagged.select("doc_id", "dg")
-        .join(canonmap, "dg")
-        .join(cc.withColumnRenamed("doc_id", "canon_id"), "canon_id")
-        .select(
-            "doc_id",
-            "cluster_id",
-            (F.col("doc_id") == F.col("cluster_id")).alias("kept"),
-            F.count("*").over(Window.partitionBy("cluster_id")).alias(
-                "cluster_size"
-            ),
-        )
-    )
+    # tagged already carries canon_id, so the digest→canon mapping join
+    # is gone; the cc attach is canon-grain (one hot canon_id per
+    # mega-cluster) → salted, like every doc-grain join on this path.
+    members = salted_join(
+        tagged.select("doc_id", "canon_id"),
+        cc.withColumnRenamed("doc_id", "canon_id"),
+        on="canon_id",
+        salt_by=["doc_id"],
+    ).select("doc_id", "cluster_id")
+    # cluster_size via map-side-combined groupBy + salted join, NOT a
+    # cluster-partitioned window — one doc duplicated millions of times
+    # must not pin one task (operators/dedup.keep_list_with_sizes).
+    return dd.keep_list_with_sizes(members)
 
 
 @query(

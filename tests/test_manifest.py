@@ -60,12 +60,10 @@ def test_rekeyed_canon_bands_equal_direct_bands(spark, sf_oracle):
 
     docs = load_table(spark, sf_oracle, "documents")
     tagged = star_pipeline.digest_tagged(docs)
-    canon = tagged.filter(F.col("rn") == 1).select("doc_id", "text")
+    canon = tagged.filter(F.col("is_canon")).select("doc_id", "text")
     sh_canon = dd.exploded_shingles(canon, "doc_id", "text")
-    canonmap = star_pipeline.canon_map(tagged)
     rekeyed = (
-        tagged.select("doc_id", "dg")
-        .join(canonmap, "dg")
+        tagged.select("doc_id", "canon_id")
         .join(
             dd.portable_minhash_bands_from_shingles(sh_canon)
             .withColumnRenamed("doc", "canon_id"),

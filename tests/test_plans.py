@@ -310,6 +310,12 @@ def test_r6_additions_plan_shapes(spark, sf_oracle):
     )
     dlow = dplan.lower()
     assert "cartesianproduct" not in dlow
+    # r8 skew hardening: NO Window operator anywhere in dd11 — the old
+    # digest row_number and cluster_size count windows each colocated a
+    # whole duplicate cluster on one task; both are now map-side-
+    # combined groupBys + salted joins (operators/dedup.
+    # keep_list_with_sizes, star_pipeline.digest_tagged).
+    assert "window" not in dlow
     # the mapping joins ride the CHECKPOINTED CC output — the plan must
     # not re-run shingle banding per consumer (the localCheckpoint
     # truncates it to a scan)
