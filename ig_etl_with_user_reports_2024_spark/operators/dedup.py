@@ -938,9 +938,14 @@ def repeated_span_profile(
     for j in range(1, k):
         gram_parts += [F.lit(" "), F.lead("word", j).over(w)]
     # F.concat propagates NULL: the last k-1 positions of each doc have
-    # no full k-gram and get gh = NULL (never counted, never anchors)
-    g2 = tok.withColumn(
-        "gh", F.md5(F.encode(F.concat(*gram_parts), "UTF-8"))
+    # no full k-gram and get gh = NULL (never counted, never anchors).
+    # Pinned: this subtree (posexplode + per-doc lead window + one md5
+    # per anchor) is the plan's most expensive stage and fans out to
+    # THREE consumers (dup counts, the anchor join, flagged) — without
+    # the pin it recomputes per consumer, against the module's
+    # shared-intermediate convention (ADVICE r7).
+    g2 = pin_bounded(
+        tok.withColumn("gh", F.md5(F.encode(F.concat(*gram_parts), "UTF-8")))
     )
     dup = (
         g2.filter(F.col("gh").isNotNull())

@@ -223,7 +223,15 @@ def rf10_diag(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_row(exact, approx, ["q_id", "n_id"], floor=0.8)
 
 
-@query("rf10_ivfpq_recall", _floor_oracle(0.8))
+@query(
+    "rf10_ivfpq_recall",
+    _floor_oracle(0.8),
+    # rf10_diag sizes the refine shortlist from a .count() of the raw
+    # embeddings table at CONSTRUCTION time (parquet-footer-cheap, but
+    # still a Spark job) — declare it so timing harnesses start the
+    # clock before fn, per the lazy-builder contract (ADVICE r7).
+    eager=True,
+)
 def rf10_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """recall@5 of IVF-PQ + exact refine (ann5's operator, refine=100)
     vs brute force on the CLUSTERED fixture

@@ -93,12 +93,15 @@ _SINK_NAMES: list[str] = []
 _MAX_SINKS = 8
 
 # Observational: the final micro-batch's state-store metrics
-# (stateOperators: numRowsTotal / memoryUsedBytes / …) of the most
-# recent run per sink prefix, so scale probes can report state GROWTH
+# (stateOperators: numRowsTotal / memoryUsedBytes / …) keyed by the
+# run's FULL unique sink name, so scale probes can report state GROWTH
 # vs stream growth without re-instrumenting every query
 # (VERDICT r6 "Next round" #5). AvailableNow runs are finished before
 # the capture reads recentProgress — no race with a live query.
+# FIFO-capped alongside _SINK_NAMES so bench loops don't accumulate
+# every past run's metrics (insertion-ordered dict → oldest first).
 LAST_STATE_METRICS: dict[str, list] = {}
+_MAX_STATE_METRICS = 2 * _MAX_SINKS
 
 
 def _run_to_memory_sink(
@@ -145,15 +148,23 @@ def _run_to_memory_sink(
             .start()
         )
         q.awaitTermination()
+        # keyed by the FULL unique sink name (counter-suffixed), never
+        # the rstrip'd prefix: two queries sharing a prefix family, or
+        # concurrent runs in one session, must not overwrite each
+        # other's metrics — the state probe's identity-based change
+        # detection depends on each run landing under a fresh key
+        # (ADVICE r7).
         try:
             progs = [
                 p for p in q.recentProgress if p and p.get("stateOperators")
             ]
-            LAST_STATE_METRICS[prefix.rstrip("_")] = (
+            LAST_STATE_METRICS[name] = (
                 progs[-1]["stateOperators"] if progs else []
             )
         except Exception:  # noqa: BLE001 — metrics capture is best-effort
-            LAST_STATE_METRICS[prefix.rstrip("_")] = []
+            LAST_STATE_METRICS[name] = []
+        while len(LAST_STATE_METRICS) > _MAX_STATE_METRICS:
+            LAST_STATE_METRICS.pop(next(iter(LAST_STATE_METRICS)))
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
     return spark.table(name)
