@@ -37,6 +37,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators import packing as pk
+from ..operators import sampling
+from ..operators import textops as tx
 from ..operators.sampling import hash_split, sql_hash_split
 from ..sources.readers import load_table
 
@@ -170,4 +173,108 @@ def cm1_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cluster_id",
             "quality_score",
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# CP1 — the packed, shuffled, mixed TRAINING CORPUS derived from the
+# manifest's keep set: the pipeline's actual deliverable.
+# ---------------------------------------------------------------------------
+
+_CP1_SQL = f"""
+    WITH cm AS ({{cm1}}),
+    kept AS (
+        SELECT d.doc_id, d.source, d.text
+        FROM documents d JOIN cm ON d.doc_id = cm.doc_id
+        WHERE cm.action = 'keep'
+    ),
+    mix AS ({{mix}}),
+    adm AS (SELECT doc, source, n_tokens FROM mix WHERE kept),
+    shuf AS ({{shuf}}),
+    cj AS (
+        SELECT s.doc, a.source, a.n_tokens, s.pos, s.shard
+        FROM shuf s JOIN adm a ON s.doc = a.doc
+    )
+    {{pack}}
+"""
+
+
+@query(
+    "cp1_curated_corpus",
+    _CP1_SQL.format(
+        # cm1's registered oracle verbatim (it is registered earlier in
+        # THIS module, so the lookup is import-order-safe); the layout
+        # stages via the same rel-parameterized builders that define
+        # the registered mx1/ds1/dp1 oracles.
+        cm1=QUERIES["cm1_corpus_manifest"].oracle,
+        mix=star_pipeline.sql_temperature_mix("kept"),
+        shuf=star_pipeline.sql_shuffle_positions("adm", "doc"),
+        pack=star_pipeline.sql_pack_chop(
+            "cj", "pos", "doc, source, n_tokens, pos, shard"
+        ),
+    ),
+    eager=True,  # composes cm1 (CC collects at construction)
+)
+def cp1_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE end product: one row per training document of the curated,
+    mixed, shuffled, packed corpus — what a pretraining run actually
+    reads. Chains the four verified end products as ONE hash-checked
+    composition (VERDICT r7 "Next round" #1):
+
+        1. cm1's manifest → the keep set (curation: split/contamination/
+           dedup/quality cascade);
+        2. mx1's temperature mixture (α=0.5 integer token budgets per
+           source) admits kept docs lowest-hash-first until each
+           source's budget fills;
+        3. ds1's deterministic shuffle (salted-md5 order, seed 42)
+           assigns every admitted doc its training position + shard;
+        4. dp1's concat-and-chop packing (L=2048) lays the token stream
+           out in THAT shuffle order — start_off/first_seq/last_seq/
+           n_seqs are offsets into the actual training stream, not
+           doc_id order.
+
+    Output: (doc, source, n_tokens, pos, shard, start_off, first_seq,
+    last_seq, n_seqs), one row per admitted doc. The oracle nests the
+    same registered SQL the driver checks individually (cm1 verbatim;
+    mx1/ds1/dp1 via their shared rel-parameterized builders
+    sql_temperature_mix / sql_shuffle_positions / sql_pack_chop).
+
+    Scale shape — one exchange per grain, no new hot sites: the keep
+    join and the admit filter are doc_id-grain metadata joins; the mix
+    and both layout passes reuse the 16^3-bucket two-level prefix-sum
+    decompositions (no data-sized SinglePartition window anywhere —
+    operators/packing.py, operators/sampling.temperature_mix); the
+    final joins are pos-grain (unique key, skew-free by construction
+    since pos is a dense permutation)."""
+    docs = load_table(spark, sf_dir, "documents")
+    keep_ids = (
+        QUERIES["cm1_corpus_manifest"]
+        .fn(spark, sf_dir)
+        .filter(F.col("action") == "keep")
+        .select("doc_id")
+    )
+    kept = docs.join(keep_ids, "doc_id").select(
+        F.col("doc_id").alias("doc"),
+        "source",
+        F.size(tx.normalized_words(F.col("text"))).alias("n_tokens"),
+    )
+    mix = sampling.temperature_mix(
+        kept, key="doc", stratum="source", tokens_col="n_tokens",
+        beta_num=1, beta_den=2, salt="mix",
+    )
+    adm = mix.filter(F.col("kept")).select("doc", "source", "n_tokens")
+    shuf = pk.shuffle_positions(
+        adm.select("doc"), id_col="doc", seed=42, shard_size=1000
+    )
+    ordered = adm.join(shuf, "doc")
+    packed = pk.pack_offsets(
+        ordered.select("pos", "n_tokens"),
+        id_col="pos", tokens_col="n_tokens", seq_len=2048, bucket_width=256,
+    )
+    return ordered.join(
+        packed.select("pos", "start_off", "first_seq", "last_seq", "n_seqs"),
+        "pos",
+    ).select(
+        "doc", "source", "n_tokens", "pos", "shard",
+        "start_off", "first_seq", "last_seq", "n_seqs",
     )

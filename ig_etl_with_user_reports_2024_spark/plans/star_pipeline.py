@@ -1072,11 +1072,11 @@ def txt7_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id, n_words, n_chars, top_word_ratio, distinct_ratio,
            quality_score,
-           (quality_score >= 45.0 AND top_word_ratio <= 0.10
+           (quality_score >= 30.0 AND top_word_ratio <= 0.10
             AND distinct_ratio >= 0.40
             AND n_chars BETWEEN 120 AND 480) AS keep,
            concat_ws(',',
-               CASE WHEN quality_score < 45.0 THEN 'low_quality' END,
+               CASE WHEN quality_score < 30.0 THEN 'low_quality' END,
                CASE WHEN top_word_ratio > 0.10 OR distinct_ratio < 0.40
                     THEN 'repetitive' END,
                CASE WHEN n_chars < 120 OR n_chars > 480
@@ -1096,9 +1096,12 @@ def txt8_filter_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``mean word length`` here is the exact integer sum of word lengths
     (Σ count×len(word)), so every ratio is a single int/int division —
     bit-identical cross-engine with zero float accumulation. Thresholds
-    (score ≥ 45, top-word share ≤ 10%, distinct ratio ≥ 0.40, 120 ≤
+    (score ≥ 30, top-word share ≤ 10%, distinct ratio ≥ 0.40, 120 ≤
     chars ≤ 480) straddle the corpus distribution so both verdicts occur
-    at every scale factor. Token-less docs drop (explode of empty list),
+    at every scale factor — score ≥ 45 (pre-r8) kept ZERO synthetic
+    docs at every sf, which made cm1's quality arm one-sided and cp1's
+    curated corpus empty; 30 keeps 17-19% at sf0.001/0.01/0.1 with
+    sub-threshold mass on every reason code. Token-less docs drop (explode of empty list),
     matching txt7."""
     docs = load_table(spark, sf_dir, "documents")
     words = tx.normalized_words(F.col("text"))
@@ -1150,7 +1153,7 @@ def txt8_filter_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         score.alias("quality_score"),
     )
-    low_q = F.col("quality_score") < 45.0
+    low_q = F.col("quality_score") < 30.0
     rep = (F.col("top_word_ratio") > 0.10) | (F.col("distinct_ratio") < 0.40)
     bad_len = (F.col("n_chars") < 120) | (F.col("n_chars") > 480)
     return scored.select(
@@ -1522,93 +1525,65 @@ def a16_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query(
-    "dp1_sequence_packing",
-    f"""
-    WITH t AS (
-        SELECT doc_id AS doc, CAST(len({_WORDS_SQL}) AS BIGINT) AS n_tokens
-        FROM documents
-    ), nz AS (
-        SELECT * FROM t WHERE n_tokens > 0
-    ), c AS (
-        SELECT doc, n_tokens,
-               CAST(SUM(n_tokens) OVER (
-                   ORDER BY doc ROWS BETWEEN UNBOUNDED PRECEDING
+def sql_pack_chop(
+    rel: str, order_col: str = "doc", carry: str = "doc, n_tokens",
+    seq_len: int = 2048,
+) -> str:
+    """DuckDB packing arithmetic over a relation providing ``n_tokens``
+    (plus the ``carry`` columns): one global running sum in ``order_col``
+    order, chopped into ``seq_len`` sequences. ONE definition of the
+    concat-and-chop semantics, shared by dp1 (document order over the
+    whole corpus) and cp1 (training-shuffle order over the curated
+    corpus). The oracle states the single global window; the Spark twin
+    is operators/packing.pack_offsets' two-level decomposition."""
+    L = int(seq_len)
+    return f"""
+    SELECT {carry},
+           cum - n_tokens AS start_off,
+           CAST((cum - n_tokens) // {L} AS BIGINT) AS first_seq,
+           CAST((cum - 1) // {L} AS BIGINT) AS last_seq,
+           CAST((cum - 1) // {L} - (cum - n_tokens) // {L} + 1 AS BIGINT)
+               AS n_seqs
+    FROM (
+        SELECT *, CAST(SUM(n_tokens) OVER (
+                   ORDER BY {order_col} ROWS BETWEEN UNBOUNDED PRECEDING
                    AND CURRENT ROW
                ) AS BIGINT) AS cum
-        FROM nz
+        FROM {rel} WHERE n_tokens > 0
     )
-    SELECT doc, n_tokens,
-           cum - n_tokens AS start_off,
-           CAST((cum - n_tokens) // 2048 AS BIGINT) AS first_seq,
-           CAST((cum - 1) // 2048 AS BIGINT) AS last_seq,
-           CAST((cum - 1) // 2048 - (cum - n_tokens) // 2048 + 1 AS BIGINT)
-               AS n_seqs
-    FROM c
-    """,
-)
-def dp1_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Concat-and-chop sequence packing (L=2048): every document's global
-    token offset, first/last training-sequence index, and straddle count
-    — the layout pass that turns a filtered corpus into fixed-length
-    pretraining sequences.
-
-    The oracle states the semantics as ONE global running sum; the Spark
-    plan must NOT run it that way (a partitionless ordered window is an
-    Exchange SinglePartition — the whole corpus through one task). The
-    operator computes the identical numbers with a two-level prefix sum:
-    per-range-bucket windows at full width plus a broadcast of the
-    metadata-sized bucket-offset table (operators/packing.py;
-    plan shape asserted in tests/test_plans.py).
     """
-    docs = load_table(spark, sf_dir, "documents")
-    counted = docs.select(
-        F.col("doc_id").alias("doc"),
-        F.size(tx.normalized_words(F.col("text"))).alias("n_tokens"),
-    )
-    return pk.pack_offsets(
-        counted, id_col="doc", tokens_col="n_tokens", seq_len=2048,
-        bucket_width=256,
-    )
 
 
-@query(
-    "ds1_corpus_shuffle",
-    """
-    SELECT doc_id AS doc,
+def sql_shuffle_positions(
+    rel: str, id_expr: str = "doc", seed: int = 42, shard_size: int = 1000
+) -> str:
+    """DuckDB twin of operators/packing.shuffle_positions over any
+    relation: dense salted-md5 training-order position + shard. Shared
+    by ds1 (whole documents table) and cp1 (the curated admitted set)."""
+    h = f"md5('{int(seed)}|' || CAST({id_expr} AS VARCHAR))"
+    return f"""
+    SELECT {id_expr} AS doc,
            CAST(ROW_NUMBER() OVER (
-               ORDER BY md5('42|' || CAST(doc_id AS VARCHAR)), doc_id
+               ORDER BY {h}, {id_expr}
            ) - 1 AS BIGINT) AS pos,
            CAST((ROW_NUMBER() OVER (
-               ORDER BY md5('42|' || CAST(doc_id AS VARCHAR)), doc_id
-           ) - 1) // 1000 AS BIGINT) AS shard
-    FROM documents
-    """,
-)
-def ds1_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic global corpus shuffle: dense training-order position
-    (salted-md5 sort, seed 42) + 1000-doc shard assignment — the
-    reproducible-order pass that precedes packing (dp1) and sharded
-    writes. Oracle is the single global row_number; the Spark plan is
-    the decomposed form (16^prefix_chars hash-prefix buckets ×
-    per-bucket row_number + broadcast bucket offsets; default 4096,
-    parameterized so the per-bucket task size scales down at 10^12 docs) with no data-sized
-    SinglePartition exchange (operators/packing.py, asserted in
-    tests/test_packing.py)."""
-    docs = load_table(spark, sf_dir, "documents")
-    return pk.shuffle_positions(
-        docs.select(F.col("doc_id").alias("doc")), id_col="doc", seed=42,
-        shard_size=1000,
-    )
+               ORDER BY {h}, {id_expr}
+           ) - 1) // {int(shard_size)} AS BIGINT) AS shard
+    FROM {rel}
+    """
 
 
-@query(
-    "mx1_temperature_mix",
-    f"""
+def sql_temperature_mix(rel: str, id_expr: str = "doc_id") -> str:
+    """DuckDB twin of operators/sampling.temperature_mix (α=0.5,
+    β=1/2, salt 'mix') over any relation providing (``id_expr``,
+    source, text). Shared by mx1 (whole documents table) and cp1 (the
+    curated keep set). All-BIGINT keep arithmetic — see
+    mx1_temperature_mix's docstring."""
+    return f"""
     WITH t AS (
-        SELECT doc_id AS doc, source,
+        SELECT {id_expr} AS doc, source,
                CAST(len({_WORDS_SQL}) AS BIGINT) AS n_tokens
-        FROM documents
+        FROM {rel}
     ), nz AS (
         SELECT * FROM t WHERE n_tokens > 0
     ), tot AS (
@@ -1638,7 +1613,68 @@ def ds1_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT c.doc, c.source, c.n_tokens, c.cum <= b.budget AS kept
     FROM c JOIN b ON c.source = b.source
+    """
+
+
+@query(
+    "dp1_sequence_packing",
+    f"""
+    WITH t AS (
+        SELECT doc_id AS doc, CAST(len({_WORDS_SQL}) AS BIGINT) AS n_tokens
+        FROM documents
+    )
+    {sql_pack_chop('t', 'doc', 'doc, n_tokens')}
     """,
+)
+def dp1_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chop sequence packing (L=2048): every document's global
+    token offset, first/last training-sequence index, and straddle count
+    — the layout pass that turns a filtered corpus into fixed-length
+    pretraining sequences.
+
+    The oracle states the semantics as ONE global running sum; the Spark
+    plan must NOT run it that way (a partitionless ordered window is an
+    Exchange SinglePartition — the whole corpus through one task). The
+    operator computes the identical numbers with a two-level prefix sum:
+    per-range-bucket windows at full width plus a broadcast of the
+    metadata-sized bucket-offset table (operators/packing.py;
+    plan shape asserted in tests/test_plans.py).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counted = docs.select(
+        F.col("doc_id").alias("doc"),
+        F.size(tx.normalized_words(F.col("text"))).alias("n_tokens"),
+    )
+    return pk.pack_offsets(
+        counted, id_col="doc", tokens_col="n_tokens", seq_len=2048,
+        bucket_width=256,
+    )
+
+
+@query(
+    "ds1_corpus_shuffle",
+    sql_shuffle_positions("documents", "doc_id"),
+)
+def ds1_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global corpus shuffle: dense training-order position
+    (salted-md5 sort, seed 42) + 1000-doc shard assignment — the
+    reproducible-order pass that precedes packing (dp1) and sharded
+    writes. Oracle is the single global row_number; the Spark plan is
+    the decomposed form (16^prefix_chars hash-prefix buckets ×
+    per-bucket row_number + broadcast bucket offsets; default 4096,
+    parameterized so the per-bucket task size scales down at 10^12 docs) with no data-sized
+    SinglePartition exchange (operators/packing.py, asserted in
+    tests/test_packing.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return pk.shuffle_positions(
+        docs.select(F.col("doc_id").alias("doc")), id_col="doc", seed=42,
+        shard_size=1000,
+    )
+
+
+@query(
+    "mx1_temperature_mix",
+    sql_temperature_mix("documents"),
 )
 def mx1_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-weighted (α=0.5, β=1/2) training mix over the

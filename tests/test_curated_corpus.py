@@ -1,0 +1,49 @@
+"""cp1_curated_corpus contract tests beyond the oracle net: the packed
+layout must be a consistent training stream (dense positions, exact
+token prefix sums, seq indices derived from them), every corpus doc
+must be a manifest 'keep', and the quality gate feeding it must be
+non-vacuous (the pre-r8 threshold kept ZERO synthetic docs, which made
+the whole chain an empty — and therefore meaningless — hash match)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry_mod
+
+
+def test_txt8_keeps_both_verdicts(spark, sf_oracle):
+    t = entry_mod.queries()["txt8_filter_verdict"](spark, sf_oracle)
+    by = {r.keep: r.n for r in t.groupBy("keep").agg(F.count("*").alias("n")).collect()}
+    assert by.get(True, 0) > 0, "quality gate keeps nothing — cp1 is vacuous"
+    assert by.get(False, 0) > 0
+
+
+def test_cp1_is_a_consistent_training_stream(spark, sf_oracle):
+    rows = sorted(
+        entry_mod.queries()["cp1_curated_corpus"](spark, sf_oracle).collect(),
+        key=lambda r: r.pos,
+    )
+    assert rows, "curated corpus is empty"
+    # dense permutation: pos = 0..n-1, shard = pos // 1000
+    assert [r.pos for r in rows] == list(range(len(rows)))
+    assert all(r.shard == r.pos // 1000 for r in rows)
+    # exact prefix sums in shuffle order, and seq indices derived from them
+    cum = 0
+    for r in rows:
+        assert r.n_tokens > 0
+        assert r.start_off == cum
+        cum += r.n_tokens
+        assert r.first_seq == r.start_off // 2048
+        assert r.last_seq == (cum - 1) // 2048
+        assert r.n_seqs == r.last_seq - r.first_seq + 1 >= 1
+    # provenance: every admitted doc is a manifest 'keep'
+    keeps = {
+        r.doc_id
+        for r in entry_mod.queries()["cm1_corpus_manifest"](spark, sf_oracle)
+        .filter(F.col("action") == "keep")
+        .collect()
+    }
+    assert {r.doc for r in rows} <= keeps
+    # the mixture is a real cut: not every keep survives the budget
+    assert len(rows) < len(keeps)
