@@ -50,6 +50,13 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+# public names for plans that need the guarded pieces (e.g. ii4's
+# NULL-safe re-rank wraps the dot/norms in its own CASE) — same folds,
+# so cross-engine bit-exactness arguments carry over unchanged
+dot = _dot
+norm = _norm
+
+
 def cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,

@@ -1845,11 +1845,61 @@ _BM25_VALUES_SQL = ", ".join(
 
 
 
-def _bm25_topk(spark: SparkSession, sf_dir: str, log_idf: bool) -> DataFrame:
-    """Shared BM25 machinery behind ii2 (pre-log RSJ idf ratio) and ii3
-    (true ln idf): broadcast term-dim prune before the (token, doc)
-    count, dl carried through the explode, pinned tf relation,
-    canonical token-order score fold, top-5 window per query.
+def _bm25_sql(log_idf: bool, k: int = 5, with_score: bool = True) -> str:
+    """DuckDB twin of :func:`_bm25_topk` — ONE definition of the BM25
+    oracle text, shared by ii2 (pre-log ratio idf, with score), ii3
+    (ln idf, rank only), and ii4's candidate stage (ln idf, top-50)."""
+    idf = "((t.n_docs - d.doc_freq + 0.5) / (d.doc_freq + 0.5))"
+    if log_idf:
+        idf = f"ln{idf}"
+    score_col = ",\n           score" if with_score else ""
+    return f"""
+    WITH qterms(query_id, token) AS (VALUES {_BM25_VALUES_SQL}),
+    ws AS (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents),
+    dl AS (SELECT doc_id, len(ws) AS dl FROM ws),
+    tot AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_len FROM dl),
+    tok AS (SELECT doc_id, unnest(ws) AS token FROM ws),
+    tf AS (
+        SELECT token, doc_id, COUNT(*) AS tf
+        FROM tok JOIN (SELECT DISTINCT token FROM qterms) t USING (token)
+        GROUP BY token, doc_id
+    ),
+    dfreq AS (SELECT token, COUNT(*) AS doc_freq FROM tf GROUP BY token),
+    scored AS (
+        SELECT q.query_id, f.doc_id, q.token,
+               {idf}
+               * ((CAST(f.tf AS DOUBLE) * 2.2)
+                  / (f.tf + 1.2 * (0.25 + 0.75 * (CAST(l.dl AS DOUBLE)
+                     / (CAST(t.total_len AS DOUBLE) / t.n_docs))))) AS ts
+        FROM qterms q
+        JOIN tf f USING (token)
+        JOIN dfreq d USING (token)
+        JOIN dl l ON f.doc_id = l.doc_id
+        CROSS JOIN tot t
+    ),
+    agg AS (
+        SELECT query_id, doc_id,
+               list_reduce(list_transform(
+                   list_sort(list(struct_pack(token := token, s := ts))),
+                   x -> x.s), (a, b) -> a + b) AS score
+        FROM scored GROUP BY query_id, doc_id
+    )
+    SELECT query_id, doc_id,
+           CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, doc_id
+           ) AS INT) AS "rank"{score_col}
+    FROM agg QUALIFY "rank" <= {int(k)}
+    """
+
+
+def _bm25_topk(
+    spark: SparkSession, sf_dir: str, log_idf: bool, k: int = 5
+) -> DataFrame:
+    """Shared BM25 machinery behind ii2 (pre-log RSJ idf ratio), ii3
+    (true ln idf), and ii4's candidate stage (ln idf, k=50): broadcast
+    term-dim prune before the (token, doc) count, dl carried through
+    the explode, pinned tf relation, canonical token-order score fold,
+    top-k window per query.
     Returns (query_id, doc_id, rank, score)."""
     docs = load_table(spark, sf_dir, "documents")
     qterms = spark.createDataFrame(
@@ -1910,51 +1960,14 @@ def _bm25_topk(spark: SparkSession, sf_dir: str, log_idf: bool) -> DataFrame:
     )
     return (
         agg.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= 5)
+        .filter(F.col("rank") <= int(k))
         .select("query_id", "doc_id", "rank", "score")
     )
 
 
 @query(
     "ii2_bm25_topk",
-    f"""
-    WITH qterms(query_id, token) AS (VALUES {_BM25_VALUES_SQL}),
-    ws AS (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents),
-    dl AS (SELECT doc_id, len(ws) AS dl FROM ws),
-    tot AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_len FROM dl),
-    tok AS (SELECT doc_id, unnest(ws) AS token FROM ws),
-    tf AS (
-        SELECT token, doc_id, COUNT(*) AS tf
-        FROM tok JOIN (SELECT DISTINCT token FROM qterms) t USING (token)
-        GROUP BY token, doc_id
-    ),
-    dfreq AS (SELECT token, COUNT(*) AS doc_freq FROM tf GROUP BY token),
-    scored AS (
-        SELECT q.query_id, f.doc_id, q.token,
-               ((t.n_docs - d.doc_freq + 0.5) / (d.doc_freq + 0.5))
-               * ((CAST(f.tf AS DOUBLE) * 2.2)
-                  / (f.tf + 1.2 * (0.25 + 0.75 * (CAST(l.dl AS DOUBLE)
-                     / (CAST(t.total_len AS DOUBLE) / t.n_docs))))) AS ts
-        FROM qterms q
-        JOIN tf f USING (token)
-        JOIN dfreq d USING (token)
-        JOIN dl l ON f.doc_id = l.doc_id
-        CROSS JOIN tot t
-    ),
-    agg AS (
-        SELECT query_id, doc_id,
-               list_reduce(list_transform(
-                   list_sort(list(struct_pack(token := token, s := ts))),
-                   x -> x.s), (a, b) -> a + b) AS score
-        FROM scored GROUP BY query_id, doc_id
-    )
-    SELECT query_id, doc_id,
-           CAST(row_number() OVER (
-               PARTITION BY query_id ORDER BY score DESC, doc_id
-           ) AS INT) AS "rank",
-           score
-    FROM agg QUALIFY "rank" <= 5
-    """,
+    _bm25_sql(log_idf=False, k=5, with_score=True),
 )
 def ii2_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25-SHAPED top-5 retrieval (k1=1.2, b=0.75, pre-log RSJ idf)
@@ -1995,43 +2008,7 @@ def ii2_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ii3_bm25_log_idf",
-    f"""
-    WITH qterms(query_id, token) AS (VALUES {_BM25_VALUES_SQL}),
-    ws AS (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents),
-    dl AS (SELECT doc_id, len(ws) AS dl FROM ws),
-    tot AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_len FROM dl),
-    tok AS (SELECT doc_id, unnest(ws) AS token FROM ws),
-    tf AS (
-        SELECT token, doc_id, COUNT(*) AS tf
-        FROM tok JOIN (SELECT DISTINCT token FROM qterms) t USING (token)
-        GROUP BY token, doc_id
-    ),
-    dfreq AS (SELECT token, COUNT(*) AS doc_freq FROM tf GROUP BY token),
-    scored AS (
-        SELECT q.query_id, f.doc_id, q.token,
-               ln((t.n_docs - d.doc_freq + 0.5) / (d.doc_freq + 0.5))
-               * ((CAST(f.tf AS DOUBLE) * 2.2)
-                  / (f.tf + 1.2 * (0.25 + 0.75 * (CAST(l.dl AS DOUBLE)
-                     / (CAST(t.total_len AS DOUBLE) / t.n_docs))))) AS ts
-        FROM qterms q
-        JOIN tf f USING (token)
-        JOIN dfreq d USING (token)
-        JOIN dl l ON f.doc_id = l.doc_id
-        CROSS JOIN tot t
-    ),
-    agg AS (
-        SELECT query_id, doc_id,
-               list_reduce(list_transform(
-                   list_sort(list(struct_pack(token := token, s := ts))),
-                   x -> x.s), (a, b) -> a + b) AS score
-        FROM scored GROUP BY query_id, doc_id
-    )
-    SELECT query_id, doc_id,
-           CAST(row_number() OVER (
-               PARTITION BY query_id ORDER BY score DESC, doc_id
-           ) AS INT) AS "rank"
-    FROM agg QUALIFY "rank" <= 5
-    """,
+    _bm25_sql(log_idf=True, k=5, with_score=False),
 )
 def ii3_bm25_log_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TRUE BM25 top-5 (k1=1.2, b=0.75, Robertson-Spärck Jones log idf
@@ -2056,6 +2033,129 @@ def ii3_bm25_log_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
     carried dl, pinned tf relation, canonical token-order score fold);
     only the idf transform differs."""
     return _bm25_topk(spark, sf_dir, log_idf=True).drop("score")
+
+
+@query(
+    "ii4_prf_rerank",
+    f"""
+    WITH cand AS ({_bm25_sql(log_idf=True, k=50, with_score=False)}),
+    emb AS (SELECT vec_id AS doc_id, embedding FROM embeddings),
+    fb AS (
+        SELECT c.query_id, c.doc_id, e.embedding
+        FROM cand c JOIN emb e USING (doc_id) WHERE c."rank" <= 5
+    ),
+    fbl AS (
+        SELECT query_id,
+               list_sort(list(struct_pack(doc_id := doc_id,
+                                          v := embedding))) AS fbv
+        FROM fb GROUP BY query_id
+    ),
+    cent AS (
+        SELECT query_id,
+               list_transform(generate_series(1, len(fbv[1].v)),
+                   i -> list_reduce(list_prepend(0.0, list_transform(fbv,
+                            s -> CAST(s.v[i] AS DOUBLE))), (x, y) -> x + y)
+                        / len(fbv)) AS c_vec
+        FROM fbl
+    ),
+    rr AS (
+        SELECT c.query_id, c.doc_id, c."rank" AS bm25_rank,
+               CASE WHEN {_NORM_SQL.format(a='n.c_vec')} > 0
+                     AND {_NORM_SQL.format(a='e.embedding')} > 0
+                    THEN {_DOT_SQL.format(a='n.c_vec', b='e.embedding')}
+                         / ({_NORM_SQL.format(a='n.c_vec')}
+                            * {_NORM_SQL.format(a='e.embedding')})
+               END AS prf_cos
+        FROM cand c
+        LEFT JOIN emb e USING (doc_id)
+        LEFT JOIN cent n USING (query_id)
+    )
+    SELECT query_id, doc_id, bm25_rank, prf_cos,
+           CAST(row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY prf_cos DESC NULLS LAST, bm25_rank, doc_id
+           ) AS INT) AS rank
+    FROM rr
+    """,
+)
+def ii4_prf_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+embedding retrieval via Rocchio pseudo-relevance
+    feedback — the RAG-serving composition (HANDOFF_r08 / VERDICT r7
+    "Next round" #3): per query, ii3's TRUE-BM25 ranking supplies the
+    top-50 candidates, the centroid of the top-5's embeddings is the
+    feedback vector, and the candidates are re-ranked by cosine to that
+    centroid. Output (query_id, doc_id, bm25_rank, prf_cos, rank), one
+    row per surviving candidate.
+
+    Exactness: the BM25 stage contributes only RANKS (discrete — the
+    ii3 ln-ulp argument); everything downstream is deterministic IEEE
+    arithmetic with pinned fold orders, so prf_cos is hash-exact: the
+    centroid folds each component over the feedback vectors in doc_id
+    order with an explicit 0.0 seed (list_prepend / F.aggregate init —
+    same bracketing both engines), and dot/norms are the ann1
+    left-to-right folds. Candidates without an embedding row (the
+    driver's sf0.1 has vectors for 2000 of 5000 docs) or with a
+    zero-norm vector get prf_cos = NULL and fall to the BOTTOM in
+    original BM25 order (DESC NULLS LAST, bm25_rank, doc_id) — the
+    serving behavior you want when the ANN index lags the corpus.
+
+    Scale shape: the candidate join carries (query_id, doc_id, rank) —
+    never full vectors; embeddings attach only to candidate rows
+    (≤ 50 × |Q|) via a doc_id-grain join, and the per-query feedback
+    collect is ≤ 5 bounded vectors (the HOF centroid fold runs on
+    |Q| rows, not the corpus). One window per query partition for the
+    final rank, same as ii2/ii3."""
+    cand = dd.pin_bounded(_bm25_topk(spark, sf_dir, log_idf=True, k=50))
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    fb = (
+        cand.filter(F.col("rank") <= 5)
+        .select("query_id", "doc_id")
+        .join(emb, "doc_id")
+    )
+    fbl = fb.groupBy("query_id").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col("doc_id"), F.col("embedding").alias("v"))
+            )
+        ).alias("fbv")
+    )
+    cent = fbl.select(
+        "query_id",
+        F.transform(
+            F.sequence(F.lit(1), F.size(F.element_at(F.col("fbv"), 1)["v"])),
+            lambda i: F.aggregate(
+                F.col("fbv"),
+                F.lit(0.0),
+                lambda acc, s: acc + F.element_at(s["v"], i).cast("double"),
+            )
+            / F.size(F.col("fbv")),
+        ).alias("c_vec"),
+    )
+    c_norm = sim.norm(F.col("c_vec"))
+    e_norm = sim.norm(F.col("embedding"))
+    rr = (
+        cand.withColumnRenamed("rank", "bm25_rank")
+        .join(emb, "doc_id", "left")
+        .join(cent, "query_id", "left")
+        .select(
+            "query_id",
+            "doc_id",
+            "bm25_rank",
+            F.when(
+                (c_norm > 0) & (e_norm > 0),
+                sim.dot(F.col("c_vec"), F.col("embedding"))
+                / (c_norm * e_norm),
+            ).alias("prf_cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("prf_cos").desc_nulls_last(),
+        F.col("bm25_rank").asc(),
+        F.col("doc_id").asc(),
+    )
+    return rr.withColumn("rank", F.row_number().over(w).cast("int"))
 
 
 # ---------------------------------------------------------------------------

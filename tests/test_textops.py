@@ -127,6 +127,30 @@ def test_ii3_bm25_scores_match_duckdb_within_tolerance(spark, sf_oracle):
         )
 
 
+def test_ii4_rerank_moves_and_orders(spark, sf_oracle):
+    """ii4's PRF re-rank must be a real permutation of the BM25 order
+    (a centroid that never moves anything means the feedback vector is
+    degenerate or the cosine is constant), with dense per-query ranks
+    and NULL prf_cos rows at the bottom in BM25 order."""
+    import __spark_entry__ as em
+
+    rows = em.queries()["ii4_prf_rerank"](spark, sf_oracle).collect()
+    assert rows
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    moved = 0
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        # NULLs (no embedding / zero norm) are a suffix, in BM25 order
+        tail = [r for r in rs if r.prf_cos is None]
+        assert rs[len(rs) - len(tail):] == tail
+        assert [r.bm25_rank for r in tail] == sorted(r.bm25_rank for r in tail)
+        moved += sum(1 for r in rs if r.rank != r.bm25_rank)
+    assert moved > 0
+
+
 def test_txt9_surprisal_scores_match_duckdb_within_tolerance(spark, sf_oracle):
     """txt9's driver oracle checks ranks only (ln is libm-dependent);
     this pins the per-doc mean surprisal cross-engine at 1e-9 relative
