@@ -1293,6 +1293,257 @@ def txt9_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ngram_structs(n: int):
+    """Array<struct> of word n-grams with their 1-based position, from a
+    ``ws`` token-array column — the txt9 pattern generalized."""
+    fields = "".join(f",w{j}:string" for j in range(1, n + 1))
+
+    def at(i, j):
+        return F.element_at(F.col("ws"), i + (j - 1)).alias(f"w{j}")
+
+    return F.when(
+        F.size("ws") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size("ws") - (n - 1)),
+            lambda i: F.struct(
+                i.alias("pos"), *[at(i, j) for j in range(1, n + 1)]
+            ),
+        ),
+    ).otherwise(F.array().cast(f"array<struct<pos:int{fields}>>"))
+
+
+def _trigram_surprisal_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, ms, n_tri, n_bo2, n_bo1, n_oov) — per-EVAL-doc mean
+    trigram surprisal under stupid backoff against TRAIN-only counts;
+    split out so tests can pin the scores cross-engine (the catalog
+    entry exposes ranks + the integer backoff tallies)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = sampling.hash_split(
+        docs.select(
+            "doc_id", dd.normalized_words(F.col("text")).alias("ws")
+        ),
+        key="doc_id",
+    )
+    train = words.filter(F.col("split") == "train")
+    # TRAIN count tables (the LM): trigram, bigram, unigram + their
+    # context rollups — ctx tables derive from the count tables
+    # (vocab-sized), never from a second corpus scan.
+    tri_t = train.select(F.explode(_ngram_structs(3)).alias("g")).select(
+        "g.w1", "g.w2", "g.w3"
+    )
+    c3 = tri_t.groupBy("w1", "w2", "w3").agg(F.count("*").alias("c3"))
+    c3 = dd.pin_bounded(c3)
+    ctx2 = c3.groupBy("w1", "w2").agg(F.sum("c3").alias("ctx2"))
+    bi_t = train.select(F.explode(_ngram_structs(2)).alias("g")).select(
+        F.col("g.w1").alias("a"), F.col("g.w2").alias("b")
+    )
+    c2 = bi_t.groupBy("a", "b").agg(F.count("*").alias("c2"))
+    c2 = dd.pin_bounded(c2)
+    # ctx1 derives from c2 — rename its key so the scored plan's two
+    # joins (c2 on (a, b), ctx1 on the same first word) stay unambiguous
+    ctx1 = (
+        c2.groupBy("a")
+        .agg(F.sum("c2").alias("ctx1"))
+        .withColumnRenamed("a", "ca")
+    )
+    uni_t = train.select(F.explode("ws").alias("w"))
+    c1 = dd.pin_bounded(uni_t.groupBy("w").agg(F.count("*").alias("c1")))
+    ntok = c1.agg(F.sum("c1").alias("n_tok"))
+    # EVAL trigrams scored against the train LM
+    ev = (
+        words.filter(F.col("split") != "train")
+        .select("doc_id", F.explode(_ngram_structs(3)).alias("g"))
+        .select("doc_id", "g.pos", "g.w1", "g.w2", "g.w3")
+    )
+    p = (
+        F.when(
+            F.col("c3").isNotNull(),
+            F.col("c3").cast("double") / F.col("ctx2"),
+        )
+        .when(
+            F.col("c2").isNotNull(),
+            F.lit(0.4) * F.col("c2").cast("double") / F.col("ctx1"),
+        )
+        .when(
+            F.col("c1").isNotNull(),
+            F.lit(0.4) * F.lit(0.4) * F.col("c1").cast("double")
+            / F.col("n_tok"),
+        )
+        .otherwise(
+            F.lit(0.4) * F.lit(0.4) * F.lit(0.4) / F.col("n_tok")
+        )
+    )
+    lvl = (
+        F.when(F.col("c3").isNotNull(), F.lit(0))
+        .when(F.col("c2").isNotNull(), F.lit(1))
+        .when(F.col("c1").isNotNull(), F.lit(2))
+        .otherwise(F.lit(3))
+    )
+    scored = (
+        ev.join(c3, ["w1", "w2", "w3"], "left")
+        .join(ctx2, ["w1", "w2"], "left")
+        .join(
+            c2,
+            (F.col("w2") == F.col("a")) & (F.col("w3") == F.col("b")),
+            "left",
+        )
+        .join(ctx1, F.col("w2") == F.col("ca"), "left")
+        .join(c1, F.col("w3") == F.col("w"), "left")
+        .crossJoin(F.broadcast(ntok))
+        .select("doc_id", "pos", (-F.log(p)).alias("s"), lvl.alias("lvl"))
+    )
+    return scored.groupBy("doc_id").agg(
+        (
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("s")))
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x["s"],
+            )
+            / F.count("*")
+        ).alias("ms"),
+        F.count("*").cast("bigint").alias("n_tri"),
+        F.sum((F.col("lvl") == 1).cast("bigint")).alias("n_bo2"),
+        F.sum((F.col("lvl") == 2).cast("bigint")).alias("n_bo1"),
+        F.sum((F.col("lvl") == 3).cast("bigint")).alias("n_oov"),
+    )
+
+
+_TXT10_SPLIT = sql_hash_split("doc_id")
+
+_TXT10_SCORES_SQL = f"""
+    WITH ws0 AS (
+        SELECT doc_id, {_WORDS_SQL} AS ws, {_TXT10_SPLIT} AS split
+        FROM documents
+    ), tri_t AS (
+        SELECT ws[pos] AS w1, ws[pos + 1] AS w2, ws[pos + 2] AS w3
+        FROM (
+            SELECT ws, unnest(generate_series(1, greatest(len(ws) - 2, 0)))
+                       AS pos
+            FROM ws0 WHERE split = 'train'
+        )
+    ), c3 AS (
+        SELECT w1, w2, w3, COUNT(*) AS c3 FROM tri_t GROUP BY w1, w2, w3
+    ), ctx2 AS (
+        SELECT w1, w2, CAST(SUM(c3) AS BIGINT) AS ctx2 FROM c3 GROUP BY w1, w2
+    ), bi_t AS (
+        SELECT ws[pos] AS a, ws[pos + 1] AS b
+        FROM (
+            SELECT ws, unnest(generate_series(1, greatest(len(ws) - 1, 0)))
+                       AS pos
+            FROM ws0 WHERE split = 'train'
+        )
+    ), c2 AS (
+        SELECT a, b, COUNT(*) AS c2 FROM bi_t GROUP BY a, b
+    ), ctx1 AS (
+        SELECT a, CAST(SUM(c2) AS BIGINT) AS ctx1 FROM c2 GROUP BY a
+    ), c1 AS (
+        SELECT w, COUNT(*) AS c1
+        FROM (SELECT unnest(ws) AS w FROM ws0 WHERE split = 'train')
+        GROUP BY w
+    ), ntok AS (SELECT CAST(SUM(c1) AS BIGINT) AS n_tok FROM c1),
+    ev AS (
+        SELECT doc_id, pos, ws[pos] AS w1, ws[pos + 1] AS w2,
+               ws[pos + 2] AS w3
+        FROM (
+            SELECT doc_id, ws,
+                   unnest(generate_series(1, greatest(len(ws) - 2, 0)))
+                       AS pos
+            FROM ws0 WHERE split <> 'train'
+        )
+    ), scored AS (
+        SELECT e.doc_id, e.pos,
+               -ln(CASE
+                   WHEN c3.c3 IS NOT NULL
+                       THEN CAST(c3.c3 AS DOUBLE) / ctx2.ctx2
+                   WHEN c2.c2 IS NOT NULL
+                       THEN 0.4 * CAST(c2.c2 AS DOUBLE) / ctx1.ctx1
+                   WHEN c1.c1 IS NOT NULL
+                       THEN 0.4 * 0.4 * CAST(c1.c1 AS DOUBLE) / t.n_tok
+                   ELSE 0.4 * 0.4 * 0.4 / t.n_tok
+               END) AS s,
+               CASE WHEN c3.c3 IS NOT NULL THEN 0
+                    WHEN c2.c2 IS NOT NULL THEN 1
+                    WHEN c1.c1 IS NOT NULL THEN 2
+                    ELSE 3 END AS lvl
+        FROM ev e
+        LEFT JOIN c3 ON e.w1 = c3.w1 AND e.w2 = c3.w2 AND e.w3 = c3.w3
+        LEFT JOIN ctx2 ON e.w1 = ctx2.w1 AND e.w2 = ctx2.w2
+        LEFT JOIN c2 ON e.w2 = c2.a AND e.w3 = c2.b
+        LEFT JOIN ctx1 ON e.w2 = ctx1.a
+        LEFT JOIN c1 ON e.w3 = c1.w
+        CROSS JOIN ntok t
+    ), agg AS (
+        SELECT doc_id,
+               list_reduce(list_transform(
+                   list_sort(list(struct_pack(p := pos, s := s))),
+                   x -> x.s), (a, b) -> a + b) / COUNT(*) AS ms,
+               CAST(COUNT(*) AS BIGINT) AS n_tri,
+               CAST(SUM(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_bo2,
+               CAST(SUM(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_bo1,
+               CAST(SUM(CASE WHEN lvl = 3 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_oov
+        FROM scored GROUP BY doc_id
+    )
+"""
+
+
+@query(
+    "txt10_trigram_surprisal",
+    _TXT10_SCORES_SQL
+    + """
+    SELECT doc_id, rank, n_tri, n_bo2, n_bo1, n_oov FROM (
+        SELECT doc_id, CAST(row_number() OVER (
+            ORDER BY ms DESC, doc_id ASC
+        ) AS INT) AS rank, n_tri, n_bo2, n_bo1, n_oov
+        FROM agg
+    ) WHERE rank <= 20
+    """,
+)
+def txt10_trigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 20 most surprising HELD-OUT documents under a TRAIN-only
+    trigram LM with stupid backoff (Brants et al. 2007) — txt9's recipe
+    at trigram depth where backoff is REAL: scoring a corpus against
+    its own counts (txt9) never backs off (every doc n-gram has count
+    >= 1 by construction); here the sp1 hash split (salt 'split',
+    80/10/10) builds the count tables from the train split only and
+    scores the val+test docs, so unseen trigrams actually fall through
+    the cascade:
+
+        P(w3|w1,w2) = c3/ctx2            if the trigram was seen,
+                    = 0.4  · c2/ctx1     else if the (w2,w3) bigram was,
+                    = 0.4² · c1/N        else if w3 was,
+                    = 0.4³ · 1/N         else (OOV floor — ln stays
+                                          finite for every eval token).
+
+    Output per ranked doc: (doc_id, rank, n_tri, n_bo2, n_bo1, n_oov)
+    — the backoff tallies are exact integers, so beyond the ln-safe
+    ranking (the txt9/ii3 argument; score parity pinned at 1e-9 in
+    tests/test_textops.py) the driver hash also checks HOW OFTEN each
+    backoff level fired per document.
+
+    Scale shape: three train-side explodes build the LM count tables
+    (map-side combined; vocabulary-sized — these ARE the LM at 100 TB),
+    context denominators roll up from the count tables rather than
+    re-scanning the corpus, the eval stream joins the counts on their
+    natural keys (AQE broadcasts them at test scale), the per-doc mean
+    folds in position order, and the top-20 is TakeOrderedAndProject."""
+    agg = _trigram_surprisal_scores(spark, sf_dir)
+    top = agg.orderBy(F.col("ms").desc(), F.col("doc_id").asc()).limit(20)
+    w = Window.orderBy(F.col("ms").desc(), F.col("doc_id").asc())
+    return top.select(
+        "doc_id",
+        F.row_number().over(w).cast("int").alias("rank"),
+        "n_tri",
+        "n_bo2",
+        "n_bo1",
+        "n_oov",
+    )
+
+
 @query(
     "ii1_inverted_index",
     f"""

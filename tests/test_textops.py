@@ -151,6 +151,41 @@ def test_ii4_rerank_moves_and_orders(spark, sf_oracle):
     assert moved > 0
 
 
+def test_txt10_backoff_fires_and_scores_match_duckdb(spark, sf_oracle):
+    """txt10's driver oracle checks ranks + integer backoff tallies;
+    this pins (a) that the train-only counts make stupid backoff REAL
+    (a self-scored corpus never backs off — the whole point of the
+    split, HANDOFF_r08) and (b) the ln-based scores cross-engine at
+    1e-9 relative tolerance."""
+    from tools.oracle_check import duck_connect
+
+    from ig_etl_with_user_reports_2024_spark.plans.star_pipeline import (
+        _TXT10_SCORES_SQL,
+        _trigram_surprisal_scores,
+    )
+
+    rows = _trigram_surprisal_scores(spark, sf_oracle).collect()
+    assert rows
+    assert sum(r.n_bo2 + r.n_bo1 + r.n_oov for r in rows) > 0
+    sp = {r.doc_id: r.ms for r in rows}
+    con = duck_connect(sf_oracle)
+    try:
+        du = dict(
+            con.execute(
+                _TXT10_SCORES_SQL + "SELECT doc_id, ms FROM agg"
+            ).fetchall()
+        )
+    finally:
+        con.close()
+    assert set(sp) == set(du)
+    for key, s_val in sp.items():
+        assert abs(s_val - du[key]) <= 1e-9 * max(abs(s_val), abs(du[key])), (
+            key,
+            s_val,
+            du[key],
+        )
+
+
 def test_txt9_surprisal_scores_match_duckdb_within_tolerance(spark, sf_oracle):
     """txt9's driver oracle checks ranks only (ln is libm-dependent);
     this pins the per-doc mean surprisal cross-engine at 1e-9 relative
