@@ -225,6 +225,14 @@ def streaming_dedup_keys(
     return _run_to_memory_sink(spark, deduped, "dedup_", "append")
 
 
+# Extra file-source options applied by _events_stream — empty in
+# normal operation. Probes set e.g. {"maxFilesPerTrigger": "1"} so an
+# AvailableNow run processes chunk files as SEPARATE micro-batches and
+# the watermark actually advances between them (one big batch never
+# purges state mid-run, so purge behavior would be unobservable).
+STREAM_OPTIONS: dict[str, str] = {}
+
+
 def _events_stream(spark: SparkSession, events_path: str) -> DataFrame:
     """readStream over the events parquet — the shared source block of
     the streaming family, handling BOTH layouts: a single file (the
@@ -240,13 +248,17 @@ def _events_stream(spark: SparkSession, events_path: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     batch_df = spark.read.parquet(events_path)
     if os.path.isdir(events_path):
-        stream = spark.readStream.schema(batch_df.schema).parquet(events_path)
+        reader = spark.readStream.schema(batch_df.schema)
+        for k, v in STREAM_OPTIONS.items():
+            reader = reader.option(k, v)
+        stream = reader.parquet(events_path)
     else:
-        stream = (
-            spark.readStream.schema(batch_df.schema)
-            .option("pathGlobFilter", os.path.basename(events_path))
-            .parquet(os.path.dirname(events_path))
+        reader = spark.readStream.schema(batch_df.schema).option(
+            "pathGlobFilter", os.path.basename(events_path)
         )
+        for k, v in STREAM_OPTIONS.items():
+            reader = reader.option(k, v)
+        stream = reader.parquet(os.path.dirname(events_path))
     if dict(stream.dtypes)["ts"] == "bigint":
         stream = stream.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
