@@ -48,73 +48,79 @@ from ig_etl_with_user_reports_2024_spark.plans import star_manifest  # noqa: F40
 # query's latest verdict should ever lag the catalog by more than
 # ceil(catalog_size / 50) rounds. Deliberate overflow = the youngest
 # verdicts — the strongest standing signals are the cheapest to defer.
+# NO-ORACLE EXEMPTION (VERDICT r7 "What's wrong" #3): entries whose
+# driver verdict can never change (mm2_frame_sample, a8_approx_distinct,
+# ro2_sketch_rollup — `no_oracle` by design, each floored by an rf gate
+# and twinned by a hash-checked exact sibling) are EXCLUDED from the
+# rotation so their slots go to hash-checkable queries; their rf floors
+# are the refreshable signal.
 #
-# Round-7 window: (0) the 8 new/changed entries — dd12 (new
-# repeated-substring dedup), dd11 (digest coalesced NULL-safe — oracle
-# text changed), cm1 (recomposed on shared digest/shingle
-# intermediates — plan changed, oracle unchanged), st10 (oracle ORDER
-# BY totalized), rf1/rf10 (re-floored 0.9/0.8 on the clustered
-# fixture — oracle literals changed), zo1/zo2 (greatest(span,1)
-# division guards in both engines); (a) the 42 queries whose latest
-# driver verdict predates r5: ro2 (r3), then the 41 r4-era verdicts.
-# 8 + 42 = 50 exactly. dc2's r7 refactor is pure function extraction
-# (plan-identical, re-proved exact by the local gate) and its r6
-# verdict is fresh, so it stays in overflow along with everything
-# r5/r6-green and untouched.
+# Round-8 window: (0) the 14 new/changed entries — cp1 (NEW: the
+# curated-corpus end product), ii4 (NEW: PRF hybrid retrieval), txt10
+# (NEW: train-only trigram surprisal), txt8 (quality threshold 45→30,
+# both engines — the old gate kept zero synthetic docs), cm1 (plan:
+# skew-safe digest stage; oracle: nests txt8's new text), dd8/dd10/dd11
+# (plan: cluster_size + digest stage de-windowed via salted joins),
+# dd12 (plan: the g2 subtree pinned), ii2/ii3 (oracle re-emitted via
+# the shared _bm25_sql builder), dp1/ds1/mx1 (oracle re-emitted via the
+# shared rel-parameterized builders); then (a) the 36 remaining r5-era
+# verdicts, catalog order. 14 + 36 = 50 exactly. rf10 (eager flag
+# only), st5/st10 (metrics-capture keying only) and dc2 are result- and
+# plan-identical with fresh verdicts — overflow.
 _DRIVER_PRIORITY = [
-    # (0) new/changed oracle or plan in round 7 — first driver contact
-    "dd12_repeated_span_trim",
-    "dd11_staged_keep_list",
+    # (0) new/changed oracle or plan in round 8 — first driver contact
+    "cp1_curated_corpus",
+    "ii4_prf_rerank",
+    "txt10_trigram_surprisal",
+    "txt8_filter_verdict",
     "cm1_corpus_manifest",
-    "st10_streaming_upsert",
-    "rf1_lsh_topk_recall",
-    "rf10_ivfpq_recall",
-    "zo1_zorder_stats",
-    "zo2_pruning_effectiveness",
-    # (a) oldest driver verdict first: ro2 (r3) …
-    "ro2_sketch_rollup",
-    # … then the 41 r4-era verdicts, catalog order
-    "a123_er_formulas",
-    "a6_viral_count",
-    "a8_distinct_diversity",
-    "a9_platform_stats",
-    "a12_split_half_trend",
-    "a13_class_means_pivot",
-    "a14_c6_fake_score",
-    "aj1_asof_click_purchase",
-    "c2_type_tier",
-    "c3_pricing_dim",
-    "c8_account_type",
-    "c10_personality_insights",
-    "c13_sponsor_detector",
-    "dd5_embedding_neardup",
-    "f2_recent_window",
-    "fn1_user_funnel",
-    "fn2_conversion_window_funnel",
-    "k1_top6_er",
-    "k2_latest6_pivot",
-    "k3_top10_tokens",
-    "k4_c5_modal_hour",
-    "k6_priority_cascade",
-    "mm1_binary_metadata",
-    "mm4_audio_chunks",
-    "rf3_minhash_recall",
-    "rf4_simhash_recall",
-    "rf6_pq_distortion",
-    "rf7_approx_distinct_accuracy",
-    "rj1_views_before_purchase",
-    "sq3_matryoshka_truncate",
-    "st5_stateful_sessions",
-    "txt1_lang_id",
-    "txt2_quality_score",
-    "txt3_token_counts",
-    "txt4_content_fingerprint",
-    "x1_regex_extract",
-    "x2_x4_string_ops",
-    "x5_date_parts",
-    "x6_c14_age_buckets",
-    "x7_bankers_rounding",
-    "x8_struct_to_json",
+    "dd8_dedup_keep_list",
+    "dd10_keep_list_banded",
+    "dd11_staged_keep_list",
+    "dd12_repeated_span_trim",
+    "ii2_bm25_topk",
+    "ii3_bm25_log_idf",
+    "dp1_sequence_packing",
+    "ds1_corpus_shuffle",
+    "mx1_temperature_mix",
+    # (a) the r5-era verdicts, catalog order (minus the ones moved to
+    # group 0 and the exempt no-oracle entries)
+    "ad1_rolling_zscore",
+    "ann1_cosine_topk",
+    "ann4_portable_lsh_topk",
+    "cdc1_merge_upsert",
+    "cdc2_scd2_intervals",
+    "dc1_decontaminate",
+    "dd1_exact_dedup",
+    "dd7_ngram_contamination",
+    "dd9_portable_simhash_pairs",
+    "dq1_column_profile",
+    "dq2_schema_drift",
+    "ii1_inverted_index",
+    "k7_top5_preview",
+    "km1_kmeans_assign",
+    "mm3_frame_select",
+    "pr1_pagerank",
+    "rf2_ivf_topk_recall",
+    "rf5_sketch_accuracy",
+    "rf8_approx_percentile_accuracy",
+    "rf9_kmeans_lloyd_floor",
+    "ro1_hourly_rollup",
+    "sk1_salted_distinct_users",
+    "sk2_salted_join_segment",
+    "sp1_hash_split",
+    "sp2_stratified_sample",
+    "sp3_k_per_stratum",
+    "sq1_int8_quantize",
+    "st1_tumbling_window",
+    "st2_sliding_window",
+    "st3_sessionization",
+    "st4_streaming_tumbling",
+    "st6_streaming_dedup",
+    "st8_stream_static_join",
+    "st9_stream_stream_join",
+    "x10_c7_argmax_priority",
+    "x8b_json_extract",
 ]
 
 

@@ -102,6 +102,11 @@ HEADLINE = [
     # r7 additions. The r6-comparable subset is everything above this
     # comment.
     "dd12_repeated_span_trim",
+    # r8 additions. The r7-comparable subset is everything above this
+    # comment.
+    "cp1_curated_corpus",
+    "ii4_prf_rerank",
+    "txt10_trigram_surprisal",
 ]
 
 

@@ -15,34 +15,38 @@ def test_priority_names_all_registered():
 
 
 def test_stale_and_changed_queries_land_in_driver_window():
-    # Round-7 rotation under the STANDING RULE (VERDICT r6 "Next
+    # Round-8 rotation under the STANDING RULE (VERDICT r6 "Next
     # round" #1, stated in __spark_entry__): new/changed first, then
-    # all remaining slots oldest-driver-verdict first. r7: 8
-    # new/changed + ro2 (r3) + the 41 r4-era verdicts = exactly 50, so
-    # after this round no verdict predates r5. Deliberate overflow =
-    # r5/r6-green and untouched — asserted OUT so the window isn't
-    # silently wasted.
+    # all remaining slots oldest-driver-verdict first, with the
+    # no-oracle entries exempt (their verdicts can never change). r8:
+    # 14 new/changed + the 36 remaining r5-era verdicts = exactly 50.
+    # Deliberate overflow = r6/r7-green and result-identical — asserted
+    # OUT so the window isn't silently wasted.
     first50 = list(entry.queries())[:50]
     for name in entry._DRIVER_PRIORITY:
         assert name in first50, f"{name} fell out of the driver's 50-slot window"
     for name in (
-        # r6-green on first contact or re-contact, untouched-in-plan
-        # this round — the youngest verdicts, cheapest to defer
-        "dd10_keep_list_banded",
+        # r7-green, untouched or result-identical this round (rf10:
+        # eager flag only; st5/st10: metrics-capture keying only)
+        "rf10_ivfpq_recall",
+        "rf1_lsh_topk_recall",
+        "st5_stateful_sessions",
+        "st10_streaming_upsert",
+        "zo1_zorder_stats",
+        "zo2_pruning_effectiveness",
+        # r6-green, untouched
         "ann5_ivfpq_topk",
         "ann3_ivf_topk",
         "sq2_product_quantize",
         "dq1a_column_profile_approx",
-        "ii3_bm25_log_idf",
         "txt9_bigram_surprisal",
         "mm5_image_patches",
-        # dc2: r7 refactor is pure function extraction (plan-identical,
-        # local gate re-proves exact); r6 verdict fresh
         "dc2_fuzzy_decontaminate",
-        # r5-green, untouched
-        "cdc1_merge_upsert",
-        "pr1_pagerank",
-        "km1_kmeans_assign",
+        # no-oracle exemption: verdicts can never change; their rf
+        # floors are the refreshable signal (__spark_entry__ comment)
+        "mm2_frame_sample",
+        "a8_approx_distinct",
+        "ro2_sketch_rollup",
     ):
         assert name not in first50, f"{name} should be deliberate overflow"
 

@@ -320,3 +320,45 @@ def test_r7_span_trim_and_clustered_recall_complete_at_8x(spark, big_sf):
 
     cm1 = qs["cm1_corpus_manifest"](spark, big_sf)
     assert cm1.count() == n_docs
+
+
+def test_r8_curated_corpus_and_retrieval_complete_at_8x(spark, big_sf):
+    """cp1 at 8x dup density must still lay out a CONSISTENT training
+    stream (dense positions, exact prefix sums) over far fewer docs
+    than the corpus (every doc is an 8-clique, so dedup drops >= 7/8
+    of the quality-keeps); ii4's re-rank must keep dense per-query
+    ranks with the NULL-cos suffix in BM25 order; txt10 must rank 20
+    docs with non-degenerate tallies."""
+    import __spark_entry__ as entry_mod
+    qs = entry_mod.queries()
+
+    n_docs = spark.read.parquet(f"{big_sf}/documents.parquet").count()
+    cp = sorted(
+        qs["cp1_curated_corpus"](spark, big_sf).collect(),
+        key=lambda r: r.pos,
+    )
+    assert cp, "curated corpus empty at 8x"
+    assert len(cp) < n_docs / 4  # dedup + mixture really cut
+    assert [r.pos for r in cp] == list(range(len(cp)))
+    cum = 0
+    for r in cp:
+        assert r.start_off == cum
+        cum += r.n_tokens
+        assert r.n_seqs == r.last_seq - r.first_seq + 1
+
+    ii4 = qs["ii4_prf_rerank"](spark, big_sf).collect()
+    by_q: dict = {}
+    for r in ii4:
+        by_q.setdefault(r.query_id, []).append(r)
+    for rs in by_q.values():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        tail = [r for r in rs if r.prf_cos is None]
+        assert rs[len(rs) - len(tail):] == tail
+
+    t10 = qs["txt10_trigram_surprisal"](spark, big_sf).collect()
+    assert len(t10) == 20
+    assert all(r.n_tri > 0 for r in t10)
+    assert all(
+        0 <= r.n_bo2 + r.n_bo1 + r.n_oov <= r.n_tri for r in t10
+    )
