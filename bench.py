@@ -106,6 +106,8 @@ HEADLINE = [
     # comment.
     "cp1_curated_corpus",
     "ii4_prf_rerank",
+    "ii5_rrf_fusion",
+    "dp2_sequence_manifest",
     "txt10_trigram_surprisal",
 ]
 

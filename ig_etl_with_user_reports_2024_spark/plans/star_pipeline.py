@@ -22,7 +22,7 @@ from ..operators import textops as tx
 from ..operators import sampling
 from ..operators.sampling import sql_hash_split
 from ..sources.readers import load_table
-from .registry import query
+from .registry import QUERIES, query
 
 # Shared DuckDB fragments — built from the canonical helpers in
 # operators/dedup so the tokenizer text has ONE definition repo-wide.
@@ -1903,6 +1903,78 @@ def dp1_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dp2_sequence_manifest",
+    f"""
+    WITH t AS (
+        SELECT doc_id AS doc, CAST(len({_WORDS_SQL}) AS BIGINT) AS n_tokens
+        FROM documents
+    ), p AS (
+        {sql_pack_chop('t', 'doc', 'doc, n_tokens')}
+    ), x AS (
+        SELECT doc, n_tokens, start_off,
+               unnest(generate_series(first_seq, last_seq)) AS seq
+        FROM p
+    )
+    SELECT seq,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(doc) AS first_doc,
+           MAX(doc) AS last_doc,
+           CAST(SUM(LEAST(start_off + n_tokens, (seq + 1) * 2048)
+                    - GREATEST(start_off, seq * 2048)) AS BIGINT)
+               AS n_tokens_in_seq
+    FROM x GROUP BY seq
+    """,
+)
+def dp2_sequence_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INVERSE view of dp1's packing — one row per TRAINING
+    SEQUENCE: which documents compose sequence s, and how many of its
+    2048 tokens each boundary contributes. This is the manifest an
+    attribution / membership-inference / dedup-the-eval-set job needs
+    ("which docs did sequence 12345 see?") and the integrity check a
+    packing writer runs (every non-final sequence must hold exactly
+    2048 tokens).
+
+    Output: (seq, n_docs, first_doc, last_doc, n_tokens_in_seq) — all
+    integers, hash-exact. The token-in-sequence arithmetic is interval
+    clipping: min(doc_end, seq_end) - max(doc_start, seq_start), summed
+    over the docs the sequence touches.
+
+    Scale shape: dp1's two-level prefix-sum packing, then one explode
+    of size Σ n_seqs = n_docs + total_tokens/2048 (each doc emits one
+    row per spanned sequence — bounded by corpus size plus sequence
+    count, no quadratic blowup), then one map-side-combined groupBy on
+    the sequence index. Derived entirely from dp1's checked offsets;
+    the oracle nests the same sql_pack_chop builder."""
+    docs = load_table(spark, sf_dir, "documents")
+    counted = docs.select(
+        F.col("doc_id").alias("doc"),
+        F.size(tx.normalized_words(F.col("text"))).alias("n_tokens"),
+    )
+    packed = pk.pack_offsets(
+        counted, id_col="doc", tokens_col="n_tokens", seq_len=2048,
+        bucket_width=256,
+    )
+    L = 2048
+    x = packed.select(
+        "doc",
+        "n_tokens",
+        "start_off",
+        F.explode(
+            F.sequence(F.col("first_seq"), F.col("last_seq"))
+        ).alias("seq"),
+    )
+    tokens_in = F.least(
+        F.col("start_off") + F.col("n_tokens"), (F.col("seq") + 1) * L
+    ) - F.greatest(F.col("start_off"), F.col("seq") * L)
+    return x.groupBy("seq").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.min("doc").alias("first_doc"),
+        F.max("doc").alias("last_doc"),
+        F.sum(tokens_in).cast("bigint").alias("n_tokens_in_seq"),
+    )
+
+
+@query(
     "ds1_corpus_shuffle",
     sql_shuffle_positions("documents", "doc_id"),
 )
@@ -2407,6 +2479,79 @@ def ii4_prf_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").asc(),
     )
     return rr.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+_II5_SQL = """
+    WITH i4 AS ({ii4})
+    SELECT query_id, doc_id, bm25_rank,
+           CASE WHEN prf_cos IS NOT NULL THEN rank END AS cos_rank,
+           1.0 / (60 + bm25_rank)
+               + CASE WHEN prf_cos IS NOT NULL
+                      THEN 1.0 / (60 + rank) ELSE 0.0 END AS rrf_score,
+           CAST(row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY 1.0 / (60 + bm25_rank)
+                   + CASE WHEN prf_cos IS NOT NULL
+                          THEN 1.0 / (60 + rank) ELSE 0.0 END DESC,
+                   doc_id
+           ) AS INT) AS rank
+    FROM i4
+    """
+
+
+@query(
+    "ii5_rrf_fusion",
+    # ii4 is registered just above in this module, so the lookup is
+    # import-order-safe (cm1/cp1 precedent in star_manifest)
+    _II5_SQL.format(ii4=QUERIES["ii4_prf_rerank"].oracle),
+)
+def ii5_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (k=60, the Cormack/Clarke/Büttcher
+    constant) of the two rankings ii4 produces per candidate: the
+    lexical BM25 rank and the semantic PRF-cosine rank — the standard
+    hybrid-search fusion a RAG stack runs when it has both a keyword
+    index and a vector index over the same corpus.
+
+        rrf(d) = 1/(60 + rank_bm25(d)) + 1/(60 + rank_cos(d))
+
+    with the cosine term dropped for candidates that have no embedding
+    (ii4's NULL-prf_cos rows) — they keep their lexical contribution
+    only, the degradation you want when the vector index lags the
+    corpus. ii4's final rank restricted to non-NULL prf_cos rows IS
+    the cosine rank (NULLs sort after every number there), so no
+    re-ranking pass is needed.
+
+    Exactness: both inputs are discrete ranks; each RRF term is one
+    int→double division and the sum is a fixed-order two-term add —
+    hash-exact, no ln anywhere. Ties (two docs sharing both ranks are
+    impossible; equal SUMS across different rank pairs are possible —
+    e.g. swapped ranks) break on doc_id in both engines.
+
+    Scale shape: a pure column map over ii4's candidate rows
+    (≤ 50 × |Q|) plus one window per query partition — the fusion adds
+    no join and no corpus-sized stage. The oracle nests ii4's
+    registered SQL verbatim, so the driver's verdict covers the
+    composed lexical + semantic + fusion chain end-to-end."""
+    i4 = QUERIES["ii4_prf_rerank"].fn(spark, sf_dir)
+    rrf = F.lit(1.0) / (F.lit(60) + F.col("bm25_rank")) + F.when(
+        F.col("prf_cos").isNotNull(),
+        F.lit(1.0) / (F.lit(60) + F.col("rank")),
+    ).otherwise(F.lit(0.0))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        i4.select(
+            "query_id",
+            "doc_id",
+            "bm25_rank",
+            F.when(F.col("prf_cos").isNotNull(), F.col("rank"))
+            .cast("int")
+            .alias("cos_rank"),
+            rrf.alias("rrf_score"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+    )
 
 
 # ---------------------------------------------------------------------------

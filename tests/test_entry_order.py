@@ -19,8 +19,10 @@ def test_stale_and_changed_queries_land_in_driver_window():
     # round" #1, stated in __spark_entry__): new/changed first, then
     # all remaining slots oldest-driver-verdict first, with the
     # no-oracle entries exempt (their verdicts can never change). r8:
-    # 14 new/changed + the 36 remaining r5-era verdicts = exactly 50.
-    # Deliberate overflow = r6/r7-green and result-identical — asserted
+    # 16 new/changed + 34 r5-era verdicts = exactly 50 (the last two
+    # r5-era entries in catalog order, x10/x8b, are the rule's
+    # deliberate overflow to r9, where they lead the stale cohort).
+    # Other overflow = r6/r7-green and result-identical — asserted
     # OUT so the window isn't silently wasted.
     first50 = list(entry.queries())[:50]
     for name in entry._DRIVER_PRIORITY:

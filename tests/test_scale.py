@@ -362,3 +362,19 @@ def test_r8_curated_corpus_and_retrieval_complete_at_8x(spark, big_sf):
     assert all(
         0 <= r.n_bo2 + r.n_bo1 + r.n_oov <= r.n_tri for r in t10
     )
+
+    # dp2: every non-final sequence exactly full at 8x token volume
+    dp2 = sorted(
+        qs["dp2_sequence_manifest"](spark, big_sf).collect(),
+        key=lambda r: r.seq,
+    )
+    assert [r.seq for r in dp2] == list(range(len(dp2)))
+    assert all(r.n_tokens_in_seq == 2048 for r in dp2[:-1])
+
+    # ii5: dense fused ranks over the full candidate set
+    ii5 = qs["ii5_rrf_fusion"](spark, big_sf).collect()
+    by_q5: dict = {}
+    for r in ii5:
+        by_q5.setdefault(r.query_id, []).append(r.rank)
+    for ranks in by_q5.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))

@@ -186,6 +186,52 @@ def test_txt10_backoff_fires_and_scores_match_duckdb(spark, sf_oracle):
         )
 
 
+def test_ii5_fusion_contract(spark, sf_oracle):
+    """RRF must (a) keep dense per-query ranks, (b) reproduce each
+    term exactly (1/(60+r) from the two input ranks), and (c) actually
+    fuse — some doc must outrank its BM25 position because its cosine
+    rank pulled it up, and vector-less docs must survive on the
+    lexical term alone."""
+    import __spark_entry__ as em
+
+    rows = em.queries()["ii5_rrf_fusion"](spark, sf_oracle).collect()
+    assert rows
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+        expect = 1.0 / (60 + r.bm25_rank) + (
+            1.0 / (60 + r.cos_rank) if r.cos_rank is not None else 0.0
+        )
+        assert r.rrf_score == expect
+    moved = 0
+    for rs in by_q.values():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        moved += sum(1 for r in rs if r.rank != r.bm25_rank)
+    assert moved > 0
+
+
+def test_dp2_sequences_are_exactly_full(spark, sf_oracle):
+    """Every training sequence except the last must hold exactly 2048
+    tokens (the packing-writer integrity check dp2 exists for), seqs
+    must be dense 0..max, and doc ranges must be non-overlapping in
+    packing order across boundaries (seq s+1 starts at s's last doc —
+    the straddler — or any later doc id; ids need not be dense)."""
+    import __spark_entry__ as em
+
+    rows = sorted(
+        em.queries()["dp2_sequence_manifest"](spark, sf_oracle).collect(),
+        key=lambda r: r.seq,
+    )
+    assert rows
+    assert [r.seq for r in rows] == list(range(len(rows)))
+    for r in rows[:-1]:
+        assert r.n_tokens_in_seq == 2048, r
+    assert 0 < rows[-1].n_tokens_in_seq <= 2048
+    for a, b in zip(rows, rows[1:]):
+        assert b.first_doc >= a.last_doc
+
+
 def test_txt9_surprisal_scores_match_duckdb_within_tolerance(spark, sf_oracle):
     """txt9's driver oracle checks ranks only (ln is libm-dependent);
     this pins the per-doc mean surprisal cross-engine at 1e-9 relative
