@@ -108,6 +108,7 @@ HEADLINE = [
     "ii4_prf_rerank",
     "ii5_rrf_fusion",
     "dp2_sequence_manifest",
+    "dd13_semantic_keep_list",
     "txt10_trigram_surprisal",
 ]
 

@@ -447,6 +447,134 @@ def dd12_repeated_span_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.repeated_span_profile(docs, "doc_id", "text", k=8)
 
 
+_DD13_SQL = """
+    WITH RECURSIVE asg AS ({km1}),
+    v AS (
+        SELECT a.id, a.cluster_id AS cid, e.embedding,
+               {norm_e} AS nrm
+        FROM asg a JOIN embeddings e ON a.id = e.vec_id
+    ),
+    sempairs AS (
+        SELECT a.id AS a_id, b.id AS b_id
+        FROM v a JOIN v b ON a.cid = b.cid AND a.id < b.id
+        WHERE a.nrm > 0 AND b.nrm > 0
+          AND {dot_ab} / (a.nrm * b.nrm) >= 0.40
+    ),
+    edges AS (
+        SELECT a_id AS a, b_id AS b FROM sempairs
+        UNION ALL
+        SELECT b_id AS a, a_id AS b FROM sempairs
+    ),
+    reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    labeled AS (
+        SELECT e.vec_id,
+               CAST(LEAST(e.vec_id, COALESCE(MIN(r.b), e.vec_id)) AS BIGINT)
+                   AS cluster_id
+        FROM embeddings e LEFT JOIN reach r ON r.a = e.vec_id
+        GROUP BY e.vec_id
+    )
+    SELECT vec_id, cluster_id, vec_id = cluster_id AS kept,
+           CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+               AS cluster_size
+    FROM labeled
+"""
+
+
+@query(
+    "dd13_semantic_keep_list",
+    # km1's registered oracle nests verbatim (it is registered earlier
+    # in this module), so the driver's verdict covers codebook draw +
+    # assignment + in-cell pairing + closure + keep as ONE chain
+    None,  # placeholder — rebound below once km1 exists in QUERIES
+    eager=True,  # codebook draw + per-round CC collects at construction
+)
+def dd13_semantic_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC dedup keep-list (SemDeDup, Abbas et al. 2023): k-means
+    cells over the embedding corpus cap the pairwise stage, vectors in
+    the same cell with cosine >= τ are duplicates, connected components
+    pick the lowest-id survivor — dd11's keep-list discipline applied
+    to MEANING instead of text bytes (near-identical paraphrases that
+    share no 8-gram and no MinHash band collide here).
+
+    τ = 0.40, corpus-calibrated exactly the way the SemDeDup paper
+    tunes its epsilon per dataset: the driver's synthetic embeddings
+    are near-uniform (max within-cell cosine ≈ 0.49 at sf0.01), so a
+    text-style τ of 0.9 would make the entry vacuous — the calibrated
+    τ sits in the top ~0.1% of the within-cell similarity distribution
+    and yields real merges at every scale factor (19/238 pairs at
+    sf0.01/sf0.1; the txt8 lesson: never ship a gate that cannot
+    fire).
+
+    Exactness: km1's salted-md5 codebook draw and L2 assignment folds
+    are the hash-checked precedent; pair cosine reuses ann1's
+    dot/norm folds (norms computed once per side); zero-norm vectors
+    are excluded from pairing (cosine undefined) but keep their
+    singleton keep-list row. Oracle nests km1's registered SQL
+    verbatim and extends it with the dd10-pattern recursive closure.
+
+    Scale shape: the quadratic stage is capped by the CELL, not the
+    corpus (SemDeDup's whole point — k scales with corpus size so
+    cells stay bounded); the cell join carries (id, cid, vector) only
+    for in-cell candidates; CC is the merge-hinted pointer-doubling
+    operator; the keep-list columns come from the skew-safe
+    keep_list_with_sizes (no cluster-grain window)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    asg = sim.kmeans_assign(emb, "vec_id", "embedding", k=8, salt="km1")
+    withv = (
+        asg.select(F.col("id").alias("vec_id"), F.col("cluster_id").alias("cid"))
+        .join(emb.select("vec_id", "embedding"), "vec_id")
+        .select("vec_id", "cid", "embedding", sim.norm(F.col("embedding")).alias("nrm"))
+    )
+    a = withv.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("cid").alias("a_cid"),
+        F.col("embedding").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = withv.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("cid").alias("b_cid"),
+        F.col("embedding").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a_cid") == F.col("b_cid"))
+            & (F.col("a_id") < F.col("b_id")),
+        )
+        .filter(
+            (F.col("na") > 0)
+            & (F.col("nb") > 0)
+            & (
+                sim.dot(F.col("va"), F.col("vb"))
+                / (F.col("na") * F.col("nb"))
+                >= 0.40
+            )
+        )
+        .select("a_id", "b_id")
+    )
+    from ..operators.graph import connected_components
+
+    cc = connected_components(emb.select("vec_id"), pairs, id_col="vec_id")
+    return dd.keep_list_with_sizes(cc, id_col="vec_id")
+
+
+# rebind dd13's oracle now that km1 is guaranteed registered at import
+# time of this statement (module bottom would also work; here keeps the
+# definition adjacent). QUERIES entries are mutable dataclasses.
+def _bind_dd13_oracle() -> None:
+    QUERIES["dd13_semantic_keep_list"].oracle = _DD13_SQL.format(
+        km1=QUERIES["km1_kmeans_assign"].oracle,
+        norm_e=_NORM_SQL.format(a="e.embedding"),
+        dot_ab=_DOT_SQL.format(a="a.embedding", b="b.embedding"),
+    )
+
+
 @query("dd3_minhash_lsh_pairs", None)  # engine-specific hashes → rows-only
 def dd3_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32)+LSH(8 bands) candidate pairs with estimated Jaccard.
@@ -2771,3 +2899,8 @@ def dd9_portable_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     nothing to diverge between engines."""
     docs = load_table(spark, sf_dir, "documents")
     return dd.portable_simhash_pairs(docs, "doc_id", "text")
+
+
+# dd13 is defined up with the dedup family but nests km1's oracle,
+# which registers later in this module — bind it now that both exist.
+_bind_dd13_oracle()

@@ -230,6 +230,28 @@ def test_dd11_staged_equals_dd10_direct(spark, sf_oracle):
     assert a == b
 
 
+def test_dd13_semantic_keep_list_contract(spark, sf_oracle):
+    """dd13 must be non-vacuous on the driver corpus (the calibrated
+    τ=0.40 yields real merges — the txt8 lesson), cover every vector
+    with exactly one row, pick cluster minima as survivors, and report
+    consistent cluster sizes."""
+    import __spark_entry__ as em
+
+    qs = em.queries()
+    rows = qs["dd13_semantic_keep_list"](spark, sf_oracle).collect()
+    n_vecs = qs["km1_kmeans_assign"](spark, sf_oracle).count()
+    assert len(rows) == n_vecs
+    assert any(not r.kept for r in rows), "no semantic merges — vacuous τ"
+    by_cluster: dict = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    for cid, members in by_cluster.items():
+        assert cid == min(m.vec_id for m in members)
+        assert all(m.cluster_size == len(members) for m in members)
+        assert sum(1 for m in members if m.kept) == 1
+        assert next(m for m in members if m.kept).vec_id == cid
+
+
 def test_dd11_supersets_dd10_on_shingleless_twins(spark, tmp_path):
     """ADVICE r6 (medium): short exact-duplicate texts (< 3 words → zero
     shingles) never band-collide, so dd10 leaves each as a singleton;

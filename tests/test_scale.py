@@ -378,3 +378,18 @@ def test_r8_curated_corpus_and_retrieval_complete_at_8x(spark, big_sf):
         by_q5.setdefault(r.query_id, []).append(r.rank)
     for ranks in by_q5.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+    # dd13 at 8x: every vector has 8 exact replicas (cos = 1.0 within
+    # the same cell), so every cluster that merged must have size >= 2
+    # and exactly one survivor; coverage stays one row per vector
+    dd13 = qs["dd13_semantic_keep_list"](spark, big_sf).collect()
+    n_vecs = spark.read.parquet(f"{big_sf}/embeddings.parquet").count()
+    assert len(dd13) == n_vecs
+    assert any(not r.kept for r in dd13)
+    by_c: dict = {}
+    for r in dd13:
+        by_c.setdefault(r.cluster_id, 0)
+        by_c[r.cluster_id] += 1
+    assert all(
+        r.cluster_size == by_c[r.cluster_id] for r in dd13
+    )
