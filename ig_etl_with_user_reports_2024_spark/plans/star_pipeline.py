@@ -521,13 +521,39 @@ def dd13_semantic_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells stay bounded); the cell join carries (id, cid, vector) only
     for in-cell candidates; CC is the merge-hinted pointer-doubling
     operator; the keep-list columns come from the skew-safe
-    keep_list_with_sizes (no cluster-grain window)."""
+    keep_list_with_sizes (no cluster-grain window).
+
+    The cell partition is the approximation: τ-pairs split across
+    cells are never considered. rf11_semdedup_cell_recall floors that
+    capture rate (0.2; measured 0.26-0.38 here — the near-uniform
+    corpus is VQ's worst case, per the rf2/rf6 convention; tight
+    near-dup clusters approach 1). The production knob is multi-probe
+    assignment — pair via each vector's top-2 cells at ~2× pair-stage
+    cost — documented here rather than registered as a second entry."""
     emb = load_table(spark, sf_dir, "embeddings")
-    asg = sim.kmeans_assign(emb, "vec_id", "embedding", k=8, salt="km1")
+    pairs = semantic_cell_pairs(emb)
+    from ..operators.graph import connected_components
+
+    cc = connected_components(emb.select("vec_id"), pairs, id_col="vec_id")
+    return dd.keep_list_with_sizes(cc, id_col="vec_id")
+
+
+def semantic_cell_pairs(
+    emb: DataFrame, tau: float = 0.40, k: int = 8, salt: str = "km1"
+) -> DataFrame:
+    """dd13's pair stage: (a_id, b_id) for same-cell vector pairs with
+    cosine >= ``tau``, zero-norm vectors excluded. Factored out so
+    rf11's cell-recall gate measures EXACTLY the pair set dd13
+    clusters (any drift between gate and operator would make the
+    floor meaningless)."""
+    asg = sim.kmeans_assign(emb, "vec_id", "embedding", k=k, salt=salt)
     withv = (
         asg.select(F.col("id").alias("vec_id"), F.col("cluster_id").alias("cid"))
         .join(emb.select("vec_id", "embedding"), "vec_id")
-        .select("vec_id", "cid", "embedding", sim.norm(F.col("embedding")).alias("nrm"))
+        .select(
+            "vec_id", "cid", "embedding",
+            sim.norm(F.col("embedding")).alias("nrm"),
+        )
     )
     a = withv.select(
         F.col("vec_id").alias("a_id"),
@@ -541,7 +567,7 @@ def dd13_semantic_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("vb"),
         F.col("nrm").alias("nb"),
     )
-    pairs = (
+    return (
         a.join(
             b,
             (F.col("a_cid") == F.col("b_cid"))
@@ -553,15 +579,44 @@ def dd13_semantic_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (
                 sim.dot(F.col("va"), F.col("vb"))
                 / (F.col("na") * F.col("nb"))
-                >= 0.40
+                >= tau
             )
         )
         .select("a_id", "b_id")
     )
-    from ..operators.graph import connected_components
 
-    cc = connected_components(emb.select("vec_id"), pairs, id_col="vec_id")
-    return dd.keep_list_with_sizes(cc, id_col="vec_id")
+
+def semantic_all_pairs(emb: DataFrame, tau: float = 0.40) -> DataFrame:
+    """The quadratic yardstick behind rf11: ALL vector pairs with
+    cosine >= ``tau`` (no cell restriction), zero-norm excluded. Only
+    run at gate scale — this is the n² baseline dd13's cells exist to
+    avoid."""
+    withv = emb.select(
+        "vec_id", "embedding", sim.norm(F.col("embedding")).alias("nrm")
+    )
+    a = withv.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = withv.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    return (
+        a.join(b, F.col("a_id") < F.col("b_id"))
+        .filter(
+            (F.col("na") > 0)
+            & (F.col("nb") > 0)
+            & (
+                sim.dot(F.col("va"), F.col("vb"))
+                / (F.col("na") * F.col("nb"))
+                >= tau
+            )
+        )
+        .select("a_id", "b_id")
+    )
 
 
 # rebind dd13's oracle now that km1 is guaranteed registered at import
@@ -906,6 +961,7 @@ def dd5_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT q_id, n_id, cos_sim, rank FROM ranked WHERE rank <= 5
     """,
+    eager=True,  # codebook/centroid draw collects at construction
 )
 def ann3_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN top-5 (16 cells, 4 probes) for vec_id < 10; recall
@@ -1101,6 +1157,7 @@ def ro2_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT vec_id AS id, subspace, code FROM best WHERE rn = 1
     """,
+    eager=True,  # codebook/centroid draw collects at construction
 )
 def sq2_product_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product quantization codes (m=8 subspaces x 16 centroids): the
@@ -1778,6 +1835,7 @@ def ii1_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT vec_id AS id, cid AS cluster_id, d2 AS dist2
     FROM best WHERE rn = 1
     """,
+    eager=True,  # codebook draw collects at construction (ADVICE r7 rule)
 )
 def km1_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-means E-step over the embedding corpus (k=8, portable seeded
@@ -2863,6 +2921,7 @@ def ann4_portable_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM rer
     ) WHERE rank <= 5
     """,
+    eager=True,  # codebook/centroid draw collects at construction
 )
 def ann5_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ with exact refine (FAISS's IVFPQ+refine serving path) for

@@ -182,7 +182,7 @@ def rf2_diag(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_row(exact, approx, ["q_id", "n_id"], floor=0.4)
 
 
-@query("rf2_ivf_topk_recall", _floor_oracle(0.4))
+@query("rf2_ivf_topk_recall", _floor_oracle(0.4), eager=True)
 def rf2_ivf_topk_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """recall@5 of IVF ANN (ann3, 16 cells / 4 probes) vs brute-force
     cosine; floor 0.4 (coarse cells on random vectors)."""
@@ -334,6 +334,7 @@ def rf6_diag(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rf6_pq_distortion",
     "SELECT CAST(1 AS BOOLEAN) AS meets_floor, "
     "CAST(0.85 AS DOUBLE) AS recall_floor",
+    eager=True,  # PQ codebook draw collects at construction
 )
 def rf6_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """sq2's PQ reconstruction distortion as a driver-hashable floor:
@@ -451,6 +452,7 @@ def rf9_diag(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rf9_kmeans_lloyd_floor",
     "SELECT CAST(1 AS BOOLEAN) AS meets_floor, "
     "CAST(0.000000001 AS DOUBLE) AS recall_floor",
+    eager=True,  # kmeans draw collects at construction
 )
 def rf9_kmeans_lloyd_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """km1's M-step quality gate: updating each cluster's centroid to
@@ -462,3 +464,37 @@ def rf9_kmeans_lloyd_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeping the 'every approximate/float-accumulating path has a gate'
     rule (rf1-rf8 precedent) intact for the clustering family."""
     return rf9_diag(spark, sf_dir).select("meets_floor", "recall_floor")
+
+
+def rf11_diag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full diagnostic row behind rf11: what fraction of ALL cosine >=
+    0.40 pairs land in the same k-means cell — dd13's approximation is
+    exactly the pairs it never considers because the partition
+    separated them. The exact side is the quadratic all-pairs yardstick
+    (gate scale only, the n² dd13's cells exist to avoid)."""
+    from .star_pipeline import semantic_all_pairs, semantic_cell_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = semantic_all_pairs(emb, tau=0.40)
+    approx = semantic_cell_pairs(emb, tau=0.40)
+    return _recall_row(exact, approx, ["a_id", "b_id"], floor=0.2)
+
+
+@query("rf11_semdedup_cell_recall", _floor_oracle(0.2), eager=True)
+def rf11_semdedup_cell_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair recall of dd13's single-assignment k-means cells vs the
+    all-pairs cosine >= 0.40 baseline — floor 0.2 (measured 0.26-0.38
+    at sf0.001/0.01/0.1). This is the rf2/rf6 convention: the driver's
+    near-uniform embeddings are vector quantization's WORST case
+    (τ = 0.40 pairs are barely-correlated vectors, which a coarse
+    partition separates most of the time), so the floor documents the
+    uniform-regime trade honestly rather than asserting a clustered
+    number the corpus can't produce. On a real near-duplicate corpus
+    (tight clusters at cosine ≥ 0.9) same-cell capture approaches 1 —
+    rf1/rf10's clustered fixture shows that regime for the ANN family.
+    Production SemDeDup raises capture with multi-probe assignment
+    (pair via the top-2 cells), at 2× pair-stage cost — noted in
+    dd13's docstring as the scale knob, not implemented as a separate
+    catalog entry. Eager: kmeans_assign collects its codebook draw at
+    construction (km1 family)."""
+    return _floor_only(rf11_diag(spark, sf_dir))

@@ -116,3 +116,15 @@ def test_rf7_approx_distinct_accuracy_within_floor(spark, sf_oracle):
     r = _row(rf.rf7_diag(spark, sf_oracle))
     assert r.meets_floor
     assert r.max_rel_err <= 0.05
+
+
+def test_rf11_semdedup_cell_recall_diag(spark, sf_oracle):
+    """dd13's cell-capture floor holds with headroom, and the diag
+    numbers stay in the measured uniform-regime band (0.26-0.38 across
+    sf) — a capture collapse (bad assignment) or a silent perfect
+    score (gate accidentally comparing the pair set to itself) both
+    fail."""
+    r = _row(rf.rf11_diag(spark, sf_oracle))
+    assert r.meets_floor
+    assert 0.2 <= r.recall < 0.9
+    assert 0 < r.n_hit < r.n_exact
