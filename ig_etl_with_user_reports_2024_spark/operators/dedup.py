@@ -82,7 +82,14 @@ def exact_dedup(
 # releasing a still-pending plan's cache can only cause recomputation,
 # never wrong results.
 _PERSISTED_HANDLES: list[DataFrame] = []
-_MAX_PINNED = 4
+# 8, not 4: cp1's composition legitimately holds five pins live at
+# once (cm1's tagged + sh_canon, dc2's band/split table, cp1's adm +
+# ordered) — at 4 the FIFO evicted cm1's tagged BEFORE execution, so
+# its remaining consumers silently recomputed the digest stage (r8
+# review finding; toy-scale timing is warmup-noise-dominated either
+# way, but at 100 TB an extra documents scan per consumer is real).
+# Still a hard bound on the session-lifetime cache leak.
+_MAX_PINNED = 8
 
 
 def pin_bounded(df: DataFrame) -> DataFrame:

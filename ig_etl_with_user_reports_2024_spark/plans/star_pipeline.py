@@ -324,9 +324,11 @@ def dd11_staged_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     The cost model changes from clique-quadratic in
     duplicate multiplicity to linear: the 128× probe that exhausted
     74 GB of shuffle disk verifying 40M replica pairs runs in ~12s
-    staged (SCALE_r06.md §5). Scale shape: one digest window (shuffle
-    carries digest+id), the full dd10 pipeline over distinct texts,
-    two metadata-width mapping joins. Oracle: digest-canonical CTE →
+    staged (SCALE_r06.md §5). Scale shape (Window-FREE since r8,
+    asserted in tests/test_plans.py): the digest stage is a
+    map-side-combined groupBy(dg).min + salted join (digest_tagged),
+    then the full dd10 pipeline over distinct texts, then salted
+    metadata-width mapping joins. Oracle: digest-canonical CTE →
     the banded-pairs chain over it → recursive closure → per-doc
     digest mapping."""
     docs = load_table(spark, sf_dir, "documents")
@@ -376,14 +378,6 @@ def digest_tagged(docs: DataFrame) -> DataFrame:
         "canon_id",
         (F.col("doc_id") == F.col("canon_id")).alias("is_canon"),
     )
-
-
-def canon_map(tagged: DataFrame) -> DataFrame:
-    """(dg, canon_id) — each digest's canonical lowest-id survivor,
-    from a :func:`digest_tagged` table. ONE definition of the
-    survivor rule, shared by the keep-list mapping and cm1's band
-    re-keying."""
-    return tagged.filter(F.col("is_canon")).select("dg", "canon_id")
 
 
 def staged_keep_list_plan(
@@ -538,14 +532,42 @@ def dd13_semantic_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.keep_list_with_sizes(cc, id_col="vec_id")
 
 
+def _tau_pairs(withv: DataFrame, tau: float, same_cell: bool) -> DataFrame:
+    """ONE definition of the τ-pair predicate behind dd13 and rf11:
+    (a_id, b_id) for vector pairs with cosine >= ``tau``, zero-norm
+    excluded, optionally restricted to same-cell pairs. ``withv`` is
+    (vec_id, embedding, nrm[, cid]). Keeping the predicate in one
+    place is what makes rf11's floor meaningful — the gate must
+    measure exactly the pair semantics the operator clusters."""
+    cols = ["vec_id", "embedding", "nrm"] + (["cid"] if same_cell else [])
+    a = withv.select(*[F.col(c).alias(f"a_{c}") for c in cols])
+    b = withv.select(*[F.col(c).alias(f"b_{c}") for c in cols])
+    cond = F.col("a_vec_id") < F.col("b_vec_id")
+    if same_cell:
+        cond = (F.col("a_cid") == F.col("b_cid")) & cond
+    return (
+        a.join(b, cond)
+        .filter(
+            (F.col("a_nrm") > 0)
+            & (F.col("b_nrm") > 0)
+            & (
+                sim.dot(F.col("a_embedding"), F.col("b_embedding"))
+                / (F.col("a_nrm") * F.col("b_nrm"))
+                >= tau
+            )
+        )
+        .select(
+            F.col("a_vec_id").alias("a_id"), F.col("b_vec_id").alias("b_id")
+        )
+    )
+
+
 def semantic_cell_pairs(
     emb: DataFrame, tau: float = 0.40, k: int = 8, salt: str = "km1"
 ) -> DataFrame:
-    """dd13's pair stage: (a_id, b_id) for same-cell vector pairs with
-    cosine >= ``tau``, zero-norm vectors excluded. Factored out so
-    rf11's cell-recall gate measures EXACTLY the pair set dd13
-    clusters (any drift between gate and operator would make the
-    floor meaningless)."""
+    """dd13's pair stage: same-cell τ-pairs under :func:`_tau_pairs`'
+    shared predicate. Factored out so rf11's cell-recall gate measures
+    EXACTLY the pair set dd13 clusters."""
     asg = sim.kmeans_assign(emb, "vec_id", "embedding", k=k, salt=salt)
     withv = (
         asg.select(F.col("id").alias("vec_id"), F.col("cluster_id").alias("cid"))
@@ -555,68 +577,18 @@ def semantic_cell_pairs(
             sim.norm(F.col("embedding")).alias("nrm"),
         )
     )
-    a = withv.select(
-        F.col("vec_id").alias("a_id"),
-        F.col("cid").alias("a_cid"),
-        F.col("embedding").alias("va"),
-        F.col("nrm").alias("na"),
-    )
-    b = withv.select(
-        F.col("vec_id").alias("b_id"),
-        F.col("cid").alias("b_cid"),
-        F.col("embedding").alias("vb"),
-        F.col("nrm").alias("nb"),
-    )
-    return (
-        a.join(
-            b,
-            (F.col("a_cid") == F.col("b_cid"))
-            & (F.col("a_id") < F.col("b_id")),
-        )
-        .filter(
-            (F.col("na") > 0)
-            & (F.col("nb") > 0)
-            & (
-                sim.dot(F.col("va"), F.col("vb"))
-                / (F.col("na") * F.col("nb"))
-                >= tau
-            )
-        )
-        .select("a_id", "b_id")
-    )
+    return _tau_pairs(withv, tau, same_cell=True)
 
 
 def semantic_all_pairs(emb: DataFrame, tau: float = 0.40) -> DataFrame:
-    """The quadratic yardstick behind rf11: ALL vector pairs with
-    cosine >= ``tau`` (no cell restriction), zero-norm excluded. Only
-    run at gate scale — this is the n² baseline dd13's cells exist to
+    """The quadratic yardstick behind rf11: ALL τ-pairs (no cell
+    restriction) under the same :func:`_tau_pairs` predicate. Only run
+    at gate scale — this is the n² baseline dd13's cells exist to
     avoid."""
     withv = emb.select(
         "vec_id", "embedding", sim.norm(F.col("embedding")).alias("nrm")
     )
-    a = withv.select(
-        F.col("vec_id").alias("a_id"),
-        F.col("embedding").alias("va"),
-        F.col("nrm").alias("na"),
-    )
-    b = withv.select(
-        F.col("vec_id").alias("b_id"),
-        F.col("embedding").alias("vb"),
-        F.col("nrm").alias("nb"),
-    )
-    return (
-        a.join(b, F.col("a_id") < F.col("b_id"))
-        .filter(
-            (F.col("na") > 0)
-            & (F.col("nb") > 0)
-            & (
-                sim.dot(F.col("va"), F.col("vb"))
-                / (F.col("na") * F.col("nb"))
-                >= tau
-            )
-        )
-        .select("a_id", "b_id")
-    )
+    return _tau_pairs(withv, tau, same_cell=False)
 
 
 # rebind dd13's oracle now that km1 is guaranteed registered at import

@@ -96,6 +96,12 @@ def main() -> int:
             }
         )
     )
+    # the probe IS the gate: a reintroduced hot-cluster window
+    # (parts == 1) or a wrong keep-list must fail the exit code, not
+    # just print a number someone has to read
+    assert n == args.copies, f"expected {args.copies} rows, got {n}"
+    assert bad == 0, f"{bad} rows with wrong cluster/kept/size"
+    assert parts > 1, "mega-cluster result sits in ONE partition"
     return 0
 
 
