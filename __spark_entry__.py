@@ -55,22 +55,25 @@ from ig_etl_with_user_reports_2024_spark.plans import star_manifest  # noqa: F40
 # rotation so their slots go to hash-checkable queries; their rf floors
 # are the refreshable signal.
 #
-# Round-8 window: (0) the 18 new/changed entries — cp1 (NEW: the
+# Round-8 window: (0) the 20 new/changed entries — cp1 (NEW: the
 # curated-corpus end product), ii4 (NEW: PRF hybrid retrieval), ii5
 # (NEW: RRF hybrid fusion over ii4), txt10 (NEW: train-only trigram
 # surprisal), dp2 (NEW: per-sequence packing manifest), dd13 (NEW:
 # SemDeDup semantic keep-list over the embedding column), rf11 (NEW:
-# dd13's cell-recall floor), txt8 (quality
+# dd13's cell-recall floor), cp2 (NEW: the per-source data card over
+# cp1), st11 (NEW: st6's dedup contract on the RocksDB provider),
+# txt8 (quality
 # threshold 45→30, both engines — the old gate kept zero synthetic
 # docs), cm1 (plan: skew-safe digest stage; oracle: nests txt8's new
 # text), dd8/dd10/dd11 (plan: cluster_size + digest stage de-windowed
 # via salted joins), dd12 (plan: the g2 subtree pinned), ii2/ii3
 # (oracle re-emitted via the shared _bm25_sql builder), dp1/ds1/mx1
 # (oracle re-emitted via the shared rel-parameterized builders); then
-# (a) the r5-era verdicts, catalog order. 18 + 32 = 50 exactly —
-# the LAST FOUR r5-era entries in catalog order (st8, st9, x10, x8b)
-# are the rule's deliberate overflow to r9, where they lead the stale
-# cohort.
+# (a) the r5-era verdicts, catalog order. 20 + 30 = 50 exactly —
+# the LAST SIX r5-era entries in catalog order (st4, st6, st8, st9,
+# x10, x8b) are the rule's deliberate overflow to r9, where they lead
+# the stale cohort (st6's only r8 change is the eager flag —
+# result-identical).
 # rf10 (eager flag only), st5/st10 (metrics-capture keying only) and
 # dc2 are result- and plan-identical with fresh verdicts — overflow.
 _DRIVER_PRIORITY = [
@@ -81,6 +84,8 @@ _DRIVER_PRIORITY = [
     "dp2_sequence_manifest",
     "dd13_semantic_keep_list",
     "rf11_semdedup_cell_recall",
+    "cp2_corpus_datacard",
+    "st11_rocksdb_dedup",
     "txt10_trigram_surprisal",
     "txt8_filter_verdict",
     "cm1_corpus_manifest",
@@ -125,8 +130,6 @@ _DRIVER_PRIORITY = [
     "st1_tumbling_window",
     "st2_sliding_window",
     "st3_sessionization",
-    "st4_streaming_tumbling",
-    "st6_streaming_dedup",
 ]
 
 

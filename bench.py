@@ -110,6 +110,10 @@ HEADLINE = [
     "dp2_sequence_manifest",
     "dd13_semantic_keep_list",
     "txt10_trigram_surprisal",
+    # st11 shows provider parity for ~2s; cp2 is deliberately NOT a
+    # bench line -- it re-runs cp1's whole chain for a rollup, and
+    # paying the composition twice per bench adds noise, not signal
+    "st11_rocksdb_dedup",
 ]
 
 

@@ -289,3 +289,44 @@ def cp1_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc", "source", "n_tokens", "pos", "shard",
         "start_off", "first_seq", "last_seq", "n_seqs",
     )
+
+
+@query(
+    "cp2_corpus_datacard",
+    """
+    WITH cp AS ({cp1})
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_seqs) AS BIGINT) AS n_seq_slots,
+           CAST(COUNT(DISTINCT shard) AS BIGINT) AS n_shards,
+           MIN(pos) AS first_pos,
+           MAX(pos) AS last_pos
+    FROM cp GROUP BY source
+    """.format(cp1=QUERIES["cp1_curated_corpus"].oracle),
+    eager=True,  # composes cp1 (cm1's CC collects at construction)
+)
+def cp2_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DATA CARD of the curated corpus: one row per source with
+    what the training run actually gets after the full curation +
+    mixture + layout chain — admitted docs, token counts, sequence
+    slots spanned, shards touched, and the position range — the
+    per-source accounting a dataset release publishes and an ablation
+    compares across mixture temperatures. All-integer, hash-exact; the
+    oracle nests cp1's registered SQL verbatim, so the driver's
+    verdict covers curation → mixture → shuffle → packing → rollup as
+    one chain (the longest composed oracle in the catalog: cm1's
+    dd11/dc2/txt8 subtrees are inside it).
+
+    Scale shape: one map-side-combined groupBy over cp1's
+    admitted-doc-grain output — source cardinality output, metadata
+    cost on top of cp1's own plan."""
+    cp = QUERIES["cp1_curated_corpus"].fn(spark, sf_dir)
+    return cp.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.sum("n_seqs").cast("bigint").alias("n_seq_slots"),
+        F.count_distinct("shard").cast("bigint").alias("n_shards"),
+        F.min("pos").alias("first_pos"),
+        F.max("pos").alias("last_pos"),
+    )

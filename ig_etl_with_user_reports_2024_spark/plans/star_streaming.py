@@ -223,13 +223,17 @@ def st2_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sliding_window_agg(load_table(spark, sf_dir, "events"))
 
 
-@query(
-    "st6_streaming_dedup",
-    """
+_ST6_SQL = """
     SELECT DISTINCT user_id, event_type,
            time_bucket(INTERVAL '5 minutes', ts) AS window_start
     FROM events
-    """,
+    """
+
+
+@query(
+    "st6_streaming_dedup",
+    _ST6_SQL,
+    eager=True,  # awaitTermination at construction (eager-flag sweep, r8)
 )
 def st6_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exactly-once dedup: watermark + dropDuplicates on
@@ -239,6 +243,49 @@ def st6_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.events import streaming_dedup_keys
 
     return streaming_dedup_keys(spark, os.path.join(sf_dir, "events.parquet"))
+
+
+_ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider"
+)
+
+
+@query(
+    "st11_rocksdb_dedup",
+    _ST6_SQL,
+    eager=True,  # awaitTermination at construction
+)
+def st11_rocksdb_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """st6's exactly-once dedup contract executed on the ROCKSDB
+    state-store provider — the documented 100 TB production default
+    (state off-heap/on-disk with incremental checkpoints, so state
+    size is bounded by disk, not executor heap). SCALE_r08.md's probe
+    demonstrated the provider works in this harness; this entry makes
+    it DRIVER-VISIBLE: the same batch-DISTINCT oracle hash-checks the
+    surviving key set, so a provider-level state corruption (lost or
+    duplicated dedup keys) flips a verdict every round instead of
+    living only in a probe table.
+
+    The provider conf is read at STREAM START, so setting it around
+    the AvailableNow run (and restoring after awaitTermination — the
+    run completes inside the call) scopes it to this query; st6 keeps
+    the default HDFSBacked provider, making the pair a standing
+    A/B of the two state backends over identical input."""
+    from ..streaming.events import streaming_dedup_keys
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, _ROCKSDB_PROVIDER)
+    try:
+        return streaming_dedup_keys(
+            spark, os.path.join(sf_dir, "events.parquet")
+        )
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
 
 
 @query(

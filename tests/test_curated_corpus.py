@@ -47,3 +47,26 @@ def test_cp1_is_a_consistent_training_stream(spark, sf_oracle):
     assert {r.doc for r in rows} <= keeps
     # the mixture is a real cut: not every keep survives the budget
     assert len(rows) < len(keeps)
+
+
+def test_cp2_datacard_sums_to_cp1(spark, sf_oracle):
+    """The data card must be an exact rollup of the corpus it
+    describes: per-source doc/token totals and position ranges match
+    cp1's rows, and the global position range is the full 0..n-1."""
+    cp1 = entry_mod.queries()["cp1_curated_corpus"](spark, sf_oracle).collect()
+    cp2 = {r.source: r for r in
+           entry_mod.queries()["cp2_corpus_datacard"](spark, sf_oracle).collect()}
+    by_src: dict = {}
+    for r in cp1:
+        by_src.setdefault(r.source, []).append(r)
+    assert set(cp2) == set(by_src)
+    for src, rows in by_src.items():
+        card = cp2[src]
+        assert card.n_docs == len(rows)
+        assert card.n_tokens == sum(r.n_tokens for r in rows)
+        assert card.n_seq_slots == sum(r.n_seqs for r in rows)
+        assert card.n_shards == len({r.shard for r in rows})
+        assert card.first_pos == min(r.pos for r in rows)
+        assert card.last_pos == max(r.pos for r in rows)
+    assert min(c.first_pos for c in cp2.values()) == 0
+    assert max(c.last_pos for c in cp2.values()) == len(cp1) - 1

@@ -19,9 +19,10 @@ def test_stale_and_changed_queries_land_in_driver_window():
     # round" #1, stated in __spark_entry__): new/changed first, then
     # all remaining slots oldest-driver-verdict first, with the
     # no-oracle entries exempt (their verdicts can never change). r8:
-    # 18 new/changed + 32 r5-era verdicts = exactly 50 (the last four
-    # r5-era entries in catalog order, st8/st9/x10/x8b, are the rule's
-    # deliberate overflow to r9, where they lead the stale cohort).
+    # 20 new/changed + 30 r5-era verdicts = exactly 50 (the last six
+    # r5-era entries in catalog order, st4/st6/st8/st9/x10/x8b, are
+    # the rule's deliberate overflow to r9, where they lead the stale
+    # cohort).
     # Other overflow = r6/r7-green and result-identical — asserted
     # OUT so the window isn't silently wasted.
     first50 = list(entry.queries())[:50]

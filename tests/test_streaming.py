@@ -192,3 +192,19 @@ def test_stateful_sessionize_directory_layout_with_glob(spark, tmp_path):
     ).collect()
     assert len(out) >= 1
     assert all(r.user_id == 1 for r in out)
+
+
+def test_st11_rocksdb_matches_st6_and_restores_conf(spark, sf_oracle):
+    """The RocksDB-provider dedup must produce the identical surviving
+    key set as the default provider over the same input, and the
+    provider conf must be restored after the run (it is scoped to the
+    one query, not the session)."""
+    import __spark_entry__ as em
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    before = spark.conf.get(key, None)
+    qs = em.queries()
+    st6 = {tuple(r) for r in qs["st6_streaming_dedup"](spark, sf_oracle).collect()}
+    st11 = {tuple(r) for r in qs["st11_rocksdb_dedup"](spark, sf_oracle).collect()}
+    assert st11 == st6
+    assert spark.conf.get(key, None) == before
