@@ -114,6 +114,8 @@ HEADLINE = [
     # bench line -- it re-runs cp1's whole chain for a rollup, and
     # paying the composition twice per bench adds noise, not signal
     "st11_rocksdb_dedup",
+    "st12_streaming_band_admission",
+    "cm2_incremental_admission",
 ]
 
 

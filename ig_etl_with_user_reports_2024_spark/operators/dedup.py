@@ -477,24 +477,34 @@ def _exploded_shingles(
     )
 
 
-def _minhash_bands_from_exploded(
-    sh: DataFrame, num_hashes: int, bands: int
-) -> DataFrame:
-    """(doc, band, bucket) from an :func:`_exploded_shingles` table: one
-    groupBy(doc) with k min-aggregates (map-side combined, md5 inside
-    whole-stage codegen — a higher-order ``transform`` form was tried
-    and measured 3.5x SLOWER: HOF lambda bodies are interpreted per
-    element), then a constant bands-per-doc explode."""
-    if num_hashes % bands:
-        raise ValueError(f"num_hashes={num_hashes} not divisible by bands={bands}")
-    r = num_hashes // bands
-    aggs = [
+def minhash_signature_aggs(num_hashes: int = 8) -> list[Column]:
+    """The k portable min-hash aggregate expressions over a
+    (doc, shingle) exploded table: ``min(md5(i || ':' || shingle))``
+    per hash index, aliased ``m0..m{k-1}``. Factored out of the batch
+    band builder so the STREAMING signature maintenance (st12) can run
+    the identical fold as an update-mode stateful aggregation — min is
+    commutative and idempotent, so the incremental fold converges to
+    the batch signature under any micro-batching and under
+    at-least-once re-delivery. md5 stays inside whole-stage codegen (a
+    higher-order ``transform`` form was tried and measured 3.5x
+    SLOWER: HOF lambda bodies are interpreted per element)."""
+    return [
         F.min(
             F.md5(F.encode(F.concat(F.lit(f"{i}:"), F.col("shingle")), "UTF-8"))
         ).alias(f"m{i}")
         for i in range(num_hashes)
     ]
-    sig = sh.groupBy("doc").agg(*aggs)
+
+
+def bands_from_signatures(
+    sig: DataFrame, num_hashes: int = 8, bands: int = 4
+) -> DataFrame:
+    """(doc, band, bucket) from a (doc, m0..m{k-1}) signature table —
+    the constant bands-per-doc explode shared by the batch band builder
+    and st12's post-stream admission join."""
+    if num_hashes % bands:
+        raise ValueError(f"num_hashes={num_hashes} not divisible by bands={bands}")
+    r = num_hashes // bands
     band_structs = [
         F.struct(
             F.lit(bi).alias("band"),
@@ -514,6 +524,19 @@ def _minhash_bands_from_exploded(
     ).select("doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
 
+def _minhash_bands_from_exploded(
+    sh: DataFrame, num_hashes: int, bands: int
+) -> DataFrame:
+    """(doc, band, bucket) from an :func:`_exploded_shingles` table: one
+    groupBy(doc) with k min-aggregates (map-side combined — see
+    :func:`minhash_signature_aggs`), then a constant bands-per-doc
+    explode (:func:`bands_from_signatures`)."""
+    if num_hashes % bands:
+        raise ValueError(f"num_hashes={num_hashes} not divisible by bands={bands}")
+    sig = sh.groupBy("doc").agg(*minhash_signature_aggs(num_hashes))
+    return bands_from_signatures(sig, num_hashes, bands)
+
+
 def exploded_shingles(
     df: DataFrame, id_col: str, text_col: str, n: int = 3
 ) -> DataFrame:
@@ -521,7 +544,13 @@ def exploded_shingles(
     spread included — for callers that build SHARED shingle tables fed
     to :func:`portable_minhash_pairs_from_shingles` /
     :func:`portable_minhash_bands_from_shingles` (cm1's composition).
-    The caller owns pinning/checkpointing."""
+    The caller owns pinning/checkpointing.
+
+    Streaming inputs skip the narrow-input spread: ``.rdd`` is
+    unsupported on a streaming plan, and a file stream's parallelism
+    comes from its source splits per micro-batch anyway (st12)."""
+    if df.isStreaming:
+        return _exploded_shingles(df, id_col, text_col, n)
     return _exploded_shingles(_spread_narrow_input(df), id_col, text_col, n)
 
 

@@ -330,3 +330,195 @@ def cp2_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("pos").alias("first_pos"),
         F.max("pos").alias("last_pos"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CM2 — incremental admission: curate an ARRIVING batch against the
+# existing corpus's persisted stores, without re-clustering the corpus.
+# ---------------------------------------------------------------------------
+
+_CM2_ARRIVE_FRAC = 0.25
+_CM2_SALT = "cm2"
+
+
+def _cm2_sql() -> str:
+    from ..operators.dedup import sql_portable_minhash_bands
+    from ..operators.sampling import hex_threshold, sql_hash_bucket
+
+    thr = hex_threshold(_CM2_ARRIVE_FRAC)
+    tag = f"{sql_hash_bucket('doc_id', _CM2_SALT)} < '{thr}'"
+    return f"""
+    WITH {sql_portable_minhash_bands("documents", "doc_id", "text")},
+    arrive AS (
+        SELECT doc_id, text FROM documents WHERE {tag}
+    ),
+    ad AS (
+        SELECT doc_id, COALESCE(md5(text), '<null>') AS dg FROM arrive
+    ),
+    ed AS (
+        SELECT DISTINCT COALESCE(md5(text), '<null>') AS dg
+        FROM documents WHERE NOT ({tag})
+    ),
+    exact_rej AS (
+        SELECT a.doc_id FROM ad a
+        WHERE EXISTS (SELECT 1 FROM ed e WHERE e.dg = a.dg)
+           OR EXISTS (SELECT 1 FROM ad a2
+                      WHERE a2.dg = a.dg AND a2.doc_id < a.doc_id)
+    ),
+    eb AS (
+        SELECT DISTINCT b.band, b.bucket
+        FROM bands b JOIN documents d ON b.doc = d.doc_id
+        WHERE NOT ({sql_hash_bucket('d.doc_id', _CM2_SALT)} < '{thr}')
+    ),
+    ab AS (
+        SELECT b.doc, b.band, b.bucket
+        FROM bands b JOIN arrive a ON b.doc = a.doc_id
+    ),
+    near_rej AS (
+        SELECT DISTINCT doc FROM ab a
+        WHERE EXISTS (SELECT 1 FROM eb e
+                      WHERE e.band = a.band AND e.bucket = a.bucket)
+           OR EXISTS (SELECT 1 FROM ab a2
+                      WHERE a2.band = a.band AND a2.bucket = a.bucket
+                        AND a2.doc < a.doc)
+    ),
+    t8 AS ({{txt8}})
+    SELECT a.doc_id,
+           CASE WHEN x.doc_id IS NOT NULL THEN 'drop_exact'
+                WHEN n.doc IS NOT NULL THEN 'drop_near'
+                WHEN NOT COALESCE(t.keep, FALSE) THEN 'drop_quality'
+                ELSE 'admit' END AS action,
+           t.quality_score
+    FROM arrive a
+    LEFT JOIN exact_rej x ON a.doc_id = x.doc_id
+    LEFT JOIN near_rej n ON a.doc_id = n.doc
+    LEFT JOIN t8 t ON a.doc_id = t.doc_id
+    """
+
+
+@query(
+    "cm2_incremental_admission",
+    _cm2_sql().format(txt8=QUERIES["txt8_filter_verdict"].oracle),
+)
+def cm2_incremental_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL curation: admit an arriving batch of documents
+    against the existing corpus's persisted dedup stores — the daily
+    maintenance shape of cm1. A 100 TB corpus is not re-curated when a
+    day's crawl lands; the pipeline keeps two stores from the last full
+    run — the DIGEST store (distinct md5(text), dd11's exact stage)
+    and the BAND store (distinct MinHash (band, bucket), the LSH
+    stage) — probes each arriving doc against them, and appends the
+    admitted docs' entries. Cost per batch ∝ |batch| × store-probe,
+    never |corpus|²; the stores retain REJECTED docs' entries too, so
+    a third copy of a rejected duplicate cannot resurrect.
+
+    Cascade per arriving doc (first match wins, mirroring cm1):
+        1. digest ∈ existing store, or an earlier (lower doc_id)
+           arriving doc  -> 'drop_exact'
+        2. any MinHash band ∈ existing store or owned by an earlier
+           arriving doc  -> 'drop_near'   (st12's greedy band-grain
+           admission semantics — order-insensitive, hash-checkable;
+           diverges from CC closure only on bridge chains, documented
+           on streaming/events.streaming_minhash_admission)
+        3. txt8's filter verdict false (or no tokens) -> 'drop_quality'
+        4. otherwise -> 'admit'
+
+    The arriving batch is the deterministic {frac:.0%} salted-md5 slice
+    of the documents table (operators/sampling.hash_bucket, salt
+    '{salt}') — in production it is the day's partition, here a
+    hash-slice so the oracle sees the identical partition. Both stores
+    are derived in-plan from the existing slice (at scale they are the
+    persisted tables the last full run checkpointed).
+
+    Scale shape: digest stage is one map-side-combined groupBy(dg) min
+    + two salted dg-grain attach joins; band stage is one shared band
+    build over the corpus, a distinct on the existing side, one
+    map-side-combined groupBy(band, bucket) min and two salted
+    band-grain attach joins (the salts keep a mega-duplicate arriving
+    batch — every doc sharing one digest/bucket — off a single task,
+    dd11's r8 discipline); quality is txt8's doc-grain pass joined at
+    doc_id grain. No window functions, no quadratic stage.
+    """
+    from ..operators.skew import salted_join
+
+    docs = load_table(spark, sf_dir, "documents")
+    arriving = sampling.hash_bucket(
+        F.col("doc_id"), _CM2_SALT
+    ) < sampling.hex_threshold(_CM2_ARRIVE_FRAC)
+    tagged = dd.pin_bounded(
+        docs.select("doc_id", "text", arriving.alias("arriving"))
+    )
+    arrive = tagged.filter(F.col("arriving"))
+    dg = F.coalesce(F.md5(F.col("text")), F.lit("<null>"))
+    ad = arrive.select("doc_id", dg.alias("dg"))
+    ed = (
+        tagged.filter(~F.col("arriving"))
+        .select(dg.alias("dg"))
+        .distinct()
+        .withColumn("in_exist", F.lit(True))
+    )
+    adf = ad.groupBy("dg").agg(F.min("doc_id").alias("dg_first"))
+    exact = (
+        salted_join(
+            salted_join(ad, ed, on="dg", salt_by=["doc_id"], how="left"),
+            adf, on="dg", salt_by=["doc_id"],
+        )
+        .select(
+            "doc_id",
+            (
+                F.col("in_exist").isNotNull()
+                | (F.col("dg_first") < F.col("doc_id"))
+            ).alias("exact_rej"),
+        )
+    )
+    bands = dd.portable_minhash_bands(tagged, "doc_id", "text")
+    bt = dd.pin_bounded(
+        bands.join(
+            tagged.select(F.col("doc_id").alias("doc"), "arriving"), "doc"
+        )
+    )
+    eb = (
+        bt.filter(~F.col("arriving"))
+        .select("band", "bucket")
+        .distinct()
+        .withColumn("in_store", F.lit(True))
+    )
+    ab = bt.filter(F.col("arriving")).select("doc", "band", "bucket")
+    abf = ab.groupBy("band", "bucket").agg(F.min("doc").alias("band_first"))
+    near = (
+        salted_join(
+            salted_join(
+                ab, eb, on=["band", "bucket"], salt_by=["doc"], how="left"
+            ),
+            abf, on=["band", "bucket"], salt_by=["doc"],
+        )
+        .groupBy("doc")
+        .agg(
+            F.bool_or(
+                F.col("in_store").isNotNull()
+                | (F.col("band_first") < F.col("doc"))
+            ).alias("near_rej")
+        )
+        .withColumnRenamed("doc", "doc_id")
+    )
+    t8 = QUERIES["txt8_filter_verdict"].fn(spark, sf_dir).select(
+        "doc_id", "keep", "quality_score"
+    )
+    action = (
+        F.when(F.col("exact_rej"), "drop_exact")
+        .when(F.coalesce(F.col("near_rej"), F.lit(False)), "drop_near")
+        .when(~F.coalesce(F.col("keep"), F.lit(False)), "drop_quality")
+        .otherwise("admit")
+    )
+    return (
+        arrive.select("doc_id")
+        .join(exact, "doc_id")
+        .join(near, "doc_id", "left")
+        .join(t8, "doc_id", "left")
+        .select("doc_id", action.alias("action"), "quality_score")
+    )
+
+
+cm2_incremental_admission.__doc__ = cm2_incremental_admission.__doc__.format(
+    frac=_CM2_ARRIVE_FRAC, salt=_CM2_SALT
+)

@@ -288,6 +288,58 @@ def st11_rocksdb_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.set(key, old)
 
 
+def _st12_sql() -> str:
+    """Oracle for st12: greedy band-first-owner admission over the
+    SAME md5-only band construction the registered dd/dc oracles use
+    (operators/dedup.sql_portable_minhash_bands — byte-for-byte
+    lockstep with the Spark builder), so the streaming signature fold
+    is checked against a plain batch SQL derivation."""
+    from ..operators.dedup import sql_portable_minhash_bands
+
+    return f"""
+    WITH {sql_portable_minhash_bands("documents", "doc_id", "text")},
+    first AS (
+        SELECT band, bucket, MIN(doc) AS owner
+        FROM bands GROUP BY band, bucket
+    ),
+    own AS (
+        SELECT b.doc,
+               BOOL_AND(f.owner = b.doc) AS adm,
+               SUM(CASE WHEN f.owner = b.doc THEN 1 ELSE 0 END) AS owned
+        FROM bands b
+        JOIN first f ON b.band = f.band AND b.bucket = f.bucket
+        GROUP BY b.doc
+    )
+    SELECT d.doc_id AS doc,
+           COALESCE(o.adm, TRUE) AS admitted,
+           CAST(COALESCE(o.owned, 0) AS BIGINT) AS owned_bands
+    FROM documents d LEFT JOIN own o ON d.doc_id = o.doc
+    """
+
+
+@query(
+    "st12_streaming_band_admission",
+    _st12_sql(),
+    eager=True,  # awaitTermination at construction
+)
+def st12_streaming_band_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-dup ADMISSION: the MinHash signature store
+    maintained as ONE update-mode stateful aggregation over a document
+    stream, then greedy band-first-owner admission — the ingest-path
+    dedup gate (each arriving doc admitted/rejected without
+    re-clustering the corpus). Full semantics, the idempotent-fold
+    argument, the deliberate band-grain-vs-CC divergence, and the
+    RocksDB state-store scale story live on
+    streaming/events.streaming_minhash_admission. Hash-checked: the
+    admission set equals the batch SQL derivation because min-folds
+    are order-insensitive over the whole stream."""
+    from ..streaming.events import streaming_minhash_admission
+
+    return streaming_minhash_admission(
+        spark, os.path.join(sf_dir, "documents.parquet")
+    )
+
+
 @query(
     "ro1_hourly_rollup",
     f"""

@@ -259,7 +259,9 @@ def _events_stream(spark: SparkSession, events_path: str) -> DataFrame:
         for k, v in STREAM_OPTIONS.items():
             reader = reader.option(k, v)
         stream = reader.parquet(os.path.dirname(events_path))
-    if dict(stream.dtypes)["ts"] == "bigint":
+    # ts normalization only applies to event-shaped sources; st12
+    # streams the documents table through the same helper (no ts).
+    if dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
         )
@@ -377,3 +379,81 @@ def streaming_last_writer_wins(
         F.col("last.value").alias("last_value"),
     )
     return _run_to_memory_sink(spark, out, "lww_", "complete")
+
+
+def streaming_minhash_admission(
+    spark: SparkSession,
+    docs_path: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Streaming NEAR-DUP ADMISSION over a document stream: the
+    portable-MinHash signature store maintained as an update-mode
+    stateful aggregation, then greedy band-first-owner admission —
+    the online analogue of the dd10/dd11 keep-lists, for the ingest
+    path where documents arrive continuously and each must be admitted
+    or rejected without re-clustering the corpus.
+
+    Pipeline: readStream(docs) → stateless shingle explode → ONE
+    streaming ``groupBy(doc).agg(min(md5(i:shingle)) …)``
+    (operators/dedup.minhash_signature_aggs — min is commutative and
+    idempotent, so the per-doc signature state converges to the batch
+    signature under any micro-batching AND under at-least-once event
+    re-delivery: a replayed document folds to the same mins). The sink
+    then takes one batch pass: signatures → band buckets
+    (dedup.bands_from_signatures), each (band, bucket) is owned by its
+    LOWEST doc_id, and a doc is admitted iff it owns ALL of its bands.
+
+    Admission semantics — deliberately band-grain, not cluster-grain:
+    a doc that loses ANY band to a lower id is rejected, and a
+    rejected doc's bands still block later docs. This greedy form is
+    order-insensitive (min over the whole stream), so it is exactly
+    SQL-expressible and hash-checkable, unlike the CC-closure the
+    batch keep-lists compute; the two agree on exact twins and on
+    well-separated near-dup clusters and diverge only on chains that
+    CC would merge transitively (documented, not hidden). Shingle-less
+    docs (< 3 words or NULL text) emit no signature and are admitted
+    with owned_bands = 0.
+
+    Scale shape: state = one k×32-char signature per DISTINCT document
+    key — this IS the persistent dedup signature store, bounded by
+    corpus size, not stream length; at 100 TB it rides the RocksDB
+    provider (st11's contract) so the store lives on disk with
+    incremental checkpoints. The post-stream admission is one
+    map-side-combined groupBy(band, bucket) min + one metadata-width
+    band-grain join — candidate volume tracks true duplicate density.
+
+    Returns (doc, admitted, owned_bands), one row per document.
+    """
+    from ..operators import dedup as dd
+
+    stream = _events_stream(spark, docs_path).select("doc_id", "text")
+    sh = dd.exploded_shingles(stream, "doc_id", "text")
+    sig = sh.groupBy("doc").agg(*dd.minhash_signature_aggs(num_hashes))
+    sink = _run_to_memory_sink(spark, sig, "bandadm_", "update")
+    # Final state per doc: fold min across any re-emissions (a doc that
+    # spanned micro-batches emits one update row per batch; the last is
+    # the complete signature and min-of-all equals it).
+    final = sink.groupBy("doc").agg(
+        *[F.min(f"m{i}").alias(f"m{i}") for i in range(num_hashes)]
+    )
+    band_rows = dd.bands_from_signatures(final, num_hashes, bands)
+    first = band_rows.groupBy("band", "bucket").agg(
+        F.min("doc").alias("owner")
+    )
+    own = (
+        band_rows.join(first, ["band", "bucket"])
+        .groupBy("doc")
+        .agg(
+            F.bool_and(F.col("owner") == F.col("doc")).alias("adm"),
+            F.sum(
+                F.when(F.col("owner") == F.col("doc"), 1).otherwise(0)
+            ).alias("owned"),
+        )
+    )
+    docs = spark.read.parquet(docs_path).select(F.col("doc_id").alias("doc"))
+    return docs.join(own, "doc", "left").select(
+        "doc",
+        F.coalesce(F.col("adm"), F.lit(True)).alias("admitted"),
+        F.coalesce(F.col("owned"), F.lit(0)).cast("bigint").alias("owned_bands"),
+    )

@@ -86,3 +86,46 @@ def test_rekeyed_canon_bands_equal_direct_bands(spark, sf_oracle):
         for r in star_sampling.fuzzy_decontaminate_plan(spark, docs).collect()
     }
     assert via_rekey == standalone
+
+
+def test_cm2_covers_exactly_the_arriving_slice(spark, sf_oracle):
+    """cm2 emits exactly one row per arriving doc (the deterministic
+    hash slice), its action domain is the 4-value cascade, and every
+    drop_exact doc really has a digest twin that precedes it (existing
+    side, or a lower arriving doc_id)."""
+    from ig_etl_with_user_reports_2024_spark.operators import sampling as sp
+    from ig_etl_with_user_reports_2024_spark.plans.star_manifest import (
+        _CM2_ARRIVE_FRAC,
+        _CM2_SALT,
+    )
+    from ig_etl_with_user_reports_2024_spark.sources.readers import load_table
+
+    out = entry_mod.queries()["cm2_incremental_admission"](spark, sf_oracle)
+    rows = out.collect()
+    docs = load_table(spark, sf_oracle, "documents")
+    arriving = docs.filter(
+        sp.hash_bucket(F.col("doc_id"), _CM2_SALT)
+        < sp.hex_threshold(_CM2_ARRIVE_FRAC)
+    )
+    arr_ids = {r.doc_id for r in arriving.select("doc_id").collect()}
+    assert {r.doc_id for r in rows} == arr_ids
+    assert len(rows) == len(arr_ids)
+    assert {r.action for r in rows} <= {
+        "drop_exact", "drop_near", "drop_quality", "admit"
+    }
+    # drop_exact implies a preceding digest twin
+    dg = {
+        r.doc_id: r.dg
+        for r in docs.select(
+            "doc_id",
+            F.coalesce(F.md5("text"), F.lit("<null>")).alias("dg"),
+        ).collect()
+    }
+    for r in rows:
+        if r.action == "drop_exact":
+            assert any(
+                dg[other] == dg[r.doc_id]
+                and (other not in arr_ids or other < r.doc_id)
+                for other in dg
+                if other != r.doc_id
+            ), f"doc {r.doc_id} drop_exact without a preceding twin"

@@ -208,3 +208,67 @@ def test_st11_rocksdb_matches_st6_and_restores_conf(spark, sf_oracle):
     st11 = {tuple(r) for r in qs["st11_rocksdb_dedup"](spark, sf_oracle).collect()}
     assert st11 == st6
     assert spark.conf.get(key, None) == before
+
+
+def _write_docs(spark, path, rows):
+    spark.createDataFrame(rows, "doc_id bigint, text string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(path)
+
+
+def test_st12_streaming_admission_semantics(spark, tmp_path):
+    """Greedy band-first-owner admission: exact twins collapse to the
+    lowest doc_id; distinct texts stay admitted; shingle-less and
+    NULL-text docs are admitted with owned_bands = 0."""
+    from ig_etl_with_user_reports_2024_spark.streaming.events import (
+        streaming_minhash_admission,
+    )
+
+    a = "the quick brown fox jumps over the lazy dog again and again"
+    b = "completely different words composed for another document here"
+    rows = [
+        (1, a),
+        (2, a),            # exact twin of 1 -> rejected
+        (3, b),
+        (4, "too short"),  # < 3 words: no shingles -> admitted, 0 bands
+        (5, None),         # NULL text -> admitted, 0 bands
+    ]
+    d = str(tmp_path / "docs")
+    _write_docs(spark, d, rows)
+    out = {r.doc: (r.admitted, r.owned_bands) for r in
+           streaming_minhash_admission(spark, d).collect()}
+    assert out[1] == (True, 4)
+    assert out[2] == (False, 0)   # loses every band to doc 1
+    assert out[3] == (True, 4)
+    assert out[4] == (True, 0)
+    assert out[5] == (True, 0)
+
+
+def test_st12_state_carries_across_micro_batches(spark, tmp_path):
+    """The signature fold must converge to the same admission set when
+    the stream is chopped into per-file micro-batches (state carries
+    across batches; min-fold is order-insensitive)."""
+    from ig_etl_with_user_reports_2024_spark.streaming import events as ev
+
+    a = "one shared duplicate text that is certainly long enough to shingle"
+    d = str(tmp_path / "docs")
+    # two files -> two micro-batches under maxFilesPerTrigger=1; the
+    # twin of doc 1 arrives in the SECOND batch
+    _write_docs(spark, d + "/f1", [(1, a), (3, "some unrelated filler text here")])
+    _write_docs(spark, d + "/f2", [(2, a)])
+    import shutil, os
+    merged = str(tmp_path / "merged")
+    os.makedirs(merged)
+    for i, src in enumerate([d + "/f1", d + "/f2"]):
+        for f in os.listdir(src):
+            if f.endswith(".parquet"):
+                shutil.copy(os.path.join(src, f), os.path.join(merged, f"part-{i}.parquet"))
+    old = dict(ev.STREAM_OPTIONS)
+    ev.STREAM_OPTIONS["maxFilesPerTrigger"] = "1"
+    try:
+        out = {r.doc: r.admitted for r in
+               ev.streaming_minhash_admission(spark, merged).collect()}
+    finally:
+        ev.STREAM_OPTIONS.clear()
+        ev.STREAM_OPTIONS.update(old)
+    assert out == {1: True, 2: False, 3: True}
