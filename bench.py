@@ -116,6 +116,7 @@ HEADLINE = [
     "st11_rocksdb_dedup",
     "st12_streaming_band_admission",
     "cm2_incremental_admission",
+    "txt11_winnowing_fingerprint",
 ]
 
 

@@ -182,3 +182,92 @@ def rolling_hash_fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataF
         lambda acc, w: F.pmod(acc * 131 + word_hash(w), F.lit(p)),
     )
     return df.select(F.col(id_col).alias("doc"), h.alias("rolling_fingerprint"))
+
+
+def winnowing_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, k: int = 4, w: int = 5
+) -> DataFrame:
+    """WINNOWING document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every word ``k``-gram, then
+    keep the MINIMUM hash of each sliding window of ``w`` consecutive
+    k-gram hashes. The selected set is a position-robust fingerprint:
+    any shared substring of at least ``w + k - 1`` words between two
+    documents is GUARANTEED to contribute at least one common
+    fingerprint (the paper's detection guarantee), while the expected
+    density of selected hashes is only ``2 / (w + 1)`` — the principled
+    way to subsample shingles for copy detection, where plain MinHash
+    gives whole-document similarity, not substring containment.
+
+    Selection is by window-min VALUE (every distinct window minimum is
+    kept), so the fingerprint set is tie-order-independent and the
+    identical construction runs in DuckDB — the tie-breaking refinement
+    the paper adds (rightmost minimum per window) only affects which
+    POSITION is recorded, not the value set this operator emits.
+
+    Plan shape: one posexplode, the k-gram via ``lead`` over a per-doc
+    position window (dd12's pattern — per-doc frames are bounded by
+    document length, never corpus size; md5 stays in whole-stage
+    codegen, not HOF lambdas), one more per-doc frame for the window
+    min, then a map-side-combined groupBy(doc) fold of the distinct
+    mins. Shuffle carries (doc, 32-char hash) rows at selected-gram
+    grain (~2/(w+1) of k-gram grain), never text.
+
+    Output, one row per input document: (doc, n_grams, n_windows,
+    n_fps, fp_digest) where fp_digest = md5 of the '|'-joined sorted
+    distinct selected hashes (NULL when the doc is too short to fill
+    one window — n_grams/n_windows still report the true counts).
+    """
+    from pyspark.sql.window import Window
+
+    nw = F.coalesce(F.size(normalized_words(F.col(text_col))), F.lit(0))
+    base = df.select(
+        F.col(id_col).alias("doc"),
+        nw.alias("nw"),
+        normalized_words(F.col(text_col)).alias("ws"),
+    )
+    # counts derive from word count alone — no dependence on the explode
+    counts = base.select(
+        "doc",
+        F.greatest(F.col("nw") - (k - 1), F.lit(0)).cast("bigint").alias("n_grams"),
+        F.greatest(F.col("nw") - (k - 1) - (w - 1), F.lit(0))
+        .cast("bigint")
+        .alias("n_windows"),
+    )
+    wp = base.select(
+        "doc", "nw", F.posexplode("ws").alias("p", "w0")
+    )
+    order = Window.partitionBy("doc").orderBy("p")
+    gram = F.concat_ws(
+        " ", F.col("w0"), *[F.lead("w0", j).over(order) for j in range(1, k)]
+    )
+    grams = (
+        wp.select("doc", "nw", "p", F.md5(F.encode(gram, "UTF-8")).alias("gh"))
+        # 0-based: k-gram starting at p is complete iff p <= nw - k
+        .filter(F.col("p") <= F.col("nw") - k)
+    )
+    winmin = F.min("gh").over(order.rowsBetween(0, w - 1))
+    sel = (
+        grams.select("doc", "nw", "p", winmin.alias("fp"))
+        # full windows only: window starting at p spans p .. p + w - 1
+        .filter(F.col("p") <= F.col("nw") - k - (w - 1))
+        .select("doc", "fp")
+        .distinct()
+    )
+    agg = sel.groupBy("doc").agg(
+        F.count("*").cast("bigint").alias("n_fps"),
+        F.md5(
+            F.encode(
+                F.concat_ws("|", F.array_sort(F.collect_set("fp"))), "UTF-8"
+            )
+        ).alias("fp_digest"),
+    )
+    return (
+        counts.join(agg, "doc", "left")
+        .select(
+            "doc",
+            "n_grams",
+            "n_windows",
+            F.coalesce(F.col("n_fps"), F.lit(0)).alias("n_fps"),
+            "fp_digest",
+        )
+    )

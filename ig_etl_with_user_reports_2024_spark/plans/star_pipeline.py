@@ -833,6 +833,75 @@ def txt5_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.rolling_hash_fingerprint(docs, "doc_id", "text")
 
 
+# winnowing parameters: k-gram size and window width (see
+# operators/textops.winnowing_fingerprints for the guarantee they buy)
+_WIN_K = 4
+_WIN_W = 5
+
+
+@query(
+    "txt11_winnowing_fingerprint",
+    f"""
+    WITH base AS (
+        SELECT doc_id AS doc,
+               COALESCE(len({_WORDS_SQL}), 0) AS nw,
+               {_WORDS_SQL} AS ws
+        FROM documents
+    ),
+    wp AS (
+        SELECT doc, nw, unnest(ws) AS w0,
+               generate_subscripts(ws, 1) AS p
+        FROM base
+    ),
+    g AS (
+        SELECT doc, nw, p,
+               md5(w0 || ' ' || lead(w0, 1) OVER o
+                      || ' ' || lead(w0, 2) OVER o
+                      || ' ' || lead(w0, 3) OVER o) AS gh
+        FROM wp WINDOW o AS (PARTITION BY doc ORDER BY p)
+    ),
+    grams AS (
+        SELECT doc, nw, p, gh FROM g WHERE p <= nw - {_WIN_K - 1}
+    ),
+    sel AS (
+        SELECT DISTINCT doc, fp FROM (
+            SELECT doc, nw, p,
+                   min(gh) OVER (PARTITION BY doc ORDER BY p
+                                 ROWS BETWEEN CURRENT ROW
+                                 AND {_WIN_W - 1} FOLLOWING) AS fp
+            FROM grams
+        ) WHERE p <= nw - {_WIN_K - 1} - {_WIN_W - 1}
+    ),
+    agg AS (
+        SELECT doc, CAST(COUNT(*) AS BIGINT) AS n_fps,
+               md5(string_agg(fp, '|' ORDER BY fp)) AS fp_digest
+        FROM sel GROUP BY doc
+    )
+    SELECT b.doc,
+           CAST(GREATEST(b.nw - {_WIN_K - 1}, 0) AS BIGINT) AS n_grams,
+           CAST(GREATEST(b.nw - {_WIN_K - 1} - {_WIN_W - 1}, 0) AS BIGINT)
+               AS n_windows,
+           COALESCE(a.n_fps, 0) AS n_fps,
+           a.fp_digest
+    FROM base b LEFT JOIN agg a ON b.doc = a.doc
+    """,
+)
+def txt11_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003)
+    per document: window-min selection over k-gram hashes with the
+    substring-detection guarantee (any shared run of >= w + k - 1
+    words contributes a common fingerprint at ~2/(w+1) density) —
+    the copy-detection complement to txt4's bag-of-words identity and
+    the full-shingle MinHash of the dd family. Selection is by VALUE,
+    so the fingerprint set is engine-portable and the digest
+    hash-checks bit-exact. Plan shape + the per-doc frame argument:
+    operators/textops.winnowing_fingerprints."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.winnowing_fingerprints(
+        docs, "doc_id", "text", k=_WIN_K, w=_WIN_W
+    )
+
+
 # ---------------------------------------------------------------------------
 # MM — multimodal binary columns: metadata JVM-side, decode via
 # mapInPandas (stubbed; see operators/multimodal.py).

@@ -262,3 +262,48 @@ def test_txt9_surprisal_scores_match_duckdb_within_tolerance(spark, sf_oracle):
         assert abs(v - du[doc]) <= 1e-9 * max(abs(v), abs(du[doc]), 1e-30), (
             doc, v, du[doc],
         )
+
+
+def test_winnowing_guarantee_and_density(spark):
+    """The paper's detection guarantee: two documents sharing a run of
+    >= w + k - 1 words (here 8) must share at least one fingerprint;
+    disjoint texts share none; and selection density lands near the
+    expected 2/(w+1) on random-ish text."""
+    import hashlib
+    import random
+
+    rnd = random.Random(7)
+    vocab = [f"w{i}" for i in range(200)]
+    shared = " ".join(rnd.choice(vocab) for _ in range(8))  # w + k - 1
+    a = " ".join(rnd.choice(vocab) for _ in range(40)) + " " + shared
+    b = shared + " " + " ".join(rnd.choice(vocab) for _ in range(40))
+    c = " ".join(rnd.choice(vocab) for _ in range(60))
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], "doc_id bigint, text string"
+    )
+    # recover the selected SETS (not just the digest) by re-deriving
+    # the same plan pieces: assert via pairwise digest inequality plus
+    # an explicit shared-fp check through a self-join on fp values
+    out = tx.winnowing_fingerprints(df, "doc_id", "text")
+    rows = {r.doc: r for r in out.collect()}
+    assert rows[1].n_fps > 0 and rows[2].n_fps > 0
+    # expected density ~ 2/(w+1) = 1/3; allow generous slack
+    for d in (1, 2, 3):
+        dens = rows[d].n_fps / rows[d].n_windows
+        assert 0.1 < dens < 0.75, (d, dens)
+    # guarantee: docs 1 and 2 share a fingerprint; doc 3 shares none
+    # (vocab draw makes an accidental 4-gram collision implausible),
+    # checked against a pure-python reference of the same construction
+    def fps(text, k=4, w=5):
+        ws = text.lower().split()
+        gh = [hashlib.md5(" ".join(ws[i:i + k]).encode()).hexdigest()
+              for i in range(len(ws) - k + 1)]
+        return {min(gh[i:i + w]) for i in range(len(gh) - w + 1)}
+
+    assert fps(a) & fps(b), "shared 8-word run must share a fingerprint"
+    assert not (fps(a) & fps(c))
+    # and the Spark digests agree with the pure-python reference sets
+    for d, t in ((1, a), (2, b), (3, c)):
+        ref = hashlib.md5("|".join(sorted(fps(t))).encode()).hexdigest()
+        assert rows[d].fp_digest == ref
+        assert rows[d].n_fps == len(fps(t))
