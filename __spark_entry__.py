@@ -55,7 +55,7 @@ from ig_etl_with_user_reports_2024_spark.plans import star_manifest  # noqa: F40
 # rotation so their slots go to hash-checkable queries; their rf floors
 # are the refreshable signal.
 #
-# Round-8 window: (0) the 23 new/changed entries — cp1 (NEW: the
+# Round-8 window: (0) the 24 new/changed entries — cp1 (NEW: the
 # curated-corpus end product), ii4 (NEW: PRF hybrid retrieval), ii5
 # (NEW: RRF hybrid fusion over ii4), txt10 (NEW: train-only trigram
 # surprisal), dp2 (NEW: per-sequence packing manifest), dd13 (NEW:
@@ -67,20 +67,23 @@ from ig_etl_with_user_reports_2024_spark.plans import star_manifest  # noqa: F40
 # cm2 (NEW: incremental admission of an arriving batch against the
 # existing corpus's digest + band stores — cm1's daily-maintenance
 # shape), txt11 (NEW: MOSS winnowing fingerprints — window-min k-gram
-# selection with the substring-detection guarantee), txt8 (quality
+# selection with the substring-detection guarantee), ii6 (NEW:
+# retrieval eval harness — integer hits@k / first-rel-rank against a
+# min-tf AND-label proxy; caught the negative-idf pathology and rides
+# the Lucene clamp), txt8 (quality
 # threshold 45→30, both engines — the old gate kept zero synthetic
 # docs), cm1 (plan: skew-safe digest stage; oracle: nests txt8's new
 # text), dd8/dd10/dd11 (plan: cluster_size + digest stage de-windowed
 # via salted joins), dd12 (plan: the g2 subtree pinned), ii2/ii3
 # (oracle re-emitted via the shared _bm25_sql builder), dp1/ds1/mx1
 # (oracle re-emitted via the shared rel-parameterized builders); then
-# (a) the r5-era verdicts, catalog order. 23 + 27 = 50 exactly —
-# the LAST NINE r5-era entries in catalog order (st1, st2, st3, st4,
-# st6, st8, st9, x10, x8b) are the rule's deliberate overflow to r9,
-# where they lead the stale cohort (st6's only r8 change is the eager
-# flag — result-identical; st1/st2/st3's displacement pays for
-# st12/cm2/txt11's first contact, per the rule's "new entries outrank
-# stale refreshes").
+# (a) the r5-era verdicts, catalog order. 24 + 26 = 50 exactly —
+# the LAST TEN r5-era entries in catalog order (sq1, st1, st2, st3,
+# st4, st6, st8, st9, x10, x8b) are the rule's deliberate overflow to
+# r9, where they lead the stale cohort (st6's only r8 change is the
+# eager flag — result-identical; sq1/st1/st2/st3's displacement pays
+# for st12/cm2/txt11/ii6's first contact, per the rule's "new entries
+# outrank stale refreshes").
 # rf10 (eager flag only), st5/st10 (metrics-capture keying only) and
 # dc2 are result- and plan-identical with fresh verdicts — overflow.
 _DRIVER_PRIORITY = [
@@ -96,6 +99,7 @@ _DRIVER_PRIORITY = [
     "st12_streaming_band_admission",
     "cm2_incremental_admission",
     "txt11_winnowing_fingerprint",
+    "ii6_retrieval_eval",
     "txt10_trigram_surprisal",
     "txt8_filter_verdict",
     "cm1_corpus_manifest",
@@ -136,7 +140,6 @@ _DRIVER_PRIORITY = [
     "sp1_hash_split",
     "sp2_stratified_sample",
     "sp3_k_per_stratum",
-    "sq1_int8_quantize",
 ]
 
 

@@ -117,6 +117,7 @@ HEADLINE = [
     "st12_streaming_band_admission",
     "cm2_incremental_admission",
     "txt11_winnowing_fingerprint",
+    "ii6_retrieval_eval",
 ]
 
 

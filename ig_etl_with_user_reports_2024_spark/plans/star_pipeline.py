@@ -2395,12 +2395,20 @@ _BM25_VALUES_SQL = ", ".join(
 
 
 
-def _bm25_sql(log_idf: bool, k: int = 5, with_score: bool = True) -> str:
+def _bm25_sql(
+    log_idf: bool, k: int = 5, with_score: bool = True, lucene: bool = False
+) -> str:
     """DuckDB twin of :func:`_bm25_topk` — ONE definition of the BM25
     oracle text, shared by ii2 (pre-log ratio idf, with score), ii3
-    (ln idf, rank only), and ii4's candidate stage (ln idf, top-50)."""
+    (ln idf, rank only), ii4's candidate stage (ln idf, top-50), and
+    ii6's ranking stage (``lucene=True``: ln(1 + ratio), the
+    production clamp that keeps idf positive for df > N/2 terms —
+    ii6's eval measured the unclamped form ranking every
+    high-tf-relevant doc LAST on this stopword-dense corpus)."""
     idf = "((t.n_docs - d.doc_freq + 0.5) / (d.doc_freq + 0.5))"
-    if log_idf:
+    if lucene:
+        idf = f"ln(1 + {idf})"
+    elif log_idf:
         idf = f"ln{idf}"
     score_col = ",\n           score" if with_score else ""
     return f"""
@@ -2442,15 +2450,15 @@ def _bm25_sql(log_idf: bool, k: int = 5, with_score: bool = True) -> str:
     """
 
 
-def _bm25_topk(
-    spark: SparkSession, sf_dir: str, log_idf: bool, k: int = 5
-) -> DataFrame:
-    """Shared BM25 machinery behind ii2 (pre-log RSJ idf ratio), ii3
-    (true ln idf), and ii4's candidate stage (ln idf, k=50): broadcast
-    term-dim prune before the (token, doc) count, dl carried through
-    the explode, pinned tf relation, canonical token-order score fold,
-    top-k window per query.
-    Returns (query_id, doc_id, rank, score)."""
+def _bm25_relations(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(qterms, tf, tot): the tokenize → broadcast-term-prune →
+    (token, doc) count relations every BM25-family consumer starts
+    from. tf is pinned so a composition that needs BOTH the ranking
+    and the raw term counts (ii6's relevance labels) tokenizes the
+    corpus ONCE — the cm1 shared-intermediates discipline; at 100 TB
+    this is the checkpointed postings table."""
     docs = load_table(spark, sf_dir, "documents")
     qterms = spark.createDataFrame(
         [(qid, t) for qid, terms in _BM25_QUERIES for t in terms],
@@ -2472,12 +2480,35 @@ def _bm25_topk(
         .groupBy("token", "doc_id")
         .agg(F.count("*").alias("tf"), F.max("dl").alias("dl"))
     )
+    return qterms, tf, tot
+
+
+def _bm25_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    log_idf: bool,
+    k: int = 5,
+    rels: tuple[DataFrame, DataFrame, DataFrame] | None = None,
+    lucene: bool = False,
+) -> DataFrame:
+    """Shared BM25 machinery behind ii2 (pre-log RSJ idf ratio), ii3
+    (true ln idf), ii4's candidate stage (ln idf, k=50), and ii6's
+    ranking stage (ln idf, k=10 over shared relations): broadcast
+    term-dim prune before the (token, doc) count, dl carried through
+    the explode, pinned tf relation, canonical token-order score fold,
+    top-k window per query.
+    Returns (query_id, doc_id, rank, score)."""
+    qterms, tf, tot = rels if rels is not None else _bm25_relations(
+        spark, sf_dir
+    )
     dfreq = tf.groupBy("token").agg(F.count("*").alias("doc_freq"))
     avgdl = F.col("total_len").cast("double") / F.col("n_docs")
     idf = (
         F.col("n_docs") - F.col("doc_freq") + F.lit(0.5)
     ) / (F.col("doc_freq") + F.lit(0.5))
-    if log_idf:
+    if lucene:
+        idf = F.log(F.lit(1.0) + idf)
+    elif log_idf:
         idf = F.log(idf)
     ts = idf * (
         (F.col("tf").cast("double") * F.lit(2.2))
@@ -2779,6 +2810,159 @@ def ii5_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("rank", F.row_number().over(w).cast("int"))
     )
+
+
+# relevance proxy for ii6: a doc is relevant to a query iff it contains
+# EVERY query term at least _II6_MIN_TF times ("strongly about all the
+# terms"). min_tf=1 labels ~60% of the synthetic corpus relevant per
+# query (saturated metrics — the txt8 vacuity lesson in the other
+# direction); min_tf=3 lands at 4-13%, a label set the ranking can
+# actually miss.
+_II6_MIN_TF = 3
+
+
+@query(
+    "ii6_retrieval_eval",
+    f"""
+    WITH bm AS ({_bm25_sql(log_idf=True, k=10, with_score=False, lucene=True)}),
+    qterms(query_id, token) AS (VALUES {_BM25_VALUES_SQL}),
+    qn AS (
+        SELECT query_id, COUNT(DISTINCT token) AS n_terms
+        FROM qterms GROUP BY query_id
+    ),
+    tok AS (
+        SELECT doc_id, unnest({_WORDS_SQL}) AS token FROM documents
+    ),
+    tfq AS (
+        SELECT t.doc_id, t.token, COUNT(*) AS c
+        FROM tok t JOIN (SELECT DISTINCT token FROM qterms) s USING (token)
+        GROUP BY 1, 2
+    ),
+    relm AS (
+        SELECT q.query_id, t.doc_id, COUNT(DISTINCT t.token) AS m
+        FROM qterms q JOIN tfq t USING (token)
+        WHERE t.c >= {_II6_MIN_TF}
+        GROUP BY 1, 2
+    ),
+    rel AS (
+        SELECT r.query_id, r.doc_id
+        FROM relm r JOIN qn USING (query_id)
+        WHERE r.m = qn.n_terms
+    ),
+    nrel AS (SELECT query_id, COUNT(*) AS n_rel FROM rel GROUP BY query_id),
+    hits AS (
+        SELECT b.query_id,
+               SUM(CASE WHEN r.doc_id IS NOT NULL AND b."rank" <= 5
+                        THEN 1 ELSE 0 END) AS hits_at_5,
+               SUM(CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                   AS hits_at_10,
+               MIN(CASE WHEN r.doc_id IS NOT NULL THEN b."rank" END)
+                   AS first_rel_rank
+        FROM bm b
+        LEFT JOIN rel r ON b.query_id = r.query_id AND b.doc_id = r.doc_id
+        GROUP BY b.query_id
+    )
+    SELECT q.query_id,
+           CAST(COALESCE(n.n_rel, 0) AS BIGINT) AS n_rel,
+           CAST(COALESCE(h.hits_at_5, 0) AS BIGINT) AS hits_at_5,
+           CAST(COALESCE(h.hits_at_10, 0) AS BIGINT) AS hits_at_10,
+           h.first_rel_rank
+    FROM (SELECT DISTINCT query_id FROM qterms) q
+    LEFT JOIN nrel n USING (query_id)
+    LEFT JOIN hits h USING (query_id)
+    """,
+)
+def ii6_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval EVALUATION harness: per-query IR quality metrics of a
+    BM25 top-10 ranking against an in-corpus relevance proxy — the
+    measurement layer a RAG/data pipeline runs after every index or
+    ranking change. The ranking uses the LUCENE idf clamp
+    ln(1 + (N-df+0.5)/(df+0.5)) rather than ii3's raw ln: building
+    this harness measured the raw form at ZERO hits on all five
+    queries — every query term here has df > N/2, so unclamped idf
+    goes negative and BM25 ranks the high-tf (relevant) docs LAST.
+    That is the textbook negative-idf pathology, the clamp is the
+    production fix (Lucene's formula), and the before/after is pinned
+    in tests/test_textops.py — an eval harness that catches a real
+    ranking bug on first contact is the point of having one.
+    Labels: a doc is relevant iff it contains
+    every query term >= {min_tf}x (see _II6_MIN_TF note). Output per
+    query: n_rel (label-set size), hits_at_5 / hits_at_10 (numerators
+    of precision@k and, against n_rel, recall@k), first_rel_rank (the
+    MRR numerator's rank; NULL when the top-10 misses the label set
+    entirely). All-integer, hash-exact by design — the float forms
+    (precision@k = hits/k, recall@k = hits/n_rel, MRR = 1/first_rank)
+    are one exact division away from these integers, so nothing
+    float-shaped needs a loosened compare (the ii3/txt10 discipline);
+    tests/test_textops.py re-derives the metrics with a pure-python
+    reference over the same ranking + label definition.
+
+    Scale shape: ONE tokenize feeds both the ranking and the labels —
+    _bm25_relations' pinned tf relation (the checkpointed postings
+    table at 100 TB) is reused by the BM25 stage and filtered to
+    tf >= {min_tf} for the label join; everything else is query-grain
+    metadata (broadcast qterms, |Q| x k candidate rows)."""
+    qterms, tf, tot = _bm25_relations(spark, sf_dir)
+    bm = _bm25_topk(
+        spark, sf_dir, log_idf=True, k=10, rels=(qterms, tf, tot),
+        lucene=True,
+    )
+    qn = qterms.groupBy("query_id").agg(
+        F.count_distinct("token").alias("n_terms")
+    )
+    relm = (
+        tf.filter(F.col("tf") >= _II6_MIN_TF)
+        .join(F.broadcast(qterms), "token")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count_distinct("token").alias("m"))
+    )
+    rel = (
+        relm.join(F.broadcast(qn), "query_id")
+        .filter(F.col("m") == F.col("n_terms"))
+        .select("query_id", "doc_id")
+        .withColumn("_rel", F.lit(True))
+    )
+    nrel = rel.groupBy("query_id").agg(
+        F.count("*").cast("bigint").alias("n_rel")
+    )
+    hits = (
+        bm.join(rel, ["query_id", "doc_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(
+                F.when(F.col("_rel").isNotNull() & (F.col("rank") <= 5), 1)
+                .otherwise(0)
+            ).cast("bigint").alias("hits_at_5"),
+            F.sum(F.when(F.col("_rel").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("hits_at_10"),
+            F.min(F.when(F.col("_rel").isNotNull(), F.col("rank"))).alias(
+                "first_rel_rank"
+            ),
+        )
+    )
+    return (
+        qterms.select("query_id")
+        .distinct()
+        .join(nrel, "query_id", "left")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_rel"), F.lit(0)).cast("bigint").alias("n_rel"),
+            F.coalesce(F.col("hits_at_5"), F.lit(0))
+            .cast("bigint")
+            .alias("hits_at_5"),
+            F.coalesce(F.col("hits_at_10"), F.lit(0))
+            .cast("bigint")
+            .alias("hits_at_10"),
+            "first_rel_rank",
+        )
+    )
+
+
+ii6_retrieval_eval.__doc__ = ii6_retrieval_eval.__doc__.format(
+    min_tf=_II6_MIN_TF
+)
 
 
 # ---------------------------------------------------------------------------

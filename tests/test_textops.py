@@ -307,3 +307,59 @@ def test_winnowing_guarantee_and_density(spark):
         ref = hashlib.md5("|".join(sorted(fps(t))).encode()).hexdigest()
         assert rows[d].fp_digest == ref
         assert rows[d].n_fps == len(fps(t))
+
+
+def test_ii6_metrics_match_python_reference(spark, sf_oracle):
+    """ii6's integer metrics re-derived with a pure-python reference:
+    labels = docs containing every query term >= min_tf times; metrics
+    recomputed from the same BM25 ranking the entry consumes."""
+    import collections
+
+    import __spark_entry__ as em
+    from ig_etl_with_user_reports_2024_spark.plans.star_pipeline import (
+        _BM25_QUERIES,
+        _II6_MIN_TF,
+        _bm25_topk,
+    )
+    from ig_etl_with_user_reports_2024_spark.sources.readers import load_table
+
+    out = {r.query_id: r for r in
+           em.queries()["ii6_retrieval_eval"](spark, sf_oracle).collect()}
+    docs = load_table(spark, sf_oracle, "documents").select("doc_id", "text").collect()
+    tf = {
+        d.doc_id: collections.Counter((d.text or "").lower().split())
+        for d in docs
+    }
+    bm = _bm25_topk(spark, sf_oracle, log_idf=True, k=10, lucene=True).collect()
+    ranking = collections.defaultdict(list)
+    for r in sorted(bm, key=lambda r: (r.query_id, r.rank)):
+        ranking[r.query_id].append(r.doc_id)
+    hit_any = 0
+    for qid, terms in _BM25_QUERIES:
+        rel = {d for d, c in tf.items()
+               if all(c[t] >= _II6_MIN_TF for t in terms)}
+        ranked = ranking.get(qid, [])
+        row = out[qid]
+        assert row.n_rel == len(rel)
+        assert row.hits_at_5 == sum(1 for d in ranked[:5] if d in rel)
+        assert row.hits_at_10 == sum(1 for d in ranked if d in rel)
+        first = next((i + 1 for i, d in enumerate(ranked) if d in rel), None)
+        assert row.first_rel_rank == first
+        # internal consistency of the integer metric surface
+        assert 0 <= row.hits_at_5 <= 5 and row.hits_at_5 <= row.hits_at_10 <= 10
+        if row.hits_at_10:
+            assert row.first_rel_rank is not None
+            hit_any += 1
+    assert hit_any >= 3, "label set must be non-vacuous for most queries"
+    # the negative-idf pathology ii6 documents: the UNCLAMPED ln idf
+    # ranks high-tf (relevant) docs last on this df > N/2 corpus —
+    # zero hits everywhere. If this ever starts hitting, the corpus
+    # changed shape and ii6's docstring claim needs re-measuring.
+    raw = _bm25_topk(spark, sf_oracle, log_idf=True, k=10).collect()
+    raw_ranking = collections.defaultdict(set)
+    for r in raw:
+        raw_ranking[r.query_id].add(r.doc_id)
+    for qid, terms in _BM25_QUERIES:
+        rel = {d for d, c in tf.items()
+               if all(c[t] >= _II6_MIN_TF for t in terms)}
+        assert not (raw_ranking[qid] & rel)
