@@ -436,8 +436,10 @@ def cm2_incremental_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combined groupBy(band, bucket) min and two salted
     band-grain attach joins (the salts keep a mega-duplicate arriving
     batch — every doc sharing one digest/bucket — off a single task,
-    dd11's r8 discipline); quality is txt8's doc-grain pass joined at
-    doc_id grain. No window functions, no quadratic stage.
+    dd11's r8 discipline); quality is txt8's doc-LOCAL verdict run
+    over the arriving slice only (filter_verdict_plan — batch-
+    proportional, never corpus-proportional). No window functions, no
+    quadratic stage.
     """
     from ..operators.skew import salted_join
 
@@ -501,7 +503,11 @@ def cm2_incremental_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumnRenamed("doc", "doc_id")
     )
-    t8 = QUERIES["txt8_filter_verdict"].fn(spark, sf_dir).select(
+    # quality is doc-local (star_pipeline.filter_verdict_plan), so only
+    # the arriving slice is scored — row-identical to filtering the
+    # full-corpus txt8 output, at batch-proportional cost (review
+    # finding: the full pass did 4x the needed work per daily batch)
+    t8 = star_pipeline.filter_verdict_plan(arrive).select(
         "doc_id", "keep", "quality_score"
     )
     action = (

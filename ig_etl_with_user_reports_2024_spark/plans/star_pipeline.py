@@ -837,6 +837,13 @@ def txt5_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # operators/textops.winnowing_fingerprints for the guarantee they buy)
 _WIN_K = 4
 _WIN_W = 5
+# the k-gram lead chain derives from _WIN_K like the Spark side's
+# range(1, k) — a constant change cannot desync the oracle (review
+# finding: a hardcoded 3-lead chain would keep hashing 4-grams under
+# filters generated for the new k)
+_WIN_GRAM_SQL = " || ' ' || ".join(
+    ["w0"] + [f"lead(w0, {j}) OVER o" for j in range(1, _WIN_K)]
+)
 
 
 @query(
@@ -855,9 +862,7 @@ _WIN_W = 5
     ),
     g AS (
         SELECT doc, nw, p,
-               md5(w0 || ' ' || lead(w0, 1) OVER o
-                      || ' ' || lead(w0, 2) OVER o
-                      || ' ' || lead(w0, 3) OVER o) AS gh
+               md5({_WIN_GRAM_SQL}) AS gh
         FROM wp WINDOW o AS (PARTITION BY doc ORDER BY p)
     ),
     grams AS (
@@ -1329,7 +1334,16 @@ def txt8_filter_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     curated corpus empty; 30 keeps 17-19% at sf0.001/0.01/0.1 with
     sub-threshold mass on every reason code. Token-less docs drop (explode of empty list),
     matching txt7."""
-    docs = load_table(spark, sf_dir, "documents")
+    return filter_verdict_plan(load_table(spark, sf_dir, "documents"))
+
+
+def filter_verdict_plan(docs: DataFrame) -> DataFrame:
+    """txt8's verdict over a caller-supplied documents relation — the
+    verdict is purely doc-local (no corpus-level statistic anywhere in
+    the formula), so a composition that only needs a SLICE scores just
+    that slice (cm2's arriving batch: 4x less quality work per day at
+    the docstring's 25% arrival rate) and remains row-for-row
+    identical to filtering the full-corpus output."""
     words = tx.normalized_words(F.col("text"))
     proj = docs.select(
         "doc_id",
