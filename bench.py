@@ -118,6 +118,7 @@ HEADLINE = [
     "cm2_incremental_admission",
     "txt11_winnowing_fingerprint",
     "ii6_retrieval_eval",
+    "dd14_winnowing_pairs",
 ]
 
 

@@ -184,6 +184,137 @@ def rolling_hash_fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataF
     return df.select(F.col(id_col).alias("doc"), h.alias("rolling_fingerprint"))
 
 
+def _winnowing_base(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc, nw, ws): the normalized word list and its length — the
+    shared root of the winnowing stages below."""
+    nw = F.coalesce(F.size(normalized_words(F.col(text_col))), F.lit(0))
+    return df.select(
+        F.col(id_col).alias("doc"),
+        nw.alias("nw"),
+        normalized_words(F.col(text_col)).alias("ws"),
+    )
+
+
+def winnowing_selected(
+    df: DataFrame, id_col: str, text_col: str, k: int = 4, w: int = 5
+) -> DataFrame:
+    """The winnowing SELECTED-fingerprint set, one row per (doc, fp):
+    every distinct window-minimum k-gram hash per document (the ``sel``
+    stage of :func:`winnowing_fingerprints`, factored out so the pair
+    generator below and the per-doc digest share ONE definition — a
+    k/w tweak cannot desynchronize them).
+
+    Plan shape: one posexplode, the k-gram via ``lead`` over a per-doc
+    position frame (bounded by document length, never corpus size; md5
+    stays in whole-stage codegen), a second per-doc frame for the
+    window min, then distinct at (doc, fp) grain. The shuffle carries
+    (doc, 32-char hash) at selected-gram density ~2/(w+1).
+    """
+    from pyspark.sql.window import Window
+
+    base = _winnowing_base(df, id_col, text_col)
+    wp = base.select("doc", "nw", F.posexplode("ws").alias("p", "w0"))
+    order = Window.partitionBy("doc").orderBy("p")
+    gram = F.concat_ws(
+        " ", F.col("w0"), *[F.lead("w0", j).over(order) for j in range(1, k)]
+    )
+    grams = (
+        wp.select("doc", "nw", "p", F.md5(F.encode(gram, "UTF-8")).alias("gh"))
+        # 0-based: k-gram starting at p is complete iff p <= nw - k
+        .filter(F.col("p") <= F.col("nw") - k)
+    )
+    winmin = F.min("gh").over(order.rowsBetween(0, w - 1))
+    return (
+        grams.select("doc", "nw", "p", winmin.alias("fp"))
+        # full windows only: window starting at p spans p .. p + w - 1
+        .filter(F.col("p") <= F.col("nw") - k - (w - 1))
+        .select("doc", "fp")
+        .distinct()
+    )
+
+
+def winnowing_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 4,
+    w: int = 5,
+    min_shared: int = 2,
+    max_fp_df: int = 1000,
+) -> DataFrame:
+    """Candidate COPY pairs from shared winnowing fingerprints — the
+    second half of the MOSS pipeline (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 §4: fingerprints are inserted into an index keyed by
+    hash and documents sharing fingerprints become match candidates).
+    Where dd2/dd3 measure whole-document set similarity over ALL
+    shingles, this joins on the winnowed ~2/(w+1) subsample and so
+    inherits the substring guarantee: any shared run of >= w + k - 1
+    words yields at least one shared fingerprint, at a fraction of
+    dd2's shuffle volume — the principled cheap candidate generator
+    for copy/plagiarism detection rather than near-identity.
+
+    Scale levers, in plan order:
+
+    - **Stop fingerprints**: a fingerprint appearing in more than
+      ``max_fp_df`` documents (boilerplate, headers) is excluded
+      before the self-join — MOSS does exactly this to cap per-key
+      fanout, which bounds the join's worst key at ``max_fp_df**2``
+      candidate rows. The document-frequency table is fingerprint-grain
+      and joins on the same key the self-join shuffles on, so the cap
+      costs one map-side-combined count, no extra exchange pattern.
+    - The self-join carries (doc, 32-char hash) rows only, never text.
+    - Per-doc totals (``n_fps_a/b``) are the PRE-cap counts — txt11's
+      n_fps, so the two operators report one consistent quantity and a
+      fully-boilerplate document shows containment 0, not NULL.
+    - Like every pair generator in the dd family, clique cost is
+      quadratic in duplicate multiplicity by definition — production
+      runs digest dedup (dd1/dd11's first stage) before this.
+
+    Output: (a_id, b_id, shared_fps, n_fps_a, n_fps_b, containment)
+    for pairs sharing >= ``min_shared`` kept fingerprints, where
+    containment = shared_fps / min(n_fps_a, n_fps_b) — the substring-
+    containment estimate (Jaccard would punish a short doc wholly
+    embedded in a long one, the exact case winnowing exists to catch).
+    """
+    sel = winnowing_selected(df, id_col, text_col, k=k, w=w)
+    totals = sel.groupBy("doc").agg(F.count(F.lit(1)).alias("n_fps"))
+    fp_df = sel.groupBy("fp").agg(F.count(F.lit(1)).alias("fp_df"))
+    kept = (
+        sel.join(fp_df, "fp")
+        .filter(F.col("fp_df") <= max_fp_df)
+        .select("doc", "fp")
+    )
+    shared = (
+        kept.select(F.col("doc").alias("a_id"), "fp")
+        .join(kept.select(F.col("doc").alias("b_id"), "fp"), "fp")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )
+    return (
+        shared.join(
+            totals.select(F.col("doc").alias("a_id"), F.col("n_fps").alias("n_fps_a")),
+            "a_id",
+        )
+        .join(
+            totals.select(F.col("doc").alias("b_id"), F.col("n_fps").alias("n_fps_b")),
+            "b_id",
+        )
+        .select(
+            "a_id",
+            "b_id",
+            "shared_fps",
+            "n_fps_a",
+            "n_fps_b",
+            (
+                F.col("shared_fps")
+                / F.least(F.col("n_fps_a"), F.col("n_fps_b"))
+            ).alias("containment"),
+        )
+    )
+
+
 def winnowing_fingerprints(
     df: DataFrame, id_col: str, text_col: str, k: int = 4, w: int = 5
 ) -> DataFrame:
@@ -217,14 +348,7 @@ def winnowing_fingerprints(
     distinct selected hashes (NULL when the doc is too short to fill
     one window — n_grams/n_windows still report the true counts).
     """
-    from pyspark.sql.window import Window
-
-    nw = F.coalesce(F.size(normalized_words(F.col(text_col))), F.lit(0))
-    base = df.select(
-        F.col(id_col).alias("doc"),
-        nw.alias("nw"),
-        normalized_words(F.col(text_col)).alias("ws"),
-    )
+    base = _winnowing_base(df, id_col, text_col)
     # counts derive from word count alone — no dependence on the explode
     counts = base.select(
         "doc",
@@ -233,26 +357,7 @@ def winnowing_fingerprints(
         .cast("bigint")
         .alias("n_windows"),
     )
-    wp = base.select(
-        "doc", "nw", F.posexplode("ws").alias("p", "w0")
-    )
-    order = Window.partitionBy("doc").orderBy("p")
-    gram = F.concat_ws(
-        " ", F.col("w0"), *[F.lead("w0", j).over(order) for j in range(1, k)]
-    )
-    grams = (
-        wp.select("doc", "nw", "p", F.md5(F.encode(gram, "UTF-8")).alias("gh"))
-        # 0-based: k-gram starting at p is complete iff p <= nw - k
-        .filter(F.col("p") <= F.col("nw") - k)
-    )
-    winmin = F.min("gh").over(order.rowsBetween(0, w - 1))
-    sel = (
-        grams.select("doc", "nw", "p", winmin.alias("fp"))
-        # full windows only: window starting at p spans p .. p + w - 1
-        .filter(F.col("p") <= F.col("nw") - k - (w - 1))
-        .select("doc", "fp")
-        .distinct()
-    )
+    sel = winnowing_selected(df, id_col, text_col, k=k, w=w)
     agg = sel.groupBy("doc").agg(
         F.count("*").cast("bigint").alias("n_fps"),
         F.md5(
@@ -271,3 +376,59 @@ def winnowing_fingerprints(
             "fp_digest",
         )
     )
+
+
+def sql_winnowing_selected(
+    rel: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    w: int = 5,
+) -> str:
+    """DuckDB CTE chain ``base AS (...), ..., sel AS (...)`` matching
+    :func:`winnowing_selected` — sel(doc, fp) is the selected
+    fingerprint set. ONE definition feeds both the txt11 digest oracle
+    and the dd14 pair oracle, so a k/w change (or a tokenizer tweak via
+    sql_words) cannot desynchronize them — same rule as the shared
+    _bm25_sql and rel-parameterized packing builders.
+
+    DuckDB positions are 1-based (``generate_subscripts``) where the
+    Spark side's posexplode is 0-based, hence ``p <= nw - (k-1)`` here
+    vs ``p <= nw - k`` in the Spark plan — same grams, same windows.
+    The k-gram lead chain derives from ``k`` exactly like the Spark
+    side's ``range(1, k)``.
+    """
+    from .dedup import sql_words
+
+    words_sql = sql_words(text_col)
+    gram_sql = " || ' ' || ".join(
+        ["w0"] + [f"lead(w0, {j}) OVER o" for j in range(1, k)]
+    )
+    return f"""base AS (
+        SELECT {id_col} AS doc,
+               COALESCE(len({words_sql}), 0) AS nw,
+               {words_sql} AS ws
+        FROM {rel}
+    ),
+    wp AS (
+        SELECT doc, nw, unnest(ws) AS w0,
+               generate_subscripts(ws, 1) AS p
+        FROM base
+    ),
+    g AS (
+        SELECT doc, nw, p,
+               md5({gram_sql}) AS gh
+        FROM wp WINDOW o AS (PARTITION BY doc ORDER BY p)
+    ),
+    grams AS (
+        SELECT doc, nw, p, gh FROM g WHERE p <= nw - {k - 1}
+    ),
+    sel AS (
+        SELECT DISTINCT doc, fp FROM (
+            SELECT doc, nw, p,
+                   min(gh) OVER (PARTITION BY doc ORDER BY p
+                                 ROWS BETWEEN CURRENT ROW
+                                 AND {w - 1} FOLLOWING) AS fp
+            FROM grams
+        ) WHERE p <= nw - {k - 1} - {w - 1}
+    )"""

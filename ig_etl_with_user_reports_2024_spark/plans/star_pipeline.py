@@ -834,49 +834,24 @@ def txt5_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # winnowing parameters: k-gram size and window width (see
-# operators/textops.winnowing_fingerprints for the guarantee they buy)
+# operators/textops.winnowing_fingerprints for the guarantee they buy).
+# The whole base→sel CTE chain comes from ONE builder
+# (textops.sql_winnowing_selected) shared with dd14's pair oracle, so a
+# k/w change cannot desync the two — and the k-gram lead chain inside
+# it derives from k like the Spark side's range(1, k) (review finding:
+# a hardcoded 3-lead chain would keep hashing 4-grams under filters
+# generated for a new k).
 _WIN_K = 4
 _WIN_W = 5
-# the k-gram lead chain derives from _WIN_K like the Spark side's
-# range(1, k) — a constant change cannot desync the oracle (review
-# finding: a hardcoded 3-lead chain would keep hashing 4-grams under
-# filters generated for the new k)
-_WIN_GRAM_SQL = " || ' ' || ".join(
-    ["w0"] + [f"lead(w0, {j}) OVER o" for j in range(1, _WIN_K)]
+_WIN_SEL_SQL = tx.sql_winnowing_selected(
+    "documents", "doc_id", "text", k=_WIN_K, w=_WIN_W
 )
 
 
 @query(
     "txt11_winnowing_fingerprint",
     f"""
-    WITH base AS (
-        SELECT doc_id AS doc,
-               COALESCE(len({_WORDS_SQL}), 0) AS nw,
-               {_WORDS_SQL} AS ws
-        FROM documents
-    ),
-    wp AS (
-        SELECT doc, nw, unnest(ws) AS w0,
-               generate_subscripts(ws, 1) AS p
-        FROM base
-    ),
-    g AS (
-        SELECT doc, nw, p,
-               md5({_WIN_GRAM_SQL}) AS gh
-        FROM wp WINDOW o AS (PARTITION BY doc ORDER BY p)
-    ),
-    grams AS (
-        SELECT doc, nw, p, gh FROM g WHERE p <= nw - {_WIN_K - 1}
-    ),
-    sel AS (
-        SELECT DISTINCT doc, fp FROM (
-            SELECT doc, nw, p,
-                   min(gh) OVER (PARTITION BY doc ORDER BY p
-                                 ROWS BETWEEN CURRENT ROW
-                                 AND {_WIN_W - 1} FOLLOWING) AS fp
-            FROM grams
-        ) WHERE p <= nw - {_WIN_K - 1} - {_WIN_W - 1}
-    ),
+    WITH {_WIN_SEL_SQL},
     agg AS (
         SELECT doc, CAST(COUNT(*) AS BIGINT) AS n_fps,
                md5(string_agg(fp, '|' ORDER BY fp)) AS fp_digest
@@ -904,6 +879,70 @@ def txt11_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return tx.winnowing_fingerprints(
         docs, "doc_id", "text", k=_WIN_K, w=_WIN_W
+    )
+
+
+# dd14 thresholds: report pairs sharing >= 2 selected fingerprints (one
+# shared fingerprint at k=4/w=5 can be a single common 8-word run —
+# real, but below reporting interest; the sf0.01 corpus has ~100
+# one-fp pairs vs ~dozens of multi-fp near-dups). The stop-fingerprint
+# cap exists for boilerplate at scale; 1000 never fires on the
+# synthetic corpus (max fp df is 3 at sf0.01) — its behavior is pinned
+# by a constructed-corpus unit test instead (txt8-vacuity rule:
+# assert the mechanism where the data can reach it).
+_WIN_MIN_SHARED = 2
+_WIN_MAX_FP_DF = 1000
+
+
+@query(
+    "dd14_winnowing_pairs",
+    f"""
+    WITH {_WIN_SEL_SQL},
+    totals AS (
+        SELECT doc, CAST(COUNT(*) AS BIGINT) AS n_fps FROM sel GROUP BY doc
+    ),
+    fpdf AS (
+        SELECT fp, COUNT(*) AS fp_df FROM sel GROUP BY fp
+    ),
+    kept AS (
+        SELECT s.doc, s.fp
+        FROM sel s JOIN fpdf f ON s.fp = f.fp
+        WHERE f.fp_df <= {_WIN_MAX_FP_DF}
+    ),
+    shared AS (
+        SELECT a.doc AS a_id, b.doc AS b_id,
+               CAST(COUNT(*) AS BIGINT) AS shared_fps
+        FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc < b.doc
+        GROUP BY a.doc, b.doc
+        HAVING COUNT(*) >= {_WIN_MIN_SHARED}
+    )
+    SELECT s.a_id, s.b_id, s.shared_fps,
+           ta.n_fps AS n_fps_a, tb.n_fps AS n_fps_b,
+           s.shared_fps / LEAST(ta.n_fps, tb.n_fps) AS containment
+    FROM shared s
+    JOIN totals ta ON ta.doc = s.a_id
+    JOIN totals tb ON tb.doc = s.b_id
+    """,
+)
+def dd14_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS candidate copy pairs: documents sharing >= 2 winnowing
+    fingerprints, with substring-CONTAINMENT accounting
+    (shared / min(n_fps)) rather than Jaccard — the copy-detection
+    complement to dd2's whole-document similarity, joining on txt11's
+    ~2/(w+1)-density selected set instead of all shingles. Inherits
+    winnowing's guarantee (a shared >= w+k-1-word run always collides)
+    and MOSS's stop-fingerprint cap as the scale lever;
+    operators/textops.winnowing_pairs documents the plan shape. The
+    sel CTE in the oracle is the SAME builder output as txt11's."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.winnowing_pairs(
+        docs,
+        "doc_id",
+        "text",
+        k=_WIN_K,
+        w=_WIN_W,
+        min_shared=_WIN_MIN_SHARED,
+        max_fp_df=_WIN_MAX_FP_DF,
     )
 
 

@@ -309,6 +309,91 @@ def test_winnowing_guarantee_and_density(spark):
         assert rows[d].n_fps == len(fps(t))
 
 
+def _py_winnow_fps(text, k=4, w=5):
+    import hashlib
+
+    ws = text.lower().split()
+    gh = [hashlib.md5(" ".join(ws[i:i + k]).encode()).hexdigest()
+          for i in range(len(ws) - k + 1)]
+    return {min(gh[i:i + w]) for i in range(len(gh) - w + 1)}
+
+
+def _py_winnow_pairs(texts, k=4, w=5, min_shared=2, max_fp_df=1000):
+    """Pure-python reference of operators/textops.winnowing_pairs."""
+    from collections import Counter
+
+    fps = {d: _py_winnow_fps(t, k, w) for d, t in texts.items()}
+    df = Counter(f for s in fps.values() for f in s)
+    kept = {d: {f for f in s if df[f] <= max_fp_df} for d, s in fps.items()}
+    ids = sorted(texts)
+    out = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            sh = len(kept[a] & kept[b])
+            if sh >= min_shared:
+                out[(a, b)] = (
+                    sh, len(fps[a]), len(fps[b]),
+                    sh / min(len(fps[a]), len(fps[b])),
+                )
+    return out
+
+
+def test_winnowing_pairs_reference_and_stop_fingerprint_cap(spark):
+    """dd14's mechanics on a constructed corpus, checked exactly against
+    a pure-python reference: (1) a planted 16-word shared run surfaces
+    that pair (a 16-word run contains 9 fully-interior windows and one
+    gram hash can be the min of at most w of them, so >= 2 shared fps
+    — clears min_shared=2); (2) the MOSS stop-fingerprint cap drops
+    boilerplate shared by more docs than max_fp_df, which the synthetic
+    corpus can never reach (max fp df there is 3) — so the mechanism is
+    pinned here instead (txt8 vacuity rule); (3) n_fps_a/b stay PRE-cap
+    (txt11's n_fps) and containment = shared/min."""
+    import random
+
+    rnd = random.Random(11)
+    vocab = [f"w{i}" for i in range(500)]
+
+    def rtext(n):
+        return " ".join(rnd.choice(vocab) for _ in range(n))
+
+    run = rtext(16)          # the copied passage: >= 2 shared fps
+    boiler = rtext(16)       # boilerplate shared by 8 docs
+    texts = {
+        1: rtext(40) + " " + run,
+        2: run + " " + rtext(40),
+    }
+    for d in range(3, 11):
+        texts[d] = rtext(10) + " " + boiler + " " + rtext(10)
+    df = spark.createDataFrame(
+        sorted(texts.items()), "doc_id bigint, text string"
+    )
+
+    for cap in (1000, 5):
+        ref = _py_winnow_pairs(texts, max_fp_df=cap)
+        got = {
+            (r.a_id, r.b_id): (
+                r.shared_fps, r.n_fps_a, r.n_fps_b, r.containment
+            )
+            for r in tx.winnowing_pairs(
+                df, "doc_id", "text", min_shared=2, max_fp_df=cap
+            ).collect()
+        }
+        assert set(got) == set(ref), (cap, set(got) ^ set(ref))
+        for pair, (sh, na, nb, cont) in ref.items():
+            gsh, gna, gnb, gcont = got[pair]
+            assert (gsh, gna, gnb) == (sh, na, nb), (cap, pair)
+            assert abs(gcont - cont) < 1e-12
+            assert 0.0 < gcont <= 1.0
+    # the planted copy pair always survives; the boilerplate fps have
+    # df=8 > 5, so under cap=5 every boilerplate-only pair vanishes
+    uncapped = _py_winnow_pairs(texts, max_fp_df=1000)
+    capped = _py_winnow_pairs(texts, max_fp_df=5)
+    assert (1, 2) in uncapped and (1, 2) in capped
+    boiler_pairs = {p for p in uncapped if p[0] >= 3}
+    assert len(boiler_pairs) == 28  # C(8,2): boilerplate collides all
+    assert not any(p[0] >= 3 for p in capped)
+
+
 def test_ii6_metrics_match_python_reference(spark, sf_oracle):
     """ii6's integer metrics re-derived with a pure-python reference:
     labels = docs containing every query term >= min_tf times; metrics
