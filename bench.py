@@ -119,6 +119,7 @@ HEADLINE = [
     "txt11_winnowing_fingerprint",
     "ii6_retrieval_eval",
     "dd14_winnowing_pairs",
+    "dd15_quality_survivor",
 ]
 
 

@@ -153,6 +153,79 @@ def keep_list_with_sizes(
     )
 
 
+def quality_survivor_keep_list(
+    members: DataFrame,
+    quality: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    quality_col: str = "quality_score",
+    n_salts: int = 8,
+) -> DataFrame:
+    """(id, cluster) membership + per-doc quality → the keep-list where
+    the survivor per cluster is the HIGHEST-quality member (tie: lowest
+    id) instead of dd8/dd10/dd11's lowest-id rule. This is the
+    production survivor policy: when near-duplicates differ (truncated
+    copy vs full article, boilerplate-wrapped vs clean), dedup should
+    keep the best copy, not the one that happened to arrive first.
+
+    Total order: the ranking key is ``(coalesce(quality, -1.0) DESC,
+    id ASC)`` — NULL-quality docs (NULL text) rank last, and the id
+    tie-break totalizes equal scores (exact twins share a score by
+    construction), so the survivor is engine-portable.
+
+    Plan shape, skew discipline identical to :func:`keep_list_with_sizes`:
+
+    - quality attach is a unique-key id-grain join (both sides one row
+      per doc — no hot key even on a mega-dup corpus);
+    - survivor + size come from ONE map-side-combined
+      ``groupBy(cluster)`` — argmax as ``max(struct(quality, -id))``,
+      so the hot cluster contributes one row per input partition;
+    - the cluster-grain result joins back via :func:`skew.salted_join`
+      (NOT broadcast: cluster-grain ≈ one row per distinct text, far
+      beyond driver memory at 10^12 docs).
+
+    Output: (id, cluster, survivor_id, kept, cluster_size).
+    """
+    from .skew import salted_join
+
+    scored = members.select(id_col, cluster_col).join(
+        quality.select(
+            id_col,
+            F.coalesce(F.col(quality_col), F.lit(-1.0)).alias("_q"),
+        ),
+        id_col,
+    )
+    best = (
+        scored.groupBy(cluster_col)
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("_q").alias("q"), (-F.col(id_col)).alias("nid")
+                )
+            ).alias("b"),
+            F.count(F.lit(1)).alias("cluster_size"),
+        )
+        .select(
+            cluster_col,
+            (-F.col("b.nid")).alias("survivor_id"),
+            "cluster_size",
+        )
+    )
+    return salted_join(
+        members.select(id_col, cluster_col),
+        best,
+        on=cluster_col,
+        n_salts=n_salts,
+        salt_by=[id_col],
+    ).select(
+        id_col,
+        cluster_col,
+        "survivor_id",
+        (F.col(id_col) == F.col("survivor_id")).alias("kept"),
+        "cluster_size",
+    )
+
+
 def shingle_pairs_jaccard(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5
 ) -> DataFrame:

@@ -378,6 +378,59 @@ def winnowing_fingerprints(
     )
 
 
+def sql_quality_score(
+    rel: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB query text matching :func:`quality_score` (all seven
+    output columns, ``doc`` = {id_col}). ONE definition feeds txt2's
+    oracle and any composition that ranks by quality (dd15's survivor
+    rule), so a formula tweak cannot desynchronize them.
+    """
+    from .dedup import sql_words
+
+    words_sql = sql_words(text_col)
+    stop_sql = "[" + ", ".join(
+        f"'{w}'" for _, _, ws in LANG_STOPWORDS for w in ws
+    ) + "]"
+    return f"""
+    WITH feats AS (
+        SELECT {id_col} AS doc,
+               length({text_col}) AS n_chars,
+               len({words_sql}) AS n_words,
+               len(regexp_extract_all({text_col}, '[.,!?;:]')) AS n_punct,
+               len(list_filter({words_sql},
+                   w -> list_contains({stop_sql}, w))) AS n_stop,
+               list_reduce(
+                   list_prepend(0.0, list_transform({words_sql},
+                       w -> CAST(length(w) AS DOUBLE))),
+                   (a, b) -> a + b) AS word_len_sum
+        FROM {rel}
+    )
+    SELECT doc, n_chars, n_words,
+           CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars END
+               AS punct_ratio,
+           CASE WHEN n_words > 0 THEN CAST(n_stop AS DOUBLE) / n_words END
+               AS stopword_ratio,
+           CASE WHEN n_words > 0 THEN word_len_sum / n_words END
+               AS mean_word_len,
+           GREATEST(0.0, LEAST(100.0,
+               LEAST(40.0, CAST(n_words AS DOUBLE) / 2)
+               + LEAST(30.0, COALESCE(
+                     CASE WHEN n_words > 0 THEN CAST(n_stop AS DOUBLE) / n_words END,
+                     0.0) * 100)
+               - LEAST(20.0, COALESCE(
+                     CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars END,
+                     0.0) * 200)
+               - CASE WHEN COALESCE(
+                     CASE WHEN n_words > 0 THEN word_len_sum / n_words END,
+                     0.0) > 12 THEN 20.0 ELSE 0.0 END
+           )) AS quality_score
+    FROM feats
+    """
+
+
 def sql_winnowing_selected(
     rel: str = "documents",
     id_col: str = "doc_id",

@@ -602,6 +602,76 @@ def _bind_dd13_oracle() -> None:
     )
 
 
+@query(
+    "dd15_quality_survivor",
+    f"""
+    WITH RECURSIVE {dd.sql_portable_minhash_pairs("documents")},
+    edges AS (
+        SELECT a_id AS a, b_id AS b FROM pairs
+        UNION ALL
+        SELECT b_id AS a, a_id AS b FROM pairs
+    ),
+    reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    labeled AS (
+        SELECT d.doc_id,
+               CAST(LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS BIGINT)
+                   AS cluster_id
+        FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+        GROUP BY d.doc_id
+    ),
+    q AS ({tx.sql_quality_score("documents")}),
+    scored AS (
+        SELECT l.doc_id, l.cluster_id,
+               COALESCE(q.quality_score, -1.0) AS qs
+        FROM labeled l JOIN q ON q.doc = l.doc_id
+    ),
+    best AS (
+        SELECT cluster_id, doc_id AS survivor_id FROM (
+            SELECT doc_id, cluster_id, row_number() OVER (
+                PARTITION BY cluster_id ORDER BY qs DESC, doc_id ASC
+            ) AS rn FROM scored
+        ) WHERE rn = 1
+    ),
+    sizes AS (
+        SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+        FROM labeled GROUP BY cluster_id
+    )
+    SELECT s.doc_id, s.cluster_id, b.survivor_id,
+           s.doc_id = b.survivor_id AS kept, z.cluster_size
+    FROM scored s
+    JOIN best b ON b.cluster_id = s.cluster_id
+    JOIN sizes z ON z.cluster_id = s.cluster_id
+    """,
+    eager=True,  # per-round collect/localCheckpoint at construction (CC)
+)
+def dd15_quality_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dd10's banded keep-list with the PRODUCTION survivor policy:
+    keep the highest-QUALITY member of each near-dup cluster (txt2's
+    score; tie → lowest doc_id) instead of the lowest-id one. When
+    near-duplicates differ — truncated copy vs full article — the
+    corpus should retain the best copy; lowest-id is an accident of
+    crawl order. Same banded pairs, same CC closure as dd10; only the
+    survivor rule changes, and `kept` means "is the chosen survivor"
+    rather than "id equals cluster label". The quality subquery is the
+    SAME builder output as txt2's oracle (textops.sql_quality_score);
+    skew discipline in operators/dedup.quality_survivor_keep_list
+    (map-side-combined argmax struct, salted attach join, no windows).
+    """
+    from ..operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.portable_minhash_pairs(docs, "doc_id", "text", threshold=0.2)
+    cc = connected_components(docs.select("doc_id"), pairs)
+    quality = tx.quality_score(docs, "doc_id", "text").select(
+        F.col("doc").alias("doc_id"), "quality_score"
+    )
+    return dd.quality_survivor_keep_list(cc, quality)
+
+
 @query("dd3_minhash_lsh_pairs", None)  # engine-specific hashes → rows-only
 def dd3_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32)+LSH(8 bands) candidate pairs with estimated Jaccard.
@@ -735,44 +805,11 @@ _ALL_STOP_SQL = "[" + ", ".join(
 ) + "]"
 
 
-@query(
-    "txt2_quality_score",
-    f"""
-    WITH feats AS (
-        SELECT doc_id AS doc,
-               length(text) AS n_chars,
-               len({_WORDS_SQL}) AS n_words,
-               len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
-               len(list_filter({_WORDS_SQL},
-                   w -> list_contains({_ALL_STOP_SQL}, w))) AS n_stop,
-               list_reduce(
-                   list_prepend(0.0, list_transform({_WORDS_SQL},
-                       w -> CAST(length(w) AS DOUBLE))),
-                   (a, b) -> a + b) AS word_len_sum
-        FROM documents
-    )
-    SELECT doc, n_chars, n_words,
-           CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars END
-               AS punct_ratio,
-           CASE WHEN n_words > 0 THEN CAST(n_stop AS DOUBLE) / n_words END
-               AS stopword_ratio,
-           CASE WHEN n_words > 0 THEN word_len_sum / n_words END
-               AS mean_word_len,
-           GREATEST(0.0, LEAST(100.0,
-               LEAST(40.0, CAST(n_words AS DOUBLE) / 2)
-               + LEAST(30.0, COALESCE(
-                     CASE WHEN n_words > 0 THEN CAST(n_stop AS DOUBLE) / n_words END,
-                     0.0) * 100)
-               - LEAST(20.0, COALESCE(
-                     CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars END,
-                     0.0) * 200)
-               - CASE WHEN COALESCE(
-                     CASE WHEN n_words > 0 THEN word_len_sum / n_words END,
-                     0.0) > 12 THEN 20.0 ELSE 0.0 END
-           )) AS quality_score
-    FROM feats
-    """,
-)
+# The full quality query text comes from ONE builder
+# (textops.sql_quality_score) shared with dd15's survivor oracle, so a
+# formula tweak cannot desynchronize them (same rule as _bm25_sql and
+# sql_winnowing_selected).
+@query("txt2_quality_score", tx.sql_quality_score("documents"))
 def txt2_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus quality scoring: length/stopword credits minus punctuation
     and degenerate-word-shape penalties, clamped to 0..100."""

@@ -415,3 +415,31 @@ if _HAS_HYPOTHESIS:
             for r in dd.repeated_span_profile(df, "doc_id", "text", k=k).collect()
         }
         assert got == _span_reference(corpus, k)
+
+
+def test_quality_survivor_keep_list_rule(spark):
+    """dd15's survivor policy on constructed clusters: highest quality
+    wins, score ties break to the lowest id, NULL quality ranks last
+    (below any real score), singletons keep themselves, sizes exact."""
+    members = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4), (6, 6), (7, 6), (10, 10)],
+        "doc_id bigint, cluster_id bigint",
+    )
+    quality = spark.createDataFrame(
+        [(1, 5.0), (2, 9.0), (3, 7.0), (4, 3.0), (5, 3.0),
+         (6, None), (7, 0.0), (10, 1.0)],
+        "doc_id bigint, quality_score double",
+    )
+    out = {r.doc_id: r for r in
+           dd.quality_survivor_keep_list(members, quality).collect()}
+    assert len(out) == 8
+    expect = {1: 2, 2: 2, 3: 2,      # highest quality, not lowest id
+              4: 4, 5: 4,            # tie -> lowest id
+              6: 7, 7: 7,            # NULL ranks below 0.0
+              10: 10}                # singleton
+    for d, surv in expect.items():
+        assert out[d].survivor_id == surv, (d, out[d])
+        assert out[d].kept == (d == surv)
+    assert {d: out[d].cluster_size for d in out} == {
+        1: 3, 2: 3, 3: 3, 4: 2, 5: 2, 6: 2, 7: 2, 10: 1
+    }
