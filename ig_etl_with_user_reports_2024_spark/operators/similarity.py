@@ -579,11 +579,59 @@ def kmeans_assign(
     )
 
 
+def kmeans_assign_multi(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    salt: str = "km1",
+    probes: int = 2,
+) -> DataFrame:
+    """MULTI-PROBE assignment: each vector's ``probes`` nearest seeded
+    centroids — the IVF/SemDeDup capture knob (FAISS ``nprobe``). A
+    coarse partition separates borderline neighbors across a cell
+    boundary; probing the runner-up cell recovers most of them at
+    ``probes``× membership volume. Same codebook draw, same
+    left-to-right fold distances, same struct-sort tie-break as
+    :func:`kmeans_assign` (ONE scored-cells definition below), so
+    probe_rank=1 rows ARE km1's assignment exactly.
+
+    Returns (id, cluster_id, probe_rank 1..probes, dist2) — ``probes``
+    rows per vector, still a pure column expression over the scan (the
+    posexplode multiplies rows ``probes``×, it does not shuffle).
+    """
+    scored = _scored_cells(vectors, id_col, vec_col, k, salt)
+    ex = scored.select(
+        F.col(id_col),
+        F.posexplode(F.slice(F.col("_cells"), 1, probes)).alias("_pr", "_c"),
+    )
+    return ex.select(
+        F.col(id_col).alias("id"),
+        F.col("_c.cid").alias("cluster_id"),
+        (F.col("_pr") + 1).cast("int").alias("probe_rank"),
+        F.col("_c.d2").alias("dist2"),
+    )
+
+
 def _with_assignment(
     vectors: DataFrame, id_col: str, vec_col: str, k: int, salt: str
 ) -> DataFrame:
     """``vectors`` plus (cluster_id, dist2) — assignment as a pure
     column expression (constant-size codebook collect, no shuffle)."""
+    scored = _scored_cells(vectors, id_col, vec_col, k, salt)
+    best = F.element_at(F.col("_cells"), 1)
+    return scored.withColumns(
+        {"cluster_id": best["cid"], "dist2": best["d2"]}
+    ).drop("_cells")
+
+
+def _scored_cells(
+    vectors: DataFrame, id_col: str, vec_col: str, k: int, salt: str
+) -> DataFrame:
+    """``vectors`` plus ``_cells``: the seeded codebook's cells sorted
+    by (dist2, cid) — the shared root of single (:func:`kmeans_assign`)
+    and multi-probe (:func:`kmeans_assign_multi`) assignment; the
+    struct sort gives argmin with the lower-cid tie-break."""
     import json
 
     hash_col = F.md5(
@@ -621,10 +669,7 @@ def _with_assignment(
             i.cast("int").alias("cid"),
         ),
     )
-    best = F.element_at(F.array_sort(scored), 1)
-    return vectors.withColumns(
-        {"cluster_id": best["cid"], "dist2": best["d2"]}
-    )
+    return vectors.withColumn("_cells", F.array_sort(scored))
 
 
 def kmeans_update(

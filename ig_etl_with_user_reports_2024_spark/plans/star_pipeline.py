@@ -580,6 +580,35 @@ def semantic_cell_pairs(
     return _tau_pairs(withv, tau, same_cell=True)
 
 
+def semantic_multiprobe_pairs(
+    emb: DataFrame,
+    tau: float = 0.40,
+    k: int = 8,
+    salt: str = "km1",
+    probes: int = 2,
+) -> DataFrame:
+    """dd13's pair stage under MULTI-PROBE assignment (the production
+    capture knob rf11's docstring names): each vector belongs to its
+    ``probes`` nearest cells, pairs form in ANY shared cell, distinct
+    at pair grain (a pair sharing both cells must not double-count).
+    Same :func:`_tau_pairs` predicate, so rf12 measures exactly what a
+    multi-probe dd13 would cluster. Cost model: membership volume is
+    ``probes``× (worst-case ``probes²``× candidate rows per cell
+    pair), the price of the recovered boundary pairs."""
+    asg = sim.kmeans_assign_multi(
+        emb, "vec_id", "embedding", k=k, salt=salt, probes=probes
+    )
+    withv = (
+        asg.select(F.col("id").alias("vec_id"), F.col("cluster_id").alias("cid"))
+        .join(emb.select("vec_id", "embedding"), "vec_id")
+        .select(
+            "vec_id", "cid", "embedding",
+            sim.norm(F.col("embedding")).alias("nrm"),
+        )
+    )
+    return _tau_pairs(withv, tau, same_cell=True).distinct()
+
+
 def semantic_all_pairs(emb: DataFrame, tau: float = 0.40) -> DataFrame:
     """The quadratic yardstick behind rf11: ALL τ-pairs (no cell
     restriction) under the same :func:`_tau_pairs` predicate. Only run

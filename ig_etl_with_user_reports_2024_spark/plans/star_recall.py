@@ -480,6 +480,36 @@ def rf11_diag(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_row(exact, approx, ["a_id", "b_id"], floor=0.2)
 
 
+def rf12_diag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full diagnostic behind rf12: same yardstick as rf11 (ALL cosine
+    >= 0.40 pairs), approx side = dd13's pair stage under MULTI-PROBE
+    assignment (pair via either of each vector's top-2 cells)."""
+    from .star_pipeline import semantic_all_pairs, semantic_multiprobe_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = semantic_all_pairs(emb, tau=0.40)
+    approx = semantic_multiprobe_pairs(emb, tau=0.40, probes=2)
+    return _recall_row(exact, approx, ["a_id", "b_id"], floor=0.5)
+
+
+@query("rf12_multiprobe_cell_recall", _floor_oracle(0.5), eager=True)
+def rf12_multiprobe_cell_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capture KNOB rf11 documents, demonstrated and gated: dd13's
+    same-cell pair stage with probes=2 (each vector also belongs to its
+    runner-up cell; operators/similarity.kmeans_assign_multi) recovers
+    the boundary pairs single assignment loses — measured 0.70/0.78/
+    0.73 at sf0.001/0.01/0.1 vs rf11's 0.38/0.32/0.26, i.e. the knob
+    roughly DOUBLES uniform-regime capture at 2× membership volume
+    (probes²× worst-case candidate rows). Floor 0.5: above everything
+    rf11's single-probe stage can reach here, below every multi-probe
+    measurement — the gate fails if the probe wiring regresses to
+    single assignment. Same τ predicate (_tau_pairs), same all-pairs
+    yardstick as rf11 (quadratic — gate scale only; sweep skip list).
+    Eager: kmeans codebook draw collects at construction (km1 family).
+    """
+    return _floor_only(rf12_diag(spark, sf_dir))
+
+
 @query("rf11_semdedup_cell_recall", _floor_oracle(0.2), eager=True)
 def rf11_semdedup_cell_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pair recall of dd13's single-assignment k-means cells vs the

@@ -235,3 +235,46 @@ def test_portable_sign_planes_deterministic():
     # not degenerate: both signs occur
     flat = [s for row in a for s in row]
     assert 1.0 in flat and -1.0 in flat
+
+
+def test_kmeans_assign_multi_contract(spark, sf_oracle):
+    """kmeans_assign_multi: probe_rank=1 rows ARE km1's assignment
+    (same codebook, same tie-break); probes=2 emits exactly 2 rows per
+    vector with distinct cells and nondecreasing dist2."""
+    from ig_etl_with_user_reports_2024_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    single = {r.id: (r.cluster_id, r.dist2)
+              for r in sim.kmeans_assign(emb, "vec_id", "embedding").collect()}
+    multi = sim.kmeans_assign_multi(
+        emb, "vec_id", "embedding", probes=2
+    ).collect()
+    by_id: dict = {}
+    for r in multi:
+        by_id.setdefault(r.id, {})[r.probe_rank] = (r.cluster_id, r.dist2)
+    assert set(by_id) == set(single)
+    for vid, ranks in by_id.items():
+        assert set(ranks) == {1, 2}
+        assert ranks[1] == single[vid]
+        assert ranks[1][0] != ranks[2][0]
+        assert ranks[1][1] <= ranks[2][1]
+
+
+def test_multiprobe_pairs_bracket(spark, sf_oracle):
+    """rf12's approx side sits between rf11's and the exact yardstick:
+    single-probe pairs ⊆ multi-probe pairs ⊆ all τ-pairs, and at this
+    fixture the knob strictly recovers boundary pairs."""
+    from ig_etl_with_user_reports_2024_spark.plans.star_pipeline import (
+        semantic_all_pairs,
+        semantic_cell_pairs,
+        semantic_multiprobe_pairs,
+    )
+    from ig_etl_with_user_reports_2024_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    ex = {(r.a_id, r.b_id) for r in semantic_all_pairs(emb, 0.40).collect()}
+    p1 = {(r.a_id, r.b_id) for r in semantic_cell_pairs(emb, 0.40).collect()}
+    p2 = {(r.a_id, r.b_id)
+          for r in semantic_multiprobe_pairs(emb, 0.40, probes=2).collect()}
+    assert p1 <= p2 <= ex
+    assert len(p2) > len(p1)  # the knob buys real capture here
