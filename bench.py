@@ -120,6 +120,7 @@ HEADLINE = [
     "ii6_retrieval_eval",
     "dd14_winnowing_pairs",
     "dd15_quality_survivor",
+    "mx2_epoch_budget",
 ]
 
 

@@ -120,6 +120,77 @@ def k_per_stratum(
     )
 
 
+def epoch_budget(
+    df: DataFrame,
+    stratum: str,
+    tokens_col: str,
+    budget_mult: int = 3,
+    max_epochs: int = 3,
+) -> DataFrame:
+    """Per-source EPOCH plan for a data-constrained training run: given
+    a global token budget of ``budget_mult ×`` the corpus and α=0.5
+    temperature weights (budget_s ∝ floor(sqrt(T_s)), exactly
+    :func:`temperature_mix`'s weighting), how many epochs of each
+    source does the run see — capped at ``max_epochs`` repetitions,
+    the data-constrained-scaling rule that repeating data beyond ~4
+    epochs stops buying loss (Muennighoff et al. 2023, "Scaling
+    Data-Constrained Language Models"). mx1 answers "which documents
+    make one balanced pass"; this answers the planning question above
+    it — what repetition factor the budget implies per source and
+    where the cap truncates it (capped budget is surfaced, not
+    silently redistributed: redistribution is iterative water-filling,
+    a planner decision this report informs).
+
+    All arithmetic after the per-source token sums is BIGINT — the
+    isqrt quantization and the overflow-safe floor-div decomposition
+    are temperature_mix's (see its docstring) — so the output is
+    hash-exact cross-engine. ``epochs_milli = capped·1000 // T_s``
+    keeps thousandths-of-an-epoch resolution in integers
+    (capped ≤ max_epochs·T_s, so the ×1000 is overflow-safe below
+    ~10^15 tokens per source).
+
+    Plan shape: one map-side-combined groupBy(stratum) over the corpus,
+    then a broadcast cross-join of the single global row — source-grain
+    metadata from one exchange, no windows.
+
+    Output, one row per source with any tokens: (source, source_tokens,
+    budget_tokens, capped_tokens, epochs_milli, capped).
+    """
+    m, e = int(budget_mult), int(max_epochs)
+    if m < 1 or e < 1:
+        raise ValueError(f"budget_mult/max_epochs must be >= 1, got {m}/{e}")
+    nz = df.select(
+        F.col(stratum).alias("source"),
+        F.col(tokens_col).cast("long").alias("_n"),
+    ).filter(F.col("_n") > 0)
+    tot = nz.groupBy("source").agg(F.sum("_n").alias("source_tokens")).withColumn(
+        "_isq", F.floor(F.sqrt(F.col("source_tokens").cast("double"))).cast("long")
+    )
+    g = tot.agg(
+        F.sum("source_tokens").alias("_total"), F.sum("_isq").alias("_denom")
+    )
+    budgets = tot.crossJoin(F.broadcast(g)).select(
+        "source",
+        "source_tokens",
+        F.expr(
+            f"((_total * {m}) div _denom) * _isq"
+            f" + (((_total * {m}) % _denom) * _isq) div _denom"
+        ).alias("budget_tokens"),
+    )
+    capped_tokens = F.least(
+        F.col("budget_tokens"), F.lit(e) * F.col("source_tokens")
+    )
+    return budgets.select(
+        "source",
+        "source_tokens",
+        "budget_tokens",
+        capped_tokens.alias("capped_tokens"),
+        F.expr("(least(budget_tokens, {e} * source_tokens) * 1000)"
+               " div source_tokens".format(e=e)).alias("epochs_milli"),
+        (F.col("budget_tokens") > capped_tokens).alias("capped"),
+    )
+
+
 def temperature_mix(
     df: DataFrame,
     key: str,

@@ -2366,6 +2366,70 @@ def mx1_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# mx2 constants: plan a 3x-corpus-token run, cap repetition at 3
+# epochs. On the near-uniform synthetic sources the sqrt weighting
+# puts per-source epochs at 2.8-3.3, so the cap fires for roughly half
+# the sources and not the other half — both branches exercised at
+# every sf (the txt8 non-vacuity rule).
+_MX2_MULT = 3
+_MX2_MAX_EPOCHS = 3
+
+
+@query(
+    "mx2_epoch_budget",
+    f"""
+    WITH t AS (
+        SELECT source, CAST(len({_WORDS_SQL}) AS BIGINT) AS n_tokens
+        FROM documents
+    ), nz AS (
+        SELECT * FROM t WHERE n_tokens > 0
+    ), tot AS (
+        SELECT source,
+               CAST(SUM(n_tokens) AS BIGINT) AS source_tokens,
+               CAST(FLOOR(SQRT(CAST(SUM(n_tokens) AS BIGINT))) AS BIGINT)
+                   AS isq
+        FROM nz GROUP BY source
+    ), g AS (
+        SELECT CAST(SUM(source_tokens) AS BIGINT) AS total,
+               CAST(SUM(isq) AS BIGINT) AS denom
+        FROM tot
+    ), b AS (
+        SELECT source, source_tokens,
+               CAST(((total * {_MX2_MULT}) // denom) * isq
+                    + (((total * {_MX2_MULT}) % denom) * isq) // denom
+                    AS BIGINT) AS budget_tokens
+        FROM tot, g
+    )
+    SELECT source, source_tokens, budget_tokens,
+           CAST(LEAST(budget_tokens, {_MX2_MAX_EPOCHS} * source_tokens)
+                AS BIGINT) AS capped_tokens,
+           CAST((LEAST(budget_tokens, {_MX2_MAX_EPOCHS} * source_tokens)
+                 * 1000) // source_tokens AS BIGINT) AS epochs_milli,
+           budget_tokens
+               > LEAST(budget_tokens, {_MX2_MAX_EPOCHS} * source_tokens)
+               AS capped
+    FROM b
+    """,
+)
+def mx2_epoch_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-constrained planning table above mx1: per-source token
+    budgets for a {_MX2_MULT}x-corpus training run under the same α=0.5
+    temperature weights, with repetition capped at {_MX2_MAX_EPOCHS}
+    epochs (Muennighoff et al. 2023) — how oversampled each source is
+    and where the cap truncates the budget. All-BIGINT arithmetic
+    (operators/sampling.epoch_budget); one groupBy(source) exchange +
+    a broadcast 1-row global, no windows."""
+    docs = load_table(spark, sf_dir, "documents")
+    counted = docs.select(
+        "source",
+        F.size(tx.normalized_words(F.col("text"))).alias("n_tokens"),
+    )
+    return sampling.epoch_budget(
+        counted, "source", "n_tokens",
+        budget_mult=_MX2_MULT, max_epochs=_MX2_MAX_EPOCHS,
+    )
+
+
 @query(
     "sq3_matryoshka_truncate",
     f"""

@@ -256,3 +256,36 @@ def test_temperature_mix_prefix_length_invariance(spark):
 
     with pytest.raises(ValueError, match="prefix_chars"):
         temperature_mix(df, "doc", "source", "n_tokens", prefix_chars=9)
+
+
+def test_epoch_budget_arithmetic_and_cap(spark):
+    """mx2's integer plan on a constructed skewed corpus: a tiny source
+    gets sqrt-boosted past the cap (capped=True, epochs_milli pinned at
+    max_epochs*1000), a huge one stays under; budgets follow the exact
+    floor-div decomposition; zero-token sources drop."""
+    import math
+
+    from ig_etl_with_user_reports_2024_spark.operators.sampling import (
+        epoch_budget,
+    )
+
+    rows = [("tiny", 100), ("big", 10000), ("zero", 0)]
+    df = spark.createDataFrame(rows, "source string, n_tokens long")
+    out = {r.source: r for r in
+           epoch_budget(df, "source", "n_tokens",
+                        budget_mult=3, max_epochs=3).collect()}
+    assert set(out) == {"tiny", "big"}
+    total = 10100
+    isq = {"tiny": math.isqrt(100), "big": math.isqrt(10000)}
+    denom = sum(isq.values())
+    for s, t in (("tiny", 100), ("big", 10000)):
+        budget = ((total * 3) // denom) * isq[s] \
+            + (((total * 3) % denom) * isq[s]) // denom
+        assert out[s].budget_tokens == budget, s
+        capped_tokens = min(budget, 3 * t)
+        assert out[s].capped_tokens == capped_tokens
+        assert out[s].epochs_milli == capped_tokens * 1000 // t
+        assert out[s].capped == (budget > capped_tokens)
+    # the sqrt boost pushes the tiny source over 3 epochs; big stays under
+    assert out["tiny"].capped and out["tiny"].epochs_milli == 3000
+    assert not out["big"].capped and out["big"].epochs_milli < 3000
