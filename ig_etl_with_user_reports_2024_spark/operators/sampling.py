@@ -159,12 +159,20 @@ def epoch_budget(
     m, e = int(budget_mult), int(max_epochs)
     if m < 1 or e < 1:
         raise ValueError(f"budget_mult/max_epochs must be >= 1, got {m}/{e}")
+    from .dedup import pin_bounded
+
     nz = df.select(
         F.col(stratum).alias("source"),
         F.col(tokens_col).cast("long").alias("_n"),
     ).filter(F.col("_n") > 0)
-    tot = nz.groupBy("source").agg(F.sum("_n").alias("source_tokens")).withColumn(
-        "_isq", F.floor(F.sqrt(F.col("source_tokens").cast("double"))).cast("long")
+    # tot is source-grain metadata but its lineage aggregates the whole
+    # corpus; it feeds BOTH the global 1-row agg and the budget join —
+    # pin it so the corpus is aggregated once, not twice.
+    tot = pin_bounded(
+        nz.groupBy("source").agg(F.sum("_n").alias("source_tokens")).withColumn(
+            "_isq",
+            F.floor(F.sqrt(F.col("source_tokens").cast("double"))).cast("long"),
+        )
     )
     g = tot.agg(
         F.sum("source_tokens").alias("_total"), F.sum("_isq").alias("_denom")

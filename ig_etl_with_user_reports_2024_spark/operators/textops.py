@@ -276,7 +276,13 @@ def winnowing_pairs(
     containment estimate (Jaccard would punish a short doc wholly
     embedded in a long one, the exact case winnowing exists to catch).
     """
-    sel = winnowing_selected(df, id_col, text_col, k=k, w=w)
+    from .dedup import pin_bounded
+
+    # sel's subtree (posexplode + two per-doc frames) feeds FOUR
+    # consumers below (totals, fp_df, and both sides of the self-join)
+    # — pin it or the most expensive stage recomputes 4x (the dd12 g2
+    # lesson, ADVICE r7).
+    sel = pin_bounded(winnowing_selected(df, id_col, text_col, k=k, w=w))
     totals = sel.groupBy("doc").agg(F.count(F.lit(1)).alias("n_fps"))
     fp_df = sel.groupBy("fp").agg(F.count(F.lit(1)).alias("fp_df"))
     kept = (

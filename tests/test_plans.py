@@ -320,6 +320,18 @@ def test_r6_additions_plan_shapes(spark, sf_oracle):
     # not re-run shingle banding per consumer (the localCheckpoint
     # truncates it to a scan)
     assert "scan existingrdd" in dlow
+    # dd15: the quality-survivor keep-list inherits dd11's discipline —
+    # survivor + size from one map-side-combined argmax-struct groupBy
+    # plus salted joins; NO Window operator, no cartesian (a
+    # row_number-per-cluster survivor pick would colocate a whole
+    # mega-cluster on one task).
+    qplan = (
+        em.queries()["dd15_quality_survivor"](spark, sf_oracle)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    qlow = qplan.lower()
+    assert "cartesianproduct" not in qlow
+    assert "window" not in qlow
     # txt9: the global top-20 must be TakeOrderedAndProject (per-
     # partition top-k), never a full sort or an all-rows single-
     # partition window before the cut.
