@@ -86,14 +86,29 @@ from ig_etl_with_user_reports_2024_spark.plans import star_manifest  # noqa: F40
 # outrank stale refreshes").
 # rf10 (eager flag only), st5/st10 (metrics-capture keying only) and
 # dc2 are result- and plan-identical with fresh verdicts — overflow.
+#
+# Late-round additions to group 0: dd14/dd15/rf12/mx2 (NEW), plus the
+# conservative "plan or oracle text touched" set — txt2 (oracle
+# re-emitted via the shared sql_quality_score builder), km1/rf9/rf11/
+# dd13 (the kmeans_assign scored-cells refactor under them; results
+# test-pinned identical, but the rule counts construction changes).
+# That grows group 0 to 31, so the r5-era tail shrinks to 19 and
+# sk1/sk2/sp1/sp2/sp3 join the deliberate overflow to r9.
 _DRIVER_PRIORITY = [
     # (0) new/changed oracle or plan in round 8 — first driver contact
+    "dd14_winnowing_pairs",
+    "dd15_quality_survivor",
+    "rf12_multiprobe_cell_recall",
+    "mx2_epoch_budget",
+    "txt2_quality_score",
+    "km1_kmeans_assign",
+    "rf9_kmeans_lloyd_floor",
+    "rf11_semdedup_cell_recall",
     "cp1_curated_corpus",
     "ii4_prf_rerank",
     "ii5_rrf_fusion",
     "dp2_sequence_manifest",
     "dd13_semantic_keep_list",
-    "rf11_semdedup_cell_recall",
     "cp2_corpus_datacard",
     "st11_rocksdb_dedup",
     "st12_streaming_band_admission",
@@ -127,19 +142,12 @@ _DRIVER_PRIORITY = [
     "dq2_schema_drift",
     "ii1_inverted_index",
     "k7_top5_preview",
-    "km1_kmeans_assign",
     "mm3_frame_select",
     "pr1_pagerank",
     "rf2_ivf_topk_recall",
     "rf5_sketch_accuracy",
     "rf8_approx_percentile_accuracy",
-    "rf9_kmeans_lloyd_floor",
     "ro1_hourly_rollup",
-    "sk1_salted_distinct_users",
-    "sk2_salted_join_segment",
-    "sp1_hash_split",
-    "sp2_stratified_sample",
-    "sp3_k_per_stratum",
 ]
 
 
