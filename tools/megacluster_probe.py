@@ -55,18 +55,41 @@ def main() -> int:
     )
     out = tempfile.mkdtemp(prefix="megacluster_")
     try:
-        (
-            spark.range(args.copies)
-            .select(
-                F.col("id").alias("doc_id"),
-                F.lit("probe").alias("source"),
-                F.lit(text).alias("text"),
+        if args.name == "quality_survivor_keep_list":
+            # dd15's OWN stages (argmax-struct groupBy + salted attach)
+            # probed directly on a synthetic one-cluster membership —
+            # the catalog entry can't ride the parquet path here
+            # because, unlike dd11, it has no digest stage: a 640k-copy
+            # single-text corpus makes its banded pair stage
+            # clique-quadratic BY DESIGN (CLAUDE.md: real corpora run
+            # dd1/dd11 first). Equal quality everywhere → tie-break →
+            # survivor is doc 0, same assertions as the catalog names.
+            from ig_etl_with_user_reports_2024_spark.operators.dedup import (
+                quality_survivor_keep_list,
             )
-            .write.mode("overwrite")
-            .parquet(f"{out}/documents.parquet")
-        )
-        t0 = time.time()
-        res = entry_mod.queries()[args.name](spark, out)
+
+            members = spark.range(args.copies).select(
+                F.col("id").alias("doc_id"), F.lit(0).alias("cluster_id")
+            )
+            quality = spark.range(args.copies).select(
+                F.col("id").alias("doc_id"),
+                F.lit(50.0).alias("quality_score"),
+            )
+            t0 = time.time()
+            res = quality_survivor_keep_list(members, quality)
+        else:
+            (
+                spark.range(args.copies)
+                .select(
+                    F.col("id").alias("doc_id"),
+                    F.lit("probe").alias("source"),
+                    F.lit(text).alias("text"),
+                )
+                .write.mode("overwrite")
+                .parquet(f"{out}/documents.parquet")
+            )
+            t0 = time.time()
+            res = entry_mod.queries()[args.name](spark, out)
         bad = res.filter(
             (F.col("cluster_id") != 0)
             | (F.col("cluster_size") != args.copies)
