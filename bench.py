@@ -121,6 +121,7 @@ HEADLINE = [
     "dd14_winnowing_pairs",
     "dd15_quality_survivor",
     "mx2_epoch_budget",
+    "ii7_fusion_eval",
 ]
 
 

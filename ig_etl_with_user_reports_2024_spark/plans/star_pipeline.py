@@ -2799,10 +2799,12 @@ def ii3_bm25_log_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bm25_topk(spark, sf_dir, log_idf=True).drop("score")
 
 
-@query(
-    "ii4_prf_rerank",
-    f"""
-    WITH cand AS ({_bm25_sql(log_idf=True, k=50, with_score=False)}),
+def _sql_prf_rerank(cand_sql: str) -> str:
+    """ii4's PRF chain over ANY candidate ranking emitting
+    (query_id, doc_id, rank) — ONE definition feeds ii4 (the raw-ln
+    base it registers) and ii7's clamped-base fusion side."""
+    return f"""
+    WITH cand AS ({cand_sql}),
     emb AS (SELECT vec_id AS doc_id, embedding FROM embeddings),
     fb AS (
         SELECT c.query_id, c.doc_id, e.embedding
@@ -2840,7 +2842,12 @@ def ii3_bm25_log_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
                ORDER BY prf_cos DESC NULLS LAST, bm25_rank, doc_id
            ) AS INT) AS rank
     FROM rr
-    """,
+    """
+
+
+@query(
+    "ii4_prf_rerank",
+    _sql_prf_rerank(_bm25_sql(log_idf=True, k=50, with_score=False)),
 )
 def ii4_prf_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid lexical+embedding retrieval via Rocchio pseudo-relevance
@@ -2870,6 +2877,14 @@ def ii4_prf_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     |Q| rows, not the corpus). One window per query partition for the
     final rank, same as ii2/ii3."""
     cand = dd.pin_bounded(_bm25_topk(spark, sf_dir, log_idf=True, k=50))
+    return _prf_rerank(spark, sf_dir, cand)
+
+
+def _prf_rerank(
+    spark: SparkSession, sf_dir: str, cand: DataFrame
+) -> DataFrame:
+    """ii4's PRF plan over an injected (pinned) candidate ranking —
+    the Spark twin of :func:`_sql_prf_rerank`."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("doc_id"), "embedding"
     )
@@ -2973,7 +2988,13 @@ def ii5_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     no join and no corpus-sized stage. The oracle nests ii4's
     registered SQL verbatim, so the driver's verdict covers the
     composed lexical + semantic + fusion chain end-to-end."""
-    i4 = QUERIES["ii4_prf_rerank"].fn(spark, sf_dir)
+    return _rrf_fuse(QUERIES["ii4_prf_rerank"].fn(spark, sf_dir))
+
+
+def _rrf_fuse(i4: DataFrame) -> DataFrame:
+    """ii5's RRF step over any ii4-shaped relation (query_id, doc_id,
+    bm25_rank, prf_cos, rank) — factored so ii7 fuses the clamped-base
+    variant through the identical code path."""
     rrf = F.lit(1.0) / (F.lit(60) + F.col("bm25_rank")) + F.when(
         F.col("prf_cos").isNotNull(),
         F.lit(1.0) / (F.lit(60) + F.col("rank")),
@@ -3004,10 +3025,14 @@ def ii5_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 _II6_MIN_TF = 3
 
 
-@query(
-    "ii6_retrieval_eval",
-    f"""
-    WITH bm AS ({_bm25_sql(log_idf=True, k=10, with_score=False, lucene=True)}),
+def _sql_retrieval_eval(ranking_sql: str) -> str:
+    """ii6's label + metric CTE chain over ANY ranking relation
+    emitting (query_id, doc_id, rank) — ONE definition feeds ii6
+    (lexical) and ii7's per-mode subqueries, so a label or metric
+    change cannot desynchronize the A/B comparison from the base
+    harness."""
+    return f"""
+    WITH bm AS ({ranking_sql}),
     qterms(query_id, token) AS (VALUES {_BM25_VALUES_SQL}),
     qn AS (
         SELECT query_id, COUNT(DISTINCT token) AS n_terms
@@ -3053,7 +3078,14 @@ _II6_MIN_TF = 3
     FROM (SELECT DISTINCT query_id FROM qterms) q
     LEFT JOIN nrel n USING (query_id)
     LEFT JOIN hits h USING (query_id)
-    """,
+    """
+
+
+@query(
+    "ii6_retrieval_eval",
+    _sql_retrieval_eval(
+        _bm25_sql(log_idf=True, k=10, with_score=False, lucene=True)
+    ),
 )
 def ii6_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retrieval EVALUATION harness: per-query IR quality metrics of a
@@ -3090,6 +3122,19 @@ def ii6_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, log_idf=True, k=10, rels=(qterms, tf, tot),
         lucene=True,
     )
+    qterms, rel, nrel = _retrieval_labels(qterms, tf)
+    return _eval_ranking(bm, qterms, rel, nrel)
+
+
+ii6_retrieval_eval.__doc__ = ii6_retrieval_eval.__doc__.format(
+    min_tf=_II6_MIN_TF
+)
+
+
+def _retrieval_labels(qterms: DataFrame, tf: DataFrame):
+    """(qterms, rel, nrel): ii6's relevance proxy — relevant iff the doc
+    contains every query term >= _II6_MIN_TF times — derived from the
+    SAME pinned tf relation the rankings consume (one tokenize)."""
     qn = qterms.groupBy("query_id").agg(
         F.count_distinct("token").alias("n_terms")
     )
@@ -3108,8 +3153,17 @@ def ii6_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     nrel = rel.groupBy("query_id").agg(
         F.count("*").cast("bigint").alias("n_rel")
     )
+    return qterms, rel, nrel
+
+
+def _eval_ranking(
+    ranking: DataFrame, qterms: DataFrame, rel: DataFrame, nrel: DataFrame
+) -> DataFrame:
+    """Per-query integer metrics of a (query_id, doc_id, rank) relation
+    against the shared label set — ii6's metric block, factored so ii7
+    evaluates each ranking mode through the identical code path."""
     hits = (
-        bm.join(rel, ["query_id", "doc_id"], "left")
+        ranking.join(rel, ["query_id", "doc_id"], "left")
         .groupBy("query_id")
         .agg(
             F.sum(
@@ -3143,8 +3197,80 @@ def ii6_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ii6_retrieval_eval.__doc__ = ii6_retrieval_eval.__doc__.format(
-    min_tf=_II6_MIN_TF
+@query(
+    "ii7_fusion_eval",
+    f"""
+    SELECT 'lexical' AS mode, * FROM (
+        {_sql_retrieval_eval(
+            _bm25_sql(log_idf=True, k=10, with_score=False, lucene=True)
+        )}
+    )
+    UNION ALL
+    SELECT 'fusion' AS mode, * FROM (
+        {{fusion_eval}}
+    )
+    """,
+)
+def ii7_fusion_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The measured A/B a ranking change ships with: ii6's metrics for
+    TWO systems on the SAME label set — 'lexical' (the Lucene-clamped
+    BM25 top-10 ii6 grades) vs 'fusion' (the ii4→ii5 PRF + RRF chain
+    built on the SAME clamped top-50 base, cut to top-10). Both modes
+    share ONE metric code path (_eval_ranking) and ONE label/metric
+    SQL builder (_sql_retrieval_eval); the fusion side reuses ii4/ii5's
+    own builders (_prf_rerank/_rrf_fuse, _sql_prf_rerank/_II5_SQL)
+    parameterized by the clamped candidates — a fair A/B holds the
+    lexical base fixed and varies only the fusion.
+
+    The first cut of this entry fused over ii5's REGISTERED raw-ln
+    base and scored ZERO hits on every query — not a fusion property
+    but ii6's negative-idf pathology propagating through the candidate
+    set (df > N/2 terms rank relevant docs last, so the top-50 never
+    contains them and no re-ranking can recover). The harness catching
+    a pipeline wiring hazard — evaluating a ranker on one idf variant
+    while serving another — is exactly its job; the clamped-base
+    comparison below is pinned non-degenerate in tests. On the
+    synthetic corpus the embedding space is independent of the text,
+    so fusion trades positions rather than dominating (the rf2/rf6
+    worst-case-regime convention applied to retrieval); a corpus with
+    text-correlated vectors is where fusion pulls ahead, and this
+    entry is the instrument that would show it."""
+    qterms, tf, tot = _bm25_relations(spark, sf_dir)
+    qterms, rel, nrel = _retrieval_labels(qterms, tf)
+    bm = dd.pin_bounded(
+        _bm25_topk(
+            spark, sf_dir, log_idf=True, k=50, rels=(qterms, tf, tot),
+            lucene=True,
+        )
+    )
+    lex10 = bm.filter(F.col("rank") <= 10).select(
+        "query_id", "doc_id", "rank"
+    )
+    fusion = (
+        _rrf_fuse(_prf_rerank(spark, sf_dir, bm))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "doc_id", "rank")
+    )
+    lex = _eval_ranking(lex10, qterms, rel, nrel)
+    fus = _eval_ranking(fusion, qterms, rel, nrel)
+    mode = lambda df, m: df.select(  # noqa: E731
+        F.lit(m).alias("mode"), "*"
+    )
+    return mode(lex, "lexical").unionByName(mode(fus, "fusion"))
+
+
+# rebind ii7's oracle: the fusion side nests ii4/ii5's own builders
+# over the CLAMPED candidate SQL (import-order-safe — both builders
+# are defined above in this module; dd13/cm1 precedent)
+_II7_CLAMPED_CAND = _bm25_sql(
+    log_idf=True, k=50, with_score=False, lucene=True
+)
+QUERIES["ii7_fusion_eval"].oracle = QUERIES["ii7_fusion_eval"].oracle.format(
+    fusion_eval=_sql_retrieval_eval(
+        f'SELECT query_id, doc_id, "rank" FROM ('
+        + _II5_SQL.format(ii4=_sql_prf_rerank(_II7_CLAMPED_CAND))
+        + f') WHERE "rank" <= 10'
+    )
 )
 
 

@@ -448,3 +448,27 @@ def test_ii6_metrics_match_python_reference(spark, sf_oracle):
         rel = {d for d, c in tf.items()
                if all(c[t] >= _II6_MIN_TF for t in terms)}
         assert not (raw_ranking[qid] & rel)
+
+
+def test_ii7_fusion_eval_contract(spark, sf_oracle):
+    """ii7's A/B: the lexical mode must equal ii6's output row-for-row
+    (same ranking, same labels, same metric path), every query appears
+    in both modes, and the fusion mode is NON-degenerate (the first cut
+    fused over the raw-ln base and scored zero everywhere — the
+    clamped-base wiring this pins recovers real hits)."""
+    import __spark_entry__ as em
+
+    qs = em.queries()
+    ii6 = {r.query_id: (r.n_rel, r.hits_at_5, r.hits_at_10, r.first_rel_rank)
+           for r in qs["ii6_retrieval_eval"](spark, sf_oracle).collect()}
+    out = qs["ii7_fusion_eval"](spark, sf_oracle).collect()
+    lex = {r.query_id: (r.n_rel, r.hits_at_5, r.hits_at_10, r.first_rel_rank)
+           for r in out if r.mode == "lexical"}
+    fus = {r.query_id: (r.n_rel, r.hits_at_5, r.hits_at_10, r.first_rel_rank)
+           for r in out if r.mode == "fusion"}
+    assert lex == ii6
+    assert set(fus) == set(lex)
+    assert sum(v[2] for v in fus.values()) > 0  # non-degenerate fusion
+    # labels are mode-independent by construction
+    for q in lex:
+        assert fus[q][0] == lex[q][0]
