@@ -168,10 +168,13 @@ def quality_survivor_keep_list(
     copy vs full article, boilerplate-wrapped vs clean), dedup should
     keep the best copy, not the one that happened to arrive first.
 
-    Total order: the ranking key is ``(coalesce(quality, -1.0) DESC,
-    id ASC)`` — NULL-quality docs (NULL text) rank last, and the id
-    tie-break totalizes equal scores (exact twins share a score by
-    construction), so the survivor is engine-portable.
+    Total order: the ranking key is ``(quality IS NOT NULL DESC,
+    quality DESC, id ASC)`` — NULL-quality docs rank last REGARDLESS
+    of the score's range (an explicit is-null flag, not a sentinel
+    value a z-score-shaped metric could undercut), members with no
+    quality row at all behave exactly like NULL quality (left join),
+    and the id tie-break totalizes equal scores (exact twins share a
+    score by construction), so the survivor is engine-portable.
 
     Plan shape, skew discipline identical to :func:`keep_list_with_sizes`:
 
@@ -189,18 +192,21 @@ def quality_survivor_keep_list(
     from .skew import salted_join
 
     scored = members.select(id_col, cluster_col).join(
-        quality.select(
-            id_col,
-            F.coalesce(F.col(quality_col), F.lit(-1.0)).alias("_q"),
-        ),
+        quality.select(id_col, F.col(quality_col).alias("_q")),
         id_col,
+        "left",  # a member missing a quality row == NULL quality;
+        # an inner join here would silently drop it from BOTH the
+        # argmax and cluster_size (and from the output entirely when a
+        # whole cluster lacks rows)
     )
     best = (
         scored.groupBy(cluster_col)
         .agg(
             F.max(
                 F.struct(
-                    F.col("_q").alias("q"), (-F.col(id_col)).alias("nid")
+                    F.col("_q").isNotNull().alias("nn"),
+                    F.coalesce(F.col("_q"), F.lit(0.0)).alias("q"),
+                    (-F.col(id_col)).alias("nid"),
                 )
             ).alias("b"),
             F.count(F.lit(1)).alias("cluster_size"),

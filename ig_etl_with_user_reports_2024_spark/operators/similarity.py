@@ -599,7 +599,14 @@ def kmeans_assign_multi(
     Returns (id, cluster_id, probe_rank 1..probes, dist2) — ``probes``
     rows per vector, still a pure column expression over the scan (the
     posexplode multiplies rows ``probes``×, it does not shuffle).
+    ``probes`` must fit in ``k`` (silent slice-shortening would hand a
+    capture/cost model the wrong membership volume — house rule: fail
+    loudly, like epoch_budget/temperature_mix validate their knobs); a
+    corpus smaller than ``k`` shrinks the codebook (and with it the
+    rows per vector) as documented on :func:`kmeans_assign`.
     """
+    if not 1 <= int(probes) <= int(k):
+        raise ValueError(f"probes must be in [1, k={k}], got {probes}")
     scored = _scored_cells(vectors, id_col, vec_col, k, salt)
     ex = scored.select(
         F.col(id_col),

@@ -284,12 +284,18 @@ def winnowing_pairs(
     # lesson, ADVICE r7).
     sel = pin_bounded(winnowing_selected(df, id_col, text_col, k=k, w=w))
     totals = sel.groupBy("doc").agg(F.count(F.lit(1)).alias("n_fps"))
-    fp_df = sel.groupBy("fp").agg(F.count(F.lit(1)).alias("fp_df"))
-    kept = (
-        sel.join(fp_df, "fp")
-        .filter(F.col("fp_df") <= max_fp_df)
-        .select("doc", "fp")
+    # stop fingerprints as a pinned ANTI-join: only boilerplate
+    # fingerprints exceed the cap, so `stops` is a tiny broadcastable
+    # relation — where joining the full fingerprint-frequency table
+    # would re-run the fp-grain aggregation and a corpus-scale hash
+    # join once PER SIDE of the self-join below (review finding).
+    stops = pin_bounded(
+        sel.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("fp_df"))
+        .filter(F.col("fp_df") > max_fp_df)
+        .select("fp")
     )
+    kept = sel.join(stops, "fp", "left_anti").select("doc", "fp")
     shared = (
         kept.select(F.col("doc").alias("a_id"), "fp")
         .join(kept.select(F.col("doc").alias("b_id"), "fp"), "fp")

@@ -654,14 +654,15 @@ def _bind_dd13_oracle() -> None:
     ),
     q AS ({tx.sql_quality_score("documents")}),
     scored AS (
-        SELECT l.doc_id, l.cluster_id,
-               COALESCE(q.quality_score, -1.0) AS qs
-        FROM labeled l JOIN q ON q.doc = l.doc_id
+        SELECT l.doc_id, l.cluster_id, q.quality_score AS qs
+        FROM labeled l LEFT JOIN q ON q.doc = l.doc_id
     ),
     best AS (
         SELECT cluster_id, doc_id AS survivor_id FROM (
             SELECT doc_id, cluster_id, row_number() OVER (
-                PARTITION BY cluster_id ORDER BY qs DESC, doc_id ASC
+                PARTITION BY cluster_id
+                ORDER BY (qs IS NOT NULL) DESC,
+                         COALESCE(qs, 0.0) DESC, doc_id ASC
             ) AS rn FROM scored
         ) WHERE rn = 1
     ),
@@ -2428,6 +2429,11 @@ def mx2_epoch_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         counted, "source", "n_tokens",
         budget_mult=_MX2_MULT, max_epochs=_MX2_MAX_EPOCHS,
     )
+
+
+mx2_epoch_budget.__doc__ = mx2_epoch_budget.__doc__.format(
+    _MX2_MULT=_MX2_MULT, _MX2_MAX_EPOCHS=_MX2_MAX_EPOCHS
+)
 
 
 @query(

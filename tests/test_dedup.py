@@ -443,3 +443,28 @@ def test_quality_survivor_keep_list_rule(spark):
     assert {d: out[d].cluster_size for d in out} == {
         1: 3, 2: 3, 3: 3, 4: 2, 5: 2, 6: 2, 7: 2, 10: 1
     }
+
+
+def test_quality_survivor_missing_rows_and_range(spark):
+    """Review findings pinned: (a) members with NO quality row behave
+    exactly like NULL quality (left join) — they stay in the output
+    and in cluster_size; (b) NULL ranks below ANY score, including
+    scores < -1 (is-null flag, not a sentinel)."""
+    members = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 3), (4, 3)],
+        "doc_id bigint, cluster_id bigint",
+    )
+    # doc 2 has NO row; doc 3 scores -5 (below the old -1 sentinel),
+    # doc 4 is NULL
+    quality = spark.createDataFrame(
+        [(1, -9.0), (3, -5.0), (4, None)],
+        "doc_id bigint, quality_score double",
+    )
+    out = {r.doc_id: r for r in
+           dd.quality_survivor_keep_list(members, quality).collect()}
+    assert set(out) == {1, 2, 3, 4}          # nobody silently dropped
+    assert out[1].survivor_id == 1            # -9.0 beats missing-row
+    assert out[2].survivor_id == 1
+    assert out[1].cluster_size == 2 and out[2].cluster_size == 2
+    assert out[3].survivor_id == 3            # -5.0 beats NULL
+    assert out[4].survivor_id == 3
