@@ -48,6 +48,10 @@ SHOWCASE = [
     ("dd13_semantic_keep_list", "SemDeDup → broadcast codebook assignment (no shuffle), in-cell pair join, pointer-doubling CC, skew-safe sizes"),
     ("txt10_trigram_surprisal", "held-out trigram LM → train-side count tables (map-side combined), ctx rollups from counts not rescans, eval joins on natural keys, TakeOrderedAndProject top-20"),
     ("cp1_curated_corpus", "curated corpus → cm1 keep set → pinned admitted table → bucketed shuffle/pack decompositions; pos-grain final joins (dense unique key)"),
+    ("dd14_winnowing_pairs", "winnowing copy pairs → pinned sel (4 consumers), tiny pinned stop-fp anti-join, fp-keyed self-join carries (doc, hash) only"),
+    ("dd15_quality_survivor", "quality-survivor keep-list → Window-free: argmax-struct groupBy(cluster) + salted attach; quality via left join (missing row == NULL)"),
+    ("mx2_epoch_budget", "epoch budget plan → one map-side-combined groupBy(source) + broadcast 1-row global; all-BIGINT budget arithmetic"),
+    ("ii7_fusion_eval", "fusion A/B eval → pinned clamped top-50 base feeds both modes; labels from the shared pinned tf relation; query-grain metadata joins"),
 ]
 
 
