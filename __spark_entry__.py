@@ -92,10 +92,11 @@ from ig_etl_with_user_reports_2024_spark.plans import star_manifest  # noqa: F40
 # re-emitted via the shared sql_quality_score builder), km1/rf9/rf11/
 # dd13 (the kmeans_assign scored-cells refactor under them; results
 # test-pinned identical, but the rule counts construction changes).
-# That grows group 0 to 32 (with ii7_fusion_eval, NEW — the A/B eval
-# over the ii4/ii5 chain on the clamped base), so the r5-era tail
-# shrinks to 18 and ro1/sk1/sk2/sp1/sp2/sp3 join the deliberate
-# overflow to r9.
+# That grows group 0 to 33 (with ii7_fusion_eval, NEW — the A/B eval
+# over the ii4/ii5 chain on the clamped base — and
+# dd16_banded_pair_eval, NEW — the dedup family's measured
+# recall/precision eval), so the r5-era tail shrinks to 17 and
+# rf8/ro1/sk1/sk2/sp1/sp2/sp3 join the deliberate overflow to r9.
 _DRIVER_PRIORITY = [
     # (0) new/changed oracle or plan in round 8 — first driver contact
     "dd14_winnowing_pairs",
@@ -103,6 +104,7 @@ _DRIVER_PRIORITY = [
     "rf12_multiprobe_cell_recall",
     "mx2_epoch_budget",
     "ii7_fusion_eval",
+    "dd16_banded_pair_eval",
     "txt2_quality_score",
     "km1_kmeans_assign",
     "rf9_kmeans_lloyd_floor",
@@ -149,7 +151,6 @@ _DRIVER_PRIORITY = [
     "pr1_pagerank",
     "rf2_ivf_topk_recall",
     "rf5_sketch_accuracy",
-    "rf8_approx_percentile_accuracy",
 ]
 
 

@@ -122,6 +122,9 @@ HEADLINE = [
     "dd15_quality_survivor",
     "mx2_epoch_budget",
     "ii7_fusion_eval",
+    # dd16 is deliberately NOT a bench line (cp2 precedent): its exact
+    # side re-runs dd2's quadratic shingle self-join next to the banded
+    # chain — paying the yardstick per bench adds noise, not signal.
 ]
 
 

@@ -765,9 +765,20 @@ def portable_minhash_pairs_from_shingles(
     tokenize+shingle the corpus ONCE and thread the same table through
     its dedup and decontamination subtrees instead of each re-deriving
     it (VERDICT r6 "Next round" #3)."""
+    cand = band_candidates(sh, num_hashes, bands)
+    return verify_candidates(sh, cand, threshold)
+
+
+def band_candidates(
+    sh: DataFrame, num_hashes: int = 8, bands: int = 4
+) -> DataFrame:
+    """The PRE-verify LSH candidate set (a_id < b_id, distinct): band
+    table self-joined on (band, bucket). Factored out of
+    :func:`portable_minhash_pairs_from_shingles` so dd16's eval can
+    count the candidate volume the verify stage pays for."""
     bandtab = _minhash_bands_from_exploded(sh, num_hashes, bands)
     a, b = bandtab.alias("a"), bandtab.alias("b")
-    cand = (
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -777,6 +788,13 @@ def portable_minhash_pairs_from_shingles(
         .select(F.col("a.doc").alias("a_id"), F.col("b.doc").alias("b_id"))
         .dropDuplicates(["a_id", "b_id"])
     )
+
+
+def verify_candidates(
+    sh: DataFrame, cand: DataFrame, threshold: float
+) -> DataFrame:
+    """Candidate-restricted exact Jaccard verification — the second
+    half of :func:`portable_minhash_pairs_from_shingles`."""
     sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
     inter = (
         cand.join(
@@ -845,6 +863,95 @@ def sql_portable_minhash_pairs(
         WHERE i.n_common / (sa.n + sb.n - i.n_common) >= {threshold}
     )
     """
+
+
+def banded_pair_eval(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """ONE-row EVALUATION of the banded near-dup path against the exact
+    yardstick — the dedup family's ii6: where rf3/rf4 assert a recall
+    floor for the rows-only xxhash twins, this measures the md5-portable
+    production path in driver-hash-checked integers. Columns:
+
+    - ``n_exact_pairs``: all Jaccard >= t pairs (dd2's definition,
+      computed from the SAME pinned shingle table — the quadratic
+      yardstick, gate scale only);
+    - ``n_band_candidates``: pre-verify LSH candidate volume — what the
+      banding SPENDS (the verify stage's join input);
+    - ``n_verified_pairs``: candidates surviving exact verification —
+      what the pipeline DELIVERS (a subset of exact by construction:
+      same Jaccard predicate over the same shingles);
+    - ``n_missed_pairs`` = exact − verified: true pairs colliding in no
+      band, the LSH recall trade as a count;
+    - ``pair_recall`` = verified/exact, ``verify_precision`` =
+      verified/candidates (how much of the candidate spend was real) —
+      both NULL-guarded for empty denominators (ANSI mode).
+
+    ONE tokenize feeds all three relations (the pinned ``sh`` — the
+    ii6 discipline); the candidate table is pinned because both the
+    count and the verify stage consume it. Scale note: only the
+    n_exact side is quadratic; a 100 TB deployment runs this eval on a
+    SAMPLE to tune (num_hashes, bands) before the full run — the
+    operator is sample-grain by design, like every eval harness here.
+    """
+    src = _spread_narrow_input(df.select(F.col(id_col), F.col(text_col)))
+    sh = pin_bounded(_exploded_shingles(src, id_col, text_col, n))
+    cand = pin_bounded(band_candidates(sh, num_hashes, bands))
+    verified = verify_candidates(sh, cand, threshold)
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
+    einter = (
+        sh.select(F.col("doc").alias("a_id"), "shingle")
+        .join(sh.select(F.col("doc").alias("b_id"), "shingle"), "shingle")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("a_size") + F.col("b_size") - F.col("n_common")
+    )
+    exact = (
+        einter.join(
+            sizes.select(F.col("doc").alias("a_id"), F.col("n_sh").alias("a_size")),
+            "a_id",
+        )
+        .join(
+            sizes.select(F.col("doc").alias("b_id"), F.col("n_sh").alias("b_size")),
+            "b_id",
+        )
+        .filter(jac >= threshold)
+        .select("a_id", "b_id")
+    )
+    ne = exact.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
+    nc = cand.agg(F.count(F.lit(1)).alias("n_band_candidates"))
+    nv = verified.agg(F.count(F.lit(1)).alias("n_verified_pairs"))
+    return (
+        ne.crossJoin(nc)
+        .crossJoin(nv)
+        .select(
+            "n_exact_pairs",
+            "n_band_candidates",
+            "n_verified_pairs",
+            (F.col("n_exact_pairs") - F.col("n_verified_pairs")).alias(
+                "n_missed_pairs"
+            ),
+            F.when(
+                F.col("n_exact_pairs") > 0,
+                F.col("n_verified_pairs").cast("double")
+                / F.col("n_exact_pairs"),
+            ).alias("pair_recall"),
+            F.when(
+                F.col("n_band_candidates") > 0,
+                F.col("n_verified_pairs").cast("double")
+                / F.col("n_band_candidates"),
+            ).alias("verify_precision"),
+        )
+    )
 
 
 def portable_simhash_pairs(

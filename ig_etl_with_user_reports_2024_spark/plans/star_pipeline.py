@@ -632,6 +632,60 @@ def _bind_dd13_oracle() -> None:
 
 
 @query(
+    "dd16_banded_pair_eval",
+    f"""
+    WITH {dd.sql_portable_minhash_pairs("documents")},
+    einter AS (
+        SELECT x.doc AS a_id, y.doc AS b_id, COUNT(*) AS n_common
+        FROM sh x JOIN sh y ON y.s = x.s AND x.doc < y.doc
+        WHERE x.s <> ''
+        GROUP BY x.doc, y.doc
+    ),
+    exact AS (
+        SELECT i.a_id, i.b_id
+        FROM einter i
+        JOIN ssz sa ON sa.doc = i.a_id
+        JOIN ssz sb ON sb.doc = i.b_id
+        WHERE i.n_common / (sa.n + sb.n - i.n_common) >= 0.2
+    ),
+    c AS (
+        SELECT CAST((SELECT COUNT(*) FROM exact) AS BIGINT)
+                   AS n_exact_pairs,
+               CAST((SELECT COUNT(*) FROM cand) AS BIGINT)
+                   AS n_band_candidates,
+               CAST((SELECT COUNT(*) FROM pairs) AS BIGINT)
+                   AS n_verified_pairs
+    )
+    SELECT n_exact_pairs, n_band_candidates, n_verified_pairs,
+           n_exact_pairs - n_verified_pairs AS n_missed_pairs,
+           CASE WHEN n_exact_pairs > 0
+                THEN CAST(n_verified_pairs AS DOUBLE) / n_exact_pairs
+           END AS pair_recall,
+           CASE WHEN n_band_candidates > 0
+                THEN CAST(n_verified_pairs AS DOUBLE) / n_band_candidates
+           END AS verify_precision
+    FROM c
+    """,
+)
+def dd16_banded_pair_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup family's eval harness (ii6's discipline applied to
+    LSH): one integer row quantifying what the md5-portable banded path
+    spends (pre-verify candidate volume) and delivers (verified pairs)
+    against the exact Jaccard yardstick from the SAME pinned shingle
+    table — recall floors assert a bound, this MEASURES the trade in
+    driver-hash-checked counts, the numbers a pipeline tunes
+    (num_hashes, bands) against on a sample before a 100 TB run.
+    Oracle: the registered banded chain (sh/cand/pairs CTEs) extended
+    with the exact-pair CTE and scalar-subquery counts. The quadratic
+    exact side puts this on the 8x-sweep skip list with dd2/dd6/dd8;
+    operators/dedup.banded_pair_eval documents the plan shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.banded_pair_eval(
+        docs, "doc_id", "text", num_hashes=8, bands=4, n=3, threshold=0.2
+    )
+
+
+@query(
     "dd15_quality_survivor",
     f"""
     WITH RECURSIVE {dd.sql_portable_minhash_pairs("documents")},

@@ -468,3 +468,38 @@ def test_quality_survivor_missing_rows_and_range(spark):
     assert out[1].cluster_size == 2 and out[2].cluster_size == 2
     assert out[3].survivor_id == 3            # -5.0 beats NULL
     assert out[4].survivor_id == 3
+
+
+def test_banded_pair_eval_counts_and_missed_pairs(spark):
+    """dd16's mechanics where the driver corpus can't reach them: the
+    synthetic near-dups are all high-Jaccard (exact twins collide in
+    every band), so n_missed is 0 at every sf. Borderline pairs
+    (jaccard ~0.3 -> per-band collision ~0.1, miss-all-4 ~0.67) make
+    the LSH recall trade REAL here; we assert the accounting identity,
+    the verified-subset invariant, and that both branches fire."""
+    import random
+
+    rnd = random.Random(23)
+    vocab = [f"w{i}" for i in range(400)]
+
+    def rtext(k):
+        return " ".join(rnd.choice(vocab) for _ in range(k))
+
+    rows = []
+    for i in range(12):
+        shared = rtext(20)
+        rows.append((2 * i, shared + " " + rtext(20)))
+        rows.append((2 * i + 1, rtext(20) + " " + shared))
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    [r] = dd.banded_pair_eval(df, "doc_id", "text").collect()
+    assert r.n_verified_pairs <= r.n_exact_pairs
+    assert r.n_missed_pairs == r.n_exact_pairs - r.n_verified_pairs
+    assert r.n_verified_pairs <= r.n_band_candidates
+    assert r.n_exact_pairs > 0
+    assert r.n_missed_pairs > 0          # the LSH trade, measured
+    assert r.n_verified_pairs >= 0
+    assert r.pair_recall == r.n_verified_pairs / r.n_exact_pairs
+    if r.n_band_candidates:
+        assert r.verify_precision == (
+            r.n_verified_pairs / r.n_band_candidates
+        )
