@@ -185,17 +185,26 @@ def epoch_budget(
             f" + (((_total * {m}) % _denom) * _isq) div _denom"
         ).alias("budget_tokens"),
     )
-    capped_tokens = F.least(
-        F.col("budget_tokens"), F.lit(e) * F.col("source_tokens")
-    )
-    return budgets.select(
+    # two-step select so capped_tokens has ONE definition; epochs_milli
+    # needs SQL `div` (a double-rounded floor(a/b) can be off by an ulp
+    # once a*1000 exceeds 2^53)
+    capped = budgets.select(
         "source",
         "source_tokens",
         "budget_tokens",
-        capped_tokens.alias("capped_tokens"),
-        F.expr("(least(budget_tokens, {e} * source_tokens) * 1000)"
-               " div source_tokens".format(e=e)).alias("epochs_milli"),
-        (F.col("budget_tokens") > capped_tokens).alias("capped"),
+        F.least(
+            F.col("budget_tokens"), F.lit(e) * F.col("source_tokens")
+        ).alias("capped_tokens"),
+    )
+    return capped.select(
+        "source",
+        "source_tokens",
+        "budget_tokens",
+        "capped_tokens",
+        F.expr("(capped_tokens * 1000) div source_tokens").alias(
+            "epochs_milli"
+        ),
+        (F.col("budget_tokens") > F.col("capped_tokens")).alias("capped"),
     )
 
 

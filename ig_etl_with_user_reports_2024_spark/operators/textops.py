@@ -259,9 +259,10 @@ def winnowing_pairs(
       ``max_fp_df`` documents (boilerplate, headers) is excluded
       before the self-join — MOSS does exactly this to cap per-key
       fanout, which bounds the join's worst key at ``max_fp_df**2``
-      candidate rows. The document-frequency table is fingerprint-grain
-      and joins on the same key the self-join shuffles on, so the cap
-      costs one map-side-combined count, no extra exchange pattern.
+      candidate rows. Only boilerplate exceeds the cap, so the stop
+      list is a tiny pinned relation applied as a broadcast ANTI-join
+      (one map-side-combined count total, not a full
+      fingerprint-frequency join per self-join side).
     - The self-join carries (doc, 32-char hash) rows only, never text.
     - Per-doc totals (``n_fps_a/b``) are the PRE-cap counts — txt11's
       n_fps, so the two operators report one consistent quantity and a
@@ -390,22 +391,31 @@ def winnowing_fingerprints(
     )
 
 
+def sql_stoplist() -> str:
+    """DuckDB list literal of the all-language union stoplist — ONE
+    construction shared by every oracle that tests stopword membership
+    (txt2's quality formula via :func:`sql_quality_score`, txt6's
+    vocabulary filter via star_pipeline's ``_ALL_STOP_SQL``)."""
+    return "[" + ", ".join(
+        f"'{w}'" for _, _, ws in LANG_STOPWORDS for w in ws
+    ) + "]"
+
+
 def sql_quality_score(
     rel: str = "documents",
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> str:
     """DuckDB query text matching :func:`quality_score` (all seven
-    output columns, ``doc`` = {id_col}). ONE definition feeds txt2's
-    oracle and any composition that ranks by quality (dd15's survivor
-    rule), so a formula tweak cannot desynchronize them.
+    output columns; the id column is emitted as ``doc``). ONE
+    definition feeds txt2's oracle and any composition that ranks by
+    quality (dd15's survivor rule), so a formula tweak cannot
+    desynchronize them.
     """
     from .dedup import sql_words
 
     words_sql = sql_words(text_col)
-    stop_sql = "[" + ", ".join(
-        f"'{w}'" for _, _, ws in LANG_STOPWORDS for w in ws
-    ) + "]"
+    stop_sql = sql_stoplist()
     return f"""
     WITH feats AS (
         SELECT {id_col} AS doc,

@@ -884,9 +884,9 @@ def txt1_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.lang_id(docs, "doc_id", "text")
 
 
-_ALL_STOP_SQL = "[" + ", ".join(
-    f"'{w}'" for _, _, ws in tx.LANG_STOPWORDS for w in ws
-) + "]"
+# ONE construction with textops.sql_quality_score's stoplist (review
+# finding: two hand-built copies of the same literal can drift)
+_ALL_STOP_SQL = tx.sql_stoplist()
 
 
 # The full quality query text comes from ONE builder
