@@ -603,16 +603,33 @@ def bands_from_signatures(
     ).select("doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
 
+def minhash_signature_table(sh: DataFrame, num_hashes: int = 16) -> DataFrame:
+    """(doc, m0..m{k-1}) portable-MinHash signature table over an
+    exploded-shingle table — ONE groupBy(doc) with k map-side-combined
+    mins. Hash index i is keyed independently (``md5(i || ':' || s)``),
+    so a k-hash signature's first j columns ARE the j-hash signature:
+    a composition like cm1 computes ONE 16-min table and derives both
+    its (16,4) dedup bands and its (8,4) decontamination bands from it
+    (:func:`bands_from_signatures` reads only the columns it needs).
+    The caller owns pinning/checkpointing when the table feeds more
+    than one consumer."""
+    return sh.groupBy("doc").agg(*minhash_signature_aggs(num_hashes))
+
+
 def _minhash_bands_from_exploded(
-    sh: DataFrame, num_hashes: int, bands: int
+    sh: DataFrame, num_hashes: int, bands: int, sig: DataFrame | None = None
 ) -> DataFrame:
     """(doc, band, bucket) from an :func:`_exploded_shingles` table: one
     groupBy(doc) with k min-aggregates (map-side combined — see
     :func:`minhash_signature_aggs`), then a constant bands-per-doc
-    explode (:func:`bands_from_signatures`)."""
+    explode (:func:`bands_from_signatures`). ``sig`` — a precomputed
+    :func:`minhash_signature_table` with at least ``num_hashes`` min
+    columns — skips the groupBy so a shared (ideally pinned) signature
+    pass can feed several band grains."""
     if num_hashes % bands:
         raise ValueError(f"num_hashes={num_hashes} not divisible by bands={bands}")
-    sig = sh.groupBy("doc").agg(*minhash_signature_aggs(num_hashes))
+    if sig is None:
+        sig = minhash_signature_table(sh, num_hashes)
     return bands_from_signatures(sig, num_hashes, bands)
 
 
@@ -711,7 +728,7 @@ def portable_minhash_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    num_hashes: int = 8,
+    num_hashes: int = 16,
     bands: int = 4,
     n: int = 3,
     threshold: float = 0.2,
@@ -724,9 +741,24 @@ def portable_minhash_pairs(
     join is exact-oracle-checkable end-to-end
     (:func:`sql_portable_minhash_pairs` is the lockstep DuckDB twin).
 
+    Defaults (16 hashes, 4 bands → r=4 rows/band) are TUNED, not
+    guessed — the dd16 instrument's r9 sweep at sf0.1
+    (tools/band_tuning.py, table in SCALE_r09.md): (8,4)'s r=2 S-curve
+    crosses ~0.5 and floods the verify stage with sub-threshold
+    collisions (verify_precision 0.31 — 69% of candidate spend was
+    noise); (16,4)'s r=4 crosses ~(1/4)^(1/4)≈0.71, and on the actual
+    near-exact dup distribution holds pair_recall 1.0 at
+    verify_precision 1.0 with 3.2× fewer candidates, at equal wall
+    (the 2× md5 signature cost is repaid by the verify-stage cut).
+    The documented trade: borderline pairs (jaccard≈0.3, above the
+    0.2 verify threshold but far below the S-curve crossing) drop
+    from 0.33 capture to ~0 — the exact yardstick (dd2/dd8) remains
+    the threshold-faithful path, and the recall-first consumers
+    (dc2's decontamination sweep) deliberately stay on r=2 banding.
+
     Scale shape: ONE pinned exploded-shingle table feeds both the
     signature pass (groupBy(doc) with k map-side-combined mins — the
-    shuffle carries 8×32-char mins per doc) and the verify stage, so
+    shuffle carries 16×32-char mins per doc) and the verify stage, so
     the corpus is tokenized once (the 100 TB equivalent is a
     checkpointed shingle table shared by both). The band table
     self-joins on (band, bucket) — candidate volume tracks true
@@ -752,9 +784,10 @@ def portable_minhash_pairs(
 
 def portable_minhash_pairs_from_shingles(
     sh: DataFrame,
-    num_hashes: int = 8,
+    num_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.2,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """:func:`portable_minhash_pairs`'s band/verify stages over a
     CALLER-SUPPLIED exploded-shingle table ``sh`` (doc, shingle) — the
@@ -764,19 +797,25 @@ def portable_minhash_pairs_from_shingles(
     at 100 TB). This split exists so a composition like cm1 can
     tokenize+shingle the corpus ONCE and thread the same table through
     its dedup and decontamination subtrees instead of each re-deriving
-    it (VERDICT r6 "Next round" #3)."""
-    cand = band_candidates(sh, num_hashes, bands)
+    it (VERDICT r6 "Next round" #3). ``sig`` — an optional precomputed
+    :func:`minhash_signature_table` — additionally shares the k-min
+    signature pass itself (cm1 derives its dedup AND decontamination
+    bands from ONE pinned 16-min table)."""
+    cand = band_candidates(sh, num_hashes, bands, sig=sig)
     return verify_candidates(sh, cand, threshold)
 
 
 def band_candidates(
-    sh: DataFrame, num_hashes: int = 8, bands: int = 4
+    sh: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """The PRE-verify LSH candidate set (a_id < b_id, distinct): band
     table self-joined on (band, bucket). Factored out of
     :func:`portable_minhash_pairs_from_shingles` so dd16's eval can
     count the candidate volume the verify stage pays for."""
-    bandtab = _minhash_bands_from_exploded(sh, num_hashes, bands)
+    bandtab = _minhash_bands_from_exploded(sh, num_hashes, bands, sig=sig)
     a, b = bandtab.alias("a"), bandtab.alias("b")
     return (
         a.join(
@@ -830,7 +869,7 @@ def sql_portable_minhash_pairs(
     table: str,
     id_expr: str = "doc_id",
     text_expr: str = "text",
-    num_hashes: int = 8,
+    num_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.2,
 ) -> str:
@@ -869,7 +908,7 @@ def banded_pair_eval(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    num_hashes: int = 8,
+    num_hashes: int = 16,
     bands: int = 4,
     n: int = 3,
     threshold: float = 0.2,

@@ -130,15 +130,21 @@ def cm1_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     tagged = dd.pin_bounded(star_pipeline.digest_tagged(docs))
     canon = tagged.filter(F.col("is_canon")).select("doc_id", "text")
     sh_canon = dd.pin_bounded(dd.exploded_shingles(canon, "doc_id", "text"))
+    # ONE 16-min signature pass feeds BOTH subtrees (r9): hash index i
+    # is keyed independently, so sig16's m0..m7 ARE the 8-hash
+    # signature — dd11's tuned (16,4) dedup bands and dc2's
+    # recall-first (8,4) decontamination bands derive from this one
+    # pinned table instead of two groupBy passes over sh_canon.
+    sig16 = dd.pin_bounded(dd.minhash_signature_table(sh_canon, 16))
     d = star_pipeline.staged_keep_list_plan(
-        spark, docs, tagged=tagged, sh_canon=sh_canon
+        spark, docs, tagged=tagged, sh_canon=sh_canon, sig_canon=sig16
     ).select("doc_id", "cluster_id", "kept")
     # tagged carries canon_id directly (r8 skew-safe digest stage), so
     # the band re-key is ONE canon-grain join — salted, because a
     # mega-cluster's docs all meet the same canon_id's bands.
     bands_all = salted_join(
         tagged.select("doc_id", "canon_id"),
-        dd.portable_minhash_bands_from_shingles(sh_canon)
+        dd.bands_from_signatures(sig16, 8, 4)
         .withColumnRenamed("doc", "canon_id"),
         on="canon_id",
         salt_by=["doc_id"],
@@ -348,7 +354,7 @@ def _cm2_sql() -> str:
     thr = hex_threshold(_CM2_ARRIVE_FRAC)
     tag = f"{sql_hash_bucket('doc_id', _CM2_SALT)} < '{thr}'"
     return f"""
-    WITH {sql_portable_minhash_bands("documents", "doc_id", "text")},
+    WITH {sql_portable_minhash_bands("documents", "doc_id", "text", 16, 4)},
     arrive AS (
         SELECT doc_id, text FROM documents WHERE {tag}
     ),
@@ -473,7 +479,15 @@ def cm2_incremental_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("exact_rej"),
         )
     )
-    bands = dd.portable_minhash_bands(tagged, "doc_id", "text")
+    # (16,4) EXPLICITLY — the band store cm2 maintains must be the SAME
+    # banding the batch keep-list (dd11, r9-tuned) runs, or incremental
+    # admission diverges from the full run beyond the documented
+    # band-grain-vs-CC gap. r=4's "collision ⇒ likely ≥0.5 jaccard" is
+    # also the right shape for an UNVERIFIED admission gate: r=2's
+    # sub-threshold collisions would false-drop unique arriving docs.
+    bands = dd.portable_minhash_bands(
+        tagged, "doc_id", "text", num_hashes=16, bands=4
+    )
     bt = dd.pin_bounded(
         bands.join(
             tagged.select(F.col("doc_id").alias("doc"), "arriving"), "doc"

@@ -385,13 +385,18 @@ def staged_keep_list_plan(
     docs: DataFrame,
     tagged: DataFrame | None = None,
     sh_canon: DataFrame | None = None,
+    sig_canon: DataFrame | None = None,
 ) -> DataFrame:
     """dd11's plan over an arbitrary documents DataFrame. ``tagged``
     (a :func:`digest_tagged` table, ideally pinned) and ``sh_canon``
     (the canon docs' exploded-shingle table, pinned by the caller) are
     injectable so cm1 can share ONE digest pass and ONE shingle
     explode across its dd11/dc2 subtrees instead of each re-deriving
-    them; standalone dd11 builds both itself."""
+    them; ``sig_canon`` (a pinned 16-min
+    operators/dedup.minhash_signature_table over ``sh_canon``)
+    additionally shares the signature pass — cm1 derives its (16,4)
+    dedup bands AND its (8,4) decontamination bands from that one
+    table. Standalone dd11 builds everything itself."""
     from ..operators.graph import connected_components
 
     from ..operators.skew import salted_join
@@ -402,7 +407,9 @@ def staged_keep_list_plan(
     if sh_canon is None:
         pairs = dd.portable_minhash_pairs(canon, "doc_id", "text", threshold=0.2)
     else:
-        pairs = dd.portable_minhash_pairs_from_shingles(sh_canon, threshold=0.2)
+        pairs = dd.portable_minhash_pairs_from_shingles(
+            sh_canon, threshold=0.2, sig=sig_canon
+        )
     cc = connected_components(canon.select("doc_id"), pairs)
     # tagged already carries canon_id, so the digest→canon mapping join
     # is gone; the cc attach is canon-grain (one hot canon_id per
@@ -532,17 +539,29 @@ def dd13_semantic_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.keep_list_with_sizes(cc, id_col="vec_id")
 
 
-def _tau_pairs(withv: DataFrame, tau: float, same_cell: bool) -> DataFrame:
-    """ONE definition of the τ-pair predicate behind dd13 and rf11:
-    (a_id, b_id) for vector pairs with cosine >= ``tau``, zero-norm
-    excluded, optionally restricted to same-cell pairs. ``withv`` is
-    (vec_id, embedding, nrm[, cid]). Keeping the predicate in one
-    place is what makes rf11's floor meaningful — the gate must
-    measure exactly the pair semantics the operator clusters."""
+def _tau_pairs(
+    withv: DataFrame, tau: float, same_cell: bool, cross_split: bool = False
+) -> DataFrame:
+    """ONE definition of the τ-pair predicate behind dd13, rf11 and
+    dc3: (a_id, b_id) for vector pairs with cosine >= ``tau``,
+    zero-norm excluded, optionally restricted to same-cell pairs.
+    ``cross_split`` swaps the a<b dedup order for the (train,
+    not-train) restriction dc3 needs — ``withv`` then also carries a
+    ``split`` column. ``withv`` is (vec_id, embedding, nrm[, cid]
+    [, split]). Keeping the predicate in one place is what makes
+    rf11's floor meaningful — the gate must measure exactly the pair
+    semantics the operator clusters."""
     cols = ["vec_id", "embedding", "nrm"] + (["cid"] if same_cell else [])
+    if cross_split:
+        cols.append("split")
     a = withv.select(*[F.col(c).alias(f"a_{c}") for c in cols])
     b = withv.select(*[F.col(c).alias(f"b_{c}") for c in cols])
-    cond = F.col("a_vec_id") < F.col("b_vec_id")
+    if cross_split:
+        # (train, not-train) pairs: the sides are disjoint splits, so
+        # every cross pair appears exactly once and needs no id order
+        cond = (F.col("a_split") == "train") & (F.col("b_split") != "train")
+    else:
+        cond = F.col("a_vec_id") < F.col("b_vec_id")
     if same_cell:
         cond = (F.col("a_cid") == F.col("b_cid")) & cond
     return (
@@ -620,13 +639,103 @@ def semantic_all_pairs(emb: DataFrame, tau: float = 0.40) -> DataFrame:
     return _tau_pairs(withv, tau, same_cell=False)
 
 
-# rebind dd13's oracle now that km1 is guaranteed registered at import
-# time of this statement (module bottom would also work; here keeps the
-# definition adjacent). QUERIES entries are mutable dataclasses.
+def semantic_cross_split_pairs(
+    emb: DataFrame, tau: float = 0.40, k: int = 8, salt: str = "km1"
+) -> DataFrame:
+    """dc3's pair stage: same-cell τ-pairs RESTRICTED to (train,
+    not-train) sides under sp1's deterministic hash split — the
+    cross-split slice of exactly the pair set dd13 clusters (same
+    cells, same :func:`_tau_pairs` predicate, same τ). Returns
+    (a_id, b_id) with a_id always the train-side vector."""
+    asg = sim.kmeans_assign(emb, "vec_id", "embedding", k=k, salt=salt)
+    withv = (
+        asg.select(F.col("id").alias("vec_id"), F.col("cluster_id").alias("cid"))
+        .join(emb.select("vec_id", "embedding"), "vec_id")
+        .select(
+            "vec_id", "cid", "embedding",
+            sim.norm(F.col("embedding")).alias("nrm"),
+        )
+    )
+    withv = sampling.hash_split(withv, key="vec_id")
+    return _tau_pairs(withv, tau, same_cell=True, cross_split=True)
+
+
+_DC3_SQL = """
+    WITH asg AS ({km1}),
+    v AS (
+        SELECT a.id, a.cluster_id AS cid, e.embedding,
+               {norm_e} AS nrm,
+               {split} AS split
+        FROM asg a JOIN embeddings e ON a.id = e.vec_id
+    ),
+    xp AS (
+        SELECT a.id AS t_id, b.id AS e_id
+        FROM v a JOIN v b ON a.cid = b.cid
+        WHERE a.split = 'train' AND b.split <> 'train'
+          AND a.nrm > 0 AND b.nrm > 0
+          AND {dot_ab} / (a.nrm * b.nrm) >= 0.40
+    )
+    SELECT t_id AS vec_id,
+           CAST(COUNT(DISTINCT e_id) AS BIGINT) AS n_eval_matches,
+           MIN(e_id) AS first_eval_match
+    FROM xp GROUP BY t_id
+"""
+
+
+@query(
+    "dc3_semantic_decontaminate",
+    None,  # placeholder — rebound below once km1 exists in QUERIES
+    eager=True,  # kmeans codebook draw collects at construction
+)
+def dc3_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC train/eval decontamination (VERDICT r8 "Next round"
+    #4) — the third modality of the dc family: dc1 catches exact
+    prefixes, dc2 catches lexical near-matches (shared MinHash
+    bands), but an eval doc PARAPHRASED in train escapes both. This
+    composes dd13's SemDeDup machinery across sp1's split boundary:
+    k-means cells cap the pair stage, in-cell cosine >= τ pairs
+    restricted to (train, not-train) sides flag the train vectors
+    whose meaning leaks from the held-out splits. τ = 0.40 is dd13's
+    corpus-calibrated threshold (same predicate, same cells — ONE
+    _tau_pairs definition, so rf11/rf12's cell-capture floors apply
+    verbatim: single-probe capture measured 0.26-0.38 on this
+    near-uniform corpus, 2-probe lifts to 0.70-0.78, and a τ-pair
+    split across cells is missed by LSH-partition design).
+
+    Non-vacuity (the txt8 rule, probed before registering): 6 / 6 /
+    76 cross-split τ-pairs at sf0.001 / 0.01 / 0.1 — the gate flags
+    real train docs at every scale.
+
+    Output mirrors dc2's per-train-doc rollup: (vec_id,
+    n_eval_matches, first_eval_match), all-integer → hash-exact.
+    Scale shape inherits dd13's: the quadratic stage is capped by the
+    CELL (k scales with corpus size), the cross-split restriction
+    prunes the pair join's output before the rollup, and the rollup
+    is one map-side-combined groupBy. Oracle nests km1's registered
+    SQL verbatim and extends it with sp1's split fragment + the
+    shared dot/norm folds."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = semantic_cross_split_pairs(emb)
+    return pairs.groupBy(F.col("a_id").alias("vec_id")).agg(
+        F.count_distinct("b_id").alias("n_eval_matches"),
+        F.min("b_id").alias("first_eval_match"),
+    )
+
+
+# rebind dd13's and dc3's oracles now that km1 is guaranteed registered
+# at import time of this statement (module bottom would also work; here
+# keeps the definition adjacent). QUERIES entries are mutable
+# dataclasses.
 def _bind_dd13_oracle() -> None:
     QUERIES["dd13_semantic_keep_list"].oracle = _DD13_SQL.format(
         km1=QUERIES["km1_kmeans_assign"].oracle,
         norm_e=_NORM_SQL.format(a="e.embedding"),
+        dot_ab=_DOT_SQL.format(a="a.embedding", b="b.embedding"),
+    )
+    QUERIES["dc3_semantic_decontaminate"].oracle = _DC3_SQL.format(
+        km1=QUERIES["km1_kmeans_assign"].oracle,
+        norm_e=_NORM_SQL.format(a="e.embedding"),
+        split=sql_hash_split("a.id"),
         dot_ab=_DOT_SQL.format(a="a.embedding", b="b.embedding"),
     )
 
@@ -678,10 +787,14 @@ def dd16_banded_pair_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle: the registered banded chain (sh/cand/pairs CTEs) extended
     with the exact-pair CTE and scalar-subquery counts. The quadratic
     exact side puts this on the 8x-sweep skip list with dd2/dd6/dd8;
-    operators/dedup.banded_pair_eval documents the plan shape."""
+    operators/dedup.banded_pair_eval documents the plan shape.
+    ACTED ON in r9 (VERDICT r8 #3): this instrument's sweep
+    (tools/band_tuning.py) moved the production default (8,4)→(16,4) —
+    measured at sf0.1: recall 1.0 at verify_precision 1.0 vs the old
+    0.31; full table + the borderline trade in SCALE_r09.md."""
     docs = load_table(spark, sf_dir, "documents")
     return dd.banded_pair_eval(
-        docs, "doc_id", "text", num_hashes=8, bands=4, n=3, threshold=0.2
+        docs, "doc_id", "text", num_hashes=16, bands=4, n=3, threshold=0.2
     )
 
 

@@ -336,7 +336,12 @@ def dc2_fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows), so unlike the xxhash64 dd3 path this LSH join is
     hash-checked against the DuckDB oracle end-to-end — the first
     exact-oracle verdict for the banded-join family, not just a recall
-    floor. Scale shape: shingle explode -> one groupBy(doc) with 8
+    floor. dc2 DELIBERATELY stays on (8,4) r=2 banding after the r9
+    tuning moved the verified dedup path to (16,4) r=4: a
+    decontamination sweep is recall-first (a false collision holds out
+    one train doc — cheap; a missed paraphrase is eval leakage), and
+    the r9 sweep measured r=2 capturing 0.33 of borderline
+    jaccard≈0.3 pairs where r=4 captures ~0 (SCALE_r09.md). Scale shape: shingle explode -> one groupBy(doc) with 8
     map-side-combined mins (shuffle carries 8 x 32-char hex per doc,
     never text), constant 4-rows-per-doc band table, candidate
     equi-join on (band, bucket) whose size tracks cross-split

@@ -297,7 +297,7 @@ def _st12_sql() -> str:
     from ..operators.dedup import sql_portable_minhash_bands
 
     return f"""
-    WITH {sql_portable_minhash_bands("documents", "doc_id", "text")},
+    WITH {sql_portable_minhash_bands("documents", "doc_id", "text", 16, 4)},
     first AS (
         SELECT band, bucket, MIN(doc) AS owner
         FROM bands GROUP BY band, bucket

@@ -384,7 +384,7 @@ def streaming_last_writer_wins(
 def streaming_minhash_admission(
     spark: SparkSession,
     docs_path: str,
-    num_hashes: int = 8,
+    num_hashes: int = 16,
     bands: int = 4,
 ) -> DataFrame:
     """Streaming NEAR-DUP ADMISSION over a document stream: the
@@ -414,6 +414,14 @@ def streaming_minhash_admission(
     CC would merge transitively (documented, not hidden). Shingle-less
     docs (< 3 words or NULL text) emit no signature and are admitted
     with owned_bands = 0.
+
+    Defaults follow the r9 band tuning (operators/dedup.
+    portable_minhash_pairs docstring): (16,4) r=4 — the band store this
+    gate maintains must be the SAME banding the batch keep-list (dd11)
+    runs, and an UNVERIFIED gate needs r=4's "collision ⇒ likely ≥0.5
+    jaccard" (r=2's sub-threshold collisions would false-drop unique
+    docs). The price is disclosed: signature state doubles, 8→16 mins
+    (512 bytes/doc of hex).
 
     Scale shape: state = one k×32-char signature per DISTINCT document
     key — this IS the persistent dedup signature store, bounded by

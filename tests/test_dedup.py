@@ -252,6 +252,58 @@ def test_dd13_semantic_keep_list_contract(spark, sf_oracle):
         assert next(m for m in members if m.kept).vec_id == cid
 
 
+def test_dc3_semantic_decontaminate_contract(spark, sf_oracle):
+    """dc3's flags verified against an INDEPENDENT numpy derivation:
+    every flagged vec is train-split, its first_eval_match is a
+    non-train vector at true cosine >= 0.40 (recomputed outside
+    Spark), the flag set is a subset of the exact all-pairs
+    cross-split τ-pairs (cell capture can only miss, never invent),
+    and the gate is non-vacuous on the driver corpus (txt8 rule)."""
+    import numpy as np
+
+    import __spark_entry__ as em
+    from ig_etl_with_user_reports_2024_spark.operators.sampling import (
+        hash_split,
+    )
+    from ig_etl_with_user_reports_2024_spark.sources.readers import load_table
+
+    flagged = {
+        r.vec_id: r
+        for r in em.queries()["dc3_semantic_decontaminate"](
+            spark, sf_oracle
+        ).collect()
+    }
+    assert flagged, "no semantic contamination flagged — vacuous gate"
+    emb = {
+        r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+        for r in load_table(spark, sf_oracle, "embeddings").collect()
+    }
+    splits = {
+        r.vec_id: r.split
+        for r in hash_split(
+            load_table(spark, sf_oracle, "embeddings").select("vec_id"),
+            key="vec_id",
+        ).collect()
+    }
+
+    def cos(a, b):
+        na, nb = np.linalg.norm(emb[a]), np.linalg.norm(emb[b])
+        return float(emb[a] @ emb[b] / (na * nb)) if na and nb else -1.0
+
+    exact_cross = {
+        t
+        for t in emb
+        if splits[t] == "train"
+        and any(splits[e] != "train" and cos(t, e) >= 0.40 for e in emb)
+    }
+    for vid, r in flagged.items():
+        assert splits[vid] == "train"
+        assert splits[r.first_eval_match] != "train"
+        assert cos(vid, r.first_eval_match) >= 0.40
+        assert r.n_eval_matches >= 1
+    assert set(flagged) <= exact_cross
+
+
 def test_dd11_supersets_dd10_on_shingleless_twins(spark, tmp_path):
     """ADVICE r6 (medium): short exact-duplicate texts (< 3 words → zero
     shingles) never band-collide, so dd10 leaves each as a singleton;
@@ -491,15 +543,27 @@ def test_banded_pair_eval_counts_and_missed_pairs(spark):
         rows.append((2 * i, shared + " " + rtext(20)))
         rows.append((2 * i + 1, rtext(20) + " " + shared))
     df = spark.createDataFrame(rows, "doc_id bigint, text string")
-    [r] = dd.banded_pair_eval(df, "doc_id", "text").collect()
+    # r=2 banding (the pre-r9 default, dc2's recall-first shape): the
+    # partial-capture branch fires — some borderline pairs collide,
+    # some don't — so every accounting identity is exercised non-
+    # trivially.
+    [r] = dd.banded_pair_eval(df, "doc_id", "text", 8, 4).collect()
     assert r.n_verified_pairs <= r.n_exact_pairs
     assert r.n_missed_pairs == r.n_exact_pairs - r.n_verified_pairs
     assert r.n_verified_pairs <= r.n_band_candidates
     assert r.n_exact_pairs > 0
     assert r.n_missed_pairs > 0          # the LSH trade, measured
-    assert r.n_verified_pairs >= 0
+    assert r.n_verified_pairs > 0        # ...and partial capture is real
     assert r.pair_recall == r.n_verified_pairs / r.n_exact_pairs
     if r.n_band_candidates:
         assert r.verify_precision == (
             r.n_verified_pairs / r.n_band_candidates
         )
+    # r9-tuned default (16,4) r=4: the S-curve crossing moves to ~0.71,
+    # so jaccard≈0.3 borderline pairs all but vanish from the candidate
+    # set — the documented trade the tuning table records. Exact side
+    # is setting-independent.
+    [t] = dd.banded_pair_eval(df, "doc_id", "text").collect()
+    assert t.n_exact_pairs == r.n_exact_pairs
+    assert t.n_band_candidates < r.n_band_candidates
+    assert t.n_missed_pairs == t.n_exact_pairs - t.n_verified_pairs
