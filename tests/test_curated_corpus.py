@@ -70,3 +70,68 @@ def test_cp2_datacard_sums_to_cp1(spark, sf_oracle):
         assert card.last_pos == max(r.pos for r in rows)
     assert min(c.first_pos for c in cp2.values()) == 0
     assert max(c.last_pos for c in cp2.values()) == len(cp1) - 1
+
+
+def _seq_token_fill(rows, L=2048):
+    """Per-sequence token fill from doc-grain packing rows (dp2's
+    interval-clipping arithmetic, recomputed independently here)."""
+    fill: dict = {}
+    for r in rows:
+        for s in range(r.first_seq, r.last_seq + 1):
+            t = min(r.start_off + r.n_tokens, (s + 1) * L) - max(
+                r.start_off, s * L
+            )
+            fill[s] = fill.get(s, 0) + t
+    return fill
+
+
+def test_cp3_delta_release_and_merged_invariant(spark, sf_oracle):
+    """cp3 is a consistent training stream over cm2's admitted batch
+    (cp1's stream contract in the delta namespace), every packed doc
+    is a cm2 'admit', and on the MERGED release (cp1 ∪ cp3, keyed by
+    the release column) dp2's packing invariant holds: within each
+    release namespace every non-final sequence holds exactly 2048
+    tokens. The delta side has no non-final sequence at sf0.01 (2
+    admitted docs); the non-vacuous delta-side check runs at sf0.1 in
+    tests/test_scale.py."""
+    cp3 = sorted(
+        entry_mod.queries()["cp3_incremental_release"](spark, sf_oracle)
+        .collect(),
+        key=lambda r: r.pos,
+    )
+    assert cp3, "delta release is empty — vacuous"
+    assert all(r.release == "delta" for r in cp3)
+    assert [r.pos for r in cp3] == list(range(len(cp3)))
+    cum = 0
+    for r in cp3:
+        assert r.n_tokens > 0
+        assert r.start_off == cum
+        cum += r.n_tokens
+        assert r.first_seq == r.start_off // 2048
+        assert r.last_seq == (cum - 1) // 2048
+    admits = {
+        r.doc_id
+        for r in entry_mod.queries()["cm2_incremental_admission"](
+            spark, sf_oracle
+        )
+        .filter(F.col("action") == "admit")
+        .collect()
+    }
+    assert {r.doc for r in cp3} <= admits
+    # merged invariant, per release namespace. At sf0.01 neither chain
+    # fills a whole 2048-token sequence (16 + 2 admitted docs), so the
+    # non-final==2048 branch cannot fire here — the NON-VACUOUS form of
+    # this check runs at sf0.1 in tests/test_scale.py, where cp3 alone
+    # spans 3 sequences. Here we assert the arithmetic that IS
+    # reachable: fills are interval-exact and never overflow.
+    cp1 = entry_mod.queries()["cp1_curated_corpus"](spark, sf_oracle).collect()
+    for rows in (cp1, cp3):
+        fill = _seq_token_fill(rows)
+        assert sum(fill.values()) == sum(r.n_tokens for r in rows)
+        assert set(fill) == set(range(max(fill) + 1))  # no seq gaps
+        last = max(fill)
+        for s, t in fill.items():
+            if s < last:
+                assert t == 2048, f"non-final seq {s} holds {t} tokens"
+            else:
+                assert 0 < t <= 2048

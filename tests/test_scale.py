@@ -393,3 +393,23 @@ def test_r8_curated_corpus_and_retrieval_complete_at_8x(spark, big_sf):
     assert all(
         r.cluster_size == by_c[r.cluster_id] for r in dd13
     )
+
+
+def test_cp3_nonfinal_sequences_exact_at_sf01(spark):
+    """The NON-VACUOUS form of dp2's packing invariant on the delta
+    release (tests/test_curated_corpus.py carries the sf0.01 wiring
+    checks, where no chain fills a whole sequence): at sf0.1 cp3's
+    admitted batch spans 3 sequences, so the non-final==2048 branch
+    actually fires."""
+    import __spark_entry__ as entry_mod
+    from tests.test_curated_corpus import _seq_token_fill
+
+    rows = entry_mod.queries()["cp3_incremental_release"](
+        spark, "/root/testdata/sf0.1"
+    ).collect()
+    fill = _seq_token_fill(rows)
+    last = max(fill)
+    assert last >= 1, "delta spans one sequence — non-final check vacuous"
+    for s in range(last):
+        assert fill[s] == 2048, f"non-final seq {s} holds {fill[s]} tokens"
+    assert 0 < fill[last] <= 2048
