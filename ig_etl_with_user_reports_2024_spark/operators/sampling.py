@@ -217,6 +217,7 @@ def temperature_mix(
     beta_den: int = 2,
     salt: str = "mix",
     prefix_chars: int = 3,
+    order_col: str | None = None,
 ) -> DataFrame:
     """Temperature-weighted mixture sampling (α=0.5): rebalance a
     multi-source corpus toward low-resource sources, the standard
@@ -249,15 +250,27 @@ def temperature_mix(
     10^12-doc sources); the per-source bucket table the offsets ride
     stays ≤16^prefix_chars rows.
 
+    ``order_col`` (optional, an INTEGER column on ``df``) prepends an
+    admission priority to the salted-hash order: docs are admitted in
+    (order_col ASC, hash, id) order — the importance-weighted mixture
+    shape (mx3). The two-level decomposition extends naturally: cumsum
+    buckets become (order_col, hash-prefix) groups and the per-source
+    bucket-offset table grows to ≤ |order values| × 16^prefix_chars
+    rows — still metadata-sized for bounded integer buckets. With
+    ``order_col=None`` the constant 0 is used, which reduces to the
+    original per-source hash order bit-for-bit.
+
     Returns (key, stratum, tokens, kept) for every n_tokens>0 row.
     """
     ids = F.col(key)
     if not 1 <= int(prefix_chars) <= 5:
         raise ValueError(f"prefix_chars must be in [1, 5], got {prefix_chars}")
+    q = F.col(order_col).cast("long") if order_col else F.lit(0).cast("long")
     nz = df.select(
         ids.alias("_id"),
         F.col(stratum).alias("_s"),
         F.col(tokens_col).cast("long").alias("_n"),
+        q.alias("_q"),
     ).filter(F.col("_n") > 0)
     h = F.md5(F.concat(F.lit(salt + ":"), F.col("_id").cast("string")))
     hashed = nz.withColumn("_h", h).withColumn(
@@ -265,20 +278,21 @@ def temperature_mix(
     )
 
     w_in = (
-        Window.partitionBy("_s", "_hb")
+        Window.partitionBy("_s", "_q", "_hb")
         .orderBy("_h", "_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = hashed.withColumn("_cum_in", F.sum("_n").over(w_in))
 
-    btot = hashed.groupBy("_s", "_hb").agg(F.sum("_n").alias("_bn"))
+    btot = hashed.groupBy("_s", "_q", "_hb").agg(F.sum("_n").alias("_bn"))
     w_b = (
         Window.partitionBy("_s")
-        .orderBy("_hb")
+        .orderBy("_q", "_hb")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offsets = btot.select(
-        "_s", "_hb", F.coalesce(F.sum("_bn").over(w_b), F.lit(0)).alias("_boff")
+        "_s", "_q", "_hb",
+        F.coalesce(F.sum("_bn").over(w_b), F.lit(0)).alias("_boff"),
     )
 
     # per-source totals derive from the per-bucket totals (≤16^prefix
@@ -301,7 +315,7 @@ def temperature_mix(
     )
 
     return (
-        cum.join(F.broadcast(offsets), ["_s", "_hb"])
+        cum.join(F.broadcast(offsets), ["_s", "_q", "_hb"])
         .join(F.broadcast(budgets), "_s")
         .select(
             F.col("_id").alias(key),

@@ -2338,16 +2338,27 @@ def sql_shuffle_positions(
     """
 
 
-def sql_temperature_mix(rel: str, id_expr: str = "doc_id") -> str:
+def sql_temperature_mix(
+    rel: str, id_expr: str = "doc_id", order_expr: str | None = None
+) -> str:
     """DuckDB twin of operators/sampling.temperature_mix (α=0.5,
     β=1/2, salt 'mix') over any relation providing (``id_expr``,
-    source, text). Shared by mx1 (whole documents table) and cp1 (the
-    curated keep set). All-BIGINT keep arithmetic — see
-    mx1_temperature_mix's docstring."""
+    source, text). Shared by mx1 (whole documents table), cp1/cp3
+    (curated keep sets) and mx3 (which passes ``order_expr``, an
+    INTEGER column on ``rel``, to prepend an admission priority to the
+    per-source hash order — sampling.temperature_mix's ``order_col``).
+    All-BIGINT keep arithmetic — see mx1_temperature_mix's
+    docstring."""
+    qsel = (
+        f",\n               CAST({order_expr} AS BIGINT) AS qb"
+        if order_expr
+        else ""
+    )
+    qord = "qb, " if order_expr else ""
     return f"""
     WITH t AS (
         SELECT {id_expr} AS doc, source,
-               CAST(len({_WORDS_SQL}) AS BIGINT) AS n_tokens
+               CAST(len({_WORDS_SQL}) AS BIGINT) AS n_tokens{qsel}
         FROM {rel}
     ), nz AS (
         SELECT * FROM t WHERE n_tokens > 0
@@ -2371,7 +2382,7 @@ def sql_temperature_mix(rel: str, id_expr: str = "doc_id") -> str:
         SELECT doc, source, n_tokens,
                CAST(SUM(n_tokens) OVER (
                    PARTITION BY source
-                   ORDER BY md5('mix:' || CAST(doc AS VARCHAR)), doc
+                   ORDER BY {qord}md5('mix:' || CAST(doc AS VARCHAR)), doc
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                ) AS BIGINT) AS cum
         FROM nz
@@ -2531,6 +2542,127 @@ def mx1_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.temperature_mix(
         counted, key="doc", stratum="source", tokens_col="n_tokens",
         beta_num=1, beta_den=2, salt="mix",
+    )
+
+
+_MX3_SQL = f"""
+    WITH ws0 AS (
+        SELECT doc_id, source, text, {dd.sql_words("text")} AS ws,
+               {sql_hash_split("doc_id")} AS split
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, unnest({dd.sql_shingles("ws")}) AS s FROM ws0
+    ),
+    tg AS (
+        SELECT DISTINCT h.s
+        FROM sh h JOIN ws0 w ON h.doc_id = w.doc_id
+        WHERE w.split = 'val' AND h.s <> ''
+    ),
+    m AS (
+        SELECT h.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tri,
+               CAST(SUM(CASE WHEN t.s IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_miss
+        FROM sh h LEFT JOIN tg t ON h.s = t.s
+        WHERE h.s <> ''
+        GROUP BY h.doc_id
+    ),
+    qd AS (
+        SELECT w.doc_id, w.source, w.text,
+               COALESCE((10 * m.n_miss) // m.n_tri, 10) AS qb
+        FROM ws0 w LEFT JOIN m ON w.doc_id = m.doc_id
+    ),
+    mix AS ({{mix}})
+    SELECT x.doc, x.source, x.n_tokens, q.qb, x.kept
+    FROM mix x JOIN qd q ON x.doc = q.doc_id
+"""
+
+
+@query(
+    "mx3_surprisal_weighted_mixture",
+    _MX3_SQL.format(mix=sql_temperature_mix("qd", "doc_id", order_expr="qb")),
+)
+def mx3_surprisal_weighted_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMPORTANCE-WEIGHTED mixture (DSIR-lite, Xie et al. 2023;
+    VERDICT r8 "Next round" #7): mx1's per-source integer token
+    budgets, but admission within a source is no longer quality-blind
+    — docs are admitted in (target-miss decile ASC, salted hash, id)
+    order, so under the same budgets the mixture prefers docs whose
+    n-grams look like a TARGET SAMPLE, the importance-resampling shape
+    real training-data pipelines use.
+
+    The importance signal is all-INTEGER (the txt10 surprisal is a
+    double — a cross-engine ORDER BY hazard — so the bucket is built
+    from counts instead): per doc, the fraction of its word trigrams
+    NOT found in the target sample's trigram set, as a decile
+    ``qb = (10 * n_miss) // n_tri`` (0 = fully target-like, 10 = no
+    trigram overlap or no trigrams at all — short docs COALESCE to the
+    back of the queue). The target sample is sp1's 'val' split — the
+    stand-in for DSIR's target domain; swapping in any curated target
+    corpus keeps the plan. Trigrams are the dedup family's 3-word
+    shingles (ONE definition: operators/dedup.exploded_shingles /
+    sql_shingles).
+
+    Non-vacuity (the txt8 rule, test-pinned): the admitted set
+    DIFFERS from mx1's at sf0.01 — the reorder moves real docs across
+    the budget boundary — while per-source admitted token totals stay
+    within one doc of mx1's (same budgets, same reservoir semantics).
+
+    Scale shape: the target trigram table is target-sample-sized
+    (DSIR's target is a small curated corpus — broadcast-able); the
+    miss rollup is one map-side-combined groupBy over the shingle
+    explode; the admission cumsum extends mx1's two-level
+    decomposition with the bucket as a leading key (the per-source
+    offset table grows to ≤ 11 × 4096 metadata rows —
+    operators/sampling.temperature_mix's order_col). Oracle = the
+    shared sql_temperature_mix builder with the extended ORDER BY,
+    exactly as registered for mx1/cp1."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dd.exploded_shingles(
+        docs.select("doc_id", "text"), "doc_id", "text"
+    )
+    val_ids = (
+        sampling.hash_split(docs.select("doc_id"), key="doc_id")
+        .filter(F.col("split") == "val")
+        .select(F.col("doc_id").alias("doc"))
+    )
+    tgt = sh.join(val_ids, "doc").select("shingle").distinct()
+    m = (
+        sh.join(
+            tgt.withColumn("_hit", F.lit(True)), "shingle", "left"
+        )
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_tri"),
+            F.sum(
+                F.when(F.col("_hit").isNull(), 1).otherwise(0)
+            ).alias("n_miss"),
+        )
+    )
+    qd = (
+        docs.select(
+            F.col("doc_id").alias("doc"),
+            "source",
+            F.size(tx.normalized_words(F.col("text"))).alias("n_tokens"),
+        )
+        .join(m, "doc", "left")
+        .select(
+            "doc",
+            "source",
+            "n_tokens",
+            F.coalesce(
+                F.expr("(10 * n_miss) div n_tri"),
+                F.lit(10).cast("long"),
+            ).alias("qb"),
+        )
+    )
+    mix = sampling.temperature_mix(
+        qd, key="doc", stratum="source", tokens_col="n_tokens",
+        beta_num=1, beta_den=2, salt="mix", order_col="qb",
+    )
+    return mix.join(qd.select("doc", "qb"), "doc").select(
+        "doc", "source", "n_tokens", "qb", "kept"
     )
 
 

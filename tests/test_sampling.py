@@ -289,3 +289,35 @@ def test_epoch_budget_arithmetic_and_cap(spark):
     # the sqrt boost pushes the tiny source over 3 epochs; big stays under
     assert out["tiny"].capped and out["tiny"].epochs_milli == 3000
     assert not out["big"].capped and out["big"].epochs_milli < 3000
+
+
+def test_mx3_importance_reorder_is_real_and_budget_faithful(spark, sf_oracle):
+    """mx3 must actually REORDER admission (the txt8 non-vacuity rule:
+    its admitted set differs from mx1's at sf0.01 — the bucket moves
+    real docs across the budget boundary), prefer target-like docs
+    (admitted mean qb <= rejected mean qb per source), and stay
+    budget-faithful: same per-source reservoir semantics as mx1, so
+    admitted token totals match mx1's to within one boundary doc."""
+    import __spark_entry__ as em
+
+    qs = em.queries()
+    mx1 = {r.doc: r for r in qs["mx1_temperature_mix"](spark, sf_oracle).collect()}
+    mx3 = {r.doc: r for r in
+           qs["mx3_surprisal_weighted_mixture"](spark, sf_oracle).collect()}
+    assert set(mx1) == set(mx3)          # same n_tokens>0 universe
+    a1 = {d for d, r in mx1.items() if r.kept}
+    a3 = {d for d, r in mx3.items() if r.kept}
+    assert a3 != a1, "importance order admitted exactly mx1's set — vacuous"
+    by_src: dict = {}
+    for d, r in mx3.items():
+        by_src.setdefault(r.source, []).append(r)
+    for src, rows in by_src.items():
+        adm = [r for r in rows if r.kept]
+        rej = [r for r in rows if not r.kept]
+        if adm and rej:
+            mean = lambda xs: sum(x.qb for x in xs) / len(xs)  # noqa: E731
+            assert mean(adm) <= mean(rej), f"{src}: admitted less target-like"
+        t1 = sum(mx1[r.doc].n_tokens for r in rows if mx1[r.doc].kept)
+        t3 = sum(r.n_tokens for r in adm)
+        slack = max((r.n_tokens for r in rows), default=0)
+        assert abs(t3 - t1) <= slack, f"{src}: budget drift beyond one doc"
