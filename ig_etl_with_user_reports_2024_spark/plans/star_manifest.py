@@ -652,3 +652,96 @@ def cp3_incremental_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc", "source", "n_tokens", "pos", "shard",
         "start_off", "first_seq", "last_seq", "n_seqs",
     )
+
+
+# ---------------------------------------------------------------------------
+# CP4 — the RELEASE DIFF: per-source data-card accounting before vs
+# after the daily batch (cp2's card + cp3's delta), the artifact a
+# release pipeline publishes with every increment.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cp4_datacard_diff",
+    """
+    WITH before AS ({cp2}),
+    delta AS ({cp3}),
+    dcard AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS d_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS d_tokens,
+               CAST(SUM(n_seqs) AS BIGINT) AS d_seq_slots
+        FROM delta GROUP BY source
+    )
+    SELECT COALESCE(b.source, d.source) AS source,
+           CAST(COALESCE(b.n_docs, 0) AS BIGINT) AS docs_before,
+           CAST(COALESCE(d.d_docs, 0) AS BIGINT) AS docs_added,
+           CAST(COALESCE(b.n_docs, 0) + COALESCE(d.d_docs, 0) AS BIGINT)
+               AS docs_after,
+           CAST(COALESCE(b.n_tokens, 0) AS BIGINT) AS tokens_before,
+           CAST(COALESCE(d.d_tokens, 0) AS BIGINT) AS tokens_added,
+           CAST(COALESCE(b.n_tokens, 0) + COALESCE(d.d_tokens, 0) AS BIGINT)
+               AS tokens_after,
+           CAST(COALESCE(b.n_seq_slots, 0) AS BIGINT) AS seq_slots_before,
+           CAST(COALESCE(d.d_seq_slots, 0) AS BIGINT) AS seq_slots_added
+    FROM before b FULL OUTER JOIN dcard d ON b.source = d.source
+    """.format(
+        cp2=QUERIES["cp2_corpus_datacard"].oracle,
+        cp3=QUERIES["cp3_incremental_release"].oracle,
+    ),
+    eager=True,  # composes cp1 + cm2 chains (collects at construction)
+)
+def cp4_datacard_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RELEASE DIFF (the second half of VERDICT r8 #5): one row
+    per source with the data card BEFORE the daily batch (cp2's
+    rollup of cp1's full release) and what the batch ADDED (cp3's
+    delta shards rolled up the same way) — docs, tokens, and sequence
+    slots, before/added/after. This is the artifact an incremental
+    release publishes and a downstream consumer audits ("today's
+    release grew src3 by 2 docs / 312 tokens"); a source present in
+    only one side still gets a row (FULL OUTER on source), so a batch
+    introducing a brand-new source is visible rather than silently
+    merged.
+
+    All-integer → hash-exact. Oracle nests cp2's and cp3's registered
+    SQL verbatim, so the driver's verdict covers BOTH release chains
+    and the diff arithmetic as one statement — the widest composition
+    in the catalog (cm1's three subtrees + cm2's stores + two
+    mixture/shuffle/packing chains are all inside it). Like cp2, this
+    is deliberately NOT a bench line (it would re-run both chains for
+    a rollup; the composition is priced once via cp1/cp3).
+
+    Scale shape: two source-cardinality rollups + one
+    source-cardinality join on top of chains that are themselves
+    batch- or corpus-proportional; the diff adds metadata cost only."""
+    before = QUERIES["cp2_corpus_datacard"].fn(spark, sf_dir)
+    delta = (
+        QUERIES["cp3_incremental_release"]
+        .fn(spark, sf_dir)
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("d_docs"),
+            F.sum("n_tokens").cast("bigint").alias("d_tokens"),
+            F.sum("n_seqs").cast("bigint").alias("d_seq_slots"),
+        )
+    )
+    b, d = before.alias("b"), delta.alias("d")
+    z = F.lit(0).cast("bigint")
+    bd = F.coalesce(F.col("b.n_docs"), z)
+    dd_ = F.coalesce(F.col("d.d_docs"), z)
+    bt = F.coalesce(F.col("b.n_tokens"), z)
+    dt = F.coalesce(F.col("d.d_tokens"), z)
+    return (
+        b.join(d, F.col("b.source") == F.col("d.source"), "full_outer")
+        .select(
+            F.coalesce(F.col("b.source"), F.col("d.source")).alias("source"),
+            bd.alias("docs_before"),
+            dd_.alias("docs_added"),
+            (bd + dd_).alias("docs_after"),
+            bt.alias("tokens_before"),
+            dt.alias("tokens_added"),
+            (bt + dt).alias("tokens_after"),
+            F.coalesce(F.col("b.n_seq_slots"), z).alias("seq_slots_before"),
+            F.coalesce(F.col("d.d_seq_slots"), z).alias("seq_slots_added"),
+        )
+    )

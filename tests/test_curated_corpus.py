@@ -135,3 +135,31 @@ def test_cp3_delta_release_and_merged_invariant(spark, sf_oracle):
                 assert t == 2048, f"non-final seq {s} holds {t} tokens"
             else:
                 assert 0 < t <= 2048
+
+
+def test_cp4_diff_is_an_exact_rollup_of_both_releases(spark, sf_oracle):
+    """cp4's per-source rows must be exact rollups of the releases it
+    diffs (cp2's card on the before side, cp3's delta on the added
+    side), cover every source either release touches, and satisfy the
+    before+added=after arithmetic row-by-row."""
+    cp2 = {r.source: r for r in
+           entry_mod.queries()["cp2_corpus_datacard"](spark, sf_oracle).collect()}
+    cp3 = entry_mod.queries()["cp3_incremental_release"](spark, sf_oracle).collect()
+    diff = {r.source: r for r in
+            entry_mod.queries()["cp4_datacard_diff"](spark, sf_oracle).collect()}
+    assert diff, "empty diff — vacuous"
+    added: dict = {}
+    for r in cp3:
+        a = added.setdefault(r.source, [0, 0])
+        a[0] += 1
+        a[1] += r.n_tokens
+    assert set(diff) == set(cp2) | set(added)
+    assert any(r.docs_added > 0 for r in diff.values()), "no batch growth"
+    for src, r in diff.items():
+        b = cp2.get(src)
+        assert r.docs_before == (b.n_docs if b else 0)
+        assert r.tokens_before == (b.n_tokens if b else 0)
+        assert r.docs_added == added.get(src, [0, 0])[0]
+        assert r.tokens_added == added.get(src, [0, 0])[1]
+        assert r.docs_after == r.docs_before + r.docs_added
+        assert r.tokens_after == r.tokens_before + r.tokens_added
