@@ -55,102 +55,79 @@ from ig_etl_with_user_reports_2024_spark.plans import star_manifest  # noqa: F40
 # rotation so their slots go to hash-checkable queries; their rf floors
 # are the refreshable signal.
 #
-# Round-8 window: (0) the 24 new/changed entries — cp1 (NEW: the
-# curated-corpus end product), ii4 (NEW: PRF hybrid retrieval), ii5
-# (NEW: RRF hybrid fusion over ii4), txt10 (NEW: train-only trigram
-# surprisal), dp2 (NEW: per-sequence packing manifest), dd13 (NEW:
-# SemDeDup semantic keep-list over the embedding column), rf11 (NEW:
-# dd13's cell-recall floor), cp2 (NEW: the per-source data card over
-# cp1), st11 (NEW: st6's dedup contract on the RocksDB provider),
-# st12 (NEW: streaming MinHash-band near-dup admission — the ingest
-# dedup gate, signature state as ONE update-mode stateful agg),
-# cm2 (NEW: incremental admission of an arriving batch against the
-# existing corpus's digest + band stores — cm1's daily-maintenance
-# shape), txt11 (NEW: MOSS winnowing fingerprints — window-min k-gram
-# selection with the substring-detection guarantee), ii6 (NEW:
-# retrieval eval harness — integer hits@k / first-rel-rank against a
-# min-tf AND-label proxy; caught the negative-idf pathology and rides
-# the Lucene clamp), txt8 (quality
-# threshold 45→30, both engines — the old gate kept zero synthetic
-# docs), cm1 (plan: skew-safe digest stage; oracle: nests txt8's new
-# text), dd8/dd10/dd11 (plan: cluster_size + digest stage de-windowed
-# via salted joins), dd12 (plan: the g2 subtree pinned), ii2/ii3
-# (oracle re-emitted via the shared _bm25_sql builder), dp1/ds1/mx1
-# (oracle re-emitted via the shared rel-parameterized builders); then
-# (a) the r5-era verdicts, catalog order. 24 + 26 = 50 exactly —
-# the LAST TEN r5-era entries in catalog order (sq1, st1, st2, st3,
-# st4, st6, st8, st9, x10, x8b) are the rule's deliberate overflow to
-# r9, where they lead the stale cohort (st6's only r8 change is the
-# eager flag — result-identical; sq1/st1/st2/st3's displacement pays
-# for st12/cm2/txt11/ii6's first contact, per the rule's "new entries
-# outrank stale refreshes").
-# rf10 (eager flag only), st5/st10 (metrics-capture keying only) and
-# dc2 are result- and plan-identical with fresh verdicts — overflow.
-#
-# Late-round additions to group 0: dd14/dd15/rf12/mx2 (NEW), plus the
-# conservative "plan or oracle text touched" set — txt2 (oracle
-# re-emitted via the shared sql_quality_score builder), km1/rf9/rf11/
-# dd13 (the kmeans_assign scored-cells refactor under them; results
-# test-pinned identical, but the rule counts construction changes).
-# That grows group 0 to 33 (with ii7_fusion_eval, NEW — the A/B eval
-# over the ii4/ii5 chain on the clamped base — and
-# dd16_banded_pair_eval, NEW — the dedup family's measured
-# recall/precision eval), so the r5-era tail shrinks to 17 and
-# rf8/ro1/sk1/sk2/sp1/sp2/sp3 join the deliberate overflow to r9.
+# Round-9 window: (0) the 14 new/changed entries — dc3 (NEW: semantic
+# train/eval decontamination, dd13's cells across sp1's split), cp3
+# (NEW: the incremental release — cm2's admitted batch packed as delta
+# shards), mx3 (NEW: DSIR-lite importance-ordered mixture), cp4 (NEW:
+# the per-source data-card diff nesting cp2+cp3), dd10/dd11/dd15/dd16
+# (plan+oracle: the banded path's (num_hashes, bands) tuned (8,4) →
+# (16,4) from dd16's measured sweep), cm1 (plan: ONE shared 16-min
+# signature feeds both subtrees; oracle: nests the re-tuned dd11),
+# cm2/st12 (plan+oracle: admission band stores moved to (16,4) to
+# match the batch keep-list banding), cp1/cp2 (oracle: nest cm1),
+# mx1 (plan: temperature_mix's order_col decomposition — constant-0
+# path, results bit-identical, but the rule counts construction
+# changes); then (a) oldest-driver-verdict-first: ALL 17 r5-era
+# verdicts (the r8 overflow — sp1-sp3, x10, x8b, st1-st4, st6, st8,
+# st9, ro1, rf8, sq1, sk1, sk2) followed by the 19 oldest r6-era.
+# 14 + 36 = 50 exactly; after this round no hash-checkable query's
+# verdict predates r6 (VERDICT r8 "Next round" #2 satisfied —
+# dc2/dq1a/rj2/mm5/st7 and the r6 star_queries rows lead the refresh).
 _DRIVER_PRIORITY = [
-    # (0) new/changed oracle or plan in round 8 — first driver contact
-    "dd14_winnowing_pairs",
-    "dd15_quality_survivor",
-    "rf12_multiprobe_cell_recall",
-    "mx2_epoch_budget",
-    "ii7_fusion_eval",
-    "dd16_banded_pair_eval",
-    "txt2_quality_score",
-    "km1_kmeans_assign",
-    "rf9_kmeans_lloyd_floor",
-    "rf11_semdedup_cell_recall",
-    "cp1_curated_corpus",
-    "ii4_prf_rerank",
-    "ii5_rrf_fusion",
-    "dp2_sequence_manifest",
-    "dd13_semantic_keep_list",
-    "cp2_corpus_datacard",
-    "st11_rocksdb_dedup",
-    "st12_streaming_band_admission",
-    "cm2_incremental_admission",
-    "txt11_winnowing_fingerprint",
-    "ii6_retrieval_eval",
-    "txt10_trigram_surprisal",
-    "txt8_filter_verdict",
-    "cm1_corpus_manifest",
-    "dd8_dedup_keep_list",
+    # (0) new/changed oracle or plan in round 9 — first driver contact
+    "dc3_semantic_decontaminate",
+    "cp3_incremental_release",
+    "mx3_surprisal_weighted_mixture",
+    "cp4_datacard_diff",
     "dd10_keep_list_banded",
     "dd11_staged_keep_list",
-    "dd12_repeated_span_trim",
-    "ii2_bm25_topk",
-    "ii3_bm25_log_idf",
-    "dp1_sequence_packing",
-    "ds1_corpus_shuffle",
+    "dd15_quality_survivor",
+    "dd16_banded_pair_eval",
+    "cm1_corpus_manifest",
+    "cm2_incremental_admission",
+    "st12_streaming_band_admission",
+    "cp1_curated_corpus",
+    "cp2_corpus_datacard",
     "mx1_temperature_mix",
-    # (a) the r5-era verdicts, catalog order (minus the ones moved to
-    # group 0 and the exempt no-oracle entries)
-    "ad1_rolling_zscore",
-    "ann1_cosine_topk",
-    "ann4_portable_lsh_topk",
-    "cdc1_merge_upsert",
-    "cdc2_scd2_intervals",
-    "dc1_decontaminate",
-    "dd1_exact_dedup",
-    "dd7_ngram_contamination",
-    "dd9_portable_simhash_pairs",
-    "dq1_column_profile",
-    "dq2_schema_drift",
-    "ii1_inverted_index",
-    "k7_top5_preview",
-    "mm3_frame_select",
-    "pr1_pagerank",
-    "rf2_ivf_topk_recall",
-    "rf5_sketch_accuracy",
+    # (a) oldest driver verdict first: the 17 r5-era entries, catalog
+    # order (sq1/st1-st4/st6/st8/st9/x10/x8b/ro1/sk1/sk2/sp1-sp3/rf8)
+    "sp1_hash_split",
+    "sp2_stratified_sample",
+    "sp3_k_per_stratum",
+    "x10_c7_argmax_priority",
+    "x8b_json_extract",
+    "st3_sessionization",
+    "st4_streaming_tumbling",
+    "st1_tumbling_window",
+    "st2_sliding_window",
+    "st6_streaming_dedup",
+    "ro1_hourly_rollup",
+    "st8_stream_static_join",
+    "st9_stream_stream_join",
+    "rf8_approx_percentile_accuracy",
+    "sq1_int8_quantize",
+    "sk1_salted_distinct_users",
+    "sk2_salted_join_segment",
+    # (a cont.) the 19 oldest r6-era verdicts, catalog order
+    "dq1a_column_profile_approx",
+    "rj2_error_near_purchase",
+    "mm5_image_patches",
+    "dc2_fuzzy_decontaminate",
+    "st7_session_window",
+    "c12_collab_status",
+    "a4_pricing_summary",
+    "j1_work_queue_anti_join",
+    "j3_users_posts_join",
+    "a7_frequency_map",
+    "a5_consistency_score",
+    "a11_post_gap_frequency",
+    "c1_size_buckets",
+    "f3_recent_flag",
+    "f4_category_filter",
+    "f7_recent20_mixed_window",
+    "f8_stoplist_tokens",
+    "j2_first_match_theta_join",
+    "j4_a10_keyword_scores",
 ]
 
 

@@ -15,36 +15,47 @@ def test_priority_names_all_registered():
 
 
 def test_stale_and_changed_queries_land_in_driver_window():
-    # Round-8 rotation under the STANDING RULE (VERDICT r6 "Next
-    # round" #1, stated in __spark_entry__): new/changed first, then
-    # all remaining slots oldest-driver-verdict first, with the
-    # no-oracle entries exempt (their verdicts can never change). r8:
-    # 20 new/changed + 30 r5-era verdicts = exactly 50 (the last six
-    # r5-era entries in catalog order, st4/st6/st8/st9/x10/x8b, are
-    # the rule's deliberate overflow to r9, where they lead the stale
-    # cohort).
-    # Other overflow = r6/r7-green and result-identical — asserted
-    # OUT so the window isn't silently wasted.
+    # Round-9 rotation under the STANDING RULE (VERDICT r6 "Next
+    # round" #1, stated in __spark_entry__): new/changed first (14 —
+    # dc3/cp3/mx3/cp4 NEW + the band-tuning/shared-sig/order_col
+    # touched set), then all remaining slots oldest-driver-verdict
+    # first: ALL 17 r5-era verdicts + the 19 oldest r6-era. After r9
+    # no hash-checkable verdict predates r6 (VERDICT r8 #2).
+    # Overflow = r8-green new entries and younger untouched verdicts —
+    # asserted OUT so the window isn't silently wasted.
     first50 = list(entry.queries())[:50]
     for name in entry._DRIVER_PRIORITY:
         assert name in first50, f"{name} fell out of the driver's 50-slot window"
     for name in (
-        # r7-green, untouched or result-identical this round (rf10:
-        # eager flag only; st5/st10: metrics-capture keying only)
-        "rf10_ivfpq_recall",
-        "rf1_lsh_topk_recall",
-        "st5_stateful_sessions",
-        "st10_streaming_upsert",
-        "zo1_zorder_stats",
-        "zo2_pruning_effectiveness",
-        # r6-green, untouched
+        # r8-green, untouched this round (the youngest verdicts are
+        # the cheapest to defer, per the rule)
+        "dd13_semantic_keep_list",
+        "dd14_winnowing_pairs",
+        "rf11_semdedup_cell_recall",
+        "rf12_multiprobe_cell_recall",
+        "ii4_prf_rerank",
+        "ii5_rrf_fusion",
+        "ii6_retrieval_eval",
+        "ii7_fusion_eval",
+        "txt10_trigram_surprisal",
+        "txt11_winnowing_fingerprint",
+        "st11_rocksdb_dedup",
+        "km1_kmeans_assign",
+        "txt2_quality_score",
+        "dd8_dedup_keep_list",
+        "dd12_repeated_span_trim",
+        "mx2_epoch_budget",
+        "dp2_sequence_manifest",
+        # r6/r7-green, untouched, displaced by the older r6 cohort
         "ann5_ivfpq_topk",
         "ann3_ivf_topk",
         "sq2_product_quantize",
-        "dq1a_column_profile_approx",
         "txt9_bigram_surprisal",
-        "mm5_image_patches",
-        "dc2_fuzzy_decontaminate",
+        "zo1_zorder_stats",
+        "zo2_pruning_effectiveness",
+        "rf10_ivfpq_recall",
+        "st5_stateful_sessions",
+        "st10_streaming_upsert",
         # no-oracle exemption: verdicts can never change; their rf
         # floors are the refreshable signal (__spark_entry__ comment)
         "mm2_frame_sample",
