@@ -125,6 +125,12 @@ HEADLINE = [
     # dd16 is deliberately NOT a bench line (cp2 precedent): its exact
     # side re-runs dd2's quadratic shingle self-join next to the banded
     # chain — paying the yardstick per bench adds noise, not signal.
+    # r9 additions. The r8-comparable subset is everything above this
+    # comment. cp4 is NOT a line (cp2 precedent: it re-runs the cp1 AND
+    # cp3 chains for a rollup).
+    "dc3_semantic_decontaminate",
+    "cp3_incremental_release",
+    "mx3_surprisal_weighted_mixture",
 ]
 
 
