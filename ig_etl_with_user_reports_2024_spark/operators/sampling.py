@@ -265,7 +265,16 @@ def temperature_mix(
     ids = F.col(key)
     if not 1 <= int(prefix_chars) <= 5:
         raise ValueError(f"prefix_chars must be in [1, 5], got {prefix_chars}")
-    q = F.col(order_col).cast("long") if order_col else F.lit(0).cast("long")
+    # NULL order values admit LAST on both engines (review finding:
+    # Spark windows sort NULLS FIRST, DuckDB's ORDER BY defaults NULLS
+    # LAST — a silent cross-engine divergence if a caller ever passes
+    # NULLs); coalescing to Long.MAX makes the Spark side deterministic
+    # and equal to the SQL twin's default.
+    q = (
+        F.coalesce(F.col(order_col).cast("long"), F.lit(2**63 - 1))
+        if order_col is not None
+        else F.lit(0).cast("long")
+    )
     nz = df.select(
         ids.alias("_id"),
         F.col(stratum).alias("_s"),

@@ -188,6 +188,51 @@ def cm1_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # manifest's keep set: the pipeline's actual deliverable.
 # ---------------------------------------------------------------------------
 
+
+def _layout_chain(kept: DataFrame, release: str | None = None) -> DataFrame:
+    """The shared mixture → shuffle → packing layout over a curated
+    keep set (doc, source, n_tokens) — ONE definition for cp1 (the
+    full release) and cp3 (the delta release), mirroring how the SQL
+    side already shares sql_temperature_mix / sql_shuffle_positions /
+    sql_pack_chop (review finding: a seq_len/seed/policy edit must not
+    need two sites — missing one would silently break the merged
+    release's dp2 invariant). ``release`` prepends a constant
+    namespace column.
+
+    Pin discipline (measured on cp1, 20.2s → ~14s at sf0.1): adm fans
+    out to the shuffle input and the ordered join, and ordered fans
+    out to the packing input and the final join — without the pins the
+    whole upstream curation subtree re-executes per consumer. The
+    pinned tables are admitted-doc-grain metadata-width rows; at
+    100 TB this is the checkpointed curated-corpus table every
+    downstream layout pass reads anyway."""
+    mix = sampling.temperature_mix(
+        kept, key="doc", stratum="source", tokens_col="n_tokens",
+        beta_num=1, beta_den=2, salt="mix",
+    )
+    adm = dd.pin_bounded(
+        mix.filter(F.col("kept")).select("doc", "source", "n_tokens")
+    )
+    shuf = pk.shuffle_positions(
+        adm.select("doc"), id_col="doc", seed=42, shard_size=1000
+    )
+    ordered = dd.pin_bounded(adm.join(shuf, "doc"))
+    packed = pk.pack_offsets(
+        ordered.select("pos", "n_tokens"),
+        id_col="pos", tokens_col="n_tokens", seq_len=2048, bucket_width=256,
+    )
+    out = ordered.join(
+        packed.select("pos", "start_off", "first_seq", "last_seq", "n_seqs"),
+        "pos",
+    )
+    cols = [
+        "doc", "source", "n_tokens", "pos", "shard",
+        "start_off", "first_seq", "last_seq", "n_seqs",
+    ]
+    if release is not None:
+        return out.select(F.lit(release).alias("release"), *cols)
+    return out.select(*cols)
+
 _CP1_SQL = f"""
     WITH cm AS ({{cm1}}),
     kept AS (
@@ -265,36 +310,7 @@ def cp1_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.size(tx.normalized_words(F.col("text"))).alias("n_tokens"),
     )
-    mix = sampling.temperature_mix(
-        kept, key="doc", stratum="source", tokens_col="n_tokens",
-        beta_num=1, beta_den=2, salt="mix",
-    )
-    # PINNED: adm fans out to the shuffle input and the ordered join,
-    # and ordered fans out to the packing input and the final join —
-    # without the pins the whole manifest+mixture subtree (cm1's CC,
-    # LSH banding, quality pass) re-executes per consumer (measured
-    # 20.2s → ~14s at sf0.1; the residual is cm1's own 8s plus
-    # construction-time CC checkpoints). adm/ordered are admitted-doc-grain
-    # metadata-width rows — at 100 TB this is the checkpointed
-    # curated-corpus table every downstream layout pass reads anyway.
-    adm = dd.pin_bounded(
-        mix.filter(F.col("kept")).select("doc", "source", "n_tokens")
-    )
-    shuf = pk.shuffle_positions(
-        adm.select("doc"), id_col="doc", seed=42, shard_size=1000
-    )
-    ordered = dd.pin_bounded(adm.join(shuf, "doc"))
-    packed = pk.pack_offsets(
-        ordered.select("pos", "n_tokens"),
-        id_col="pos", tokens_col="n_tokens", seq_len=2048, bucket_width=256,
-    )
-    return ordered.join(
-        packed.select("pos", "start_off", "first_seq", "last_seq", "n_seqs"),
-        "pos",
-    ).select(
-        "doc", "source", "n_tokens", "pos", "shard",
-        "start_off", "first_seq", "last_seq", "n_seqs",
-    )
+    return _layout_chain(kept)
 
 
 @query(
@@ -627,31 +643,7 @@ def cp3_incremental_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.size(tx.normalized_words(F.col("text"))).alias("n_tokens"),
     )
-    mix = sampling.temperature_mix(
-        kept, key="doc", stratum="source", tokens_col="n_tokens",
-        beta_num=1, beta_den=2, salt="mix",
-    )
-    # same pin discipline as cp1: adm feeds the shuffle input AND the
-    # ordered join; ordered feeds the packing input AND the final join
-    adm = dd.pin_bounded(
-        mix.filter(F.col("kept")).select("doc", "source", "n_tokens")
-    )
-    shuf = pk.shuffle_positions(
-        adm.select("doc"), id_col="doc", seed=42, shard_size=1000
-    )
-    ordered = dd.pin_bounded(adm.join(shuf, "doc"))
-    packed = pk.pack_offsets(
-        ordered.select("pos", "n_tokens"),
-        id_col="pos", tokens_col="n_tokens", seq_len=2048, bucket_width=256,
-    )
-    return ordered.join(
-        packed.select("pos", "start_off", "first_seq", "last_seq", "n_seqs"),
-        "pos",
-    ).select(
-        F.lit("delta").alias("release"),
-        "doc", "source", "n_tokens", "pos", "shard",
-        "start_off", "first_seq", "last_seq", "n_seqs",
-    )
+    return _layout_chain(kept, release="delta")
 
 
 # ---------------------------------------------------------------------------

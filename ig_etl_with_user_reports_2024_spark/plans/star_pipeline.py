@@ -2619,8 +2619,12 @@ def mx3_surprisal_weighted_mixture(spark: SparkSession, sf_dir: str) -> DataFram
     shared sql_temperature_mix builder with the extended ORDER BY,
     exactly as registered for mx1/cp1."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = dd.exploded_shingles(
-        docs.select("doc_id", "text"), "doc_id", "text"
+    # pinned: sh feeds the target-set build AND the miss rollup under
+    # different partitionings (doc vs shingle), which defeats
+    # ReuseExchange — without the pin the corpus is tokenized twice
+    # (review finding; the banded_pair_eval ONE-tokenize discipline)
+    sh = dd.pin_bounded(
+        dd.exploded_shingles(docs.select("doc_id", "text"), "doc_id", "text")
     )
     val_ids = (
         sampling.hash_split(docs.select("doc_id"), key="doc_id")

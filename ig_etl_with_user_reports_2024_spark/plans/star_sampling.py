@@ -325,7 +325,14 @@ def mm4_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN tagged e ON t.band = e.band AND t.bucket = e.bucket
     WHERE t.split = 'train' AND e.split <> 'train'
     GROUP BY t.doc
-    """.format(bands=sql_portable_minhash_bands("documents")),
+    """.format(
+        # (8,4) EXPLICITLY, not via the builder default (review finding):
+        # dc2's recall-first r=2 banding is a deliberate choice — a
+        # future default change must not silently move this entry (its
+        # plan and oracle would move in LOCKSTEP, so no gate would fire
+        # while the borderline capture the docstring promises is lost).
+        bands=sql_portable_minhash_bands("documents", "doc_id", "text", 8, 4)
+    ),
 )
 def dc2_fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FUZZY train/eval decontamination — dc1's exact-fingerprint join
@@ -364,7 +371,10 @@ def fuzzy_decontaminate_plan(
     from ..operators.dedup import pin_bounded, portable_minhash_bands
 
     if bands is None:
-        bands = portable_minhash_bands(docs, "doc_id", "text")
+        # (8,4) explicitly — see the oracle binding's comment
+        bands = portable_minhash_bands(
+            docs, "doc_id", "text", num_hashes=8, bands=4
+        )
     split = hash_split(docs.select("doc_id"), key="doc_id").select(
         F.col("doc_id").alias("doc"), "split"
     )

@@ -24,30 +24,32 @@ def main() -> None:
 
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 5
     spark = get_spark("flagship-steady")
-    replicated = bench._replicated_report(spark)
-    if replicated is None:
-        print(json.dumps({"error": "reference fixture absent"}))
-        return
-    load_before = bench._loadavg()
-    replicated(60).write.format("noop").mode("overwrite").save()
-    runs = []
-    for _ in range(n):
-        df = replicated(600)
-        t0 = time.time()
-        df.write.format("noop").mode("overwrite").save()
-        runs.append(round(time.time() - t0, 3))
-    print(
-        json.dumps(
-            {
-                "metric": "creator_report_full_steady",
-                "runs": runs,
-                "unit": "sec",
-                "load_before": load_before,
-                "load_after": bench._loadavg(),
-            }
+    try:
+        replicated = bench._replicated_report(spark)
+        if replicated is None:
+            print(json.dumps({"error": "reference fixture absent"}))
+            return
+        load_before = bench._loadavg()
+        replicated(60).write.format("noop").mode("overwrite").save()
+        runs = []
+        for _ in range(n):
+            df = replicated(600)
+            t0 = time.time()
+            df.write.format("noop").mode("overwrite").save()
+            runs.append(round(time.time() - t0, 3))
+        print(
+            json.dumps(
+                {
+                    "metric": "creator_report_full_steady",
+                    "runs": runs,
+                    "unit": "sec",
+                    "load_before": load_before,
+                    "load_after": bench._loadavg(),
+                }
+            )
         )
-    )
-    spark.stop()
+    finally:
+        spark.stop()
 
 
 if __name__ == "__main__":
