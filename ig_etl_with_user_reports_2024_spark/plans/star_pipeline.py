@@ -639,6 +639,20 @@ def semantic_all_pairs(emb: DataFrame, tau: float = 0.40) -> DataFrame:
     return _tau_pairs(withv, tau, same_cell=False)
 
 
+def semantic_cross_split_all_pairs(
+    emb: DataFrame, tau: float = 0.40
+) -> DataFrame:
+    """The quadratic yardstick behind rf13: ALL (train, not-train)
+    τ-pairs with NO cell restriction — every semantic contamination
+    edge that exists, of which dc3's cell-capped stage finds the
+    same-cell subset. Gate scale only (rf11's convention)."""
+    withv = emb.select(
+        "vec_id", "embedding", sim.norm(F.col("embedding")).alias("nrm")
+    )
+    withv = sampling.hash_split(withv, key="vec_id")
+    return _tau_pairs(withv, tau, same_cell=False, cross_split=True)
+
+
 def semantic_cross_split_pairs(
     emb: DataFrame, tau: float = 0.40, k: int = 8, salt: str = "km1"
 ) -> DataFrame:

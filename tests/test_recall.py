@@ -128,3 +128,35 @@ def test_rf11_semdedup_cell_recall_diag(spark, sf_oracle):
     assert r.meets_floor
     assert 0.2 <= r.recall < 0.9
     assert 0 < r.n_hit < r.n_exact
+
+
+def test_rf13_crosssplit_capture_diag(spark, sf_oracle):
+    """dc3's cross-split capture floor holds with headroom and stays
+    in the uniform-regime band (0.278-0.286 measured tri-scale); a
+    capture collapse and a silent self-comparison both fail. The hit
+    set must also be exactly dc3's pair set: every flagged train doc
+    appears as an a_id (the pair stage IS the operator's input)."""
+    r = _row(rf.rf13_diag(spark, sf_oracle))
+    assert r.meets_floor
+    assert 0.2 <= r.recall < 0.9
+    assert 0 < r.n_hit < r.n_exact
+    import __spark_entry__ as em
+
+    flagged = {
+        row.vec_id
+        for row in em.queries()["dc3_semantic_decontaminate"](
+            spark, sf_oracle
+        ).collect()
+    }
+    from ig_etl_with_user_reports_2024_spark.plans.star_pipeline import (
+        semantic_cross_split_pairs,
+    )
+    from ig_etl_with_user_reports_2024_spark.sources.readers import load_table
+
+    a_ids = {
+        row.a_id
+        for row in semantic_cross_split_pairs(
+            load_table(spark, sf_oracle, "embeddings")
+        ).collect()
+    }
+    assert flagged == a_ids
