@@ -67,18 +67,20 @@ from ig_etl_with_user_reports_2024_spark.plans import star_manifest  # noqa: F40
 # match the batch keep-list banding), cp1/cp2 (oracle: nest cm1),
 # mx1 (plan: temperature_mix's order_col decomposition — constant-0
 # path, results bit-identical, but the rule counts construction
-# changes), rf13 (NEW: dc3's own cross-split capture floor); then (a)
+# changes), rf13 (NEW: dc3's own cross-split capture floor), txt13
+# (NEW: per-source-pair vocabulary-overlap matrix); then (a)
 # oldest-driver-verdict-first: ALL 17 r5-era verdicts (the r8
 # overflow — sp1-sp3, x10, x8b, st1-st4, st6, st8, st9, ro1, rf8,
-# sq1, sk1, sk2) followed by the 18 oldest r6-era (j4 becomes the
-# one-slot overflow when rf13 joined group 0).
-# 15 + 35 = 50 exactly; after this round no hash-checkable query's
+# sq1, sk1, sk2) followed by the 17 oldest r6-era (j2/j4 become the
+# two-slot overflow as rf13/txt13 joined group 0).
+# 16 + 34 = 50 exactly; after this round no hash-checkable query's
 # verdict predates r6 (VERDICT r8 "Next round" #2 satisfied —
 # dc2/dq1a/rj2/mm5/st7 and the r6 star_queries rows lead the refresh).
 _DRIVER_PRIORITY = [
     # (0) new/changed oracle or plan in round 9 — first driver contact
     "dc3_semantic_decontaminate",
     "rf13_crosssplit_capture_floor",
+    "txt13_source_vocab_overlap",
     "cp3_incremental_release",
     "mx3_surprisal_weighted_mixture",
     "cp4_datacard_diff",
@@ -129,7 +131,6 @@ _DRIVER_PRIORITY = [
     "f4_category_filter",
     "f7_recent20_mixed_window",
     "f8_stoplist_tokens",
-    "j2_first_match_theta_join",
 ]
 
 

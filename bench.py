@@ -131,6 +131,7 @@ HEADLINE = [
     "dc3_semantic_decontaminate",
     "cp3_incremental_release",
     "mx3_surprisal_weighted_mixture",
+    "txt13_source_vocab_overlap",
 ]
 
 

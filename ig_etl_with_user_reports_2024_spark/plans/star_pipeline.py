@@ -1089,6 +1089,85 @@ def txt5_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # it derives from k like the Spark side's range(1, k) (review finding:
 # a hardcoded 3-lead chain would keep hashing 4-grams under filters
 # generated for a new k).
+@query(
+    "txt13_source_vocab_overlap",
+    f"""
+    WITH tok AS (
+        SELECT DISTINCT source, unnest({_WORDS_SQL}) AS token
+        FROM documents
+    ),
+    nz AS (SELECT source, token FROM tok WHERE token <> ''),
+    vs AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM nz
+           GROUP BY source),
+    inter AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               CAST(COUNT(*) AS BIGINT) AS n_inter
+        FROM nz a JOIN nz b ON a.token = b.token AND a.source < b.source
+        GROUP BY a.source, b.source
+    )
+    SELECT i.src_a, i.src_b, va.n AS n_vocab_a, vb.n AS n_vocab_b,
+           i.n_inter,
+           va.n + vb.n - i.n_inter AS n_union,
+           CAST(i.n_inter AS DOUBLE) / (va.n + vb.n - i.n_inter)
+               AS vocab_jaccard
+    FROM inter i
+    JOIN vs va ON va.source = i.src_a
+    JOIN vs vb ON vb.source = i.src_b
+    """,
+)
+def txt13_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SOURCE-SIMILARITY matrix a mixture designer reads before
+    setting weights (mx1/mx2/mx3's upstream question: which sources
+    are near-duplicates of each other at the DOMAIN level?): one row
+    per source pair with vocabulary sizes, intersection, union, and
+    vocabulary Jaccard. Data2vec/DoReMi-style mixing decisions and
+    source-level dedup ("these two crawls are the same site") both
+    start from exactly this table. All counts BIGINT; the jaccard is
+    ONE division of two exact integers (IEEE-exact and identical
+    cross-engine — no accumulation-order hazard, the functions/exact
+    rule).
+
+    Scale shape: ONE token explode → distinct (source, token) — the
+    shuffle carries vocabulary-sized rows, never documents; the
+    intersection self-join fans out per token by the number of
+    sources containing it (bounded by |sources|, NOT corpus size —
+    20 here, a few thousand at worst in a real pipeline, so the
+    hot-token key is source-count-bounded by construction); the pair
+    rollup is map-side combined into |sources|² metadata rows. At
+    100 TB the distinct-vocab table is the only corpus-proportional
+    stage and it is a single hash aggregation."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select(
+            "source",
+            F.explode(tx.normalized_words(F.col("text"))).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .distinct()
+    )
+    vs = tok.groupBy("source").agg(F.count("*").cast("bigint").alias("n"))
+    a = tok.select(F.col("source").alias("src_a"), "token")
+    b = tok.select(F.col("source").alias("src_b"), "token")
+    inter = (
+        a.join(b, ["token"])
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").cast("bigint").alias("n_inter"))
+    )
+    va = vs.select(F.col("source").alias("src_a"), F.col("n").alias("n_vocab_a"))
+    vb = vs.select(F.col("source").alias("src_b"), F.col("n").alias("n_vocab_b"))
+    union = F.col("n_vocab_a") + F.col("n_vocab_b") - F.col("n_inter")
+    return (
+        inter.join(va, "src_a")
+        .join(vb, "src_b")
+        .select(
+            "src_a", "src_b", "n_vocab_a", "n_vocab_b", "n_inter",
+            union.alias("n_union"),
+            (F.col("n_inter").cast("double") / union).alias("vocab_jaccard"),
+        )
+    )
+
+
 _WIN_K = 4
 _WIN_W = 5
 _WIN_SEL_SQL = tx.sql_winnowing_selected(

@@ -472,3 +472,40 @@ def test_ii7_fusion_eval_contract(spark, sf_oracle):
     # labels are mode-independent by construction
     for q in lex:
         assert fus[q][0] == lex[q][0]
+
+
+def test_txt13_vocab_overlap_constructed_and_bounds(spark, sf_oracle):
+    """txt13 verified two ways: (a) a constructed two-source corpus
+    with a known shared vocabulary half gives vocab_jaccard exactly
+    1/3 (|A|=|B|=4, |A∩B|=2 → 2/6); (b) on the driver corpus every
+    pair row satisfies the set-algebra bounds and the full 20-choose-2
+    matrix is present (non-vacuous: every pair of synthetic sources
+    shares some vocabulary)."""
+    import __spark_entry__ as em
+    from ig_etl_with_user_reports_2024_spark.plans.star_pipeline import (
+        txt13_source_vocab_overlap,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "s1", "alpha beta gamma delta"),
+            (2, "s2", "gamma delta epsilon zeta"),
+        ],
+        "doc_id bigint, source string, text string",
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        [r] = txt13_source_vocab_overlap(spark, d).collect()
+    assert (r.src_a, r.src_b) == ("s1", "s2")
+    assert (r.n_vocab_a, r.n_vocab_b, r.n_inter, r.n_union) == (4, 4, 2, 6)
+    assert r.vocab_jaccard == 2 / 6
+
+    rows = em.queries()["txt13_source_vocab_overlap"](spark, sf_oracle).collect()
+    assert len(rows) == 20 * 19 // 2
+    for r in rows:
+        assert r.src_a < r.src_b
+        assert 0 < r.n_inter <= min(r.n_vocab_a, r.n_vocab_b)
+        assert r.n_union == r.n_vocab_a + r.n_vocab_b - r.n_inter
+        assert r.vocab_jaccard == r.n_inter / r.n_union
