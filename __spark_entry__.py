@@ -55,7 +55,7 @@ from ig_etl_with_user_reports_2024_spark.plans import star_manifest  # noqa: F40
 # rotation so their slots go to hash-checkable queries; their rf floors
 # are the refreshable signal.
 #
-# Round-9 window: (0) the 14 new/changed entries — dc3 (NEW: semantic
+# Round-9 window: (0) the 17 new/changed entries — dc3 (NEW: semantic
 # train/eval decontamination, dd13's cells across sp1's split), cp3
 # (NEW: the incremental release — cm2's admitted batch packed as delta
 # shards), mx3 (NEW: DSIR-lite importance-ordered mixture), cp4 (NEW:
@@ -68,12 +68,13 @@ from ig_etl_with_user_reports_2024_spark.plans import star_manifest  # noqa: F40
 # mx1 (plan: temperature_mix's order_col decomposition — constant-0
 # path, results bit-identical, but the rule counts construction
 # changes), rf13 (NEW: dc3's own cross-split capture floor), txt13
-# (NEW: per-source-pair vocabulary-overlap matrix); then (a)
+# (NEW: per-source-pair vocabulary-overlap matrix), ro3 (NEW:
+# GROUPING SETS multi-grain rollup); then (a)
 # oldest-driver-verdict-first: ALL 17 r5-era verdicts (the r8
 # overflow — sp1-sp3, x10, x8b, st1-st4, st6, st8, st9, ro1, rf8,
-# sq1, sk1, sk2) followed by the 17 oldest r6-era (j2/j4 become the
-# two-slot overflow as rf13/txt13 joined group 0).
-# 16 + 34 = 50 exactly; after this round no hash-checkable query's
+# sq1, sk1, sk2) followed by the 16 oldest r6-era (j2/j4/f8 become
+# the three-slot overflow as rf13/txt13/ro3 joined group 0).
+# 17 + 33 = 50 exactly; after this round no hash-checkable query's
 # verdict predates r6 (VERDICT r8 "Next round" #2 satisfied —
 # dc2/dq1a/rj2/mm5/st7 and the r6 star_queries rows lead the refresh).
 _DRIVER_PRIORITY = [
@@ -81,6 +82,7 @@ _DRIVER_PRIORITY = [
     "dc3_semantic_decontaminate",
     "rf13_crosssplit_capture_floor",
     "txt13_source_vocab_overlap",
+    "ro3_multigrain_rollup",
     "cp3_incremental_release",
     "mx3_surprisal_weighted_mixture",
     "cp4_datacard_diff",
@@ -113,7 +115,7 @@ _DRIVER_PRIORITY = [
     "sq1_int8_quantize",
     "sk1_salted_distinct_users",
     "sk2_salted_join_segment",
-    # (a cont.) the 19 oldest r6-era verdicts, catalog order
+    # (a cont.) the 16 oldest r6-era verdicts, catalog order
     "dq1a_column_profile_approx",
     "rj2_error_near_purchase",
     "mm5_image_patches",
@@ -130,7 +132,6 @@ _DRIVER_PRIORITY = [
     "f3_recent_flag",
     "f4_category_filter",
     "f7_recent20_mixed_window",
-    "f8_stoplist_tokens",
 ]
 
 

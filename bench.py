@@ -132,6 +132,7 @@ HEADLINE = [
     "cp3_incremental_release",
     "mx3_surprisal_weighted_mixture",
     "txt13_source_vocab_overlap",
+    "ro3_multigrain_rollup",
 ]
 
 

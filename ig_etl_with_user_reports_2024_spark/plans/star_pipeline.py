@@ -1510,6 +1510,78 @@ def txt6_vocab_top50(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(50)
 
 
+@query(
+    "ro3_multigrain_rollup",
+    """
+    SELECT COALESCE(event_type, '__all__') AS event_type,
+           COALESCE(CAST(day AS VARCHAR), '__all__') AS day,
+           gid, n_events, n_users, sum_value
+    FROM (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(GROUPING(event_type, CAST(ts AS DATE)) AS BIGINT)
+                   AS gid,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sum_value
+        FROM events
+        GROUP BY CUBE (event_type, CAST(ts AS DATE))
+    )
+    """,
+)
+def ro3_multigrain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS rollup — the multi-grain OLAP pass the catalog
+    lacked: ONE scan of events produces the (event_type, day),
+    (event_type), (day), and grand-total grains simultaneously via
+    CUBE, each row tagged with the grouping_id bitmask (bit = that
+    column is aggregated away; Spark's grouping_id() and DuckDB's
+    GROUPING(a, b) use the same encoding — verified, not assumed).
+    This is how a reporting layer materializes a pyramid of rollups
+    without re-scanning per grain — at 100 TB, 4 grains for ~2× the
+    rows through the agg exchange (the Expand), not 4 scans.
+
+    Metrics per grain: row count, exact distinct users, and the
+    order-independent exact-decimal value sum (functions/exact.dsum —
+    a raw double SUM would be accumulation-order-dependent and
+    hash-diverge; the 2-dp money-like column is rule 1's raw-cast
+    case). Plan note: Expand(4 grains) ×2 for the single distinct-agg
+    rewrite — the standard shape; the CLAUDE.md Expand hazard is
+    about SKETCH aggs mixed into multi-column exact distincts, which
+    this deliberately avoids (ONE exact distinct, JVM-side)."""
+    from ..functions.exact import dsum
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        "user_id",
+        "value",
+    )
+    # aggregated-away keys surface as the explicit '__all__' marker
+    # (string-typed on both engines): NULL group keys stringify
+    # differently across engines ('None' vs 'NaT'), and the marker is
+    # what a reporting consumer wants anyway (gid disambiguates a real
+    # NULL key from an aggregated one).
+    return (
+        base.cube("event_type", "day")
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count("*").cast("bigint").alias("n_events"),
+            F.count_distinct("user_id").cast("bigint").alias("n_users"),
+            dsum("value").alias("sum_value"),
+        )
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("__all__")).alias(
+                "event_type"
+            ),
+            F.coalesce(F.col("day").cast("string"), F.lit("__all__")).alias(
+                "day"
+            ),
+            "gid", "n_events", "n_users", "sum_value",
+        )
+    )
+
+
 @query("ro2_sketch_rollup", None)  # Datasketches HLL — engine-specific
 def ro2_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch rollup: per-source HLL sketches of doc ids,

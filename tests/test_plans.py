@@ -340,3 +340,43 @@ def test_r6_additions_plan_shapes(spark, sf_oracle):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "TakeOrderedAndProject" in tplan
+
+
+def test_ro3_one_scan_four_grains(spark, sf_oracle):
+    """ro3's whole point is ONE events scan feeding all four grains:
+    the plan must contain exactly one parquet scan and an Expand (the
+    CUBE + single-distinct rewrite), and the output must be internally
+    consistent — each coarser grain's n_events re-derivable from the
+    finest grain, the grand total present exactly once."""
+    import __spark_entry__ as em
+
+    df = em.queries()["ro3_multigrain_rollup"](spark, sf_oracle)
+    plan = plan_of(spark, "ro3_multigrain_rollup", sf_oracle)
+    import re
+
+    # one scan NODE (the formatted dump names each node twice: once in
+    # the tree, once as a detail header — count the detail headers)
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
+    assert "Expand" in plan
+    rows = df.collect()
+    fine = {(r.event_type, r.day): r for r in rows if r.gid == 0}
+    by_et = {r.event_type: r for r in rows if r.gid == 1}
+    by_day = {r.day: r for r in rows if r.gid == 2}
+    [total] = [r for r in rows if r.gid == 3]
+    assert len(rows) == len(fine) + len(by_et) + len(by_day) + 1
+    assert total.event_type == "__all__" and total.day == "__all__"
+    assert total.n_events == sum(r.n_events for r in fine.values())
+    for et, r in by_et.items():
+        assert r.day == "__all__"
+        assert r.n_events == sum(
+            v.n_events for (e, _), v in fine.items() if e == et
+        )
+        # distinct users never exceed the sum over finer grains
+        assert r.n_users <= sum(
+            v.n_users for (e, _), v in fine.items() if e == et
+        )
+    for d, r in by_day.items():
+        assert r.event_type == "__all__"
+        assert r.n_events == sum(
+            v.n_events for (_, dd), v in fine.items() if dd == d
+        )
