@@ -1096,13 +1096,12 @@ def txt5_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT DISTINCT source, unnest({_WORDS_SQL}) AS token
         FROM documents
     ),
-    nz AS (SELECT source, token FROM tok WHERE token <> ''),
-    vs AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM nz
+    vs AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM tok
            GROUP BY source),
     inter AS (
         SELECT a.source AS src_a, b.source AS src_b,
                CAST(COUNT(*) AS BIGINT) AS n_inter
-        FROM nz a JOIN nz b ON a.token = b.token AND a.source < b.source
+        FROM tok a JOIN tok b ON a.token = b.token AND a.source < b.source
         GROUP BY a.source, b.source
     )
     SELECT i.src_a, i.src_b, va.n AS n_vocab_a, vb.n AS n_vocab_b,
@@ -1137,14 +1136,13 @@ def txt13_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the distinct-vocab table is the only corpus-proportional
     stage and it is a single hash aggregation."""
     docs = load_table(spark, sf_dir, "documents")
-    tok = (
-        docs.select(
-            "source",
-            F.explode(tx.normalized_words(F.col("text"))).alias("token"),
-        )
-        .filter(F.col("token") != "")
-        .distinct()
-    )
+    # no empty-token filter: normalized_words / sql_words already
+    # exclude '' by the canonical tokenizer's contract (review finding
+    # — a duplicate filter here was symmetric dead code)
+    tok = docs.select(
+        "source",
+        F.explode(tx.normalized_words(F.col("text"))).alias("token"),
+    ).distinct()
     vs = tok.groupBy("source").agg(F.count("*").cast("bigint").alias("n"))
     a = tok.select(F.col("source").alias("src_a"), "token")
     b = tok.select(F.col("source").alias("src_b"), "token")
