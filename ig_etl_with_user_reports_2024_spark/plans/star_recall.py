@@ -514,35 +514,40 @@ def rf13_diag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full diagnostic behind rf13: what fraction of ALL cross-split
     (train, not-train) cosine >= 0.40 pairs — every semantic
     contamination edge that exists — dc3's cell-capped stage actually
-    flags. The exact side is the quadratic cross-split all-pairs
-    yardstick (gate scale only)."""
+    flags. Approx side = dc3's OWN pair stage (2-probe since r10).
+    The exact side is the quadratic cross-split all-pairs yardstick
+    (gate scale only)."""
     from .star_pipeline import (
         semantic_cross_split_all_pairs,
-        semantic_cross_split_pairs,
+        semantic_cross_split_multiprobe_pairs,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
     exact = semantic_cross_split_all_pairs(emb, tau=0.40)
-    approx = semantic_cross_split_pairs(emb, tau=0.40)
-    return _recall_row(exact, approx, ["a_id", "b_id"], floor=0.2)
+    approx = semantic_cross_split_multiprobe_pairs(emb, tau=0.40, probes=2)
+    return _recall_row(exact, approx, ["a_id", "b_id"], floor=0.5)
 
 
-@query("rf13_crosssplit_capture_floor", _floor_oracle(0.2), eager=True)
+@query("rf13_crosssplit_capture_floor", _floor_oracle(0.5), eager=True)
 def rf13_crosssplit_capture_floor(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """dc3's OWN capture floor (the family convention: every
     approximate path carries a driver-checked gate on its actual
     output, not just a sibling's): fraction of all cross-split
-    τ-pairs that land in the same k-means cell and are therefore
-    flagged by dc3 — floor 0.2, measured 0.286/0.286/0.278 at
-    sf0.001/0.01/0.1. Same uniform-regime worst-case argument as rf11
-    (the near-uniform driver embeddings are VQ's hardest input; a
-    real paraphrase corpus clusters tightly and capture approaches
-    1), and the same production knob (multi-probe assignment, rf12)
-    applies. Exact side quadratic → 8× sweep skip list with
-    rf11/rf12. Eager: kmeans codebook draw collects at construction
-    (km1 family)."""
+    τ-pairs that share one of each vector's TOP-2 k-means cells and
+    are therefore flagged by the multi-probe dc3 (VERDICT r9 "Next
+    round" #2). Floor 0.5 — above everything the single-probe stage
+    reached (its measured capture, the documented before: 0.286 /
+    0.286 / 0.278 at sf0.001/0.01/0.1 with floor 0.2), below every
+    2-probe measurement (0.667/0.810/0.696 tri-scale, the rf12
+    regime) — so the gate fails if the probe wiring regresses to
+    single assignment. Same uniform-regime worst-case argument as
+    rf11 (the near-uniform driver embeddings are VQ's hardest input;
+    a real paraphrase corpus clusters tightly and capture approaches
+    1). Exact side quadratic → 8× sweep skip list with rf11/rf12.
+    Eager: kmeans codebook draw collects at construction (km1
+    family)."""
     return _floor_only(rf13_diag(spark, sf_dir))
 
 

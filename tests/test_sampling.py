@@ -321,3 +321,67 @@ def test_mx3_importance_reorder_is_real_and_budget_faithful(spark, sf_oracle):
         t3 = sum(r.n_tokens for r in adm)
         slack = max((r.n_tokens for r in rows), default=0)
         assert abs(t3 - t1) <= slack, f"{src}: budget drift beyond one doc"
+
+
+def test_sp4_cluster_split_colocates_and_decontaminates(spark, sf_oracle):
+    """sp4's contract (VERDICT r9 "Next round" #1), all four pins:
+    (1) non-vacuity — at sf0.01 at least one multi-member dd11
+    cluster straddles sp1's doc-hash split; (2) co-location — under
+    sp4 every cluster's members share one split; (3) sp1-equivalence
+    on singletons — same salt, so a doc that IS its own cluster gets
+    sp1's exact assignment; (4) the companion measurement — dc1's
+    exact-contamination hit count under sp4's split drops vs sp1's
+    (to 0 on this corpus: every dc1 prefix-twin pair here is also a
+    dd11 near-dup pair, so cluster-splitting co-locates them; in
+    general sp4 eliminates exactly the leakage the dedup family can
+    SEE, which is why dc1-dc3 stay registered as the residual
+    mop-up)."""
+    import __spark_entry__ as em
+    from ig_etl_with_user_reports_2024_spark.operators.dedup import (
+        normalized_words,
+    )
+
+    qs = em.queries()
+    sp4 = {r.doc_id: r for r in qs["sp4_cluster_split"](spark, sf_oracle).collect()}
+    sp1 = {r.doc_id: r.split for r in qs["sp1_hash_split"](spark, sf_oracle).collect()}
+    assert set(sp4) == set(sp1)  # every doc still has exactly one split row
+
+    clusters: dict = {}
+    for r in sp4.values():
+        clusters.setdefault(r.cluster_id, []).append(r)
+    multi = {c: rs for c, rs in clusters.items() if len(rs) >= 2}
+    assert multi, "no multi-member clusters at sf0.01 — vacuous fixture"
+    straddle = [
+        c for c, rs in multi.items()
+        if len({sp1[r.doc_id] for r in rs}) > 1
+    ]
+    assert straddle, "no cluster straddles sp1 — co-location pin is vacuous"
+    for c, rs in clusters.items():
+        assert len({r.split for r in rs}) == 1, f"cluster {c} split under sp4"
+    for c, rs in clusters.items():
+        if len(rs) == 1 and rs[0].doc_id == c:
+            assert rs[0].split == sp1[c], "singleton diverged from sp1"
+
+    # companion measurement: dc1's digest join with each split source
+    docs = spark.read.parquet(f"{sf_oracle}/documents.parquet").select(
+        "doc_id",
+        F.md5(
+            F.array_join(F.slice(normalized_words(F.col("text")), 1, 8), " ")
+        ).alias("digest"),
+    )
+
+    def dc1_hits(split_map: dict) -> int:
+        rows = docs.collect()
+        eval_digests = {
+            r.digest for r in rows if split_map[r.doc_id] != "train"
+        }
+        return sum(
+            1
+            for r in rows
+            if split_map[r.doc_id] == "train" and r.digest in eval_digests
+        )
+
+    hits_sp1 = dc1_hits(sp1)
+    hits_sp4 = dc1_hits({d: r.split for d, r in sp4.items()})
+    assert hits_sp1 > 0, "no dc1 contamination under sp1 — vacuous measurement"
+    assert hits_sp4 == 0, f"sp4 left {hits_sp4} exact-prefix leaks"
