@@ -53,85 +53,83 @@ from ig_etl_with_user_reports_2024_spark.plans import star_manifest  # noqa: F40
 # ro2_sketch_rollup — `no_oracle` by design, each floored by an rf gate
 # and twinned by a hash-checked exact sibling) are EXCLUDED from the
 # rotation so their slots go to hash-checkable queries; their rf floors
-# are the refreshable signal.
+# are the refreshable signal. The other rows-only-by-design entries
+# (ann2_lsh_topk, dd3_minhash_lsh_pairs, dd4_simhash_pairs — engine-
+# specific hashes, rf-floored) are likewise outside the hash-checkable
+# cohorts (the VERDICT r9 debt arithmetic counts 22 r6-era, not 25).
 #
-# Round-9 window: (0) the 17 new/changed entries — dc3 (NEW: semantic
-# train/eval decontamination, dd13's cells across sp1's split), cp3
-# (NEW: the incremental release — cm2's admitted batch packed as delta
-# shards), mx3 (NEW: DSIR-lite importance-ordered mixture), cp4 (NEW:
-# the per-source data-card diff nesting cp2+cp3), dd10/dd11/dd15/dd16
-# (plan+oracle: the banded path's (num_hashes, bands) tuned (8,4) →
-# (16,4) from dd16's measured sweep), cm1 (plan: ONE shared 16-min
-# signature feeds both subtrees; oracle: nests the re-tuned dd11),
-# cm2/st12 (plan+oracle: admission band stores moved to (16,4) to
-# match the batch keep-list banding), cp1/cp2 (oracle: nest cm1),
-# mx1 (plan: temperature_mix's order_col decomposition — constant-0
-# path, results bit-identical, but the rule counts construction
-# changes), rf13 (NEW: dc3's own cross-split capture floor), txt13
-# (NEW: per-source-pair vocabulary-overlap matrix), ro3 (NEW:
-# GROUPING SETS multi-grain rollup); then (a)
-# oldest-driver-verdict-first: ALL 17 r5-era verdicts (the r8
-# overflow — sp1-sp3, x10, x8b, st1-st4, st6, st8, st9, ro1, rf8,
-# sq1, sk1, sk2) followed by the 16 oldest r6-era (j2/j4/f8 become
-# the three-slot overflow as rf13/txt13/ro3 joined group 0).
-# 17 + 33 = 50 exactly; after this round no hash-checkable query's
-# verdict predates r6 (VERDICT r8 "Next round" #2 satisfied —
-# dc2/dq1a/rj2/mm5/st7 and the r6 star_queries rows lead the refresh).
+# Round-10 window: (0) the 7 new/changed entries — sp4 (NEW:
+# leakage-proof cluster-aware split, hash over dd11's cluster id),
+# ds2 (NEW: the epoch-interleaved multi-epoch training order — mx2's
+# budgets composed with a per-epoch-seeded ds1 shuffle), dc3
+# (plan+oracle: moved to the 2-probe cell assignment, capture
+# 0.28 → 0.70+), rf13 (oracle: floor raised 0.2 → 0.5 on the 2-probe
+# pair set), km1 (oracle: rebuilt from the shared _KM_SCORED_SQL
+# fragment — semantics identical, but the rule counts construction
+# changes), dd13 (oracle: nests km1's rebuilt text), mx3 (oracle:
+# sql_temperature_mix's order_expr path now COALESCEs NULL to
+# Long.MAX exactly like the Spark side — ADVICE r9); then (a)
+# oldest-driver-verdict-first: ALL 22 remaining r6-era hash-checkable
+# verdicts (VERDICT r9 "Next round" #4 — j2/j4/f8 the r9 overflow,
+# then j5/so1/f6/x3/c9/mj1-mj3/dd2/dd6/a15/a16/txt5-txt7/txt9/sq2/
+# ann3/ann5), followed by the 21 oldest r7-era in catalog order.
+# 7 + 22 + 21 = 50 exactly; after this round no hash-checkable
+# query's verdict predates r7.
 _DRIVER_PRIORITY = [
-    # (0) new/changed oracle or plan in round 9 — first driver contact
+    # (0) new/changed oracle or plan in round 10 — first driver contact
+    "sp4_cluster_split",
+    "ds2_epoch_order",
     "dc3_semantic_decontaminate",
     "rf13_crosssplit_capture_floor",
-    "txt13_source_vocab_overlap",
-    "ro3_multigrain_rollup",
-    "cp3_incremental_release",
+    "km1_kmeans_assign",
+    "dd13_semantic_keep_list",
     "mx3_surprisal_weighted_mixture",
-    "cp4_datacard_diff",
-    "dd10_keep_list_banded",
-    "dd11_staged_keep_list",
-    "dd15_quality_survivor",
-    "dd16_banded_pair_eval",
-    "cm1_corpus_manifest",
-    "cm2_incremental_admission",
-    "st12_streaming_band_admission",
-    "cp1_curated_corpus",
-    "cp2_corpus_datacard",
-    "mx1_temperature_mix",
-    # (a) oldest driver verdict first: the 17 r5-era entries, catalog
-    # order (sq1/st1-st4/st6/st8/st9/x10/x8b/ro1/sk1/sk2/sp1-sp3/rf8)
-    "sp1_hash_split",
-    "sp2_stratified_sample",
-    "sp3_k_per_stratum",
-    "x10_c7_argmax_priority",
-    "x8b_json_extract",
-    "st3_sessionization",
-    "st4_streaming_tumbling",
-    "st1_tumbling_window",
-    "st2_sliding_window",
-    "st6_streaming_dedup",
-    "ro1_hourly_rollup",
-    "st8_stream_static_join",
-    "st9_stream_stream_join",
-    "rf8_approx_percentile_accuracy",
-    "sq1_int8_quantize",
-    "sk1_salted_distinct_users",
-    "sk2_salted_join_segment",
-    # (a cont.) the 16 oldest r6-era verdicts, catalog order
-    "dq1a_column_profile_approx",
-    "rj2_error_near_purchase",
-    "mm5_image_patches",
-    "dc2_fuzzy_decontaminate",
-    "st7_session_window",
-    "c12_collab_status",
-    "a4_pricing_summary",
-    "j1_work_queue_anti_join",
-    "j3_users_posts_join",
-    "a7_frequency_map",
-    "a5_consistency_score",
-    "a11_post_gap_frequency",
-    "c1_size_buckets",
-    "f3_recent_flag",
-    "f4_category_filter",
-    "f7_recent20_mixed_window",
+    # (a) oldest driver verdict first: the 22 remaining r6-era
+    # entries, catalog order within the cohort
+    "f8_stoplist_tokens",
+    "j2_first_match_theta_join",
+    "j4_a10_keyword_scores",
+    "j5_page_merge_dedup",
+    "so1_first_occurrence_dedup",
+    "f6_null_guard_filter",
+    "x3_substring_membership",
+    "c9_f9_niche_distribution",
+    "mj1_shipping_priority",
+    "mj2_region_volume",
+    "mj3_large_order_customers",
+    "dd2_ngram_jaccard_pairs",
+    "dd6_dup_clusters",
+    "txt5_rolling_fingerprint",
+    "ann3_ivf_topk",
+    "a15_length_percentiles",
+    "txt6_vocab_top50",
+    "sq2_product_quantize",
+    "txt7_repetition_stats",
+    "txt9_bigram_surprisal",
+    "a16_length_histogram",
+    "ann5_ivfpq_topk",
+    # (a cont.) the 21 oldest r7-era verdicts, catalog order
+    "zo1_zorder_stats",
+    "zo2_pruning_effectiveness",
+    "aj1_asof_click_purchase",
+    "rj1_views_before_purchase",
+    "fn1_user_funnel",
+    "fn2_conversion_window_funnel",
+    "mm4_audio_chunks",
+    "k2_latest6_pivot",
+    "k3_top10_tokens",
+    "k4_c5_modal_hour",
+    "k6_priority_cascade",
+    "x1_regex_extract",
+    "x2_x4_string_ops",
+    "x5_date_parts",
+    "x6_c14_age_buckets",
+    "x7_bankers_rounding",
+    "x8_struct_to_json",
+    "st5_stateful_sessions",
+    "st10_streaming_upsert",
+    "c13_sponsor_detector",
+    "c10_personality_insights",
 ]
 
 

@@ -556,7 +556,7 @@ def _exploded_shingles(
     )
 
 
-def minhash_signature_aggs(num_hashes: int = 8) -> list[Column]:
+def minhash_signature_aggs(num_hashes: int = 16) -> list[Column]:
     """The k portable min-hash aggregate expressions over a
     (doc, shingle) exploded table: ``min(md5(i || ':' || shingle))``
     per hash index, aliased ``m0..m{k-1}``. Factored out of the batch
@@ -576,7 +576,7 @@ def minhash_signature_aggs(num_hashes: int = 8) -> list[Column]:
 
 
 def bands_from_signatures(
-    sig: DataFrame, num_hashes: int = 8, bands: int = 4
+    sig: DataFrame, num_hashes: int = 16, bands: int = 4
 ) -> DataFrame:
     """(doc, band, bucket) from a (doc, m0..m{k-1}) signature table —
     the constant bands-per-doc explode shared by the batch band builder
@@ -651,7 +651,7 @@ def exploded_shingles(
 
 
 def portable_minhash_bands_from_shingles(
-    sh: DataFrame, num_hashes: int = 8, bands: int = 4
+    sh: DataFrame, num_hashes: int = 16, bands: int = 4
 ) -> DataFrame:
     """:func:`portable_minhash_bands` over a caller-supplied exploded
     shingle table (see :func:`exploded_shingles`): (doc, band, bucket)."""
@@ -662,7 +662,7 @@ def portable_minhash_bands(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    num_hashes: int = 8,
+    num_hashes: int = 16,
     bands: int = 4,
     n: int = 3,
 ) -> DataFrame:
@@ -676,6 +676,14 @@ def portable_minhash_bands(
     width hex, identical in Spark and DuckDB), so
     ``sig_i = min_over_shingles(hash_i)`` needs no engine-specific
     integer hash. Band bucket = md5 of the '|'-joined r signature mins.
+
+    Since r10 the WHOLE band-builder family (this, the from-shingles /
+    from-signatures forms, the signature aggs, and the SQL twin)
+    defaults to the tuned production (16, 4) r=4 banding, matching the
+    candidate/verify stages (ADVICE r9: the old split defaults let a
+    default band table silently mismatch a default verify stage).
+    Recall-first consumers (dc2) pass (8, 4) explicitly on BOTH
+    engines — that choice is deliberate and test-pinned, not a default.
 
     Same scale shape as :func:`minhash_signatures`: one shingle explode,
     one groupBy(doc) with k min-aggregates (map-side combine — the
@@ -697,7 +705,7 @@ def sql_portable_minhash_bands(
     table: str,
     id_expr: str = "doc_id",
     text_expr: str = "text",
-    num_hashes: int = 8,
+    num_hashes: int = 16,
     bands: int = 4,
 ) -> str:
     """DuckDB CTE body matching :func:`portable_minhash_bands` (3-word

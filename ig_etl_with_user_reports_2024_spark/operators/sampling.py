@@ -208,6 +208,137 @@ def epoch_budget(
     )
 
 
+def epoch_interleave(
+    df: DataFrame,
+    key: str,
+    stratum: str,
+    tokens_col: str,
+    budgets: DataFrame,
+    frac_salt: str = "epfrac",
+    prefix_chars: int = 3,
+) -> DataFrame:
+    """The multi-epoch TRAINING ORDER a trainer actually consumes
+    (VERDICT r9 "Next round" #3): :func:`epoch_budget` plans how many
+    epochs of each source a data-constrained run sees (epochs_milli —
+    e.g. 2.8 epochs of src1); this operator materializes that plan as
+    the epoch-interleaved (doc, epoch, global position) stream.
+
+    Semantics, all-integer so the result is hash-exact cross-engine:
+
+    - per source, ``full = capped_tokens div source_tokens`` whole
+      epochs and a fractional remainder of
+      ``frac = capped_tokens % source_tokens`` tokens;
+    - every doc of the source appears in epochs ``0..full-1``;
+    - the fractional epoch (index ``full``) admits docs
+      lowest-salted-hash-first until ``frac`` fills — the same
+      deterministic-reservoir semantics as :func:`temperature_mix`
+      (hits the budget exactly, up to the one boundary doc);
+    - the global position is epoch-major: ``row_number() - 1`` over
+      ``(epoch, md5(epoch || '|' || doc), doc)`` — i.e. each epoch
+      is an independent :func:`~..operators.packing.shuffle_positions`
+      draw with the EPOCH as the seed, so consecutive epochs replay
+      the data in different deterministic orders (the reason trainers
+      reshuffle between epochs).
+
+    Scale shape: both global orders decompose the packing.py way —
+    the reservoir cumsum runs per (source, hash-prefix) bucket at
+    full width with a broadcast per-source bucket-offset table
+    (≤ 16^prefix_chars rows per source), and the position
+    row_number runs per (epoch, hash-prefix) bucket with an
+    epochs × 16^prefix_chars bucket table (epochs ≤ max_epochs + 1,
+    so metadata-sized). The epoch explode multiplies rows by the
+    PLANNED repetition factor — exactly the blow-up the training run
+    itself pays, produced here as metadata rows, never text. ``budgets``
+    is source-grain (broadcast-join safe, unlike node-grain tables).
+
+    ``budgets`` must provide (``stratum``, source_tokens,
+    capped_tokens) — :func:`epoch_budget`'s output. Rows of ``df``
+    with no budget row (a source with zero tokens) drop. Returns
+    (key, stratum, tokens_col, epoch, pos).
+    """
+    if not 1 <= int(prefix_chars) <= 5:
+        raise ValueError(f"prefix_chars must be in [1, 5], got {prefix_chars}")
+    nz = df.select(
+        F.col(key).alias("_id"),
+        F.col(stratum).alias("_s"),
+        F.col(tokens_col).cast("long").alias("_n"),
+    ).filter(F.col("_n") > 0)
+    b = budgets.select(
+        F.col(stratum).alias("_s"),
+        F.expr("capped_tokens div source_tokens").alias("_full"),
+        (F.col("capped_tokens") % F.col("source_tokens")).alias("_frac"),
+    )
+
+    # fractional-epoch reservoir: two-level per-source cumsum over the
+    # salted-hash order (temperature_mix's decomposition)
+    h = F.md5(F.concat(F.lit(frac_salt + ":"), F.col("_id").cast("string")))
+    hashed = nz.withColumn("_h", h).withColumn(
+        "_hb", F.substring("_h", 1, int(prefix_chars))
+    )
+    w_in = (
+        Window.partitionBy("_s", "_hb")
+        .orderBy("_h", "_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hashed.withColumn("_cum_in", F.sum("_n").over(w_in))
+    btot = hashed.groupBy("_s", "_hb").agg(F.sum("_n").alias("_bn"))
+    w_b = (
+        Window.partitionBy("_s")
+        .orderBy("_hb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = btot.select(
+        "_s", "_hb",
+        F.coalesce(F.sum("_bn").over(w_b), F.lit(0)).alias("_boff"),
+    )
+    n_epochs = F.col("_full") + F.when(
+        (F.col("_boff") + F.col("_cum_in")) <= F.col("_frac"), F.lit(1)
+    ).otherwise(F.lit(0))
+    member = (
+        cum.join(F.broadcast(offsets), ["_s", "_hb"])
+        .join(F.broadcast(b), "_s")
+        .select("_id", "_s", "_n", n_epochs.cast("long").alias("_ne"))
+        .filter(F.col("_ne") > 0)
+    )
+    x = member.select(
+        "_id", "_s", "_n",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.col("_ne") - 1)
+        ).alias("_e"),
+    )
+
+    # epoch-major global position: per-(epoch, hash-prefix) row_number
+    # + exclusive running count over the metadata-sized bucket table
+    h2 = F.md5(
+        F.concat_ws("|", F.col("_e").cast("string"), F.col("_id").cast("string"))
+    )
+    hashed2 = x.withColumn("_h2", h2).withColumn(
+        "_pb", F.substring("_h2", 1, int(prefix_chars))
+    )
+    w_in2 = Window.partitionBy("_e", "_pb").orderBy("_h2", "_id")
+    numbered = hashed2.withColumn(
+        "_rn", F.row_number().over(w_in2).cast("long")
+    )
+    counts2 = hashed2.groupBy("_e", "_pb").agg(F.count("*").alias("_bn2"))
+    w_b2 = Window.orderBy("_e", "_pb").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets2 = counts2.select(
+        "_e", "_pb",
+        F.coalesce(F.sum("_bn2").over(w_b2), F.lit(0)).alias("_boff2"),
+    )
+    return (
+        numbered.join(F.broadcast(offsets2), ["_e", "_pb"])
+        .select(
+            F.col("_id").alias(key),
+            F.col("_s").alias(stratum),
+            F.col("_n").alias(tokens_col),
+            F.col("_e").alias("epoch"),
+            (F.col("_boff2") + F.col("_rn") - 1).alias("pos"),
+        )
+    )
+
+
 def temperature_mix(
     df: DataFrame,
     key: str,

@@ -2606,8 +2606,16 @@ def sql_temperature_mix(
     per-source hash order — sampling.temperature_mix's ``order_col``).
     All-BIGINT keep arithmetic — see mx1_temperature_mix's
     docstring."""
+    # COALESCE to Long.MAX exactly as the Spark side does (ADVICE r9):
+    # sampling.temperature_mix coalesces a NULL order value to 2^63-1 so
+    # NULLs admit last; DuckDB's ORDER BY defaults NULLS LAST, which
+    # TIES NULL with a genuine Long.MAX under Spark but sorts strictly
+    # after it here — the builders are the shared contract, so the twin
+    # must state the same total order even though every current caller
+    # (mx3) coalesces upstream.
     qsel = (
-        f",\n               CAST({order_expr} AS BIGINT) AS qb"
+        f",\n               COALESCE(CAST({order_expr} AS BIGINT),"
+        f" 9223372036854775807) AS qb"
         if order_expr
         else ""
     )
@@ -2992,6 +3000,100 @@ def mx2_epoch_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 mx2_epoch_budget.__doc__ = mx2_epoch_budget.__doc__.format(
+    _MX2_MULT=_MX2_MULT, _MX2_MAX_EPOCHS=_MX2_MAX_EPOCHS
+)
+
+
+_DS2_SQL = """
+    WITH b AS ({mx2}),
+    t AS (
+        SELECT doc_id AS doc, source,
+               CAST(len({words}) AS BIGINT) AS n_tokens
+        FROM documents
+    ), nz AS (
+        SELECT * FROM t WHERE n_tokens > 0
+    ), j AS (
+        SELECT nz.doc, nz.source, nz.n_tokens,
+               b.capped_tokens // b.source_tokens AS full_e,
+               b.capped_tokens % b.source_tokens AS frac
+        FROM nz JOIN b ON nz.source = b.source
+    ), cum AS (
+        SELECT *, CAST(SUM(n_tokens) OVER (
+            PARTITION BY source
+            ORDER BY md5('epfrac:' || CAST(doc AS VARCHAR)), doc
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS BIGINT) AS c
+        FROM j
+    ), member AS (
+        SELECT doc, source, n_tokens,
+               CAST(full_e + CASE WHEN c <= frac THEN 1 ELSE 0 END
+                    AS BIGINT) AS ne
+        FROM cum
+    ), x AS (
+        SELECT doc, source, n_tokens,
+               CAST(unnest(generate_series(0, ne - 1)) AS BIGINT) AS epoch
+        FROM member WHERE ne > 0
+    )
+    SELECT doc, source, n_tokens, epoch,
+           CAST(ROW_NUMBER() OVER (
+               ORDER BY epoch,
+                        md5(CAST(epoch AS VARCHAR) || '|'
+                            || CAST(doc AS VARCHAR)),
+                        doc
+           ) - 1 AS BIGINT) AS pos
+    FROM x
+"""
+
+
+@query(
+    "ds2_epoch_order",
+    _DS2_SQL.format(
+        mx2=QUERIES["mx2_epoch_budget"].oracle, words=_WORDS_SQL
+    ),
+)
+def ds2_epoch_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MULTI-EPOCH training order (VERDICT r9 "Next round" #3):
+    mx2 plans how many epochs of each source a data-constrained
+    {_MX2_MULT}x-budget run sees (capped at {_MX2_MAX_EPOCHS}); this
+    entry EMITS the epoch-interleaved (doc, epoch, global position)
+    stream a trainer actually consumes — ds1's deterministic shuffle
+    replayed per epoch with the EPOCH AS THE SEED, so every epoch is
+    a different reproducible order, and the fractional last epoch
+    admits docs lowest-hash-first until the per-source remainder
+    ``capped_tokens % source_tokens`` fills (temperature_mix's exact
+    deterministic-reservoir semantics, not a Bernoulli draw).
+
+    All-integer — positions, epochs, token counts — so the ORDER BY
+    and the whole output are hash-exact cross-engine. The oracle
+    nests mx2's registered SQL verbatim (the budgets) and states the
+    global position as ONE row_number; the Spark plan is
+    operators/sampling.epoch_interleave — both global orders in
+    two-level decomposed form (per-(source|epoch, hash-prefix)
+    windows at full width + broadcast metadata-sized bucket-offset
+    tables, never a data-sized SinglePartition exchange — asserted
+    in tests/test_plans.py), with the epoch explode multiplying
+    metadata rows by the planned repetition factor only.
+    Invariant test: every doc appears exactly ``full`` or ``full+1``
+    times per its source's budget, and per-source emitted tokens
+    equal ``capped_tokens`` to within one boundary doc
+    (tests/test_sampling.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    counted = docs.select(
+        F.col("doc_id").alias("doc"),
+        "source",
+        F.size(tx.normalized_words(F.col("text"))).alias("n_tokens"),
+    )
+    budgets = sampling.epoch_budget(
+        counted, "source", "n_tokens",
+        budget_mult=_MX2_MULT, max_epochs=_MX2_MAX_EPOCHS,
+    )
+    return sampling.epoch_interleave(
+        counted, key="doc", stratum="source", tokens_col="n_tokens",
+        budgets=budgets,
+    )
+
+
+ds2_epoch_order.__doc__ = ds2_epoch_order.__doc__.format(
     _MX2_MULT=_MX2_MULT, _MX2_MAX_EPOCHS=_MX2_MAX_EPOCHS
 )
 

@@ -15,52 +15,57 @@ def test_priority_names_all_registered():
 
 
 def test_stale_and_changed_queries_land_in_driver_window():
-    # Round-9 rotation under the STANDING RULE (VERDICT r6 "Next
-    # round" #1, stated in __spark_entry__): new/changed first (14 —
-    # dc3/cp3/mx3/cp4 NEW + the band-tuning/shared-sig/order_col
-    # touched set), then all remaining slots oldest-driver-verdict
-    # first: ALL 17 r5-era verdicts + the 19 oldest r6-era. After r9
-    # no hash-checkable verdict predates r6 (VERDICT r8 #2).
-    # Overflow = r8-green new entries and younger untouched verdicts —
+    # Round-10 rotation under the STANDING RULE (VERDICT r6 "Next
+    # round" #1, stated in __spark_entry__): new/changed first (7 —
+    # sp4/ds2 NEW + dc3/rf13 multi-probe + km1/dd13/mx3 oracle-text
+    # changes), then all remaining slots oldest-driver-verdict first:
+    # ALL 22 remaining r6-era hash-checkable verdicts (VERDICT r9 #4)
+    # + the 21 oldest r7-era. 7 + 22 + 21 = 50; after r10 no
+    # hash-checkable verdict predates r7.
+    # Overflow = r8/r9-green entries and the youngest r7 verdicts —
     # asserted OUT so the window isn't silently wasted.
     first50 = list(entry.queries())[:50]
     for name in entry._DRIVER_PRIORITY:
         assert name in first50, f"{name} fell out of the driver's 50-slot window"
     for name in (
-        # r8-green, untouched this round (the youngest verdicts are
+        # r9-green, untouched this round (the youngest verdicts are
         # the cheapest to defer, per the rule)
-        "dd13_semantic_keep_list",
+        "dd10_keep_list_banded",
+        "dd11_staged_keep_list",
+        "dd15_quality_survivor",
+        "dd16_banded_pair_eval",
+        "cm1_corpus_manifest",
+        "cm2_incremental_admission",
+        "cp1_curated_corpus",
+        "cp2_corpus_datacard",
+        "cp3_incremental_release",
+        "cp4_datacard_diff",
+        "mx1_temperature_mix",
+        "txt13_source_vocab_overlap",
+        "ro3_multigrain_rollup",
+        "sp1_hash_split",
+        "st12_streaming_band_admission",
+        # r8-green, untouched
         "dd14_winnowing_pairs",
         "rf11_semdedup_cell_recall",
         "rf12_multiprobe_cell_recall",
-        "ii4_prf_rerank",
-        "ii5_rrf_fusion",
         "ii6_retrieval_eval",
-        "ii7_fusion_eval",
         "txt10_trigram_surprisal",
-        "txt11_winnowing_fingerprint",
         "st11_rocksdb_dedup",
-        "km1_kmeans_assign",
-        "txt2_quality_score",
-        "dd8_dedup_keep_list",
-        "dd12_repeated_span_trim",
         "mx2_epoch_budget",
         "dp2_sequence_manifest",
-        # r6/r7-green, untouched, displaced by the older r6 cohort
-        "ann5_ivfpq_topk",
-        "ann3_ivf_topk",
-        "sq2_product_quantize",
-        "txt9_bigram_surprisal",
-        "zo1_zorder_stats",
-        "zo2_pruning_effectiveness",
+        # r7-green, displaced by the older cohorts (youngest r7 ties
+        # by catalog order)
         "rf10_ivfpq_recall",
-        "st5_stateful_sessions",
-        "st10_streaming_upsert",
-        # no-oracle exemption: verdicts can never change; their rf
-        # floors are the refreshable signal (__spark_entry__ comment)
+        "sq3_matryoshka_truncate",
+        # no-oracle / rows-only exemption: verdicts the rotation can't
+        # refresh; their rf floors are the refreshable signal
         "mm2_frame_sample",
         "a8_approx_distinct",
         "ro2_sketch_rollup",
+        "ann2_lsh_topk",
+        "dd3_minhash_lsh_pairs",
+        "dd4_simhash_pairs",
     ):
         assert name not in first50, f"{name} should be deliberate overflow"
 

@@ -43,7 +43,7 @@ def _py_shingles(words: list[str], n: int = 3) -> list[str]:
     return out
 
 
-def _py_minhash_bands(text: str, num_hashes: int = 8, bands: int = 4):
+def _py_minhash_bands(text: str, num_hashes: int = 16, bands: int = 4):
     shingles = _py_shingles(_py_words(text))
     if not shingles:
         return {}
