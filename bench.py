@@ -133,6 +133,12 @@ HEADLINE = [
     "mx3_surprisal_weighted_mixture",
     "txt13_source_vocab_overlap",
     "ro3_multigrain_rollup",
+    # r10 additions. The r9-comparable subset is everything above this
+    # comment. sp4 re-runs dd11's staged keep-list chain (composition
+    # price, cp1 precedent); ds2 is mx2's budgets + the per-epoch
+    # decomposed shuffle.
+    "sp4_cluster_split",
+    "ds2_epoch_order",
 ]
 
 

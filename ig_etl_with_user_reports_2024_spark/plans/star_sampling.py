@@ -364,10 +364,13 @@ def fuzzy_decontaminate_plan(
 ) -> DataFrame:
     """dc2's plan over an arbitrary documents DataFrame. ``bands`` —
     a (doc, band, bucket) table semantically equal to
-    ``portable_minhash_bands(docs, 'doc_id', 'text')`` — is injectable
-    so cm1 can derive the signature table ONCE (over digest-distinct
-    texts, re-keyed per doc) and share it with its dd11 subtree;
-    standalone dc2 builds its own."""
+    ``portable_minhash_bands(docs, 'doc_id', 'text', 8, 4)`` — is
+    injectable so cm1 can derive the signature table ONCE (over
+    digest-distinct texts, re-keyed per doc) and share it with its
+    dd11 subtree; standalone dc2 builds its own. NOTE the explicit
+    (8, 4): dc2's recall-first banding is deliberate, and since r10
+    the band builders DEFAULT to the tuned (16, 4) — an injected
+    default-banded table would silently mismatch this plan's oracle."""
     from ..operators.dedup import pin_bounded, portable_minhash_bands
 
     if bands is None:

@@ -62,16 +62,21 @@ def test_rekeyed_canon_bands_equal_direct_bands(spark, sf_oracle):
     tagged = star_pipeline.digest_tagged(docs)
     canon = tagged.filter(F.col("is_canon")).select("doc_id", "text")
     sh_canon = dd.exploded_shingles(canon, "doc_id", "text")
+    # (8,4) EXPLICITLY on every builder: dc2's recall-first banding is
+    # deliberate (the injected `bands` contract is "dc2's banding"),
+    # and since r10 the builder DEFAULTS are the tuned (16,4) — the
+    # exact silent-mismatch ADVICE r9 warned about, which this test
+    # caught on first contact with the new defaults.
     rekeyed = (
         tagged.select("doc_id", "canon_id")
         .join(
-            dd.portable_minhash_bands_from_shingles(sh_canon)
+            dd.portable_minhash_bands_from_shingles(sh_canon, 8, 4)
             .withColumnRenamed("doc", "canon_id"),
             "canon_id",
         )
         .select(F.col("doc_id").alias("doc"), "band", "bucket")
     )
-    direct = dd.portable_minhash_bands(docs, "doc_id", "text")
+    direct = dd.portable_minhash_bands(docs, "doc_id", "text", 8, 4)
     assert {tuple(r) for r in rekeyed.collect()} == {
         tuple(r) for r in direct.collect()
     }
