@@ -469,6 +469,70 @@ def sp4_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dc4_split_leakage_eval",
+    None,  # placeholder — rebound below (needs _PREFIX_FP_SQL, defined
+    # in star_sampling, imported there to keep ONE fingerprint source)
+    eager=True,  # composes dd11 — CC collects at construction
+)
+def dc4_split_leakage_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The split-leakage EVAL — VERDICT r9 #1's companion measurement
+    as a driver verdict (dd16/ii6 convention: the floors bound, the
+    evals MEASURE): one integer row comparing dc1's exact-fingerprint
+    contamination count under sp1's doc-hash split vs sp4's
+    cluster-hash split. ``n_leaks_doc_split`` is how many train docs
+    leak an eval doc's 8-word prefix when splits ignore duplicate
+    structure (6 / 11 / 86 measured at sf0.001/0.01/0.1);
+    ``n_leaks_cluster_split`` is the same count under sp4 — 0 at
+    every measured scale, because every dc1 prefix-twin pair in this
+    corpus is also a dd11 near-dup pair, so cluster-splitting
+    co-locates it. The pair of numbers IS the capability claim:
+    cluster-aware splitting removes the leakage the dedup family can
+    see, before any post-hoc decontamination runs. (A prefix-twin
+    pair below the LSH Jaccard threshold could still straddle — the
+    residual dc1/dc2/dc3 exist for; at these scales there are none.)
+
+    Scale shape: ONE digest projection feeds both sides; side A is a
+    pure split projection; side B adds sp4's doc-grain keep-list
+    join; each leak count is a digest equi-join carrying (digest, id)
+    only + a 1-row distinct-count aggregate; the two 1-row aggregates
+    cross-join broadcast. NOT a bench line (cp4 precedent: it re-runs
+    dd11's chain, already priced via dd11 and sp4). Oracle nests
+    dd11's registered SQL + the shared dc1 fingerprint fragment +
+    both split fragments."""
+    from .star_sampling import _PREFIX_FP_SQL  # noqa: F401 (oracle twin)
+
+    docs = load_table(spark, sf_dir, "documents")
+    digests = docs.select(
+        "doc_id",
+        F.md5(
+            F.array_join(
+                F.slice(dd.normalized_words(F.col("text")), 1, 8), " "
+            )
+        ).alias("digest"),
+    )
+    kl = staged_keep_list_plan(spark, docs).select("doc_id", "cluster_id")
+    side_a = sampling.hash_split(digests, key="doc_id").select(
+        "doc_id", "digest", "split"
+    )
+    side_b = (
+        sampling.hash_split(digests.join(kl, "doc_id"), key="cluster_id")
+        .select("doc_id", "digest", "split")
+    )
+
+    def leaks(side: DataFrame, alias: str) -> DataFrame:
+        ev = side.filter(F.col("split") != "train").select("digest").distinct()
+        return (
+            side.filter(F.col("split") == "train")
+            .join(ev, "digest")
+            .agg(F.count_distinct("doc_id").alias(alias))
+        )
+
+    a = leaks(side_a, "n_leaks_doc_split")
+    b = leaks(side_b, "n_leaks_cluster_split")
+    return a.crossJoin(F.broadcast(b))
+
+
+@query(
     "dd12_repeated_span_trim",
     dd.sql_repeated_span_profile("documents"),
 )
@@ -4162,6 +4226,43 @@ def dd9_portable_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.portable_simhash_pairs(docs, "doc_id", "text")
 
 
+def _bind_dc4_oracle() -> None:
+    """dc4 nests dd11's registered SQL + dc1's fingerprint fragment
+    (star_sampling._PREFIX_FP_SQL — imported so the fingerprint has
+    ONE definition repo-wide) + both split fragments."""
+    from .star_sampling import _PREFIX_FP_SQL
+
+    QUERIES["dc4_split_leakage_eval"].oracle = f"""
+    WITH kl AS ({QUERIES["dd11_staged_keep_list"].oracle}),
+    dg AS (
+        SELECT doc_id, {_PREFIX_FP_SQL} AS digest FROM documents
+    ),
+    a AS (
+        SELECT doc_id, digest, {sql_hash_split('doc_id')} AS split
+        FROM dg
+    ),
+    b AS (
+        SELECT d.doc_id, d.digest, {sql_hash_split('k.cluster_id')} AS split
+        FROM dg d JOIN kl k ON d.doc_id = k.doc_id
+    ),
+    la AS (
+        SELECT CAST(COUNT(DISTINCT t.doc_id) AS BIGINT) AS n
+        FROM a t JOIN (SELECT DISTINCT digest FROM a WHERE split <> 'train') e
+          ON t.digest = e.digest
+        WHERE t.split = 'train'
+    ),
+    lb AS (
+        SELECT CAST(COUNT(DISTINCT t.doc_id) AS BIGINT) AS n
+        FROM b t JOIN (SELECT DISTINCT digest FROM b WHERE split <> 'train') e
+          ON t.digest = e.digest
+        WHERE t.split = 'train'
+    )
+    SELECT la.n AS n_leaks_doc_split, lb.n AS n_leaks_cluster_split
+    FROM la, lb
+    """
+
+
 # dd13 is defined up with the dedup family but nests km1's oracle,
 # which registers later in this module — bind it now that both exist.
 _bind_dd13_oracle()
+_bind_dc4_oracle()
