@@ -3135,7 +3135,7 @@ def ds2_epoch_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-level decomposed form (per-(source|epoch, hash-prefix)
     windows at full width + broadcast metadata-sized bucket-offset
     tables, never a data-sized SinglePartition exchange — asserted
-    in tests/test_plans.py), with the epoch explode multiplying
+    in tests/test_sampling.py), with the epoch explode multiplying
     metadata rows by the planned repetition factor only.
     Invariant test: every doc appears exactly ``full`` or ``full+1``
     times per its source's budget, and per-source emitted tokens

@@ -52,6 +52,8 @@ SHOWCASE = [
     ("dd15_quality_survivor", "quality-survivor keep-list → Window-free: argmax-struct groupBy(cluster) + salted attach; quality via left join (missing row == NULL)"),
     ("mx2_epoch_budget", "epoch budget plan → one map-side-combined groupBy(source) + broadcast 1-row global; all-BIGINT budget arithmetic"),
     ("ii7_fusion_eval", "fusion A/B eval → pinned clamped top-50 base feeds both modes; labels from the shared pinned tf relation; query-grain metadata joins"),
+    ("sp4_cluster_split", "cluster-aware split → dd11's window-free staged keep-list + ONE doc-grain equi-join + pure split projection (r10)"),
+    ("ds2_epoch_order", "multi-epoch order → fractional-epoch reservoir per (source, prefix) buckets, bounded epoch explode, per-(epoch, prefix) position windows + broadcast metadata offsets (r10)"),
 ]
 
 
