@@ -413,3 +413,40 @@ def test_cp3_nonfinal_sequences_exact_at_sf01(spark):
     for s in range(last):
         assert fill[s] == 2048, f"non-final seq {s} holds {fill[s]} tokens"
     assert 0 < fill[last] <= 2048
+
+
+def test_r10_split_and_epoch_families_at_8x(spark, big_sf):
+    """r10 families at 8x sf0.1: sp4 must co-locate every dd11
+    cluster (8x replicas make every doc an 8-member exact-dup
+    cluster, so EVERY cluster is multi-member — co-location is
+    maximally exercised), and ds2's positions must stay one dense
+    epoch-major permutation with per-doc epoch counts in
+    {full, full+1} at 8x volume."""
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+
+    sp4 = qs["sp4_cluster_split"](spark, big_sf).collect()
+    n_docs = spark.read.parquet(f"{big_sf}/documents.parquet").count()
+    assert len(sp4) == n_docs  # one split row per doc survives the join
+    by_cluster: dict = {}
+    for r in sp4:
+        by_cluster.setdefault(r.cluster_id, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_cluster.values())
+    # replicas guarantee multi-member clusters; splits must still mix
+    assert len({next(iter(s)) for s in by_cluster.values()}) == 3
+
+    ds2 = qs["ds2_epoch_order"](spark, big_sf).collect()
+    poss = sorted(r.pos for r in ds2)
+    assert poss == list(range(len(ds2)))
+    budgets = {
+        r.source: r for r in qs["mx2_epoch_budget"](spark, big_sf).collect()
+    }
+    per_doc: dict = {}
+    for r in ds2:
+        per_doc.setdefault((r.source, r.doc), 0)
+        per_doc[(r.source, r.doc)] += 1
+    for (src, _doc), n in per_doc.items():
+        b = budgets[src]
+        full = b.capped_tokens // b.source_tokens
+        assert n in (full, full + 1)
