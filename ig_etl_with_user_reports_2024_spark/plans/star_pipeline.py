@@ -533,6 +533,60 @@ def dc4_split_leakage_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sp5_joint_cluster_split",
+    None,  # placeholder — rebound at module bottom (_bind_sp5_oracle
+    # nests dd11's registered SQL + the shared _KM_SCORED_SQL chain)
+    eager=True,  # composes dd11 + a joint CC — collects at construction
+)
+def sp5_joint_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The JOINT-modality leakage-proof split — sp4 closed the lexical
+    leak; this closes the semantic one too. sp4 hashes dd11's lexical
+    dup-cluster id, but a paraphrase pair (shared meaning, no shared
+    MinHash band) can still straddle its boundary: measured 7 / 8 / 86
+    same-cell τ-pairs straddling sp4's split at sf0.001/0.01/0.1 —
+    exactly the residue dc3 exists to mop up. Here the split hashes
+    the JOINT dup-cluster: one connected-components pass over the
+    union of dd11's keep-list star edges (doc → lexical canonical)
+    and dc3's 2-probe same-cell cosine≥0.40 pair edges
+    (semantic_multiprobe_pairs — recall-first, the r10 dc3 argument:
+    an over-merged split cluster just moves docs between splits,
+    harmless; a missed pair is eval leakage), so every lexical AND
+    every cell-visible semantic duplicate pair co-locates BY
+    CONSTRUCTION (0 straddling pairs at every measured scale,
+    test-pinned; 7 / 8 / 94 docs change split vs sp4). Residual: a
+    τ-pair invisible to 2-probe cells (rf12 measures capture
+    0.70-0.78 on the worst-case uniform corpus) can still straddle —
+    dc3 remains the registered mop-up for exactly that set.
+
+    Same salt as sp1/sp4, so a doc that is a singleton in BOTH
+    structures keeps its sp1 assignment bit-exactly. Scale shape:
+    dd11's window-free staged keep-list + dd13's cell-capped pair
+    stage (the two production dedup artifacts a 100 TB pipeline has
+    ALREADY built — at scale both are checkpointed tables and this
+    is one CC over their union plus a split projection) + the
+    merge-hinted pointer-doubling CC + one doc-grain equi-join.
+    Oracle nests dd11's registered SQL verbatim + the shared
+    _KM_SCORED_SQL cell chain (rn <= 2, dc3's banding) + the
+    dd10-pattern recursive closure over the union edge set."""
+    from ..operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    kl = staged_keep_list_plan(spark, docs).select("doc_id", "cluster_id")
+    lex_edges = kl.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias("a_id"), F.col("cluster_id").alias("b_id")
+    )
+    sem_edges = semantic_multiprobe_pairs(emb, tau=0.40, probes=2)
+    joint = connected_components(
+        docs.select("doc_id"), lex_edges.unionByName(sem_edges)
+    )
+    out = docs.select("doc_id", "source").join(joint, "doc_id")
+    return sampling.hash_split(out, key="cluster_id").select(
+        "doc_id", "source", "cluster_id", "split"
+    )
+
+
+@query(
     "dd12_repeated_span_trim",
     dd.sql_repeated_span_profile("documents"),
 )
@@ -4262,7 +4316,59 @@ def _bind_dc4_oracle() -> None:
     """
 
 
+def _bind_sp5_oracle() -> None:
+    """sp5 nests dd11's registered SQL (the lexical star edges) + the
+    shared _KM_SCORED_SQL cell chain at rn <= 2 (dc3's 2-probe pair
+    semantics) + the dd10-pattern recursive closure over the union."""
+    QUERIES["sp5_joint_cluster_split"].oracle = f"""
+    WITH RECURSIVE kl AS ({QUERIES["dd11_staged_keep_list"].oracle}),
+    {_KM_SCORED_SQL},
+    v AS (
+        SELECT a.vec_id AS id, a.cid, e.embedding,
+               {_NORM_SQL.format(a='e.embedding')} AS nrm
+        FROM best a JOIN embeddings e ON a.vec_id = e.vec_id
+        WHERE a.rn <= 2
+    ),
+    sempairs AS (
+        SELECT DISTINCT a.id AS a_id, b.id AS b_id
+        FROM v a JOIN v b ON a.cid = b.cid AND a.id < b.id
+        WHERE a.nrm > 0 AND b.nrm > 0
+          AND {_DOT_SQL.format(a='a.embedding', b='b.embedding')}
+              / (a.nrm * b.nrm) >= 0.40
+    ),
+    jedges AS (
+        -- unique names: dd11's body nested in kl defines its own
+        -- edges/reach, and DuckDB's recursive resolution must not see
+        -- two recursions under one name (observed: the outer closure
+        -- silently stopped expanding at depth 2 when shadowed)
+        SELECT doc_id AS a, cluster_id AS b FROM kl WHERE doc_id <> cluster_id
+        UNION ALL
+        SELECT cluster_id AS a, doc_id AS b FROM kl WHERE doc_id <> cluster_id
+        UNION ALL
+        SELECT a_id AS a, b_id AS b FROM sempairs
+        UNION ALL
+        SELECT b_id AS a, a_id AS b FROM sempairs
+    ),
+    jreach(a, b) AS (
+        SELECT a, b FROM jedges
+        UNION
+        SELECT r.a, e.b FROM jreach r JOIN jedges e ON r.b = e.a
+    ),
+    jlabeled AS (
+        SELECT d.doc_id,
+               CAST(LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS BIGINT)
+                   AS cluster_id
+        FROM documents d LEFT JOIN jreach r ON r.a = d.doc_id
+        GROUP BY d.doc_id
+    )
+    SELECT l.doc_id, d.source, l.cluster_id,
+           {sql_hash_split('l.cluster_id')} AS split
+    FROM jlabeled l JOIN documents d ON l.doc_id = d.doc_id
+    """
+
+
 # dd13 is defined up with the dedup family but nests km1's oracle,
 # which registers later in this module — bind it now that both exist.
 _bind_dd13_oracle()
 _bind_dc4_oracle()
+_bind_sp5_oracle()

@@ -477,3 +477,55 @@ def test_ds2_epoch_interleave_plan_shape(spark):
     assert "Exchange hashpartitioning(_s" in plan, plan
     assert "Exchange hashpartitioning(_e" in plan, plan
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_sp5_joint_split_colocates_both_modalities(spark, sf_oracle):
+    """sp5's contract: (1) every dd11 lexical cluster still co-locates
+    (sp4's guarantee is preserved under the coarser partition);
+    (2) every 2-probe same-cell cosine>=0.40 pair co-locates (the
+    semantic guarantee sp4 lacks — probed: 8 such pairs straddle sp4
+    at sf0.01, 0 straddle sp5); (3) non-vacuity — sp5 moves real docs
+    vs sp4; (4) a doc that is a singleton in BOTH structures keeps
+    sp1's bit-exact assignment (same salt)."""
+    import __spark_entry__ as em
+    from ig_etl_with_user_reports_2024_spark.plans.star_pipeline import (
+        semantic_multiprobe_pairs,
+    )
+    from ig_etl_with_user_reports_2024_spark.sources.readers import load_table
+
+    qs = em.queries()
+    sp5 = {r.doc_id: r for r in qs["sp5_joint_cluster_split"](spark, sf_oracle).collect()}
+    sp4 = {r.doc_id: r for r in qs["sp4_cluster_split"](spark, sf_oracle).collect()}
+    sp1 = {r.doc_id: r.split for r in qs["sp1_hash_split"](spark, sf_oracle).collect()}
+    assert set(sp5) == set(sp1) == set(sp4)
+
+    # (1) lexical clusters (sp4's cluster_id) still co-locate under sp5
+    lex: dict = {}
+    for d, r in sp4.items():
+        lex.setdefault(r.cluster_id, set()).add(sp5[d].split)
+    assert all(len(s) == 1 for s in lex.values())
+
+    # (2) semantic 2-probe pairs co-locate under sp5, and some straddle sp4
+    emb = load_table(spark, sf_oracle, "embeddings")
+    pairs = semantic_multiprobe_pairs(emb, tau=0.40, probes=2).collect()
+    assert pairs, "no semantic pairs at sf0.01 — vacuous fixture"
+    straddle_sp4 = [
+        p for p in pairs if sp4[p.a_id].split != sp4[p.b_id].split
+    ]
+    assert straddle_sp4, "no pair straddles sp4 — semantic pin is vacuous"
+    for p in pairs:
+        assert sp5[p.a_id].split == sp5[p.b_id].split, (p.a_id, p.b_id)
+
+    # (3) the joint split actually differs from sp4
+    assert any(sp5[d].split != sp4[d].split for d in sp5)
+
+    # (4) joint singletons keep sp1's assignment
+    joint: dict = {}
+    for d, r in sp5.items():
+        joint.setdefault(r.cluster_id, []).append(d)
+    n_single = 0
+    for c, members in joint.items():
+        if len(members) == 1 and members[0] == c:
+            assert sp5[c].split == sp1[c], "joint singleton diverged from sp1"
+            n_single += 1
+    assert n_single > 0

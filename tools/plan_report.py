@@ -54,6 +54,7 @@ SHOWCASE = [
     ("ii7_fusion_eval", "fusion A/B eval → pinned clamped top-50 base feeds both modes; labels from the shared pinned tf relation; query-grain metadata joins"),
     ("sp4_cluster_split", "cluster-aware split → dd11's window-free staged keep-list + ONE doc-grain equi-join + pure split projection (r10)"),
     ("ds2_epoch_order", "multi-epoch order → fractional-epoch reservoir per (source, prefix) buckets, bounded epoch explode, per-(epoch, prefix) position windows + broadcast metadata offsets (r10)"),
+    ("sp5_joint_cluster_split", "joint-modality split → dd11 star edges ∪ 2-probe τ-pair edges through ONE pointer-doubling CC + split projection (r10)"),
 ]
 
 
