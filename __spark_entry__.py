@@ -58,7 +58,7 @@ from ig_etl_with_user_reports_2024_spark.plans import star_manifest  # noqa: F40
 # specific hashes, rf-floored) are likewise outside the hash-checkable
 # cohorts (the VERDICT r9 debt arithmetic counts 22 r6-era, not 25).
 #
-# Round-10 window: (0) the 9 new/changed entries — sp4 (NEW:
+# Round-10 window: (0) the 10 new/changed entries — sp4 (NEW:
 # leakage-proof cluster-aware split, hash over dd11's cluster id),
 # dc4 (NEW: the split-leakage eval — dc1's contamination count under
 # sp1's doc split vs sp4's cluster split, one composed integer row),
@@ -66,7 +66,8 @@ from ig_etl_with_user_reports_2024_spark.plans import star_manifest  # noqa: F40
 # star edges ∪ the 2-probe semantic τ-pair edges, so paraphrase
 # pairs co-locate too), ds2 (NEW: the epoch-interleaved multi-epoch
 # training order — mx2's budgets composed with a per-epoch-seeded
-# ds1 shuffle), dc3
+# ds1 shuffle), dp3 (NEW: ds2's stream chopped into L=2048 training
+# sequences — the packed multi-epoch dataset), dc3
 # (plan+oracle: moved to the 2-probe cell assignment, capture
 # 0.28 → 0.70+), rf13 (oracle: floor raised 0.2 → 0.5 on the 2-probe
 # pair set), km1 (oracle: rebuilt from the shared _KM_SCORED_SQL
@@ -77,15 +78,16 @@ from ig_etl_with_user_reports_2024_spark.plans import star_manifest  # noqa: F40
 # oldest-driver-verdict-first: ALL 22 remaining r6-era hash-checkable
 # verdicts (VERDICT r9 "Next round" #4 — j2/j4/f8 the r9 overflow,
 # then j5/so1/f6/x3/c9/mj1-mj3/dd2/dd6/a15/a16/txt5-txt7/txt9/sq2/
-# ann3/ann5), followed by the 19 oldest r7-era in catalog order.
-# 9 + 22 + 19 = 50 exactly; after this round no hash-checkable
-# query's verdict predates r7 (c10/c13 are the two-slot r7 overflow).
+# ann3/ann5), followed by the 18 oldest r7-era in catalog order.
+# 10 + 22 + 18 = 50 exactly; after this round no hash-checkable
+# query's verdict predates r7 (c10/c13/st10 are the r7 overflow).
 _DRIVER_PRIORITY = [
     # (0) new/changed oracle or plan in round 10 — first driver contact
     "sp4_cluster_split",
     "dc4_split_leakage_eval",
     "sp5_joint_cluster_split",
     "ds2_epoch_order",
+    "dp3_epoch_packing",
     "dc3_semantic_decontaminate",
     "rf13_crosssplit_capture_floor",
     "km1_kmeans_assign",
@@ -115,7 +117,7 @@ _DRIVER_PRIORITY = [
     "txt9_bigram_surprisal",
     "a16_length_histogram",
     "ann5_ivfpq_topk",
-    # (a cont.) the 19 oldest r7-era verdicts, catalog order
+    # (a cont.) the 18 oldest r7-era verdicts, catalog order
     "zo1_zorder_stats",
     "zo2_pruning_effectiveness",
     "aj1_asof_click_purchase",
@@ -134,7 +136,6 @@ _DRIVER_PRIORITY = [
     "x7_bankers_rounding",
     "x8_struct_to_json",
     "st5_stateful_sessions",
-    "st10_streaming_upsert",
 ]
 
 

@@ -136,9 +136,13 @@ HEADLINE = [
     # r10 additions. The r9-comparable subset is everything above this
     # comment. sp4 re-runs dd11's staged keep-list chain (composition
     # price, cp1 precedent); ds2 is mx2's budgets + the per-epoch
-    # decomposed shuffle.
+    # decomposed shuffle; dp3 adds the L=2048 chop over ds2's stream.
+    # dc4 and sp5 are deliberately NOT bench lines (cp4 precedent:
+    # both re-run dd11's chain, already priced via dd11/sp4, and sp5's
+    # semantic pair stage is priced via dd13).
     "sp4_cluster_split",
     "ds2_epoch_order",
+    "dp3_epoch_packing",
 ]
 
 

@@ -3217,6 +3217,67 @@ ds2_epoch_order.__doc__ = ds2_epoch_order.__doc__.format(
 
 
 @query(
+    "dp3_epoch_packing",
+    f"""
+    WITH x AS ({{ds2}}),
+    p AS (
+        {sql_pack_chop('x', 'pos', 'doc, source, epoch, pos, n_tokens')}
+    )
+    SELECT doc, source, epoch, pos, n_tokens,
+           start_off, first_seq, last_seq, n_seqs
+    FROM p
+    """.format(ds2=QUERIES["ds2_epoch_order"].oracle),
+)
+def dp3_epoch_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PACKED MULTI-EPOCH dataset — the chain a data-constrained
+    training run actually materializes, completed: mx2 plans the
+    per-source epoch budgets, ds2 emits the epoch-interleaved
+    (doc, epoch, position) stream, and this entry chops that stream
+    into fixed L=2048 training sequences (dp1's concat-and-chop over
+    ds2's POSITION order instead of document order) — one row per
+    (doc, epoch) appearance with its global token offset and the
+    sequences it spans. Sequence boundaries legitimately cross epoch
+    boundaries (the stream is one continuous token tape, exactly how
+    packed pretraining shards are written); dp2's every-non-final-
+    sequence-holds-2048 invariant holds over the tape and is
+    test-pinned at sf0.01, where the multi-epoch stream spans ~40+
+    sequences.
+
+    All-integer. ds2's ``pos`` is dense 0..N-1, so it is the ideal
+    packing key (pack_offsets' range buckets are perfectly uniform —
+    better-conditioned than sparse doc ids). Scale shape: ds2's plan
+    + the two-level prefix-sum packing (per-range-bucket windows at
+    full width + broadcast metadata-sized offsets, no data-sized
+    SinglePartition — operators/packing.pack_offsets) + one join back
+    on the dense unique ``pos`` (the cp1 precedent). Oracle nests
+    ds2's registered SQL verbatim + the shared sql_pack_chop builder
+    that also defines dp1/cp1's packing semantics — a seq_len change
+    moves every consumer in lockstep."""
+    docs = load_table(spark, sf_dir, "documents")
+    counted = docs.select(
+        F.col("doc_id").alias("doc"),
+        "source",
+        F.size(tx.normalized_words(F.col("text"))).alias("n_tokens"),
+    )
+    budgets = sampling.epoch_budget(
+        counted, "source", "n_tokens",
+        budget_mult=_MX2_MULT, max_epochs=_MX2_MAX_EPOCHS,
+    )
+    stream = sampling.epoch_interleave(
+        counted, key="doc", stratum="source", tokens_col="n_tokens",
+        budgets=budgets,
+    )
+    packed = pk.pack_offsets(
+        stream.select("pos", "n_tokens"),
+        id_col="pos", tokens_col="n_tokens", seq_len=2048, bucket_width=256,
+    )
+    return stream.join(packed.drop("n_tokens"), "pos").select(
+        "doc", "source", "epoch", "pos", "n_tokens",
+        "start_off", "first_seq", "last_seq", "n_seqs",
+    )
+
+
+@query(
     "sq3_matryoshka_truncate",
     f"""
     WITH s AS (

@@ -16,13 +16,13 @@ def test_priority_names_all_registered():
 
 def test_stale_and_changed_queries_land_in_driver_window():
     # Round-10 rotation under the STANDING RULE (VERDICT r6 "Next
-    # round" #1, stated in __spark_entry__): new/changed first (9 —
-    # sp4/dc4/sp5/ds2 NEW + dc3/rf13 multi-probe + km1/dd13/mx3
+    # round" #1, stated in __spark_entry__): new/changed first (10 —
+    # sp4/dc4/sp5/ds2/dp3 NEW + dc3/rf13 multi-probe + km1/dd13/mx3
     # oracle-text changes), then all remaining slots
     # oldest-driver-verdict first: ALL 22 remaining r6-era
-    # hash-checkable verdicts (VERDICT r9 #4) + the 19 oldest r7-era.
-    # 9 + 22 + 19 = 50; after r10 no hash-checkable verdict predates
-    # r7 (c10/c13 are the two-slot r7 overflow).
+    # hash-checkable verdicts (VERDICT r9 #4) + the 18 oldest r7-era.
+    # 10 + 22 + 18 = 50; after r10 no hash-checkable verdict predates
+    # r7 (c10/c13/st10 are the r7 overflow).
     # Overflow = r8/r9-green entries and the youngest r7 verdicts —
     # asserted OUT so the window isn't silently wasted.
     first50 = list(entry.queries())[:50]
@@ -61,6 +61,7 @@ def test_stale_and_changed_queries_land_in_driver_window():
         "sq3_matryoshka_truncate",
         "c10_personality_insights",
         "c13_sponsor_detector",
+        "st10_streaming_upsert",
         # no-oracle / rows-only exemption: verdicts the rotation can't
         # refresh; their rf floors are the refreshable signal
         "mm2_frame_sample",

@@ -529,3 +529,35 @@ def test_sp5_joint_split_colocates_both_modalities(spark, sf_oracle):
             assert sp5[c].split == sp1[c], "joint singleton diverged from sp1"
             n_single += 1
     assert n_single > 0
+
+
+def test_dp3_epoch_packing_invariants(spark, sf_oracle):
+    """dp3's tape contract: offsets are contiguous in pos order (each
+    appearance starts where the previous ended — one continuous token
+    tape across epoch boundaries), every non-final sequence holds
+    exactly 2048 tokens (dp2's invariant over the multi-epoch stream,
+    non-vacuous: the sf0.01 tape spans > 1 sequence), and the row set
+    is exactly ds2's stream."""
+    import __spark_entry__ as em
+
+    qs = em.queries()
+    rows = sorted(
+        qs["dp3_epoch_packing"](spark, sf_oracle).collect(),
+        key=lambda r: r.pos,
+    )
+    ds2 = {(r.doc, r.epoch, r.pos) for r in qs["ds2_epoch_order"](spark, sf_oracle).collect()}
+    assert {(r.doc, r.epoch, r.pos) for r in rows} == ds2
+
+    off = 0
+    for r in rows:
+        assert r.start_off == off, (r.pos, r.start_off, off)
+        assert r.first_seq == r.start_off // 2048
+        assert r.last_seq == (r.start_off + r.n_tokens - 1) // 2048
+        assert r.n_seqs == r.last_seq - r.first_seq + 1
+        off += r.n_tokens
+    total = off
+    n_seqs = (total + 2047) // 2048
+    assert n_seqs > 1, "tape spans one sequence — non-final check vacuous"
+    # non-final fullness follows from contiguity; assert the boundary
+    # bookkeeping agrees with it at the tape ends
+    assert rows[-1].last_seq == n_seqs - 1
