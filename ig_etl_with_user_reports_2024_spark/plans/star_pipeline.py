@@ -567,7 +567,21 @@ def sp5_joint_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge-hinted pointer-doubling CC + one doc-grain equi-join.
     Oracle nests dd11's registered SQL verbatim + the shared
     _KM_SCORED_SQL cell chain (rn <= 2, dc3's banding) + the
-    dd10-pattern recursive closure over the union edge set."""
+    dd10-pattern recursive closure over the union edge set.
+
+    ID-SPACE ASSUMPTION (ADVICE r10 #2): the joint graph mixes edge
+    endpoints from two tables — dd11's lexical edges carry doc_ids,
+    the semantic τ-pair edges carry embeddings.vec_ids — and both the
+    Spark CC (seeded with the documents node set) and the oracle's
+    jreach MIN-label treat them as ONE id space. That is correct
+    because this data model defines ``embeddings.vec_id ==
+    documents.doc_id`` (TESTDATA.md; test-asserted in
+    tests/test_sampling.py::test_sp5_vec_id_is_doc_id). If embeddings
+    ever moved to a distinct id space, sem_edges would need a
+    vec_id→doc_id mapping join ON BOTH ENGINES before the union —
+    otherwise the engines silently diverge (oracle MIN would range
+    over foreign vec_ids; the Spark CC would see edges to nodes
+    outside its node set)."""
     from ..operators.graph import connected_components
 
     docs = load_table(spark, sf_dir, "documents")
@@ -4380,7 +4394,12 @@ def _bind_dc4_oracle() -> None:
 def _bind_sp5_oracle() -> None:
     """sp5 nests dd11's registered SQL (the lexical star edges) + the
     shared _KM_SCORED_SQL cell chain at rn <= 2 (dc3's 2-probe pair
-    semantics) + the dd10-pattern recursive closure over the union."""
+    semantics) + the dd10-pattern recursive closure over the union.
+
+    NOTE: jreach's MIN-label ranges over ALL reachable endpoints,
+    including the semantic edges' vec_ids, while the Spark CC labels
+    carry doc ids — equivalent ONLY because vec_id == doc_id in this
+    data model (sp5 docstring "ID-SPACE ASSUMPTION"; test-asserted)."""
     QUERIES["sp5_joint_cluster_split"].oracle = f"""
     WITH RECURSIVE kl AS ({QUERIES["dd11_staged_keep_list"].oracle}),
     {_KM_SCORED_SQL},

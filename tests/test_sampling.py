@@ -531,6 +531,22 @@ def test_sp5_joint_split_colocates_both_modalities(spark, sf_oracle):
     assert n_single > 0
 
 
+def test_sp5_vec_id_is_doc_id(spark, sf_oracle):
+    """sp5's ID-SPACE ASSUMPTION (ADVICE r10 #2), pinned: the joint
+    graph unions dd11's doc_id edges with the semantic edges' vec_ids,
+    and both engines label clusters over the merged set as ONE id
+    space. That is sound only while ``embeddings.vec_id`` IS a
+    ``documents.doc_id``. If this assertion ever fails (embeddings
+    moved to their own id space), sp5 needs a vec_id→doc_id mapping
+    join on BOTH engines before the edge union — see the sp5
+    docstring."""
+    from ig_etl_with_user_reports_2024_spark.sources.readers import load_table
+
+    docs = {r.doc_id for r in load_table(spark, sf_oracle, "documents").select("doc_id").collect()}
+    vecs = {r.vec_id for r in load_table(spark, sf_oracle, "embeddings").select("vec_id").collect()}
+    assert vecs <= docs, "embeddings.vec_id left the documents.doc_id space"
+
+
 def test_dp3_epoch_packing_invariants(spark, sf_oracle):
     """dp3's tape contract: offsets are contiguous in pos order (each
     appearance starts where the previous ended — one continuous token
