@@ -20,6 +20,21 @@ pipeline applies):
     4. txt8 keep = false     -> 'drop_quality'      (filter verdict)
     5. otherwise             -> 'keep'
 
+The split in step 1 is CLUSTER-grain since r11 (VERDICT r10 #1): it
+hashes dd11's dup-cluster id — already inside this composition — so a
+near-dup cluster is held out or trained WHOLE (sp4's guarantee,
+applied to the corpus the pipeline actually releases; dc4 measured
+the doc-hash split leaking 6/11/86 exact prefix-twins tri-scale vs 0
+under the cluster split). The dc2 sweep in step 2 runs against the
+SAME split, so 'drop_contaminated' is reduced to the borderline
+residue — train/hold_out pairs dc2's recall-first (8,4) bands catch
+but dd11's verified (16,4)+τ merge does not (7→1 / 12→1 docs at
+sf0.001/0.01, pinned in tests/test_manifest.py). Singleton docs keep
+sp1's bit-exact assignment (same salt, cluster_id == doc_id).
+cp1/cp2/cp4 nest cm1's oracle, so the whole release family moves in
+lockstep; cp3/cm2 are split-free (admission against stores) and are
+unaffected.
+
 Scale note (shared intermediates, since r7): the composition derives
 ONE digest-tagged table and ONE canon-doc shingle explode
 (pin_bounded here; a checkpointed table at 100 TB) and threads them
@@ -57,22 +72,33 @@ from .registry import QUERIES, query
 # import order in __spark_entry__ guarantees they exist (this module is
 # imported last). Nesting a `WITH RECURSIVE` body (dd11) inside a CTE
 # is valid DuckDB.
+# The hold_out split is CLUSTER-grain since r11 (VERDICT r10 #1): base
+# hashes dd11's cluster_id, not the doc_id, so a near-dup cluster can
+# never straddle the train/hold_out boundary (sp4's guarantee, applied
+# to the corpus the pipeline actually releases). The dc2 subtree sweeps
+# against the SAME split (sql_fuzzy_decontaminate's injectable sp rel —
+# sweeping doc-split contamination while holding out whole clusters
+# would flag pairs the split already co-locates), so what remains of
+# 'drop_contaminated' is exactly the borderline residue: pairs dc2's
+# recall-first (8,4) bands see but dd11's verified (16,4)+τ merge does
+# not (measured 7→1 / 12→1 at sf0.001/0.01, pinned in test_manifest).
 _CM1_SQL = f"""
     WITH dd10 AS ({{dd10}}),
     t8 AS ({{txt8}}),
-    dc2x AS ({{dc2}}),
     base AS (
-        SELECT doc_id, {sql_hash_split('doc_id')} AS split FROM documents
-    )
+        SELECT doc_id, cluster_id, kept,
+               {sql_hash_split('cluster_id')} AS split
+        FROM dd10
+    ),
+    dc2x AS ({{dc2}})
     SELECT b.doc_id, b.split,
            CASE WHEN b.split <> 'train' THEN 'hold_out'
                 WHEN c.doc_id IS NOT NULL THEN 'drop_contaminated'
-                WHEN NOT d.kept THEN 'drop_duplicate'
+                WHEN NOT b.kept THEN 'drop_duplicate'
                 WHEN NOT COALESCE(t.keep, false) THEN 'drop_quality'
                 ELSE 'keep' END AS action,
-           d.cluster_id, t.quality_score
+           b.cluster_id, t.quality_score
     FROM base b
-    JOIN dd10 d ON b.doc_id = d.doc_id
     LEFT JOIN t8 t ON b.doc_id = t.doc_id
     LEFT JOIN dc2x c ON b.doc_id = c.doc_id
 """
@@ -83,7 +109,9 @@ _CM1_SQL = f"""
     _CM1_SQL.format(
         dd10=QUERIES["dd11_staged_keep_list"].oracle,
         txt8=QUERIES["txt8_filter_verdict"].oracle,
-        dc2=QUERIES["dc2_fuzzy_decontaminate"].oracle,
+        dc2=star_sampling.sql_fuzzy_decontaminate(
+            "SELECT doc_id AS doc, split FROM base"
+        ),
     ),
     # composes dd11, whose connected-components run per-round
     # collect/localCheckpoint at CONSTRUCTION time — the bench clock
@@ -93,11 +121,16 @@ _CM1_SQL = f"""
 def cm1_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One row per document: (doc_id, split, action, cluster_id,
     quality_score) under the hold_out > contaminated > duplicate >
-    quality > keep cascade documented in the module docstring. Composes
+    quality > keep cascade documented in the module docstring — with
+    the hold_out split hashed over dd11's CLUSTER id since r11 and the
+    dc2 sweep running against that same split (module docstring;
+    VERDICT r10 #1). Composes
     the same dd11/txt8/dc2 plan builders the registered queries run
     (dd11/dc2 via their parameterized forms so the digest + shingle
     intermediates are derived once — module docstring scale note; the
-    oracle still nests the registered oracle SQL verbatim) — the
+    oracle nests dd11's and txt8's registered SQL verbatim, and dc2's
+    via the SAME sql_fuzzy_decontaminate builder that defines dc2's
+    registered oracle, instantiated at the cluster split) — the
     driver's verdict on cm1 is therefore a verdict on the COMPOSITION
     of three families it also checks individually. Since r6 the dedup input is dd11's
     STAGED keep-list (digest-dedup first, then banded LSH candidates +
@@ -116,7 +149,6 @@ def cm1_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import dedup as dd
 
     docs = load_table(spark, sf_dir, "documents")
-    base = hash_split(docs.select("doc_id"), key="doc_id")
     # SHARED intermediates (VERDICT r6 "Next round" #3): ONE digest
     # pass and ONE shingle explode feed both the dd11 and dc2
     # subtrees. The shingle/signature work runs over digest-DISTINCT
@@ -139,6 +171,11 @@ def cm1_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = star_pipeline.staged_keep_list_plan(
         spark, docs, tagged=tagged, sh_canon=sh_canon, sig_canon=sig16
     ).select("doc_id", "cluster_id", "kept")
+    # CLUSTER-grain split (r11, VERDICT r10 #1): hash dd11's cluster_id
+    # so near-dup members never straddle train/hold_out (sp4's
+    # guarantee on the corpus the pipeline releases). Pinned because it
+    # fans out to the final manifest join AND dc2's split side.
+    base = dd.pin_bounded(hash_split(d, key="cluster_id"))
     # tagged carries canon_id directly (r8 skew-safe digest stage), so
     # the band re-key is ONE canon-grain join — salted, because a
     # mega-cluster's docs all meet the same canon_id's bands.
@@ -153,7 +190,14 @@ def cm1_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "keep", "quality_score"
     )
     c = (
-        star_sampling.fuzzy_decontaminate_plan(spark, docs, bands=bands_all)
+        star_sampling.fuzzy_decontaminate_plan(
+            spark,
+            docs,
+            bands=bands_all,
+            # the sweep runs against the SAME cluster-grain split the
+            # manifest curates on (sql_fuzzy_decontaminate twin)
+            split=base.select(F.col("doc_id").alias("doc"), "split"),
+        )
         .select("doc_id")
         .withColumn("_contaminated", F.lit(True))
     )
@@ -161,7 +205,8 @@ def cm1_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # nothing) — a LEFT join + null-as-not-keep keeps the per-document
     # contract: such docs get 'drop_quality' with a null quality_score,
     # never a missing manifest row. dd11 covers every document by
-    # construction (documents LEFT JOIN reach), so its join stays inner.
+    # construction (documents LEFT JOIN reach), so base — the split
+    # over its keep-list — already has one row per doc.
     action = (
         F.when(F.col("split") != "train", "hold_out")
         .when(F.col("_contaminated").isNotNull(), "drop_contaminated")
@@ -170,8 +215,7 @@ def cm1_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("keep")
     )
     return (
-        base.join(d, "doc_id")
-        .join(t, "doc_id", "left")
+        base.join(t, "doc_id", "left")
         .join(c, "doc_id", "left")
         .select(
             "doc_id",

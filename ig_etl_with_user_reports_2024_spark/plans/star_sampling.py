@@ -306,14 +306,22 @@ def mm4_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_chunk_plan(decoded, chunk_seconds=5, hop_seconds=4)
 
 
-@query(
-    "dc2_fuzzy_decontaminate",
-    f"""
-    WITH {{bands}},
-    sp AS (
-        SELECT doc_id AS doc, {sql_hash_split('doc_id')} AS split
-        FROM documents
-    ),
+def sql_fuzzy_decontaminate(split_rel: str) -> str:
+    """dc2's decontamination SQL with the (doc, split) relation
+    injectable — ONE builder for the registered dc2 oracle below
+    (sp1's doc-hash split) and cm1's cluster-split subtree
+    (star_manifest), mirroring :func:`fuzzy_decontaminate_plan`'s
+    ``split`` parameter so the Spark plan and its SQL twin move
+    together (a split re-key must not need two sites).
+
+    Bands stay (8,4) EXPLICITLY, not via the builder default (review
+    finding): dc2's recall-first r=2 banding is a deliberate choice —
+    a future default change must not silently move this entry (its
+    plan and oracle would move in LOCKSTEP, so no gate would fire
+    while the borderline capture the dc2 docstring promises is lost)."""
+    return f"""
+    WITH {sql_portable_minhash_bands("documents", "doc_id", "text", 8, 4)},
+    sp AS ({split_rel}),
     tagged AS (
         SELECT b.doc, b.band, b.bucket, sp.split
         FROM bands b JOIN sp ON b.doc = sp.doc
@@ -325,13 +333,14 @@ def mm4_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN tagged e ON t.band = e.band AND t.bucket = e.bucket
     WHERE t.split = 'train' AND e.split <> 'train'
     GROUP BY t.doc
-    """.format(
-        # (8,4) EXPLICITLY, not via the builder default (review finding):
-        # dc2's recall-first r=2 banding is a deliberate choice — a
-        # future default change must not silently move this entry (its
-        # plan and oracle would move in LOCKSTEP, so no gate would fire
-        # while the borderline capture the docstring promises is lost).
-        bands=sql_portable_minhash_bands("documents", "doc_id", "text", 8, 4)
+    """
+
+
+@query(
+    "dc2_fuzzy_decontaminate",
+    sql_fuzzy_decontaminate(
+        f"SELECT doc_id AS doc, {sql_hash_split('doc_id')} AS split"
+        " FROM documents"
     ),
 )
 def dc2_fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -360,7 +369,10 @@ def dc2_fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def fuzzy_decontaminate_plan(
-    spark: SparkSession, docs: DataFrame, bands: DataFrame | None = None
+    spark: SparkSession,
+    docs: DataFrame,
+    bands: DataFrame | None = None,
+    split: DataFrame | None = None,
 ) -> DataFrame:
     """dc2's plan over an arbitrary documents DataFrame. ``bands`` —
     a (doc, band, bucket) table semantically equal to
@@ -370,7 +382,14 @@ def fuzzy_decontaminate_plan(
     dd11 subtree; standalone dc2 builds its own. NOTE the explicit
     (8, 4): dc2's recall-first banding is deliberate, and since r10
     the band builders DEFAULT to the tuned (16, 4) — an injected
-    default-banded table would silently mismatch this plan's oracle."""
+    default-banded table would silently mismatch this plan's oracle.
+
+    ``split`` — a (doc, split) table — is injectable since r11 so the
+    decontamination sweep runs against the SAME split its caller
+    curates on: cm1 passes its cluster-grain split (VERDICT r10 #1 —
+    sweeping doc-split contamination while holding out whole clusters
+    would flag pairs the split already co-locates); standalone dc2
+    keeps sp1's doc-hash split (its registered oracle is unchanged)."""
     from ..operators.dedup import pin_bounded, portable_minhash_bands
 
     if bands is None:
@@ -378,9 +397,10 @@ def fuzzy_decontaminate_plan(
         bands = portable_minhash_bands(
             docs, "doc_id", "text", num_hashes=8, bands=4
         )
-    split = hash_split(docs.select("doc_id"), key="doc_id").select(
-        F.col("doc_id").alias("doc"), "split"
-    )
+    if split is None:
+        split = hash_split(docs.select("doc_id"), key="doc_id").select(
+            F.col("doc_id").alias("doc"), "split"
+        )
     # both sides of the candidate self-join read the same (doc, band,
     # bucket, split) table; pinning it makes the 8-md5-per-shingle
     # signature stage compute ONCE, not once per join branch (the 100 TB

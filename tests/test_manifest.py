@@ -47,6 +47,51 @@ def test_manifest_covers_every_document(spark, tiny_sf):
     assert "drop_duplicate" in actions or actions <= {"hold_out", "drop_contaminated"}
 
 
+def test_cm1_cluster_split_collapses_contamination(spark, sf_oracle):
+    """The r11 split re-key, measured (VERDICT r10 #1, dc4 convention —
+    before/after in one pin): under the old DOC-hash split, dc2's sweep
+    flags 12 contaminated train docs at sf0.01; under cm1's CLUSTER
+    split the manifest's drop_contaminated collapses to 1 — the
+    borderline residue dc2's recall-first (8,4) bands see but dd11's
+    verified (16,4)+τ merge does not. Also pins the structural
+    guarantees: (a) every dd11 cluster is single-split in cm1 (members
+    can't straddle train/hold_out), and (b) each residual contaminated
+    doc's dc2 eval-match really is OUTSIDE its own dup cluster (it is
+    borderline similarity, not a missed duplicate)."""
+    from ig_etl_with_user_reports_2024_spark.plans import star_sampling
+    from ig_etl_with_user_reports_2024_spark.sources.readers import load_table
+
+    cm1 = entry_mod.queries()["cm1_corpus_manifest"](spark, sf_oracle).collect()
+    # (before) standalone dc2 = the doc-hash-split sweep; its output IS
+    # the old cm1's drop_contaminated set (train docs with a collision)
+    docs = load_table(spark, sf_oracle, "documents")
+    before = star_sampling.fuzzy_decontaminate_plan(spark, docs).collect()
+    assert len(before) == 12, "doc-split contamination moved at sf0.01"
+    contaminated = [r for r in cm1 if r.action == "drop_contaminated"]
+    assert len(contaminated) == 1, "cluster-split residue moved at sf0.01"
+
+    # (a) no dd11 cluster straddles the split
+    by_cluster: dict = {}
+    for r in cm1:
+        by_cluster.setdefault(r.cluster_id, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_cluster.values())
+
+    # (b) the residue is borderline, not a missed dup: its eval match
+    # sits in a DIFFERENT dd11 cluster
+    cluster_of = {r.doc_id: r.cluster_id for r in cm1}
+    split_of = {r.doc_id: r.split for r in cm1}
+    residue = star_sampling.fuzzy_decontaminate_plan(
+        spark,
+        docs,
+        split=spark.createDataFrame(
+            [(d, s) for d, s in split_of.items()], "doc bigint, split string"
+        ),
+    ).collect()
+    assert {r.doc_id for r in residue} == {r.doc_id for r in contaminated}
+    for r in residue:
+        assert cluster_of[r.doc_id] != cluster_of[r.first_eval_match]
+
+
 def test_rekeyed_canon_bands_equal_direct_bands(spark, sf_oracle):
     """cm1's shared-intermediates claim (r7): deriving dc2's band table
     by re-keying the canon docs' bands through the digest map is an
