@@ -184,6 +184,211 @@ def rolling_hash_fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataF
     return df.select(F.col(id_col).alias("doc"), h.alias("rolling_fingerprint"))
 
 
+def linear_quality_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int = 256,
+    weight_span: int = 1000,
+    salt: str = "qc1",
+) -> DataFrame:
+    """MODEL-BASED quality scoring: the inference pass of a
+    fastText-style linear classifier over hashed bag-of-words features
+    (Joulin 2016; the DCLM / FineWeb-Edu curation stage — a trained
+    quality model scores every document and the pipeline keeps the
+    positive margin). The model here is the ENGINE-PORTABLE stand-in
+    for trained parameters (the km1 seeding precedent): feature index =
+    salted-md5(token) % n_buckets (the hashing trick — the parameter
+    vector is a fixed n_buckets-long table), weight[b] = salted-md5(b)
+    folded to an integer in [-weight_span, +weight_span]. Score =
+    SUM(weight[bucket(token)]) over tokens WITH multiplicity (bag of
+    words); keep = margin >= 0 (zero bias). All-BIGINT → bit-exact on
+    any engine, accumulation-order-free.
+
+    Plan shape: ONE token explode -> bucket+weight computed per row in
+    whole-stage codegen (two md5s per token, NOT inside a HOF lambda —
+    the r6 rule) -> one map-side-combined groupBy(doc). Linear in
+    corpus tokens, one shuffle carrying (doc, int) rows, never text.
+    With a REAL trained model the inline weight expression becomes a
+    broadcast join against the n_buckets-row parameter table — same
+    plan shape, one broadcast exchange more. Token-less documents
+    (empty/NULL text) have no row, like txt8's explode (callers
+    LEFT-join + coalesce). Returns (doc, n_tokens, margin, keep)."""
+    words = normalized_words(F.col(text_col))
+    toks = df.select(F.col(id_col).alias("doc"), F.explode(words).alias("w"))
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt + ":"), F.col("w"))), 1, 6
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % n_buckets
+    )
+    weight = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit(salt + "w:"), bucket.cast("string"))
+                ),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % (2 * weight_span + 1)
+        - weight_span
+    )
+    return (
+        toks.select("doc", weight.alias("wt"))
+        .groupBy("doc")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum("wt").cast("bigint").alias("margin"),
+        )
+        .select(
+            "doc",
+            "n_tokens",
+            "margin",
+            (F.col("margin") >= 0).alias("keep"),
+        )
+    )
+
+
+def sql_linear_quality_score(
+    rel: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 256,
+    weight_span: int = 1000,
+    salt: str = "qc1",
+) -> str:
+    """DuckDB query text matching :func:`linear_quality_score` — ONE
+    builder for qc1's oracle and any cascade that composes the learned
+    keep signal, mirroring the sql_quality_score convention."""
+    from .dedup import sql_words
+
+    span = 2 * weight_span + 1
+    bucket = (
+        f"CAST('0x' || substring(md5('{salt}:' || w), 1, 6) AS BIGINT)"
+        f" % {n_buckets}"
+    )
+    weight = (
+        f"CAST('0x' || substring(md5('{salt}w:' || CAST({bucket} AS VARCHAR)"
+        f"), 1, 6) AS BIGINT) % {span} - {weight_span}"
+    )
+    return f"""
+    WITH toks AS (
+        SELECT {id_col} AS doc, unnest({sql_words(text_col)}) AS w
+        FROM {rel}
+    ),
+    scored AS (SELECT doc, {weight} AS wt FROM toks)
+    SELECT doc,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(wt) AS BIGINT) AS margin,
+           SUM(wt) >= 0 AS keep
+    FROM scored GROUP BY doc
+    """
+
+
+# PII scrub patterns (txt14). Email/phone are the reference's OWN
+# extraction patterns (analyze_insta_enhanced.py:1631 email; :1687-1693
+# the 5-pattern phone cascade, here unioned into one alternation with
+# the x-extension variant FIRST so leftmost-first matching prefers the
+# longer form); the handle pattern is the reference's mention regex
+# (:604-605, functions/text.MENTION_RE). Every construct used (\b, \d,
+# \s, classes, alternation) has identical leftmost-first semantics in
+# Java regex (Spark) and RE2 (DuckDB), which is what lets the scrub be
+# hash-checked end-to-end.
+PII_EMAIL_RE = r"\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Z|a-z]{2,}\b"
+PII_PHONE_RE = (
+    r"\(?\d{3}\)?[-.\s]?\d{3}[-.\s]?\d{4}\s*x\d{1,5}"
+    r"|\+?\d{1,4}[-.\s]?\(?\d{2,4}\)?[-.\s]?\d{3,4}[-.\s]?\d{4}"
+    r"|\+\d{10,15}"
+    r"|\(?\d{3}\)?[-.\s]?\d{3}[-.\s]?\d{4}"
+    r"|\d{3,}[-.\s]?\d{3,}[-.\s]?\d{4,}"
+)
+PII_HANDLE_RE = r"@[A-Za-z0-9._]+"
+
+
+def pii_scrub(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Corpus-wide PII REDACTION (txt14) — the release-pipeline stage
+    after extraction: every email, phone number, and @handle replaced
+    by a typed placeholder, with per-class redaction counts and the md5
+    of the scrubbed text (what a release actually ships; the md5 keeps
+    the full scrub hash-checkable without hauling text through the
+    compare). Classes scrub IN ORDER email -> phone -> handle, each
+    counted on the text the previous stage produced — emails must go
+    first or the handle pattern would re-match their '@domain' tails
+    (double counting), and the placeholders contain no digits or '@'
+    so later stages never re-match earlier redactions.
+
+    NULL text coalesces to '' (every doc gets a row — counts 0, md5 of
+    the empty string), matching the manifest family's every-doc
+    contract rather than txt8's no-row convention.
+
+    Plan shape: one projection, six codegen regex ops per row (three
+    counts + three replaces), no shuffle at all — the scrub output is
+    written alongside the scan at 100 TB. Returns (doc, n_emails,
+    n_phones, n_handles, scrubbed_md5)."""
+    t0 = F.coalesce(F.col(text_col), F.lit(""))
+    n_emails = F.size(F.regexp_extract_all(t0, F.lit(PII_EMAIL_RE), F.lit(0)))
+    t1 = F.regexp_replace(t0, PII_EMAIL_RE, "<EMAIL>")
+    n_phones = F.size(F.regexp_extract_all(t1, F.lit(PII_PHONE_RE), F.lit(0)))
+    t2 = F.regexp_replace(t1, PII_PHONE_RE, "<PHONE>")
+    n_handles = F.size(
+        F.regexp_extract_all(t2, F.lit(PII_HANDLE_RE), F.lit(0))
+    )
+    t3 = F.regexp_replace(t2, PII_HANDLE_RE, "<USER>")
+    return df.select(
+        F.col(id_col).alias("doc"),
+        n_emails.cast("bigint").alias("n_emails"),
+        n_phones.cast("bigint").alias("n_phones"),
+        n_handles.cast("bigint").alias("n_handles"),
+        F.md5(t3).alias("scrubbed_md5"),
+    )
+
+
+def sql_pii_scrub(
+    rel: str = "documents", id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    """DuckDB query text matching :func:`pii_scrub` — the same three
+    patterns, same email -> phone -> handle order, 'g' flag because
+    DuckDB's regexp_replace is first-match-only by default where
+    Spark's replaces all."""
+    return f"""
+    WITH s0 AS (
+        SELECT {id_col} AS doc, COALESCE({text_col}, '') AS t FROM {rel}
+    ),
+    s1 AS (
+        SELECT doc,
+               len(regexp_extract_all(t, '{PII_EMAIL_RE}')) AS n_emails,
+               regexp_replace(t, '{PII_EMAIL_RE}', '<EMAIL>', 'g') AS t
+        FROM s0
+    ),
+    s2 AS (
+        SELECT doc, n_emails,
+               len(regexp_extract_all(t, '{PII_PHONE_RE}')) AS n_phones,
+               regexp_replace(t, '{PII_PHONE_RE}', '<PHONE>', 'g') AS t
+        FROM s1
+    ),
+    s3 AS (
+        SELECT doc, n_emails, n_phones,
+               len(regexp_extract_all(t, '{PII_HANDLE_RE}')) AS n_handles,
+               regexp_replace(t, '{PII_HANDLE_RE}', '<USER>', 'g') AS t
+        FROM s2
+    )
+    SELECT doc,
+           CAST(n_emails AS BIGINT) AS n_emails,
+           CAST(n_phones AS BIGINT) AS n_phones,
+           CAST(n_handles AS BIGINT) AS n_handles,
+           md5(t) AS scrubbed_md5
+    FROM s3
+    """
+
+
 def _winnowing_base(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(doc, nw, ws): the normalized word list and its length — the
     shared root of the winnowing stages below."""

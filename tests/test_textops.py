@@ -509,3 +509,137 @@ def test_txt13_vocab_overlap_constructed_and_bounds(spark, sf_oracle):
         assert 0 < r.n_inter <= min(r.n_vocab_a, r.n_vocab_b)
         assert r.n_union == r.n_vocab_a + r.n_vocab_b - r.n_inter
         assert r.vocab_jaccard == r.n_inter / r.n_union
+
+
+def test_qc1_linear_scorer_contract_and_nonvacuity(spark, sf_oracle):
+    """qc1's contract: (1) margin really is the sum of the per-token
+    bucket weights (recomputed in Python over the same md5 arithmetic
+    for a handful of docs); (2) keep == (margin >= 0); (3) non-vacuity
+    vs the rule-based family (the mx3 precedent) — qc1's score ORDER
+    disagrees with txt2's quality_score on real doc pairs, and its
+    keep set differs from txt8's verdict in BOTH directions (a learned
+    scorer that reproduced the hand rules would be a vacuous
+    registration); (4) the parameter vector is genuinely bounded: at
+    most 256 distinct per-token weights in play."""
+    import hashlib
+
+    import __spark_entry__ as em
+
+    qs = em.queries()
+    qc1 = {r.doc: r for r in qs["qc1_model_quality_score"](spark, sf_oracle).collect()}
+    assert qc1, "empty qc1 output"
+
+    # (1)+(2) recompute a sample bit-exactly in Python
+    docs = spark.read.parquet(f"{sf_oracle}/documents.parquet").limit(20).collect()
+    checked = 0
+    weights_seen = set()
+    for d in docs:
+        words = [w for w in (d.text or "").lower().strip().split() if w]
+        if not words:
+            assert d.doc_id not in qc1  # token-less docs have no row
+            continue
+        margin = 0
+        for w in words:
+            b = int(hashlib.md5(f"qc1:{w}".encode()).hexdigest()[:6], 16) % 256
+            wt = int(hashlib.md5(f"qc1w:{b}".encode()).hexdigest()[:6], 16) % 2001 - 1000
+            margin += wt
+            weights_seen.add(wt)
+        row = qc1[d.doc_id]
+        assert (row.n_tokens, row.margin, row.keep) == (
+            len(words), margin, margin >= 0,
+        )
+        checked += 1
+    assert checked >= 10
+
+    # (4) bounded parameter table
+    assert len(weights_seen) <= 256
+
+    # (3) non-vacuity vs txt2 (order) and txt8 (keep set)
+    txt2 = {r.doc: r.quality_score for r in qs["txt2_quality_score"](spark, sf_oracle).collect()}
+    common = sorted(set(qc1) & set(txt2))
+    inversions = 0
+    for a, b in zip(common, common[1:]):
+        if (qc1[a].margin - qc1[b].margin) * (txt2[a] - txt2[b]) < 0:
+            inversions += 1
+    assert inversions >= 50, f"qc1 order shadows txt2 ({inversions} inversions)"
+    txt8 = {r.doc_id: r.keep for r in qs["txt8_filter_verdict"](spark, sf_oracle).collect()}
+    qc1_not_txt8 = sum(1 for d in qc1 if d in txt8 and qc1[d].keep and not txt8[d])
+    txt8_not_qc1 = sum(1 for d in qc1 if d in txt8 and not qc1[d].keep and txt8[d])
+    # measured 403 / 1 at sf0.01: txt8's rule verdict keeps few docs, so
+    # the txt8-keeps-but-qc1-drops side is structurally thin — require
+    # both directions non-empty, and the disagreement material overall
+    assert qc1_not_txt8 >= 1 and txt8_not_qc1 >= 1, (qc1_not_txt8, txt8_not_qc1)
+    assert qc1_not_txt8 + txt8_not_qc1 >= 50
+
+
+def test_txt14_pii_scrub_fixture_three_engines(spark):
+    """txt14's semantics on a constructed fixture with KNOWN PII
+    placements (VERDICT r10 #4 — the driver's sf0.01 corpus contains
+    zero PII, so its hash-green verdict only proves the no-op path;
+    this fixture is where the redaction itself is verified). Pins:
+    per-class counts per doc; the email-before-handle scrub order
+    (doc 40's '@b.co' domain tail must NOT count as a handle); the
+    NULL-text and no-PII paths; and THREE-engine agreement — Spark,
+    the DuckDB oracle over the same parquet, and a Python `re`
+    recompute of the scrubbed md5s (Java, RE2, and CPython regex all
+    leftmost-first on these patterns)."""
+    import hashlib
+    import re
+    import tempfile
+
+    import duckdb
+
+    from ig_etl_with_user_reports_2024_spark.operators.textops import (
+        PII_EMAIL_RE,
+        PII_HANDLE_RE,
+        PII_PHONE_RE,
+        pii_scrub,
+        sql_pii_scrub,
+    )
+
+    rows = [
+        (10, "write john.doe@example.com today"),
+        (20, "call +12345678901 now"),
+        (30, "ping @alice_b and @bob.c please"),
+        (40, "mail a@b.co or c@d.org call +12345678901 ping @eve"),
+        (50, None),
+        (60, "no pii here at all"),
+    ]
+    expected = {
+        10: (1, 0, 0),
+        20: (0, 1, 0),
+        30: (0, 0, 2),
+        40: (2, 1, 1),  # 1 handle, not 3: emails scrub before handles
+        50: (0, 0, 0),
+        60: (0, 0, 0),
+    }
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r.doc: r for r in pii_scrub(df, "doc_id", "text").collect()}
+    assert set(got) == set(expected)
+    for d, (e, p, h) in expected.items():
+        assert (got[d].n_emails, got[d].n_phones, got[d].n_handles) == (e, p, h), d
+
+    # python-re recompute of the scrubbed md5 (reference semantics)
+    for d, text in rows:
+        t = text or ""
+        t = re.sub(PII_EMAIL_RE, "<EMAIL>", t)
+        t = re.sub(PII_PHONE_RE, "<PHONE>", t)
+        t = re.sub(PII_HANDLE_RE, "<USER>", t)
+        assert got[d].scrubbed_md5 == hashlib.md5(t.encode()).hexdigest(), d
+    assert got[60].scrubbed_md5 == hashlib.md5(b"no pii here at all").hexdigest()
+
+    # DuckDB twin over the same parquet
+    with tempfile.TemporaryDirectory() as tmp:
+        df.write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{tmp}/documents.parquet/*.parquet')"
+        )
+        duck = {
+            r[0]: r
+            for r in con.execute(sql_pii_scrub("documents")).fetchall()
+        }
+    for d in expected:
+        g = got[d]
+        assert duck[d] == (d, g.n_emails, g.n_phones, g.n_handles, g.scrubbed_md5), d
