@@ -58,84 +58,78 @@ from ig_etl_with_user_reports_2024_spark.plans import star_manifest  # noqa: F40
 # specific hashes, rf-floored) are likewise outside the hash-checkable
 # cohorts (the VERDICT r9 debt arithmetic counts 22 r6-era, not 25).
 #
-# Round-10 window: (0) the 10 new/changed entries — sp4 (NEW:
-# leakage-proof cluster-aware split, hash over dd11's cluster id),
-# dc4 (NEW: the split-leakage eval — dc1's contamination count under
-# sp1's doc split vs sp4's cluster split, one composed integer row),
-# sp5 (NEW: the JOINT-modality split — one CC over dd11's lexical
-# star edges ∪ the 2-probe semantic τ-pair edges, so paraphrase
-# pairs co-locate too), ds2 (NEW: the epoch-interleaved multi-epoch
-# training order — mx2's budgets composed with a per-epoch-seeded
-# ds1 shuffle), dp3 (NEW: ds2's stream chopped into L=2048 training
-# sequences — the packed multi-epoch dataset), dc3
-# (plan+oracle: moved to the 2-probe cell assignment, capture
-# 0.28 → 0.70+), rf13 (oracle: floor raised 0.2 → 0.5 on the 2-probe
-# pair set), km1 (oracle: rebuilt from the shared _KM_SCORED_SQL
-# fragment — semantics identical, but the rule counts construction
-# changes), dd13 (oracle: nests km1's rebuilt text), mx3 (oracle:
-# sql_temperature_mix's order_expr path now COALESCEs NULL to
-# Long.MAX exactly like the Spark side — ADVICE r9); then (a)
-# oldest-driver-verdict-first: ALL 22 remaining r6-era hash-checkable
-# verdicts (VERDICT r9 "Next round" #4 — j2/j4/f8 the r9 overflow,
-# then j5/so1/f6/x3/c9/mj1-mj3/dd2/dd6/a15/a16/txt5-txt7/txt9/sq2/
-# ann3/ann5), followed by the 18 oldest r7-era in catalog order.
-# 10 + 22 + 18 = 50 exactly; after this round no hash-checkable
-# query's verdict predates r7 (c10/c13/st10 are the r7 overflow).
+# Round-11 window: (0) the 7 new/changed entries — qc1 (NEW:
+# model-based quality scoring, a fastText-style linear classifier
+# inference pass with md5-derived portable weights — VERDICT r10 #3),
+# txt14 (NEW: corpus-wide PII scrub — email/phone/handle redaction
+# counts + scrubbed-text md5, the reference's own X1 patterns —
+# VERDICT r10 #4), cm1 (plan+oracle: the hold_out split re-keyed onto
+# dd11's CLUSTER id and the dc2 subtree swept against that same split
+# — VERDICT r10 #1; drop_contaminated collapses 12 → 1 at sf0.01),
+# cp1/cp2/cp4 (oracle: they nest cm1's rebuilt text — the release
+# family moves in lockstep), dc2 (oracle: rebuilt from the shared
+# sql_fuzzy_decontaminate builder — semantics identical, construction
+# changed, the km1-r10 rule); then (a) oldest-driver-verdict-first:
+# ALL 27 remaining r7-era hash-checkable verdicts (VERDICT r10 "Next
+# round" #2 — st10/c13/c10 lead as the r10 overflow), followed by the
+# 16 oldest r8-era in catalog order. 7 + 27 + 16 = 50 exactly; after
+# this round no hash-checkable verdict predates r8 — the r7 rotation
+# debt drains to zero one round ahead of the r10 schedule.
 _DRIVER_PRIORITY = [
-    # (0) new/changed oracle or plan in round 10 — first driver contact
-    "sp4_cluster_split",
-    "dc4_split_leakage_eval",
-    "sp5_joint_cluster_split",
-    "ds2_epoch_order",
-    "dp3_epoch_packing",
-    "dc3_semantic_decontaminate",
-    "rf13_crosssplit_capture_floor",
-    "km1_kmeans_assign",
-    "dd13_semantic_keep_list",
-    "mx3_surprisal_weighted_mixture",
-    # (a) oldest driver verdict first: the 22 remaining r6-era
+    # (0) new/changed oracle or plan in round 11 — first driver contact
+    "qc1_model_quality_score",
+    "txt14_pii_scrub",
+    "cm1_corpus_manifest",
+    "dc2_fuzzy_decontaminate",
+    "cp1_curated_corpus",
+    "cp2_corpus_datacard",
+    "cp4_datacard_diff",
+    # (a) oldest driver verdict first: ALL 27 remaining r7-era
     # entries, catalog order within the cohort
-    "f8_stoplist_tokens",
-    "j2_first_match_theta_join",
-    "j4_a10_keyword_scores",
-    "j5_page_merge_dedup",
-    "so1_first_occurrence_dedup",
-    "f6_null_guard_filter",
-    "x3_substring_membership",
-    "c9_f9_niche_distribution",
-    "mj1_shipping_priority",
-    "mj2_region_volume",
-    "mj3_large_order_customers",
-    "dd2_ngram_jaccard_pairs",
-    "dd6_dup_clusters",
-    "txt5_rolling_fingerprint",
-    "ann3_ivf_topk",
-    "a15_length_percentiles",
-    "txt6_vocab_top50",
-    "sq2_product_quantize",
-    "txt7_repetition_stats",
-    "txt9_bigram_surprisal",
-    "a16_length_histogram",
-    "ann5_ivfpq_topk",
-    # (a cont.) the 18 oldest r7-era verdicts, catalog order
-    "zo1_zorder_stats",
-    "zo2_pruning_effectiveness",
-    "aj1_asof_click_purchase",
-    "rj1_views_before_purchase",
-    "fn1_user_funnel",
-    "fn2_conversion_window_funnel",
-    "mm4_audio_chunks",
-    "k2_latest6_pivot",
-    "k3_top10_tokens",
-    "k4_c5_modal_hour",
-    "k6_priority_cascade",
-    "x1_regex_extract",
-    "x2_x4_string_ops",
-    "x5_date_parts",
-    "x6_c14_age_buckets",
-    "x7_bankers_rounding",
-    "x8_struct_to_json",
-    "st5_stateful_sessions",
+    "st10_streaming_upsert",
+    "c13_sponsor_detector",
+    "c10_personality_insights",
+    "rf1_lsh_topk_recall",
+    "rf10_ivfpq_recall",
+    "rf3_minhash_recall",
+    "rf4_simhash_recall",
+    "rf6_pq_distortion",
+    "rf7_approx_distinct_accuracy",
+    "a123_er_formulas",
+    "a6_viral_count",
+    "a8_distinct_diversity",
+    "a9_platform_stats",
+    "a12_split_half_trend",
+    "a13_class_means_pivot",
+    "a14_c6_fake_score",
+    "c2_type_tier",
+    "c3_pricing_dim",
+    "c8_account_type",
+    "k1_top6_er",
+    "f2_recent_window",
+    "txt1_lang_id",
+    "txt3_token_counts",
+    "txt4_content_fingerprint",
+    "mm1_binary_metadata",
+    "dd5_embedding_neardup",
+    "sq3_matryoshka_truncate",
+    # (a cont.) the 16 oldest r8-era verdicts, catalog order
+    "cdc1_merge_upsert",
+    "cdc2_scd2_intervals",
+    "dq1_column_profile",
+    "dq2_schema_drift",
+    "ad1_rolling_zscore",
+    "mm3_frame_select",
+    "dc1_decontaminate",
+    "k7_top5_preview",
+    "st11_rocksdb_dedup",
+    "rf2_ivf_topk_recall",
+    "rf5_sketch_accuracy",
+    "rf9_kmeans_lloyd_floor",
+    "rf12_multiprobe_cell_recall",
+    "rf11_semdedup_cell_recall",
+    "dd1_exact_dedup",
+    "dd8_dedup_keep_list",
 ]
 
 

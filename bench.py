@@ -143,6 +143,11 @@ HEADLINE = [
     "sp4_cluster_split",
     "ds2_epoch_order",
     "dp3_epoch_packing",
+    # r11 additions. The r10-comparable subset is everything above
+    # this comment. qc1 is one token explode + groupBy; txt14 is a
+    # pure per-row regex projection — both single-pass corpus lines.
+    "qc1_model_quality_score",
+    "txt14_pii_scrub",
 ]
 
 
