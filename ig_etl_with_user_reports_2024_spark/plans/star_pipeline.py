@@ -2059,6 +2059,78 @@ def txt8_filter_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     return filter_verdict_plan(load_table(spark, sf_dir, "documents"))
 
 
+@query(
+    "qc2_quality_signal_ab",
+    None,  # placeholder — rebound just below (nests txt8's and qc1's
+    # registered oracles, both defined above in this module)
+)
+def qc2_quality_signal_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rule-vs-model quality A/B — the dd16/ii6 convention applied
+    to the curation swap VERDICT r10 #3 motivates: before a pipeline
+    replaces txt8's hand rules with qc1's learned scorer, it reads ONE
+    row of integers saying how the two verdicts actually differ on the
+    corpus. Joins the two per-doc keep signals on their (identical)
+    tokenized-doc domain and counts the 2×2 agreement table:
+    n_both_keep / n_both_drop / n_rule_only_keep (txt8 keeps, qc1
+    drops) / n_model_only_keep (qc1 keeps, txt8 drops) + n_docs. The
+    off-diagonal cells are the docs whose fate the swap changes —
+    measured 1 / 403 at sf0.01 (the rule verdict is the stricter
+    filter on this corpus; the model disagrees almost entirely by
+    keeping more). All-BIGINT one-row output, hash-exact.
+
+    Scale shape: both inputs are single-pass doc-grain verdicts (their
+    plans are priced on their own bench lines); the join is a
+    doc_id-grain equi-join of two unique-keyed sides and the rollup is
+    one 1-row aggregate — at 100 TB both verdicts are checkpointed
+    columns of the same curation table and this is a metadata pass.
+    NOT a bench line (cp4 precedent: it re-runs txt8's and qc1's
+    chains, each already priced)."""
+    t8 = QUERIES["txt8_filter_verdict"].fn(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("rule_keep")
+    )
+    m = QUERIES["qc1_model_quality_score"].fn(spark, sf_dir).select(
+        F.col("doc").alias("doc_id"), F.col("keep").alias("model_keep")
+    )
+    both = t8.join(m, "doc_id")
+    return both.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(
+            (F.col("rule_keep") & F.col("model_keep")).cast("bigint")
+        ).alias("n_both_keep"),
+        F.sum(
+            (~F.col("rule_keep") & ~F.col("model_keep")).cast("bigint")
+        ).alias("n_both_drop"),
+        F.sum(
+            (F.col("rule_keep") & ~F.col("model_keep")).cast("bigint")
+        ).alias("n_rule_only_keep"),
+        F.sum(
+            (~F.col("rule_keep") & F.col("model_keep")).cast("bigint")
+        ).alias("n_model_only_keep"),
+    )
+
+
+def _bind_qc2_oracle() -> None:
+    """qc2 nests txt8's and qc1's registered oracles verbatim — the
+    driver's verdict covers both inputs plus the 2×2 rollup."""
+    QUERIES["qc2_quality_signal_ab"].oracle = f"""
+    WITH t8 AS ({QUERIES["txt8_filter_verdict"].oracle}),
+    m AS ({QUERIES["qc1_model_quality_score"].oracle})
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN t8.keep AND m.keep THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_both_keep,
+           CAST(SUM(CASE WHEN NOT t8.keep AND NOT m.keep THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_both_drop,
+           CAST(SUM(CASE WHEN t8.keep AND NOT m.keep THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_rule_only_keep,
+           CAST(SUM(CASE WHEN NOT t8.keep AND m.keep THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_model_only_keep
+    FROM t8 JOIN m ON t8.doc_id = m.doc
+    """
+
+
+_bind_qc2_oracle()
+
+
 def filter_verdict_plan(docs: DataFrame) -> DataFrame:
     """txt8's verdict over a caller-supplied documents relation — the
     verdict is purely doc-local (no corpus-level statistic anywhere in

@@ -16,13 +16,14 @@ def test_priority_names_all_registered():
 
 def test_stale_and_changed_queries_land_in_driver_window():
     # Round-11 rotation under the STANDING RULE (VERDICT r6 "Next
-    # round" #1, stated in __spark_entry__): new/changed first (7 —
-    # qc1/txt14 NEW + cm1's cluster-split re-key + the cp1/cp2/cp4
+    # round" #1, stated in __spark_entry__): new/changed first (8 —
+    # qc1/txt14/qc2 NEW + cm1's cluster-split re-key + the cp1/cp2/cp4
     # lockstep recompositions + dc2's builder-rebuilt oracle), then
     # all remaining slots oldest-driver-verdict first: ALL 27
     # remaining r7-era hash-checkable verdicts (VERDICT r10 #2) + the
-    # 16 oldest r8-era. 7 + 27 + 16 = 50; after r11 no hash-checkable
-    # verdict predates r8.
+    # 15 oldest r8-era (dd8 = the one-slot boundary overflow).
+    # 8 + 27 + 15 = 50; after r11 no hash-checkable verdict predates
+    # r8.
     # Overflow = r9/r10-green entries and the youngest r8 verdicts —
     # asserted OUT so the window isn't silently wasted.
     first50 = list(entry.queries())[:50]
@@ -51,8 +52,9 @@ def test_stale_and_changed_queries_land_in_driver_window():
         "km1_kmeans_assign",
         "dd13_semantic_keep_list",
         "mx3_surprisal_weighted_mixture",
-        # r8-green, younger than the 16 the window takes (catalog
-        # order within the cohort decides the cut)
+        # r8-green past the cut (catalog order within the cohort
+        # decides it; dd8 is the one-slot boundary overflow)
+        "dd8_dedup_keep_list",
         "dd12_repeated_span_trim",
         "ann1_cosine_topk",
         "txt2_quality_score",
