@@ -68,14 +68,16 @@ from ig_etl_with_user_reports_2024_spark.plans import star_manifest  # noqa: F40
 # — VERDICT r10 #1; drop_contaminated collapses 12 → 1 at sf0.01),
 # qc2 (NEW: the rule-vs-model quality A/B — txt8's and qc1's keep
 # verdicts joined into one 2x2 integer row, the dd16/ii6 convention),
+# cp5 (NEW: the scrubbed release store — cm1's keep set joined with
+# txt14's redaction pass, the text artifact a release ships),
 # cp1/cp2/cp4 (oracle: they nest cm1's rebuilt text — the release
 # family moves in lockstep), dc2 (oracle: rebuilt from the shared
 # sql_fuzzy_decontaminate builder — semantics identical, construction
 # changed, the km1-r10 rule); then (a) oldest-driver-verdict-first:
 # ALL 27 remaining r7-era hash-checkable verdicts (VERDICT r10 "Next
 # round" #2 — st10/c13/c10 lead as the r10 overflow), followed by the
-# 15 oldest r8-era in catalog order (dd8 is the one-slot boundary
-# overflow). 8 + 27 + 15 = 50 exactly; after this round no
+# 14 oldest r8-era in catalog order (dd1/dd8 are the boundary
+# overflow). 9 + 27 + 14 = 50 exactly; after this round no
 # hash-checkable verdict predates r8 — the r7 rotation debt drains to
 # zero one round ahead of the r10 schedule.
 _DRIVER_PRIORITY = [
@@ -83,6 +85,7 @@ _DRIVER_PRIORITY = [
     "qc1_model_quality_score",
     "txt14_pii_scrub",
     "qc2_quality_signal_ab",
+    "cp5_scrubbed_release",
     "cm1_corpus_manifest",
     "dc2_fuzzy_decontaminate",
     "cp1_curated_corpus",
@@ -117,7 +120,7 @@ _DRIVER_PRIORITY = [
     "mm1_binary_metadata",
     "dd5_embedding_neardup",
     "sq3_matryoshka_truncate",
-    # (a cont.) the 15 oldest r8-era verdicts, catalog order
+    # (a cont.) the 14 oldest r8-era verdicts, catalog order
     "cdc1_merge_upsert",
     "cdc2_scd2_intervals",
     "dq1_column_profile",
@@ -132,7 +135,6 @@ _DRIVER_PRIORITY = [
     "rf9_kmeans_lloyd_floor",
     "rf12_multiprobe_cell_recall",
     "rf11_semdedup_cell_recall",
-    "dd1_exact_dedup",
 ]
 
 

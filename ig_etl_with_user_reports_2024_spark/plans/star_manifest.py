@@ -781,3 +781,67 @@ def cp4_datacard_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("d.d_seq_slots"), z).alias("seq_slots_added"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# CP5 — the SCRUBBED RELEASE STORE: the text artifact a release
+# actually ships, after curation AND redaction.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cp5_scrubbed_release",
+    f"""
+    WITH cm AS ({QUERIES["cm1_corpus_manifest"].oracle}),
+    sc AS ({QUERIES["txt14_pii_scrub"].oracle})
+    SELECT cm.doc_id,
+           sc.n_emails, sc.n_phones, sc.n_handles,
+           CAST(sc.n_emails + sc.n_phones + sc.n_handles AS BIGINT)
+               AS n_redactions,
+           sc.scrubbed_md5
+    FROM cm JOIN sc ON cm.doc_id = sc.doc
+    WHERE cm.action = 'keep'
+    """,
+    eager=True,  # composes cm1 (CC collects at construction)
+)
+def cp5_scrubbed_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scrub stage IN the release chain (VERDICT r10 #4's second
+    half: "a real release pipeline also *redacts* corpus-wide"): one
+    row per RELEASED document — cm1's keep set joined with txt14's
+    redaction pass — carrying the per-class redaction counts, their
+    total, and the md5 of the scrubbed text the release actually
+    ships. cp1 lays the corpus out (positions/shards/offsets); cp5 is
+    the text store those offsets point into, post-redaction. Composes
+    the two registered entries verbatim on both engines, so the
+    driver's verdict covers curation -> scrub as one chain.
+
+    Scale shape: txt14 is a zero-shuffle projection and cm1's keep set
+    is the checkpointed manifest at 100 TB — the join is one
+    doc_id-grain equi-join of unique-keyed sides; nothing here adds a
+    shuffle class beyond cm1's own. NOT a bench line (cp4 precedent:
+    re-runs cm1's chain, already priced; txt14 priced on its own
+    line). The synthetic corpus carries no PII (txt14's disclosed
+    vacuity), so at gate scale every n_redactions is 0 and the md5s
+    equal the originals' — the fixture in tests/test_textops.py is
+    where redaction semantics are pinned; THIS entry's verdict is
+    about the composition (keep-set restriction + per-doc join
+    carrying the scrub columns)."""
+    keep = (
+        QUERIES["cm1_corpus_manifest"]
+        .fn(spark, sf_dir)
+        .filter(F.col("action") == "keep")
+        .select("doc_id")
+    )
+    scrub = QUERIES["txt14_pii_scrub"].fn(spark, sf_dir)
+    return keep.join(
+        scrub.withColumnRenamed("doc", "doc_id"), "doc_id"
+    ).select(
+        "doc_id",
+        "n_emails",
+        "n_phones",
+        "n_handles",
+        (F.col("n_emails") + F.col("n_phones") + F.col("n_handles"))
+        .cast("bigint")
+        .alias("n_redactions"),
+        "scrubbed_md5",
+    )
