@@ -179,3 +179,26 @@ def test_cm2_covers_exactly_the_arriving_slice(spark, sf_oracle):
                 for other in dg
                 if other != r.doc_id
             ), f"doc {r.doc_id} drop_exact without a preceding twin"
+
+
+def test_cp5_is_exactly_the_scrubbed_keep_set(spark, sf_oracle):
+    """cp5's composition contract: its doc_ids are EXACTLY cm1's keep
+    set; its scrub columns are row-for-row txt14's; n_redactions is
+    the per-class sum (all zero on the PII-free synthetic corpus —
+    txt14's disclosed vacuity; redaction semantics live in the txt14
+    fixture test)."""
+    qs = entry_mod.queries()
+    cp5 = {r.doc_id: r for r in qs["cp5_scrubbed_release"](spark, sf_oracle).collect()}
+    keeps = {
+        r.doc_id
+        for r in qs["cm1_corpus_manifest"](spark, sf_oracle).collect()
+        if r.action == "keep"
+    }
+    assert set(cp5) == keeps and keeps
+    scrub = {r.doc: r for r in qs["txt14_pii_scrub"](spark, sf_oracle).collect()}
+    for d, r in cp5.items():
+        s = scrub[d]
+        assert (r.n_emails, r.n_phones, r.n_handles, r.scrubbed_md5) == (
+            s.n_emails, s.n_phones, s.n_handles, s.scrubbed_md5,
+        )
+        assert r.n_redactions == r.n_emails + r.n_phones + r.n_handles

@@ -643,3 +643,27 @@ def test_txt14_pii_scrub_fixture_three_engines(spark):
     for d in expected:
         g = got[d]
         assert duck[d] == (d, g.n_emails, g.n_phones, g.n_handles, g.scrubbed_md5), d
+
+
+def test_qc2_cells_match_component_recompute(spark, sf_oracle):
+    """qc2's 2×2 cells must equal a direct recompute from its two
+    component entries' outputs (same session, same data), the cells
+    must partition n_docs, and both off-diagonals must be non-empty
+    (the A/B is measuring a real disagreement, not a tautology)."""
+    import __spark_entry__ as em
+
+    qs = em.queries()
+    [row] = qs["qc2_quality_signal_ab"](spark, sf_oracle).collect()
+    t8 = {r.doc_id: r.keep for r in qs["txt8_filter_verdict"](spark, sf_oracle).collect()}
+    m = {r.doc: r.keep for r in qs["qc1_model_quality_score"](spark, sf_oracle).collect()}
+    assert set(t8) == set(m)
+    cells = {
+        "n_both_keep": sum(1 for d in t8 if t8[d] and m[d]),
+        "n_both_drop": sum(1 for d in t8 if not t8[d] and not m[d]),
+        "n_rule_only_keep": sum(1 for d in t8 if t8[d] and not m[d]),
+        "n_model_only_keep": sum(1 for d in t8 if not t8[d] and m[d]),
+    }
+    for k, v in cells.items():
+        assert getattr(row, k) == v, k
+    assert row.n_docs == len(t8) == sum(cells.values())
+    assert cells["n_rule_only_keep"] >= 1 and cells["n_model_only_keep"] >= 1
