@@ -28,8 +28,13 @@ the doc-hash split leaking 6/11/86 exact prefix-twins tri-scale vs 0
 under the cluster split). The dc2 sweep in step 2 runs against the
 SAME split, so 'drop_contaminated' is reduced to the borderline
 residue — train/hold_out pairs dc2's recall-first (8,4) bands catch
-but dd11's verified (16,4)+τ merge does not (7→1 / 12→1 docs at
-sf0.001/0.01, pinned in tests/test_manifest.py). Singleton docs keep
+but dd11's verified (16,4)+τ merge does not (7→1 / 12→1 / 226→141
+docs at sf0.001/0.01/0.1, pinned at sf0.01 in tests/test_manifest.py;
+the sf0.1 residue is large because that corpus is dense in borderline
+pairs — dd16 measured verify_precision 0.31 there, i.e. most (8,4)
+band collisions are below dd11's merge threshold, exactly the
+similarity band a recall-first decontamination sweep exists to
+drop). Singleton docs keep
 sp1's bit-exact assignment (same salt, cluster_id == doc_id).
 cp1/cp2/cp4 nest cm1's oracle, so the whole release family moves in
 lockstep; cp3/cm2 are split-free (admission against stores) and are
@@ -81,7 +86,7 @@ from .registry import QUERIES, query
 # would flag pairs the split already co-locates), so what remains of
 # 'drop_contaminated' is exactly the borderline residue: pairs dc2's
 # recall-first (8,4) bands see but dd11's verified (16,4)+τ merge does
-# not (measured 7→1 / 12→1 at sf0.001/0.01, pinned in test_manifest).
+# not (7→1 / 12→1 / 226→141 tri-scale, pinned in test_manifest).
 _CM1_SQL = f"""
     WITH dd10 AS ({{dd10}}),
     t8 AS ({{txt8}}),
