@@ -55,6 +55,8 @@ SHOWCASE = [
     ("sp4_cluster_split", "cluster-aware split → dd11's window-free staged keep-list + ONE doc-grain equi-join + pure split projection (r10)"),
     ("ds2_epoch_order", "multi-epoch order → fractional-epoch reservoir per (source, prefix) buckets, bounded epoch explode, per-(epoch, prefix) position windows + broadcast metadata offsets (r10)"),
     ("sp5_joint_cluster_split", "joint-modality split → dd11 star edges ∪ 2-probe τ-pair edges through ONE pointer-doubling CC + split projection (r10)"),
+    ("qc1_model_quality_score", "linear-classifier inference → token explode, two codegen md5s per row (no HOF lambda), ONE map-side-combined exchange carrying (doc, int) (r11)"),
+    ("txt14_pii_scrub", "PII redaction → ONE codegen Project (3 counts + 3 replaces per row), ZERO exchanges (r11)"),
 ]
 
 
