@@ -850,3 +850,70 @@ def cp5_scrubbed_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_redactions"),
         "scrubbed_md5",
     )
+
+
+# ---------------------------------------------------------------------------
+# CP6 — per-shard RELEASE INTEGRITY: the checksum table a consumer
+# verifies a shipped shard against.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cp6_shard_integrity",
+    f"""
+    WITH cp AS ({QUERIES["cp1_curated_corpus"].oracle}),
+    sc AS ({QUERIES["txt14_pii_scrub"].oracle})
+    SELECT cp.shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(cp.n_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(sc.n_emails + sc.n_phones + sc.n_handles) AS BIGINT)
+               AS n_redactions,
+           CAST(SUM(CAST('0x' || substring(sc.scrubbed_md5, 1, 12)
+               AS BIGINT)) AS BIGINT) AS shard_checksum
+    FROM cp JOIN sc ON cp.doc = sc.doc
+    GROUP BY cp.shard
+    """,
+    eager=True,  # composes cp1 (cm1's CC collects at construction)
+)
+def cp6_shard_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard RELEASE INTEGRITY (HANDOFF r12 idea, built same
+    round): one row per cp1 training shard with what a consumer needs
+    to verify the shard it downloaded — doc count, token count, total
+    redactions, and an order-INSENSITIVE content checksum
+    (BIGINT sum of each member's scrubbed-text md5 48-bit prefix:
+    commutative, so any partitioning/replication order of the shard's
+    files verifies to the same value; 2^48 × shard_size=1000 stays
+    ~2^58, far under BIGINT overflow — ANSI mode would throw, not
+    wrap, if that sizing were ever violated). The scrub columns come
+    from txt14 so the checksum covers the text the release SHIPS
+    (post-redaction), not the raw crawl.
+
+    Oracle nests cp1's and txt14's registered SQL verbatim — the
+    driver's verdict covers curation → mixture → shuffle → packing →
+    scrub → per-shard rollup as one chain. Scale shape: cp1's rows are
+    admitted-doc-grain metadata; the join to txt14 is a unique-keyed
+    doc-grain equi-join and the rollup is one map-side-combined
+    groupBy(shard) with |shards| output rows. NOT a bench line (cp4
+    precedent: re-runs cp1's chain, already priced; txt14 priced on
+    its own line)."""
+    cp = (
+        QUERIES["cp1_curated_corpus"]
+        .fn(spark, sf_dir)
+        .select("doc", "shard", "n_tokens")
+    )
+    sc = QUERIES["txt14_pii_scrub"].fn(spark, sf_dir)
+    chk = F.conv(F.substring("scrubbed_md5", 1, 12), 16, 10).cast("bigint")
+    return (
+        cp.join(sc, "doc")
+        .groupBy("shard")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.sum(
+                F.col("n_emails") + F.col("n_phones") + F.col("n_handles")
+            )
+            .cast("bigint")
+            .alias("n_redactions"),
+            F.sum(chk).cast("bigint").alias("shard_checksum"),
+        )
+    )

@@ -202,3 +202,60 @@ def test_cp5_is_exactly_the_scrubbed_keep_set(spark, sf_oracle):
             s.n_emails, s.n_phones, s.n_handles, s.scrubbed_md5,
         )
         assert r.n_redactions == r.n_emails + r.n_phones + r.n_handles
+
+
+def test_cp6_checksum_is_order_insensitive_and_multi_shard(spark):
+    """cp6's rollup at its REAL grain (the gate corpus packs into a
+    single shard, so the registered verdict exercises one group): a
+    constructed 2500-doc layout spans 3 shards; per-shard checksums
+    match a Python recompute of the md5-prefix sum; and the checksum
+    is ORDER-INSENSITIVE — recomputing over a shuffled/repartitioned
+    copy of the same shard membership gives identical values (the
+    property that lets a consumer verify a shard's files in any
+    order)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from ig_etl_with_user_reports_2024_spark.operators.textops import pii_scrub
+
+    rows = [(i, 1000 + i % 7, f"doc number {i} text with mail u{i}@ex.org")
+            for i in range(2500)]
+    docs = spark.createDataFrame(rows, "doc bigint, n_tokens bigint, text string")
+    scrub = pii_scrub(docs.withColumnRenamed("doc", "doc_id"), "doc_id", "text")
+    layout = docs.select("doc", (F.col("doc") / 1000).cast("bigint").alias("shard"), "n_tokens")
+    chk = F.conv(F.substring("scrubbed_md5", 1, 12), 16, 10).cast("bigint")
+    out = {
+        r.shard: r
+        for r in layout.join(scrub, "doc")
+        .groupBy("shard")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.sum(chk).cast("bigint").alias("shard_checksum"),
+        )
+        .collect()
+    }
+    assert set(out) == {0, 1, 2}
+    assert [out[s].n_docs for s in (0, 1, 2)] == [1000, 1000, 500]
+
+    # python recompute, iterating in a DIFFERENT (reversed) order
+    import re as _re
+    expect = {0: 0, 1: 0, 2: 0}
+    for i, _, text in reversed(rows):
+        t = text.replace(f"u{i}@ex.org", "<EMAIL>")
+        md5 = hashlib.md5(t.encode()).hexdigest()
+        expect[i // 1000] += int(md5[:12], 16)
+    for s in (0, 1, 2):
+        assert out[s].shard_checksum == expect[s], s
+
+    # order-insensitivity on the Spark side too: shuffled input, same sums
+    out2 = {
+        r.shard: r.shard_checksum
+        for r in layout.repartition(17, "n_tokens")
+        .join(scrub, "doc")
+        .groupBy("shard")
+        .agg(F.sum(chk).cast("bigint").alias("shard_checksum"))
+        .collect()
+    }
+    assert out2 == {s: out[s].shard_checksum for s in out}
