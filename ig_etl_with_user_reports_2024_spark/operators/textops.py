@@ -191,6 +191,7 @@ def linear_quality_score(
     n_buckets: int = 256,
     weight_span: int = 1000,
     salt: str = "qc1",
+    weights: DataFrame | None = None,
 ) -> DataFrame:
     """MODEL-BASED quality scoring: the inference pass of a
     fastText-style linear classifier over hashed bag-of-words features
@@ -211,9 +212,15 @@ def linear_quality_score(
     corpus tokens, one shuffle carrying (doc, int) rows, never text.
     With a REAL trained model the inline weight expression becomes a
     broadcast join against the n_buckets-row parameter table — same
-    plan shape, one broadcast exchange more. Token-less documents
-    (empty/NULL text) have no row, like txt8's explode (callers
-    LEFT-join + coalesce). Returns (doc, n_tokens, margin, keep)."""
+    plan shape, one broadcast exchange more: pass ``weights``, a
+    (bucket, wt) DataFrame with one row per feature index, and the
+    scorer broadcast-joins it instead of deriving weights inline
+    (:func:`md5_weight_table` builds the table that reproduces the
+    default inline scores bit-exactly — equality and the
+    BroadcastHashJoin plan shape are test-pinned). Token-less
+    documents (empty/NULL text) have no row, like txt8's explode
+    (callers LEFT-join + coalesce). Returns (doc, n_tokens, margin,
+    keep)."""
     words = normalized_words(F.col(text_col))
     toks = df.select(F.col(id_col).alias("doc"), F.explode(words).alias("w"))
     bucket = (
@@ -226,24 +233,31 @@ def linear_quality_score(
         ).cast("bigint")
         % n_buckets
     )
-    weight = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(F.lit(salt + "w:"), bucket.cast("string"))
+    if weights is not None:
+        scored = (
+            toks.select("doc", bucket.alias("bucket"))
+            .join(F.broadcast(weights), "bucket")
+            .select("doc", F.col("wt"))
+        )
+    else:
+        weight = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(F.lit(salt + "w:"), bucket.cast("string"))
+                    ),
+                    1,
+                    6,
                 ),
-                1,
-                6,
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        % (2 * weight_span + 1)
-        - weight_span
-    )
+                16,
+                10,
+            ).cast("bigint")
+            % (2 * weight_span + 1)
+            - weight_span
+        )
+        scored = toks.select("doc", weight.alias("wt"))
     return (
-        toks.select("doc", weight.alias("wt"))
-        .groupBy("doc")
+        scored.groupBy("doc")
         .agg(
             F.count("*").cast("bigint").alias("n_tokens"),
             F.sum("wt").cast("bigint").alias("margin"),
@@ -254,6 +268,33 @@ def linear_quality_score(
             "margin",
             (F.col("margin") >= 0).alias("keep"),
         )
+    )
+
+
+def md5_weight_table(
+    spark: SparkSession,
+    n_buckets: int = 256,
+    weight_span: int = 1000,
+    salt: str = "qc1",
+) -> DataFrame:
+    """The n_buckets-row parameter table whose broadcast join
+    reproduces :func:`linear_quality_score`'s inline md5 weights
+    bit-exactly — the shape a TRAINED model loads (swap this builder
+    for `spark.read.parquet(model_path)` and nothing else changes)."""
+    b = F.col("id").cast("bigint")
+    wt = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt + "w:"), b.cast("string"))), 1, 6
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % (2 * weight_span + 1)
+        - weight_span
+    )
+    return spark.range(n_buckets).select(
+        b.alias("bucket"), wt.alias("wt")
     )
 
 

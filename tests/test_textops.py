@@ -667,3 +667,28 @@ def test_qc2_cells_match_component_recompute(spark, sf_oracle):
         assert getattr(row, k) == v, k
     assert row.n_docs == len(t8) == sum(cells.values())
     assert cells["n_rule_only_keep"] >= 1 and cells["n_model_only_keep"] >= 1
+
+
+def test_qc1_broadcast_weight_table_matches_inline(spark, sf_oracle):
+    """qc1's 100-TB shape, proven not just claimed: scoring with the
+    materialized 256-row parameter table (md5_weight_table — what a
+    TRAINED model would load) broadcast-joined on the feature index
+    reproduces the inline-expression scores bit-exactly, and the plan
+    really broadcasts (BroadcastHashJoin over the weight dim, no
+    shuffle of the token side on the join key)."""
+    from ig_etl_with_user_reports_2024_spark.operators.textops import (
+        linear_quality_score,
+        md5_weight_table,
+    )
+
+    docs = spark.read.parquet(f"{sf_oracle}/documents.parquet")
+    inline = {
+        tuple(r)
+        for r in linear_quality_score(docs, "doc_id", "text").collect()
+    }
+    dim = md5_weight_table(spark)
+    assert dim.count() == 256
+    joined_df = linear_quality_score(docs, "doc_id", "text", weights=dim)
+    plan = joined_df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert {tuple(r) for r in joined_df.collect()} == inline
