@@ -71,15 +71,17 @@ from ig_etl_with_user_reports_2024_spark.plans import star_manifest  # noqa: F40
 # cp5 (NEW: the scrubbed release store — cm1's keep set joined with
 # txt14's redaction pass, the text artifact a release ships), cp6
 # (NEW: per-shard release integrity — order-insensitive md5-prefix-sum
-# checksums over cp1's layout ⋈ txt14's scrubbed text),
+# checksums over cp1's layout ⋈ txt14's scrubbed text), ds3 (NEW:
+# quality-curriculum training order — ds1's shuffle stratified into
+# qc1 margin tiers via the composite-bucket two-level decomposition),
 # cp1/cp2/cp4 (oracle: they nest cm1's rebuilt text — the release
 # family moves in lockstep), dc2 (oracle: rebuilt from the shared
 # sql_fuzzy_decontaminate builder — semantics identical, construction
 # changed, the km1-r10 rule); then (a) oldest-driver-verdict-first:
 # ALL 27 remaining r7-era hash-checkable verdicts (VERDICT r10 "Next
 # round" #2 — st10/c13/c10 lead as the r10 overflow), followed by the
-# 13 oldest r8-era in catalog order (rf11/dd1/dd8 are the boundary
-# overflow). 10 + 27 + 13 = 50 exactly; after this round no
+# 12 oldest r8-era in catalog order (rf12/rf11/dd1/dd8 are the
+# boundary overflow). 11 + 27 + 12 = 50 exactly; after this round no
 # hash-checkable verdict predates r8 — the r7 rotation debt drains to
 # zero one round ahead of the r10 schedule.
 _DRIVER_PRIORITY = [
@@ -89,6 +91,7 @@ _DRIVER_PRIORITY = [
     "qc2_quality_signal_ab",
     "cp5_scrubbed_release",
     "cp6_shard_integrity",
+    "ds3_quality_curriculum",
     "cm1_corpus_manifest",
     "dc2_fuzzy_decontaminate",
     "cp1_curated_corpus",
@@ -123,7 +126,7 @@ _DRIVER_PRIORITY = [
     "mm1_binary_metadata",
     "dd5_embedding_neardup",
     "sq3_matryoshka_truncate",
-    # (a cont.) the 13 oldest r8-era verdicts, catalog order
+    # (a cont.) the 12 oldest r8-era verdicts, catalog order
     "cdc1_merge_upsert",
     "cdc2_scd2_intervals",
     "dq1_column_profile",
@@ -136,7 +139,6 @@ _DRIVER_PRIORITY = [
     "rf2_ivf_topk_recall",
     "rf5_sketch_accuracy",
     "rf9_kmeans_lloyd_floor",
-    "rf12_multiprobe_cell_recall",
 ]
 
 

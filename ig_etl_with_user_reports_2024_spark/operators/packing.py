@@ -95,6 +95,56 @@ def shuffle_positions(
     )
 
 
+def tiered_shuffle_positions(
+    df: DataFrame,
+    id_col: str = "doc",
+    tier_col: str = "tier",
+    seed: int = 42,
+    shard_size: int = 1000,
+    prefix_chars: int = 3,
+) -> DataFrame:
+    """:func:`shuffle_positions` with a CURRICULUM: dense global
+    positions ordered by (tier ASC, salted-md5(id), id) — every tier-0
+    doc trains before any tier-1 doc, and WITHIN a tier the order is
+    exactly the seeded shuffle (same hash, so the within-tier relative
+    order equals shuffle_positions' — test-pinned by ds3). The naive
+    expression is one global ``row_number() over (order by tier,
+    hash)``; here the bucket key is COMPOSITE — (tier, hash prefix) —
+    whose lexicographic order extends the full sort order, so the
+    per-bucket windows stay ~n/16^prefix_chars rows regardless of how
+    skewed the tier sizes are (a tier is split across all 16^p hash
+    buckets; only the metadata-sized offset table grows by the tier
+    factor: n_tiers × 16^prefix_chars rows, still broadcast-tiny for
+    the handful of tiers a curriculum uses)."""
+    if not 1 <= int(prefix_chars) <= 5:
+        raise ValueError(f"prefix_chars must be in [1, 5], got {prefix_chars}")
+    ids = F.col(id_col)
+    tier = F.col(tier_col).cast("long")
+    h = F.md5(F.concat_ws("|", F.lit(str(int(seed))), ids.cast("string")))
+    hashed = df.select(
+        ids.alias("_id"), tier.alias("_t"), h.alias("_h")
+    ).withColumn("_hb", F.substring("_h", 1, int(prefix_chars)))
+    w_in = Window.partitionBy("_t", "_hb").orderBy("_h", "_id")
+    numbered = hashed.withColumn("_rn", F.row_number().over(w_in).cast("long"))
+    counts = hashed.groupBy("_t", "_hb").agg(F.count("*").alias("_bn"))
+    w_b = Window.orderBy("_t", "_hb").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "_t", "_hb", F.coalesce(F.sum("_bn").over(w_b), F.lit(0)).alias("_boff")
+    )
+    pos = F.col("_boff") + F.col("_rn") - 1
+    return (
+        numbered.join(F.broadcast(offsets), ["_t", "_hb"])
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_t").alias(tier_col),
+            pos.alias("pos"),
+            F.expr(f"(_boff + _rn - 1) div {int(shard_size)}").alias("shard"),
+        )
+    )
+
+
 def pack_offsets(
     df: DataFrame,
     id_col: str = "doc",

@@ -3032,6 +3032,74 @@ def ds1_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ds3's quality tiers: FIXED integer thresholds on qc1's margin per
+# token (the txt8 threshold rule — chosen to straddle the corpus
+# distribution so every tier is occupied at every sf: 136/124/128/112,
+# 124/130/121/125, 1341/1326/1281/1052 docs at sf0.001/0.01/0.1).
+# All-BIGINT cross-multiplication, no division.
+_DS3_TIER_SQL = """CASE WHEN margin >= 220 * n_tokens THEN 0
+                WHEN margin >= 165 * n_tokens THEN 1
+                WHEN margin >= 110 * n_tokens THEN 2
+                ELSE 3 END"""
+
+
+@query(
+    "ds3_quality_curriculum",
+    f"""
+    WITH m AS ({{qc1}}),
+    t AS (
+        SELECT doc,
+               CAST({_DS3_TIER_SQL} AS BIGINT) AS tier
+        FROM m
+    )
+    SELECT doc, tier,
+           CAST(ROW_NUMBER() OVER (
+               ORDER BY tier, md5('42|' || CAST(doc AS VARCHAR)), doc
+           ) - 1 AS BIGINT) AS pos,
+           CAST((ROW_NUMBER() OVER (
+               ORDER BY tier, md5('42|' || CAST(doc AS VARCHAR)), doc
+           ) - 1) // 1000 AS BIGINT) AS shard
+    FROM t
+    """.format(qc1=QUERIES["qc1_model_quality_score"].oracle),
+)
+def ds3_quality_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALITY-CURRICULUM training order (curriculum learning, Bengio
+    2009; quality-ascending/descending schedules are standard
+    data-ordering ablations): ds1's reproducible shuffle, stratified
+    into quality TIERS from qc1's learned margin — every tier-0
+    (highest margin-per-token) doc trains before any tier-1 doc, and
+    WITHIN a tier the order is exactly ds1's seed-42 shuffle, so the
+    curriculum is a block permutation of the baseline order
+    (test-pinned: within-tier relative order equals ds1's; global
+    order provably differs). Tiers are fixed integer thresholds on
+    margin-per-token (220/165/110 — the txt8 straddle rule, ~25% per
+    tier at every sf), all-BIGINT cross-multiplications. Orders qc1's
+    domain (tokenized docs — token-less docs contribute no training
+    tokens and have no order row, txt8's convention).
+
+    Scale shape: the oracle is ONE global row_number over (tier,
+    hash); the Spark plan is operators/packing.tiered_shuffle_positions
+    — the two-level decomposition with a COMPOSITE (tier, hash-prefix)
+    bucket key, so per-bucket windows stay ~n/4096 rows no matter how
+    skewed the tier sizes are and the broadcast offset table grows
+    only by the tier factor (4 × 4096 rows). No data-sized
+    SinglePartition exchange (plan-asserted in tests/test_packing.py).
+    NOT a bench line this round (registered after the r11 quiet
+    recording froze; qc1 and ds1 price the two component passes —
+    r12 may promote it)."""
+    m = QUERIES["qc1_model_quality_score"].fn(spark, sf_dir)
+    tier = (
+        F.when(F.col("margin") >= 220 * F.col("n_tokens"), 0)
+        .when(F.col("margin") >= 165 * F.col("n_tokens"), 1)
+        .when(F.col("margin") >= 110 * F.col("n_tokens"), 2)
+        .otherwise(3)
+    ).cast("bigint")
+    t = m.select("doc", tier.alias("tier"))
+    return pk.tiered_shuffle_positions(
+        t, id_col="doc", tier_col="tier", seed=42, shard_size=1000
+    )
+
+
 @query(
     "mx1_temperature_mix",
     sql_temperature_mix("documents"),

@@ -16,13 +16,13 @@ def test_priority_names_all_registered():
 
 def test_stale_and_changed_queries_land_in_driver_window():
     # Round-11 rotation under the STANDING RULE (VERDICT r6 "Next
-    # round" #1, stated in __spark_entry__): new/changed first (10 —
-    # qc1/txt14/qc2/cp5/cp6 NEW + cm1's cluster-split re-key + the
-    # cp1/cp2/cp4 lockstep recompositions + dc2's builder-rebuilt
+    # round" #1, stated in __spark_entry__): new/changed first (11 —
+    # qc1/txt14/qc2/cp5/cp6/ds3 NEW + cm1's cluster-split re-key +
+    # the cp1/cp2/cp4 lockstep recompositions + dc2's builder-rebuilt
     # oracle), then all remaining slots oldest-verdict first: ALL 27
     # remaining r7-era hash-checkable verdicts (VERDICT r10 #2) + the
-    # 13 oldest r8-era (rf11/dd1/dd8 = the boundary overflow).
-    # 10 + 27 + 13 = 50; after r11 no hash-checkable verdict predates
+    # 12 oldest r8-era (rf12/rf11/dd1/dd8 = the boundary overflow).
+    # 11 + 27 + 12 = 50; after r11 no hash-checkable verdict predates
     # r8.
     # Overflow = r9/r10-green entries and the youngest r8 verdicts —
     # asserted OUT so the window isn't silently wasted.
@@ -53,7 +53,8 @@ def test_stale_and_changed_queries_land_in_driver_window():
         "dd13_semantic_keep_list",
         "mx3_surprisal_weighted_mixture",
         # r8-green past the cut (catalog order within the cohort
-        # decides it; rf11/dd1/dd8 are the boundary overflow)
+        # decides it; rf12/rf11/dd1/dd8 are the boundary overflow)
+        "rf12_multiprobe_cell_recall",
         "rf11_semdedup_cell_recall",
         "dd1_exact_dedup",
         "dd8_dedup_keep_list",

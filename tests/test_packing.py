@@ -235,3 +235,46 @@ def test_shuffle_positions_plan_tracks_prefix_chars(spark):
         shuffle_positions(df, "doc", prefix_chars=0)
     with pytest.raises(ValueError, match="prefix_chars"):
         shuffle_positions(df, "doc", prefix_chars=6)
+
+
+def test_tiered_shuffle_positions_reference_and_plan(spark):
+    """tiered_shuffle_positions == the global row_number over
+    (tier, md5, id), verified against a Python-sorted reference; the
+    composite (tier, hash-prefix) bucketing must leave NO data-sized
+    SinglePartition exchange (the per-bucket windows hash-partition on
+    (_t, _hb) even when one tier holds most rows) and the offset table
+    joins back broadcast."""
+    import hashlib
+
+    from ig_etl_with_user_reports_2024_spark.operators.packing import (
+        tiered_shuffle_positions,
+    )
+
+    # deliberately skewed tiers: 80% of docs in tier 0
+    df = spark.range(1, 500).select(
+        F.col("id").alias("doc"),
+        F.when(F.col("id") % 5 < 4, 0).otherwise(F.col("id") % 5).alias("tier"),
+    )
+    got = {
+        r.doc: (r.tier, r.pos, r.shard)
+        for r in tiered_shuffle_positions(df, "doc", "tier", seed=42, shard_size=100).collect()
+    }
+    expect_order = sorted(
+        range(1, 500),
+        key=lambda i: (
+            0 if i % 5 < 4 else i % 5,
+            hashlib.md5(f"42|{i}".encode()).hexdigest(),
+            i,
+        ),
+    )
+    for pos, doc in enumerate(expect_order):
+        t = 0 if doc % 5 < 4 else doc % 5
+        assert got[doc] == (t, pos, pos // 100), (doc, got[doc], pos)
+
+    big = spark.range(1, 10_000).select(
+        F.col("id").alias("doc"), (F.col("id") % 3).alias("tier")
+    )
+    plan = tiered_shuffle_positions(big, "doc", "tier")._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange SinglePartition") <= 1, plan
+    assert "Exchange hashpartitioning(_t" in plan, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan

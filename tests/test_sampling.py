@@ -577,3 +577,50 @@ def test_dp3_epoch_packing_invariants(spark, sf_oracle):
     # non-final fullness follows from contiguity; assert the boundary
     # bookkeeping agrees with it at the tape ends
     assert rows[-1].last_seq == n_seqs - 1
+
+
+def test_ds3_curriculum_is_tiered_block_permutation_of_ds1(spark, sf_oracle):
+    """ds3's contract: (1) positions are a dense permutation of qc1's
+    domain; (2) tiers occupy CONTIGUOUS position blocks in tier order
+    (the curriculum property); (3) within a tier the relative order
+    equals ds1's seed-42 shuffle (same hash — the curriculum is a
+    block permutation of the baseline, not a new order); (4)
+    non-vacuity: the global order differs from ds1's, and all four
+    tiers are occupied (the fixed 220/165/110 thresholds straddle the
+    corpus — the txt8 rule)."""
+    import __spark_entry__ as em
+
+    qs = em.queries()
+    ds3 = {r.doc: r for r in qs["ds3_quality_curriculum"](spark, sf_oracle).collect()}
+    ds1 = {r.doc: r.pos for r in qs["ds1_corpus_shuffle"](spark, sf_oracle).collect()}
+
+    # (1) dense permutation over qc1's domain
+    qc1_docs = {r.doc for r in qs["qc1_model_quality_score"](spark, sf_oracle).collect()}
+    assert set(ds3) == qc1_docs
+    assert sorted(r.pos for r in ds3.values()) == list(range(len(ds3)))
+
+    # (2) contiguous tier blocks in tier order
+    by_tier: dict = {}
+    for r in ds3.values():
+        by_tier.setdefault(r.tier, []).append(r.pos)
+    assert set(by_tier) == {0, 1, 2, 3}  # (4) all tiers occupied
+    hi = -1
+    for t in sorted(by_tier):
+        ps = sorted(by_tier[t])
+        assert ps[0] == hi + 1 and ps[-1] - ps[0] == len(ps) - 1, t
+        hi = ps[-1]
+
+    # (3) within-tier relative order == ds1's
+    for t, _ in by_tier.items():
+        members = [d for d, r in ds3.items() if r.tier == t]
+        by_ds3 = sorted(members, key=lambda d: ds3[d].pos)
+        by_ds1 = sorted(members, key=lambda d: ds1[d])
+        assert by_ds3 == by_ds1, t
+
+    # (4) the global order is NOT ds1's: tier assignment is
+    # uncorrelated with the shuffle hash, so some tier-0 doc must sit
+    # AFTER some tier-3 doc in ds1's order while ds3 trains all of
+    # tier 0 first — i.e. the tier blocks interleave under ds1
+    t0 = [d for d, r in ds3.items() if r.tier == 0]
+    t3 = [d for d, r in ds3.items() if r.tier == 3]
+    assert max(ds1[d] for d in t0) > min(ds1[d] for d in t3)
