@@ -47,9 +47,11 @@ through both subtrees — dd11 consumes the shingles directly, dc2's
 per-doc band table is the canon bands re-keyed through the digest map
 (identical text → identical signature, an equality not an
 approximation), so the 8-md5-per-shingle signature pass runs once
-over digest-DISTINCT texts only. The manifest join itself is three
-doc_id-grain equi-joins, shuffle size ∝ corpus row count with
-metadata-width rows, never text.
+over digest-DISTINCT texts only. The manifest join itself is two
+doc_id-grain equi-joins (base — the split over dd11's keep-list —
+LEFT JOIN txt8, LEFT JOIN the dc2 flags; the former third join
+disappeared in r11 when base absorbed the keep-list), shuffle size ∝
+corpus row count with metadata-width rows, never text.
 """
 
 from __future__ import annotations
