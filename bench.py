@@ -146,8 +146,14 @@ HEADLINE = [
     # r11 additions. The r10-comparable subset is everything above
     # this comment. qc1 is one token explode + groupBy; txt14 is a
     # pure per-row regex projection — both single-pass corpus lines.
+    # ds3 re-runs qc1's margin pass but adds the tiered two-level
+    # position decomposition on top (the sp4 precedent: a real new
+    # pass rides its own line). qc2/cp5/cp6 are deliberately NOT
+    # lines (cp4 precedent: pure re-runs of already-priced chains
+    # plus a rollup/join).
     "qc1_model_quality_score",
     "txt14_pii_scrub",
+    "ds3_quality_curriculum",
 ]
 
 
