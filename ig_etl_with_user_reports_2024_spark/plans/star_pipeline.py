@@ -3084,9 +3084,9 @@ def ds3_quality_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     skewed the tier sizes are and the broadcast offset table grows
     only by the tier factor (4 × 4096 rows). No data-sized
     SinglePartition exchange (plan-asserted in tests/test_packing.py).
-    NOT a bench line this round (registered after the r11 quiet
-    recording froze; qc1 and ds1 price the two component passes —
-    r12 may promote it)."""
+    A bench line since r11 (~0.7s at sf0.1 — the sp4 precedent: the
+    tiered position pass is new work, not a re-run, though qc1's
+    margin pass is also priced on its own line)."""
     m = QUERIES["qc1_model_quality_score"].fn(spark, sf_dir)
     tier = (
         F.when(F.col("margin") >= 220 * F.col("n_tokens"), 0)
