@@ -259,3 +259,110 @@ def test_cp6_checksum_is_order_insensitive_and_multi_shard(spark):
         .collect()
     }
     assert out2 == {s: out[s].shard_checksum for s in out}
+
+
+def test_cp7_is_exactly_the_scrubbed_admit_set(spark, sf_oracle):
+    """cp7's composition contract (cp5's, at the batch grain): its
+    doc_ids are EXACTLY cm2's admit set; its scrub columns are
+    row-for-row txt14's; n_redactions is the per-class sum (all zero
+    on the PII-free synthetic corpus — txt14's disclosed vacuity;
+    redaction semantics live in the txt14 fixture test)."""
+    qs = entry_mod.queries()
+    cp7 = {
+        r.doc_id: r
+        for r in qs["cp7_scrubbed_delta_store"](spark, sf_oracle).collect()
+    }
+    admits = {
+        r.doc_id
+        for r in qs["cm2_incremental_admission"](spark, sf_oracle).collect()
+        if r.action == "admit"
+    }
+    assert set(cp7) == admits and admits
+    scrub = {r.doc: r for r in qs["txt14_pii_scrub"](spark, sf_oracle).collect()}
+    for d, r in cp7.items():
+        s = scrub[d]
+        assert (r.n_emails, r.n_phones, r.n_handles, r.scrubbed_md5) == (
+            s.n_emails, s.n_phones, s.n_handles, s.scrubbed_md5,
+        )
+        assert r.n_redactions == r.n_emails + r.n_phones + r.n_handles
+
+
+def test_cp8_rolls_up_exactly_the_delta_release(spark, sf_oracle):
+    """cp8's gate-scale contract: every row is release='delta', the
+    (release, shard) set equals cp3's layout, and each shard's counts
+    and checksum are a Python recompute over cp3 ⋈ txt14's collected
+    rows — the rollup is exact, not just hash-green."""
+    import hashlib  # noqa: F401  (checksum recomputed from txt14's md5s)
+
+    qs = entry_mod.queries()
+    cp3 = qs["cp3_incremental_release"](spark, sf_oracle).collect()
+    scrub = {r.doc: r for r in qs["txt14_pii_scrub"](spark, sf_oracle).collect()}
+    out = {
+        (r.release, r.shard): r
+        for r in qs["cp8_delta_shard_integrity"](spark, sf_oracle).collect()
+    }
+    assert out and all(rel == "delta" for rel, _ in out)
+    assert set(out) == {(r.release, r.shard) for r in cp3}
+    expect: dict = {}
+    for r in cp3:
+        e = expect.setdefault((r.release, r.shard), [0, 0, 0, 0])
+        s = scrub[r.doc]
+        e[0] += 1
+        e[1] += r.n_tokens
+        e[2] += s.n_emails + s.n_phones + s.n_handles
+        e[3] += int(s.scrubbed_md5[:12], 16)
+    for k, r in out.items():
+        assert [r.n_docs, r.n_tokens, r.n_redactions, r.shard_checksum] == expect[k]
+
+
+def test_cp8_grain_is_release_keyed_and_multi_shard(spark):
+    """cp8's rollup at its REAL grain (the gate-scale batch packs into
+    one delta shard): a constructed 2500-doc delta layout spans 3
+    shards under the 'delta' namespace; per-(release, shard) checksums
+    match a Python recompute; and the checksum is order-insensitive
+    under repartitioning (cp6's fixture convention, with the release
+    key that distinguishes the merged table's namespaces)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from ig_etl_with_user_reports_2024_spark.operators.textops import pii_scrub
+
+    rows = [(i, 1000 + i % 7, f"delta doc {i} reach me at d{i}@ex.org")
+            for i in range(2500)]
+    docs = spark.createDataFrame(rows, "doc bigint, n_tokens bigint, text string")
+    scrub = pii_scrub(docs.withColumnRenamed("doc", "doc_id"), "doc_id", "text")
+    layout = docs.select(
+        F.lit("delta").alias("release"),
+        "doc",
+        (F.col("doc") / 1000).cast("bigint").alias("shard"),
+        "n_tokens",
+    )
+    chk = F.conv(F.substring("scrubbed_md5", 1, 12), 16, 10).cast("bigint")
+    out = {
+        (r.release, r.shard): r
+        for r in layout.join(scrub, "doc")
+        .groupBy("release", "shard")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(chk).cast("bigint").alias("shard_checksum"),
+        )
+        .collect()
+    }
+    assert set(out) == {("delta", 0), ("delta", 1), ("delta", 2)}
+    assert [out[("delta", s)].n_docs for s in (0, 1, 2)] == [1000, 1000, 500]
+    expect = {0: 0, 1: 0, 2: 0}
+    for i, _, text in reversed(rows):
+        t = text.replace(f"d{i}@ex.org", "<EMAIL>")
+        expect[i // 1000] += int(hashlib.md5(t.encode()).hexdigest()[:12], 16)
+    for s in (0, 1, 2):
+        assert out[("delta", s)].shard_checksum == expect[s], s
+    out2 = {
+        (r.release, r.shard): r.shard_checksum
+        for r in layout.repartition(17, "n_tokens")
+        .join(scrub, "doc")
+        .groupBy("release", "shard")
+        .agg(F.sum(chk).cast("bigint").alias("shard_checksum"))
+        .collect()
+    }
+    assert out2 == {k: out[k].shard_checksum for k in out}
