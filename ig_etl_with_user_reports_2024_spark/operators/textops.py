@@ -753,3 +753,144 @@ def sql_winnowing_selected(
             FROM grams
         ) WHERE p <= nw - {k - 1} - {w - 1}
     )"""
+
+
+# tok1's merge table: an ordered BPE merge list (classic high-frequency
+# English character bigrams, with each cascade's producer rule listed
+# BEFORE its consumer — 'th' before ('th','e'), 'in' before ('in','g'),
+# 'an' before ('an','d') — so the one-pass-per-rule application below
+# coincides with the standard highest-priority-first iterative BPE
+# apply). A LITERAL table, the dims.py convention: a trained tokenizer
+# ships its merge list as data, and swapping this list for a real
+# tokenizer's top-K merges changes nothing else (the qc1
+# portable-parameter precedent). Merged symbol is always the
+# concatenation, as in byte-level BPE.
+BPE_MERGES: list[tuple[str, str]] = [
+    ("t", "h"),
+    ("th", "e"),
+    ("i", "n"),
+    ("a", "n"),
+    ("e", "r"),
+    ("o", "n"),
+    ("r", "e"),
+    ("a", "t"),
+    ("e", "n"),
+    ("s", "t"),
+    ("o", "r"),
+    ("e", "s"),
+    ("a", "r"),
+    ("a", "l"),
+    ("in", "g"),
+    ("an", "d"),
+    ("i", "t"),
+    ("i", "s"),
+    ("o", "u"),
+    ("l", "e"),
+]
+
+
+def subword_token_counts(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """TOKENIZER-GRAIN token counting (tok1 — VERDICT r11 #2: every
+    token budget in the repo rides whitespace/regex word counts; real
+    pipelines budget in tokenizer tokens): a deterministic BPE APPLY
+    pass — each whitespace word is split to characters and the ordered
+    merge table :data:`BPE_MERGES` is applied rule by rule, one full
+    leftmost-first non-overlapping pass per rule (the producer-before-
+    consumer ordering above makes this the standard iterative BPE
+    apply for this table). Emits per document the whitespace word
+    count and the SUBWORD token count — the quantity a packing /
+    mixture / epoch budget would actually meter.
+
+    ENGINE-PORTABLE by construction: a word's symbol sequence is
+    carried as a string with two-space separators and two-space
+    boundaries ("  t  h  e  "), so merging pair (a, b) is the literal
+    string replacement ' a  b ' -> ' ab ' — and literal replace has
+    identical leftmost-first non-overlapping semantics in Spark
+    (UTF8String.replace), DuckDB (replace), and Python (str.replace),
+    which is what makes the whole tokenizer hash-checkable and
+    pinnable against a pure-Python recompute (the txt11 convention).
+    The two-space scheme is load-bearing: single-space separators
+    either false-match across symbol boundaries ('a b' inside 'xa b')
+    or consume the shared delimiter between adjacent occurrences
+    ('a b a b' merging only once); with doubled separators each match
+    consumes one boundary space on each side and re-emits it, so the
+    invariant (two-space separators and boundaries) survives every
+    replacement. Symbols never contain whitespace (normalized_words
+    splits on \\s+), so the scheme cannot collide with data.
+
+    Plan shape (qc1's): ONE token explode -> ~20 literal replaces +
+    one regexp_replace per token, all whole-stage codegen (never
+    inside a HOF lambda — the r6 rule) -> one map-side-combined
+    groupBy(doc). Linear in corpus tokens, one shuffle carrying
+    (doc, int) rows, never text. At 100 TB the documented knob is
+    vocabulary memoization — tokenize DISTINCT words once and join
+    counts back — which trades the per-occurrence string work for a
+    word-grain join whose hot keys ('the') need salting; the inline
+    form is the always-safe baseline. Token-less documents have no
+    row (txt8/qc1's convention; callers LEFT-join + coalesce).
+
+    Returns (doc, n_words, n_subword_tokens)."""
+    from .dedup import normalized_words
+
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(normalized_words(F.col(text_col))).alias("w"),
+    )
+    # "  t  h  e  ": two-space boundaries + two-space separators
+    s = F.concat(F.lit("  "), F.regexp_replace(F.col("w"), "(.)", "$1  "))
+    for a, b in BPE_MERGES:
+        s = F.replace(s, F.lit(f" {a}  {b} "), F.lit(f" {a}{b} "))
+    # n symbols -> 2(n+1) spaces: count = diff >> 1 - 1, all-integer
+    n_sub = (
+        F.shiftright(
+            F.length(s) - F.length(F.replace(s, F.lit(" "), F.lit(""))), 1
+        )
+        - 1
+    ).cast("long")
+    return (
+        toks.select("doc", n_sub.alias("n_sub"))
+        .groupBy("doc")
+        .agg(
+            F.count("*").cast("bigint").alias("n_words"),
+            F.sum("n_sub").cast("bigint").alias("n_subword_tokens"),
+        )
+    )
+
+
+def subword_tokenize_py(word: str) -> int:
+    """Pure-Python reference of tok1's per-word subword count — the
+    txt11 convention's recompute target; used by tests only."""
+    import re as _re
+
+    s = "  " + _re.sub(r"(.)", r"\g<1>  ", word)
+    for a, b in BPE_MERGES:
+        s = s.replace(f" {a}  {b} ", f" {a}{b} ")
+    return (len(s) - len(s.replace(" ", ""))) // 2 - 1
+
+
+def sql_subword_token_counts(
+    rel: str = "documents", id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    """DuckDB query text matching :func:`subword_token_counts` — the
+    same merge table applied as the same nested literal replaces (one
+    builder, so a merge-list change moves plan and oracle in
+    lockstep)."""
+    from .dedup import sql_words
+
+    expr = f"'  ' || regexp_replace(w, '(.)', '\\1  ', 'g')"
+    for a, b in BPE_MERGES:
+        expr = f"replace({expr}, ' {a}  {b} ', ' {a}{b} ')"
+    return f"""
+    WITH toks AS (
+        SELECT {id_col} AS doc, unnest({sql_words(text_col)}) AS w
+        FROM {rel}
+    ),
+    sym AS (SELECT doc, {expr} AS s FROM toks)
+    SELECT doc,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM((length(s) - length(replace(s, ' ', ''))) // 2 - 1)
+               AS BIGINT) AS n_subword_tokens
+    FROM sym GROUP BY doc
+    """

