@@ -1080,3 +1080,184 @@ def ivfpq_topk(
     return top_k_per_group(
         rescored, ["q_id"], [F.col("cos_sim").desc(), F.col("n_id").asc()], k=k
     ).select("q_id", "n_id", "cos_sim", F.col("rn").alias("rank"))
+
+
+# ---------------------------------------------------------------------------
+# km2 — FULL Lloyd iterations in scaled-long integer arithmetic.
+# ---------------------------------------------------------------------------
+
+KM2_SCALE = 10_000  # 1e-4 component resolution (see kmeans_lloyd_codebooks)
+
+
+def _int_vectors(
+    vectors: DataFrame, id_col: str, vec_col: str, scale: int
+) -> DataFrame:
+    """(id, xv): the embedding quantized to scaled longs —
+    floor(component × scale). float32 → double widening is exact and
+    the double multiply is IEEE-correctly-rounded identically in Spark,
+    DuckDB, and Python, so the quantization is bit-portable."""
+    xi = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * scale).cast("long"),
+    )
+    return vectors.select(F.col(id_col).alias("id"), xi.alias("xv"))
+
+
+def _int_assignment(base: DataFrame, cb: list[tuple[int, list[int]]]) -> DataFrame:
+    """(id, cluster_id, dist2) — argmin of the integer squared L2
+    against a literal codebook (same from_json-literal / struct-sort
+    shape as :func:`_scored_cells`, in BIGINT)."""
+    import json
+
+    mat = F.from_json(
+        F.lit(json.dumps([c for _, c in cb])), "array<array<bigint>>"
+    )
+    cids = F.from_json(
+        F.lit(json.dumps([cid for cid, _ in cb])), "array<int>"
+    )
+
+    def dist2(cent):
+        return F.aggregate(
+            F.zip_with(F.col("xv"), cent, lambda x, c: (x - c) * (x - c)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    scored = F.transform(
+        F.sequence(F.lit(0), F.lit(len(cb) - 1)),
+        lambda i: F.struct(
+            dist2(F.element_at(mat, i + 1)).alias("d2"),
+            F.element_at(cids, i + 1).alias("cid"),
+        ),
+    )
+    best = F.element_at(F.array_sort(scored), 1)
+    return base.select(
+        "id",
+        "xv",
+        best["cid"].alias("cluster_id"),
+        best["d2"].alias("dist2"),
+    )
+
+
+def kmeans_lloyd_codebooks(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    salt: str = "km1",
+    iters: int = 2,
+    scale: int = KM2_SCALE,
+) -> list[list[tuple[int, list[int]]]]:
+    """The TRAINING loop km1 was missing (VERDICT r11 #4: the codebooks
+    dd13/dc3/ann3/ann5/sq2 consume were never actually trained): run
+    ``iters`` full Lloyd iterations — E-step assignment, M-step
+    centroid update — in SCALED-LONG integer arithmetic, and return
+    every codebook [c0, c1, …, c_iters] as (cid, component-vector)
+    lists. c0 is km1's seeded draw (same salt, the k lowest-md5
+    vectors, cid = hash rank) quantized to ints, so iteration 0 IS
+    km1's E-step in the integer domain.
+
+    INTEGER ARITHMETIC is what makes a trained codebook oracle-able
+    (the pr1 fixed-iteration precedent): the M-step mean is the
+    truncating division SUM(x) div COUNT(*) — Spark ``div`` and DuckDB
+    ``//`` both truncate toward zero (verified, including negatives) —
+    and the E-step distance is an exact BIGINT fold, so every
+    assignment and every updated centroid is bit-identical on any
+    engine and any partitioning. Quantization at ``scale`` = 1e-4
+    component resolution; with unit-scale embeddings, per-vector d2 ≤
+    dim × (2·scale)² ≈ 2.6e10 and the corpus inertia stays under
+    BIGINT up to ~10^8 vectors (use a smaller scale beyond — the knob
+    trades resolution for headroom; ANSI throws rather than wraps).
+
+    Scale shape per iteration: the assignment is a pure column
+    expression against the constant-size codebook literal (no shuffle
+    — km1's only-viable-shape argument), and the update is ONE
+    posexplode + map-side-combined groupBy(cluster, component)
+    producing k × dim metadata rows, collected to seed the next
+    literal (the dd6/CC per-round-collect precedent; a production loop
+    would persist the assignment instead of rescanning — the
+    kmeans_lloyd_inertia trade, documented there). Empty clusters drop
+    from the codebook (standard Lloyd; k shrinks).
+    """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    base = _int_vectors(vectors, id_col, vec_col, int(scale))
+    h = F.md5(F.concat(F.lit(salt + ":"), F.col("id").cast("string")))
+    draw = base.select("id", "xv", h.alias("h")).orderBy("h").limit(k).collect()
+    if not draw:
+        raise ValueError("kmeans_lloyd_codebooks: empty vectors input")
+    books = [[(i, [int(x) for x in r["xv"]]) for i, r in enumerate(draw)]]
+    for _ in range(int(iters)):
+        asg = _int_assignment(base, books[-1])
+        upd = (
+            asg.select(
+                "cluster_id", F.posexplode(F.col("xv")).alias("d", "x")
+            )
+            .groupBy("cluster_id", "d")
+            .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+            .select("cluster_id", "d", F.expr("s div n").alias("c"))
+            .collect()
+        )
+        by_cid: dict[int, dict[int, int]] = {}
+        for r in upd:
+            by_cid.setdefault(r["cluster_id"], {})[r["d"]] = int(r["c"])
+        books.append(
+            [
+                (cid, [comps[d] for d in range(len(comps))])
+                for cid, comps in sorted(by_cid.items())
+            ]
+        )
+    return books
+
+
+def kmeans_lloyd_train(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    salt: str = "km1",
+    iters: int = 2,
+    scale: int = KM2_SCALE,
+) -> DataFrame:
+    """km2's public face: the FINAL assignment (id, cluster_id, dist2)
+    under the ``iters``-times-updated integer codebook — the trained
+    cells a SemDeDup / IVF / PQ consumer would read instead of km1's
+    seeded ones. All-BIGINT output, hash-exact (see
+    :func:`kmeans_lloyd_codebooks` for the arithmetic and scale
+    story)."""
+    books = kmeans_lloyd_codebooks(
+        vectors, id_col, vec_col, k=k, salt=salt, iters=iters, scale=scale
+    )
+    base = _int_vectors(vectors, id_col, vec_col, int(scale))
+    return _int_assignment(base, books[-1]).select(
+        "id", "cluster_id", F.col("dist2").cast("bigint").alias("dist2")
+    )
+
+
+def kmeans_lloyd_trajectory(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    salt: str = "km1",
+    iters: int = 2,
+    scale: int = KM2_SCALE,
+) -> DataFrame:
+    """One row (j0, j1, …, j_iters): the EXACT integer corpus inertia
+    under each of km2's codebooks — Lloyd's convergence trajectory as
+    bit-exact BIGINTs (what rf9 could only gate with a float tolerance,
+    the integer domain states exactly). Each j is one 1-row aggregate
+    over the assignment column expression; the rows cross-join (the
+    dd16 scalar-counter convention). Strict non-increase is gated by
+    rf14 with the floor-rounding allowance documented there."""
+    books = kmeans_lloyd_codebooks(
+        vectors, id_col, vec_col, k=k, salt=salt, iters=iters, scale=scale
+    )
+    base = _int_vectors(vectors, id_col, vec_col, int(scale))
+    out = None
+    for r, cb in enumerate(books):
+        j = _int_assignment(base, cb).agg(
+            F.sum("dist2").cast("bigint").alias(f"j{r}")
+        )
+        out = j if out is None else out.crossJoin(j)
+    return out

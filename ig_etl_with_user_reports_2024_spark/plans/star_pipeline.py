@@ -2709,6 +2709,102 @@ def km1_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.kmeans_assign(emb, "vec_id", "embedding", k=8, salt="km1")
 
 
+def _km2_sql(iters: int = 2, k: int = 8, scale: int = 10_000) -> str:
+    """km2's oracle: the FIXED Lloyd CTE chain (the pr1 fixed-iteration
+    precedent) — xi (scaled-long components), c0 (km1's seeded draw in
+    ints), then per round r: s_r (integer squared L2 per (vec, cell)),
+    a_r (argmin with the (d2, cid) tie-break), c_{r+1} (truncating-
+    division means) — ending with the assignment under the final
+    codebook. ONE builder generates plan-matching SQL for any round
+    count, so an iters change moves plan and oracle in lockstep."""
+    ctes = [
+        f"""xi AS (
+        SELECT vec_id AS id, i - 1 AS d,
+               CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * {scale}) AS BIGINT)
+                   AS x
+        FROM (SELECT vec_id, embedding,
+                     unnest(generate_series(1, len(embedding))) AS i
+              FROM embeddings)
+    )""",
+        f"""dr AS (
+        SELECT vec_id, CAST(row_number() OVER (
+            ORDER BY md5('km1:' || CAST(vec_id AS VARCHAR))
+        ) AS INTEGER) - 1 AS cid
+        FROM embeddings
+    )""",
+        f"""c0 AS (
+        SELECT dr.cid, xi.d, xi.x AS c
+        FROM dr JOIN xi ON dr.vec_id = xi.id
+        WHERE dr.cid < {k}
+    )""",
+    ]
+    for r in range(iters + 1):
+        ctes.append(f"""s{r} AS (
+        SELECT xi.id, c.cid,
+               CAST(SUM((xi.x - c.c) * (xi.x - c.c)) AS BIGINT) AS d2
+        FROM xi JOIN c{r} c ON xi.d = c.d
+        GROUP BY xi.id, c.cid
+    )""")
+        ctes.append(f"""a{r} AS (
+        SELECT id, cid, d2 FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY id ORDER BY d2, cid
+            ) AS rn FROM s{r}
+        ) WHERE rn = 1
+    )""")
+        if r < iters:
+            ctes.append(f"""c{r + 1} AS (
+        SELECT a.cid, xi.d, CAST(SUM(xi.x) // COUNT(*) AS BIGINT) AS c
+        FROM a{r} a JOIN xi ON a.id = xi.id
+        GROUP BY a.cid, xi.d
+    )""")
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + f"\n    SELECT id, cid AS cluster_id, d2 AS dist2 FROM a{iters}"
+    )
+
+
+@query(
+    "km2_kmeans_train",
+    _km2_sql(iters=2),
+    eager=True,  # seeded draw + per-iteration M-step collects
+)
+def km2_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL Lloyd k-means TRAINING (VERDICT r11 #4 — km1 assigns to
+    md5-seeded centroids and nothing ever updated them, yet
+    dd13/dc3/ann3/ann5/sq2 all consume the cells): two complete
+    assign/update iterations in SCALED-LONG integer arithmetic, then
+    the final assignment (id, cluster_id, dist2) under the TRAINED
+    codebook. Quantization floor(x × 1e4), truncating-division means
+    (Spark ``div`` == DuckDB ``//`` == the Python recompute, verified
+    including negatives), exact BIGINT distance folds — so a trained
+    codebook is bit-identical cross-engine and the whole trajectory is
+    hash-checkable (what rf9's float M-step could only tolerance-gate;
+    the pr1 fixed-iteration precedent). c0 is km1's seeded draw
+    quantized, so iteration 0 is km1's E-step in the integer domain
+    and the trained-vs-seeded comparison is apples-to-apples
+    (tests/test_similarity.py pins that training MOVES: codebooks
+    differ, vectors change cells, and inertia drops ~42% in round 1
+    and ~0.7% in round 2, consistently at all three scales — near-
+    converged after two rounds, the classic Lloyd curve — and
+    SCALE_r12.md measures the consequence on dd13's τ-pair capture). Convergence is gated by
+    rf14_int_lloyd_convergence; empty cells drop (standard Lloyd).
+
+    Scale shape per iteration (operators/similarity.
+    kmeans_lloyd_codebooks): assignment is a pure column expression
+    against the constant-size codebook literal — no shuffle, km1's
+    only-viable-shape argument — and the M-step is one posexplode +
+    map-side-combined groupBy(cluster, component) yielding k × dim
+    metadata rows collected into the next literal (the dd6/CC
+    per-round-collect precedent). Inertia stays under BIGINT to ~10^8
+    vectors at this scale; the knob and the ANSI-throws guarantee are
+    documented on the operator."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.kmeans_lloyd_train(
+        emb, "vec_id", "embedding", k=8, salt="km1", iters=2
+    )
+
+
 def _ngram_sql(n: int) -> str:
     """DuckDB n-gram fragment over a word list ``ws`` (matches
     operators/dedup.word_shingles for the same n)."""

@@ -278,3 +278,110 @@ def test_multiprobe_pairs_bracket(spark, sf_oracle):
           for r in semantic_multiprobe_pairs(emb, 0.40, probes=2).collect()}
     assert p1 <= p2 <= ex
     assert len(p2) > len(p1)  # the knob buys real capture here
+
+
+# ---------------------------------------------------------------------------
+# km2 — integer Lloyd training
+# ---------------------------------------------------------------------------
+
+
+def _lloyd_py(rows, k=8, salt="km1", iters=2, scale=10_000):
+    """Pure-Python reference of km2: same quantization, same seeded
+    draw, same truncating-division means (SQL div semantics: toward
+    zero), same (d2, cid) argmin tie-break."""
+    import hashlib
+    import math as _math
+
+    def tdiv(a, b):
+        q = abs(a) // b
+        return q if a >= 0 else -q
+
+    xv = {
+        r.vec_id: [int(_math.floor(float(x) * scale)) for x in r.embedding]
+        for r in rows
+    }
+    order = sorted(
+        xv, key=lambda i: hashlib.md5(f"{salt}:{i}".encode()).hexdigest()
+    )
+    cb = {cid: list(xv[i]) for cid, i in enumerate(order[:k])}
+    books = [dict(cb)]
+
+    def assign(cb):
+        out = {}
+        for i, v in xv.items():
+            best = min(
+                (sum((x - c) ** 2 for x, c in zip(v, cv)), cid)
+                for cid, cv in cb.items()
+            )
+            out[i] = (best[1], best[0])
+        return out
+
+    for _ in range(iters):
+        a = assign(cb)
+        sums: dict = {}
+        for i, (cid, _) in a.items():
+            s = sums.setdefault(cid, [[0] * len(xv[i]), 0])
+            s[1] += 1
+            for d, x in enumerate(xv[i]):
+                s[0][d] += x
+        cb = {
+            cid: [tdiv(sd, n) for sd in s]
+            for cid, (s, n) in sorted(sums.items())
+        }
+        books.append(dict(cb))
+    return books, assign(cb)
+
+
+def test_km2_matches_python_lloyd(spark, sf_smoke):
+    """km2's full trajectory — every codebook and the final assignment
+    — equals the pure-Python Lloyd reference bit-for-bit at sf0.001
+    (the txt11 recompute convention, extended to an iterative
+    operator)."""
+    from ig_etl_with_user_reports_2024_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_smoke, "embeddings")
+    rows = emb.select("vec_id", "embedding").collect()
+    books_py, final_py = _lloyd_py(rows)
+    books = sim.kmeans_lloyd_codebooks(emb, "vec_id", "embedding", iters=2)
+    assert len(books) == len(books_py) == 3
+    for got, exp in zip(books, books_py):
+        assert {cid: v for cid, v in got} == exp
+    out = {
+        r.id: (r.cluster_id, r.dist2)
+        for r in sim.kmeans_lloyd_train(
+            emb, "vec_id", "embedding", iters=2
+        ).collect()
+    }
+    assert out == final_py
+
+
+def test_km2_training_actually_moves(spark, sf_oracle):
+    """Non-vacuity for the trained codebook: c2 differs from the
+    seeded c0, a nontrivial share of vectors changes cell between the
+    seeded and trained assignments, and the exact integer inertia
+    strictly decreases each round (the rf14 statement, pinned here
+    with the diag values)."""
+    from ig_etl_with_user_reports_2024_spark.plans.star_recall import rf14_diag
+    from ig_etl_with_user_reports_2024_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    books = sim.kmeans_lloyd_codebooks(emb, "vec_id", "embedding", iters=2)
+    assert dict(books[0]) != dict(books[2])
+    from ig_etl_with_user_reports_2024_spark.operators.similarity import (
+        _int_assignment,
+        _int_vectors,
+    )
+
+    base = _int_vectors(emb, "vec_id", "embedding", sim.KM2_SCALE)
+    seeded = {
+        r.id: r.cluster_id for r in _int_assignment(base, books[0]).collect()
+    }
+    trained = {
+        r.id: r.cluster_id
+        for r in sim.kmeans_lloyd_train(emb, "vec_id", "embedding", iters=2)
+        .collect()
+    }
+    moved = sum(1 for i in seeded if seeded[i] != trained[i])
+    assert moved > 50, f"only {moved}/500 vectors moved — training vacuous"
+    d = rf14_diag(spark, sf_oracle).collect()[0]
+    assert d.j0 > d.j1 > d.j2 and d.meets_floor
