@@ -205,3 +205,63 @@ def pack_offsets(
             (last_seq - first_seq + F.lit(1)).alias("n_seqs"),
         )
     )
+
+
+def epoch_tiered_positions(
+    df: DataFrame,
+    id_col: str = "doc",
+    epoch_col: str = "epoch",
+    tier_col: str = "tier",
+    prefix_chars: int = 3,
+) -> DataFrame:
+    """:func:`tiered_shuffle_positions` with a PER-EPOCH curriculum
+    restart (ds4): dense global positions ordered by (epoch ASC, tier
+    ASC, md5(epoch || '|' || id), id) — epoch-major like ds2, every
+    tier-0 doc of an epoch trains before any tier-1 doc of that epoch,
+    and WITHIN (epoch, tier) the order is exactly ds2's epoch-reseeded
+    shuffle (the SAME hash expression epoch_interleave uses, so each
+    epoch's curriculum is a block permutation of that epoch's ds2
+    order — test-pinned). The naive expression is one global
+    ``row_number() over (order by epoch, tier, hash)``; here the
+    bucket key is the THREE-part composite (epoch, tier, hash prefix),
+    whose lexicographic order extends the full sort order, so
+    per-bucket windows stay ~n/16^prefix_chars rows under any tier
+    skew AND any epoch count — only the broadcast offset table grows,
+    to n_epochs × n_tiers × 16^prefix_chars rows (≤ 4 epochs × 4
+    tiers × 4096 here: still metadata). Input rows must be unique at
+    (id, epoch); all input columns carry through, ``pos`` is
+    appended."""
+    if not 1 <= int(prefix_chars) <= 5:
+        raise ValueError(f"prefix_chars must be in [1, 5], got {prefix_chars}")
+    # ds2's per-epoch reseed, verbatim (operators/sampling.
+    # epoch_interleave's h2): the epoch IS the shuffle seed
+    h = F.md5(
+        F.concat_ws(
+            "|",
+            F.col(epoch_col).cast("string"),
+            F.col(id_col).cast("string"),
+        )
+    )
+    hashed = (
+        df.withColumn("_e", F.col(epoch_col).cast("long"))
+        .withColumn("_t", F.col(tier_col).cast("long"))
+        .withColumn("_h", h)
+        .withColumn("_hb", F.substring("_h", 1, int(prefix_chars)))
+    )
+    w_in = Window.partitionBy("_e", "_t", "_hb").orderBy("_h", id_col)
+    numbered = hashed.withColumn("_rn", F.row_number().over(w_in).cast("long"))
+    counts = hashed.groupBy("_e", "_t", "_hb").agg(F.count("*").alias("_bn"))
+    w_b = Window.orderBy("_e", "_t", "_hb").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "_e", "_t", "_hb",
+        F.coalesce(F.sum("_bn").over(w_b), F.lit(0)).alias("_boff"),
+    )
+    return (
+        numbered.join(F.broadcast(offsets), ["_e", "_t", "_hb"])
+        .select(
+            *df.columns,
+            (F.col("_boff") + F.col("_rn") - 1).alias("pos"),
+        )
+    )

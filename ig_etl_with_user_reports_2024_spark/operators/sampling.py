@@ -256,6 +256,70 @@ def epoch_interleave(
     with no budget row (a source with zero tokens) drop. Returns
     (key, stratum, tokens_col, epoch, pos).
     """
+    x = epoch_membership(
+        df, key, stratum, tokens_col, budgets,
+        frac_salt=frac_salt, prefix_chars=prefix_chars,
+    ).select(
+        F.col(key).alias("_id"),
+        F.col(stratum).alias("_s"),
+        F.col(tokens_col).alias("_n"),
+        F.col("epoch").alias("_e"),
+    )
+
+    # epoch-major global position: per-(epoch, hash-prefix) row_number
+    # + exclusive running count over the metadata-sized bucket table
+    h2 = F.md5(
+        F.concat_ws("|", F.col("_e").cast("string"), F.col("_id").cast("string"))
+    )
+    hashed2 = x.withColumn("_h2", h2).withColumn(
+        "_pb", F.substring("_h2", 1, int(prefix_chars))
+    )
+    w_in2 = Window.partitionBy("_e", "_pb").orderBy("_h2", "_id")
+    numbered = hashed2.withColumn(
+        "_rn", F.row_number().over(w_in2).cast("long")
+    )
+    counts2 = hashed2.groupBy("_e", "_pb").agg(F.count("*").alias("_bn2"))
+    w_b2 = Window.orderBy("_e", "_pb").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets2 = counts2.select(
+        "_e", "_pb",
+        F.coalesce(F.sum("_bn2").over(w_b2), F.lit(0)).alias("_boff2"),
+    )
+    return (
+        numbered.join(F.broadcast(offsets2), ["_e", "_pb"])
+        .select(
+            F.col("_id").alias(key),
+            F.col("_s").alias(stratum),
+            F.col("_n").alias(tokens_col),
+            F.col("_e").alias("epoch"),
+            (F.col("_boff2") + F.col("_rn") - 1).alias("pos"),
+        )
+    )
+
+
+def epoch_membership(
+    df: DataFrame,
+    key: str,
+    stratum: str,
+    tokens_col: str,
+    budgets: DataFrame,
+    frac_salt: str = "epfrac",
+    prefix_chars: int = 3,
+) -> DataFrame:
+    """The MEMBERSHIP half of :func:`epoch_interleave`, factored out
+    (r12) so ORDER variants can reuse it — which (doc, epoch)
+    appearances a data-constrained run replays, before any position is
+    assigned: every doc of a source appears in its ``full`` whole
+    epochs, and the fractional last epoch admits lowest-salted-hash-
+    first until the per-source remainder fills (temperature_mix's
+    deterministic-reservoir semantics; identical CTEs in the ds2
+    oracle). ds2 orders these rows by the plain per-epoch shuffle;
+    ds4 orders them by (epoch, quality tier, per-epoch shuffle) — one
+    membership definition, two orders. Same two-level per-(source,
+    hash-prefix) cumsum decomposition as before (no data-sized
+    SinglePartition). Returns (key, stratum, tokens_col, epoch) — one
+    row per appearance."""
     if not 1 <= int(prefix_chars) <= 5:
         raise ValueError(f"prefix_chars must be in [1, 5], got {prefix_chars}")
     nz = df.select(
@@ -300,42 +364,13 @@ def epoch_interleave(
         .select("_id", "_s", "_n", n_epochs.cast("long").alias("_ne"))
         .filter(F.col("_ne") > 0)
     )
-    x = member.select(
-        "_id", "_s", "_n",
+    return member.select(
+        F.col("_id").alias(key),
+        F.col("_s").alias(stratum),
+        F.col("_n").alias(tokens_col),
         F.explode(
             F.sequence(F.lit(0).cast("long"), F.col("_ne") - 1)
-        ).alias("_e"),
-    )
-
-    # epoch-major global position: per-(epoch, hash-prefix) row_number
-    # + exclusive running count over the metadata-sized bucket table
-    h2 = F.md5(
-        F.concat_ws("|", F.col("_e").cast("string"), F.col("_id").cast("string"))
-    )
-    hashed2 = x.withColumn("_h2", h2).withColumn(
-        "_pb", F.substring("_h2", 1, int(prefix_chars))
-    )
-    w_in2 = Window.partitionBy("_e", "_pb").orderBy("_h2", "_id")
-    numbered = hashed2.withColumn(
-        "_rn", F.row_number().over(w_in2).cast("long")
-    )
-    counts2 = hashed2.groupBy("_e", "_pb").agg(F.count("*").alias("_bn2"))
-    w_b2 = Window.orderBy("_e", "_pb").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    offsets2 = counts2.select(
-        "_e", "_pb",
-        F.coalesce(F.sum("_bn2").over(w_b2), F.lit(0)).alias("_boff2"),
-    )
-    return (
-        numbered.join(F.broadcast(offsets2), ["_e", "_pb"])
-        .select(
-            F.col("_id").alias(key),
-            F.col("_s").alias(stratum),
-            F.col("_n").alias(tokens_col),
-            F.col("_e").alias("epoch"),
-            (F.col("_boff2") + F.col("_rn") - 1).alias("pos"),
-        )
+        ).alias("epoch"),
     )
 
 

@@ -3166,6 +3166,18 @@ _DS3_TIER_SQL = """CASE WHEN margin >= 220 * n_tokens THEN 0
                 ELSE 3 END"""
 
 
+def _ds3_tier():
+    """The Spark twin of _DS3_TIER_SQL over qc1's (margin, n_tokens) —
+    ONE definition feeding ds3 and ds4 (r12), so a threshold tweak
+    moves both curricula and both oracles in lockstep."""
+    return (
+        F.when(F.col("margin") >= 220 * F.col("n_tokens"), 0)
+        .when(F.col("margin") >= 165 * F.col("n_tokens"), 1)
+        .when(F.col("margin") >= 110 * F.col("n_tokens"), 2)
+        .otherwise(3)
+    ).cast("bigint")
+
+
 @query(
     "ds3_quality_curriculum",
     f"""
@@ -3211,13 +3223,7 @@ def ds3_quality_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiered position pass is new work, not a re-run, though qc1's
     margin pass is also priced on its own line)."""
     m = QUERIES["qc1_model_quality_score"].fn(spark, sf_dir)
-    tier = (
-        F.when(F.col("margin") >= 220 * F.col("n_tokens"), 0)
-        .when(F.col("margin") >= 165 * F.col("n_tokens"), 1)
-        .when(F.col("margin") >= 110 * F.col("n_tokens"), 2)
-        .otherwise(3)
-    ).cast("bigint")
-    t = m.select("doc", tier.alias("tier"))
+    t = m.select("doc", _ds3_tier().alias("tier"))
     return pk.tiered_shuffle_positions(
         t, id_col="doc", tier_col="tier", seed=42, shard_size=1000
     )
@@ -3442,8 +3448,11 @@ mx2_epoch_budget.__doc__ = mx2_epoch_budget.__doc__.format(
 )
 
 
-_DS2_SQL = """
-    WITH b AS ({mx2}),
+# ds2's MEMBERSHIP CTE chain (budgets → full/frac epochs → reservoir →
+# (doc, epoch) appearances), shared verbatim by ds2's and ds4's oracles
+# — one membership definition, two orders (operators/sampling.
+# epoch_membership is the Spark twin of exactly this chain).
+_DS2_MEMBER_CTES = """b AS ({mx2}),
     t AS (
         SELECT doc_id AS doc, source,
                CAST(len({words}) AS BIGINT) AS n_tokens
@@ -3471,7 +3480,13 @@ _DS2_SQL = """
         SELECT doc, source, n_tokens,
                CAST(unnest(generate_series(0, ne - 1)) AS BIGINT) AS epoch
         FROM member WHERE ne > 0
-    )
+    )"""
+
+_DS2_SQL = (
+    """
+    WITH """
+    + _DS2_MEMBER_CTES
+    + """
     SELECT doc, source, n_tokens, epoch,
            CAST(ROW_NUMBER() OVER (
                ORDER BY epoch,
@@ -3481,6 +3496,7 @@ _DS2_SQL = """
            ) - 1 AS BIGINT) AS pos
     FROM x
 """
+)
 
 
 @query(
@@ -3534,6 +3550,91 @@ def ds2_epoch_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 ds2_epoch_order.__doc__ = ds2_epoch_order.__doc__.format(
     _MX2_MULT=_MX2_MULT, _MX2_MAX_EPOCHS=_MX2_MAX_EPOCHS
 )
+
+
+_DS4_SQL = (
+    """
+    WITH """
+    + _DS2_MEMBER_CTES
+    + """,
+    m AS ({qc1}),
+    qt AS (
+        SELECT doc, CAST("""
+    + _DS3_TIER_SQL
+    + """ AS BIGINT) AS tier
+        FROM m
+    )
+    SELECT x.doc, x.source, x.n_tokens, x.epoch, qt.tier,
+           CAST(ROW_NUMBER() OVER (
+               ORDER BY x.epoch, qt.tier,
+                        md5(CAST(x.epoch AS VARCHAR) || '|'
+                            || CAST(x.doc AS VARCHAR)),
+                        x.doc
+           ) - 1 AS BIGINT) AS pos
+    FROM x JOIN qt ON x.doc = qt.doc
+"""
+)
+
+
+@query(
+    "ds4_epoch_curriculum",
+    _DS4_SQL.format(
+        mx2=QUERIES["mx2_epoch_budget"].oracle,
+        words=_WORDS_SQL,
+        qc1=QUERIES["qc1_model_quality_score"].oracle,
+    ),
+)
+def ds4_epoch_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EPOCH CURRICULUM (the HANDOFF r12 designed idea: ds3's quality
+    tiers composed with ds2's multi-epoch interleave): the training
+    order a data-constrained run consumes when the curriculum RESTARTS
+    EVERY EPOCH — the literature-default semantics (curriculum
+    schedules are defined per pass; Bengio 2009's staged syllabus
+    repeats each stage's ordering discipline, not a single global
+    sort). Membership is EXACTLY ds2's: mx2's per-source budgets,
+    full epochs plus the lowest-hash-first fractional reservoir (the
+    shared _DS2_MEMBER_CTES / operators/sampling.epoch_membership —
+    one definition, two orders). Position is epoch-major, then qc1's
+    margin-per-token tier (ds3's fixed thresholds via the shared
+    _ds3_tier/_DS3_TIER_SQL pair), then ds2's OWN epoch-reseeded
+    shuffle hash — so within every (epoch, tier) block the relative
+    order equals ds2's within that epoch, making each epoch's
+    curriculum a BLOCK PERMUTATION of that epoch's ds2 order
+    (test-pinned in tests/test_sampling.py, with ds2's per-doc
+    appearance counts re-asserted on the tiered order). All-integer →
+    hash-exact; the oracle nests mx2's and qc1's registered SQL
+    verbatim and states the position as ONE row_number.
+
+    Scale shape: ds2's membership plan (two-level per-(source,
+    hash-prefix) reservoir cumsum) + one doc-grain equi-join to the
+    tier table + operators/packing.epoch_tiered_positions — the
+    two-level decomposition with the THREE-part composite (epoch,
+    tier, hash-prefix) bucket key, so per-bucket windows stay
+    ~n/4096 rows under any tier skew and any epoch count while the
+    broadcast offset table grows only to epochs × tiers × 4096
+    metadata rows (plan-asserted under a deliberately skewed tier in
+    tests/test_packing.py). No data-sized SinglePartition
+    anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    counted = docs.select(
+        F.col("doc_id").alias("doc"),
+        "source",
+        F.size(tx.normalized_words(F.col("text"))).alias("n_tokens"),
+    )
+    budgets = sampling.epoch_budget(
+        counted, "source", "n_tokens",
+        budget_mult=_MX2_MULT, max_epochs=_MX2_MAX_EPOCHS,
+    )
+    member = sampling.epoch_membership(
+        counted, key="doc", stratum="source", tokens_col="n_tokens",
+        budgets=budgets,
+    )
+    m = QUERIES["qc1_model_quality_score"].fn(spark, sf_dir)
+    qt = m.select("doc", _ds3_tier().alias("tier"))
+    x = member.join(qt, "doc")
+    return pk.epoch_tiered_positions(
+        x, id_col="doc", epoch_col="epoch", tier_col="tier"
+    ).select("doc", "source", "n_tokens", "epoch", "tier", "pos")
 
 
 @query(

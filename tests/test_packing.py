@@ -278,3 +278,51 @@ def test_tiered_shuffle_positions_reference_and_plan(spark):
     assert plan.count("Exchange SinglePartition") <= 1, plan
     assert "Exchange hashpartitioning(_t" in plan, plan
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_epoch_tiered_positions_reference_and_plan(spark):
+    """epoch_tiered_positions == the global row_number over (epoch,
+    tier, md5(epoch|id), id), verified against a Python-sorted
+    reference (epochs reseed the hash exactly like ds2); the THREE-part
+    composite (epoch, tier, hash-prefix) bucketing must leave NO
+    data-sized SinglePartition exchange even when one tier dominates,
+    and the offset table joins back broadcast. Carry-through contract:
+    input columns survive."""
+    import hashlib
+
+    from ig_etl_with_user_reports_2024_spark.operators.packing import (
+        epoch_tiered_positions,
+    )
+
+    # skewed tiers (80% tier 0), 2 epochs, an extra carried column
+    df = spark.range(1, 400).select(
+        F.col("id").alias("doc"),
+        F.when(F.col("id") % 5 < 4, 0).otherwise(1).alias("tier"),
+        (F.col("id") * 10).alias("payload"),
+    ).crossJoin(spark.range(0, 2).select(F.col("id").alias("epoch")))
+    out = epoch_tiered_positions(df, "doc", "epoch", "tier")
+    got = {(r.doc, r.epoch): (r.tier, r.payload, r.pos) for r in out.collect()}
+    expect_order = sorted(
+        [(d, e) for d in range(1, 400) for e in (0, 1)],
+        key=lambda de: (
+            de[1],
+            0 if de[0] % 5 < 4 else 1,
+            hashlib.md5(f"{de[1]}|{de[0]}".encode()).hexdigest(),
+            de[0],
+        ),
+    )
+    for pos, (d, e) in enumerate(expect_order):
+        t = 0 if d % 5 < 4 else 1
+        assert got[(d, e)] == (t, d * 10, pos), ((d, e), got[(d, e)], pos)
+
+    big = spark.range(1, 10_000).select(
+        F.col("id").alias("doc"),
+        (F.col("id") % 3).alias("tier"),
+    ).crossJoin(spark.range(0, 3).select(F.col("id").alias("epoch")))
+    plan = (
+        epoch_tiered_positions(big, "doc", "epoch", "tier")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange SinglePartition") <= 1, plan
+    assert "Exchange hashpartitioning(_e" in plan, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan

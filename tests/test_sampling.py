@@ -624,3 +624,45 @@ def test_ds3_curriculum_is_tiered_block_permutation_of_ds1(spark, sf_oracle):
     t0 = [d for d, r in ds3.items() if r.tier == 0]
     t3 = [d for d, r in ds3.items() if r.tier == 3]
     assert max(ds1[d] for d in t0) > min(ds1[d] for d in t3)
+
+
+def test_ds4_is_a_per_epoch_block_permutation_of_ds2(spark, sf_oracle):
+    """ds4's invariants (the ds3 pins lifted to the epoch domain):
+    (a) membership — its (doc, epoch) appearance set equals ds2's
+    exactly, so every ds2 budget invariant (per-doc counts full or
+    full+1, budget-to-one-boundary-doc) transfers; (b) positions are
+    dense 0..N-1 and epoch-major (each epoch a contiguous block, in
+    epoch order); (c) within an epoch the tiers form contiguous blocks
+    in tier order — the per-epoch curriculum restart; (d) within every
+    (epoch, tier) block the relative doc order equals ds2's within
+    that epoch — each epoch's curriculum is a BLOCK PERMUTATION of
+    that epoch's ds2 shuffle; and (e) non-vacuity: the global order
+    actually differs from ds2's (tiers interleave under the plain
+    shuffle)."""
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    ds2 = qs["ds2_epoch_order"](spark, sf_oracle).collect()
+    ds4 = qs["ds4_epoch_curriculum"](spark, sf_oracle).collect()
+    # (a) same appearances
+    assert {(r.doc, r.epoch) for r in ds2} == {(r.doc, r.epoch) for r in ds4}
+    # (b) dense, epoch-major
+    ds4s = sorted(ds4, key=lambda r: r.pos)
+    assert [r.pos for r in ds4s] == list(range(len(ds4s)))
+    assert [r.epoch for r in ds4s] == sorted(r.epoch for r in ds4s)
+    # (c) contiguous tier blocks inside each epoch
+    for e in {r.epoch for r in ds4s}:
+        tiers = [r.tier for r in ds4s if r.epoch == e]
+        assert tiers == sorted(tiers), f"epoch {e}: tiers not contiguous"
+        assert len(set(tiers)) > 1, f"epoch {e}: single tier — vacuous"
+    # (d) within-(epoch, tier) relative order == ds2's within-epoch order
+    ds2_rank = {(r.doc, r.epoch): r.pos for r in ds2}
+    for e in {r.epoch for r in ds4s}:
+        for t in {r.tier for r in ds4s if r.epoch == e}:
+            block = [r for r in ds4s if r.epoch == e and r.tier == t]
+            ranks = [ds2_rank[(r.doc, r.epoch)] for r in block]
+            assert ranks == sorted(ranks), (e, t)
+    # (e) the curriculum is not the identity permutation
+    assert [(r.doc, r.epoch) for r in ds4s] != [
+        (r.doc, r.epoch) for r in sorted(ds2, key=lambda r: r.pos)
+    ]
