@@ -58,87 +58,79 @@ from ig_etl_with_user_reports_2024_spark.plans import star_manifest  # noqa: F40
 # specific hashes, rf-floored) are likewise outside the hash-checkable
 # cohorts (the VERDICT r9 debt arithmetic counts 22 r6-era, not 25).
 #
-# Round-11 window: (0) the 7 new/changed entries — qc1 (NEW:
-# model-based quality scoring, a fastText-style linear classifier
-# inference pass with md5-derived portable weights — VERDICT r10 #3),
-# txt14 (NEW: corpus-wide PII scrub — email/phone/handle redaction
-# counts + scrubbed-text md5, the reference's own X1 patterns —
-# VERDICT r10 #4), cm1 (plan+oracle: the hold_out split re-keyed onto
-# dd11's CLUSTER id and the dc2 subtree swept against that same split
-# — VERDICT r10 #1; drop_contaminated collapses 12 → 1 at sf0.01),
-# qc2 (NEW: the rule-vs-model quality A/B — txt8's and qc1's keep
-# verdicts joined into one 2x2 integer row, the dd16/ii6 convention),
-# cp5 (NEW: the scrubbed release store — cm1's keep set joined with
-# txt14's redaction pass, the text artifact a release ships), cp6
-# (NEW: per-shard release integrity — order-insensitive md5-prefix-sum
-# checksums over cp1's layout ⋈ txt14's scrubbed text), ds3 (NEW:
-# quality-curriculum training order — ds1's shuffle stratified into
-# qc1 margin tiers via the composite-bucket two-level decomposition),
-# cp1/cp2/cp4 (oracle: they nest cm1's rebuilt text — the release
-# family moves in lockstep), dc2 (oracle: rebuilt from the shared
-# sql_fuzzy_decontaminate builder — semantics identical, construction
-# changed, the km1-r10 rule); then (a) oldest-driver-verdict-first:
-# ALL 27 remaining r7-era hash-checkable verdicts (VERDICT r10 "Next
-# round" #2 — st10/c13/c10 lead as the r10 overflow), followed by the
-# 12 oldest r8-era in catalog order (rf12/rf11/dd1/dd8 are the
-# boundary overflow). 11 + 27 + 12 = 50 exactly; after this round no
-# hash-checkable verdict predates r8 — the r7 rotation debt drains to
-# zero one round ahead of the r10 schedule.
+# Round-12 window: (0) the 8 new/changed entries — cp7 (NEW: the
+# scrubbed DELTA text store — cm2's admit set ⋈ txt14, cp5's twin on
+# the daily path — VERDICT r11 #1), cp8 (NEW: release-keyed per-shard
+# integrity for cp3's delta layout, cp6's twin — VERDICT r11 #1),
+# tok1 (NEW: tokenizer-grain subword counts via a portable fixed-merge
+# BPE apply — VERDICT r11 #2), km2 (NEW: full Lloyd k-means training
+# in scaled-long integer arithmetic — VERDICT r11 #4), rf14 (NEW:
+# km2's convergence gate on the exact integer inertia trajectory),
+# ds4 (NEW: per-epoch quality curriculum — ds3's tiers composed with
+# ds2's epoch interleave, HANDOFF r12's designed idea), ds2/ds3
+# (plan: construction refactored onto the shared epoch_membership /
+# _ds3_tier builders ds4 reuses — semantics identical, ds2's oracle
+# text byte-identical, but the km1-r10 rule puts changed construction
+# in group 0); then (a) oldest-driver-verdict-first: ALL 26 remaining
+# r8-era hash-checkable verdicts (VERDICT r11 "Next round" #3 —
+# rf12/rf11/dd1/dd8 lead as the r11 boundary overflow), followed by
+# the 16 oldest r9-era in catalog order. 8 + 26 + 16 = 50 exactly;
+# after this round no hash-checkable verdict predates r9.
 _DRIVER_PRIORITY = [
-    # (0) new/changed oracle or plan in round 11 — first driver contact
-    "qc1_model_quality_score",
-    "txt14_pii_scrub",
-    "qc2_quality_signal_ab",
-    "cp5_scrubbed_release",
-    "cp6_shard_integrity",
+    # (0) new/changed oracle or plan in round 12 — first driver contact
+    "cp7_scrubbed_delta_store",
+    "cp8_delta_shard_integrity",
+    "tok1_subword_token_count",
+    "km2_kmeans_train",
+    "rf14_int_lloyd_convergence",
+    "ds4_epoch_curriculum",
+    "ds2_epoch_order",
     "ds3_quality_curriculum",
-    "cm1_corpus_manifest",
-    "dc2_fuzzy_decontaminate",
-    "cp1_curated_corpus",
-    "cp2_corpus_datacard",
-    "cp4_datacard_diff",
-    # (a) oldest driver verdict first: ALL 27 remaining r7-era
+    # (a) oldest driver verdict first: ALL 26 remaining r8-era
     # entries, catalog order within the cohort
-    "st10_streaming_upsert",
-    "c13_sponsor_detector",
-    "c10_personality_insights",
-    "rf1_lsh_topk_recall",
-    "rf10_ivfpq_recall",
-    "rf3_minhash_recall",
-    "rf4_simhash_recall",
-    "rf6_pq_distortion",
-    "rf7_approx_distinct_accuracy",
-    "a123_er_formulas",
-    "a6_viral_count",
-    "a8_distinct_diversity",
-    "a9_platform_stats",
-    "a12_split_half_trend",
-    "a13_class_means_pivot",
-    "a14_c6_fake_score",
-    "c2_type_tier",
-    "c3_pricing_dim",
-    "c8_account_type",
-    "k1_top6_er",
-    "f2_recent_window",
-    "txt1_lang_id",
-    "txt3_token_counts",
-    "txt4_content_fingerprint",
-    "mm1_binary_metadata",
-    "dd5_embedding_neardup",
-    "sq3_matryoshka_truncate",
-    # (a cont.) the 12 oldest r8-era verdicts, catalog order
-    "cdc1_merge_upsert",
-    "cdc2_scd2_intervals",
-    "dq1_column_profile",
-    "dq2_schema_drift",
-    "ad1_rolling_zscore",
-    "mm3_frame_select",
-    "dc1_decontaminate",
-    "k7_top5_preview",
-    "st11_rocksdb_dedup",
-    "rf2_ivf_topk_recall",
-    "rf5_sketch_accuracy",
-    "rf9_kmeans_lloyd_floor",
+    "rf12_multiprobe_cell_recall",
+    "rf11_semdedup_cell_recall",
+    "dd1_exact_dedup",
+    "dd8_dedup_keep_list",
+    "dd12_repeated_span_trim",
+    "ann1_cosine_topk",
+    "txt2_quality_score",
+    "txt11_winnowing_fingerprint",
+    "dd14_winnowing_pairs",
+    "txt8_filter_verdict",
+    "txt10_trigram_surprisal",
+    "ii1_inverted_index",
+    "dd7_ngram_contamination",
+    "dp1_sequence_packing",
+    "dp2_sequence_manifest",
+    "ds1_corpus_shuffle",
+    "mx2_epoch_budget",
+    "pr1_pagerank",
+    "ii2_bm25_topk",
+    "ii3_bm25_log_idf",
+    "ii4_prf_rerank",
+    "ii5_rrf_fusion",
+    "ii6_retrieval_eval",
+    "ii7_fusion_eval",
+    "ann4_portable_lsh_topk",
+    "dd9_portable_simhash_pairs",
+    # (a cont.) the 16 oldest r9-era verdicts, catalog order
+    "dq1a_column_profile_approx",
+    "rj2_error_near_purchase",
+    "sp1_hash_split",
+    "sp2_stratified_sample",
+    "sp3_k_per_stratum",
+    "mm5_image_patches",
+    "x10_c7_argmax_priority",
+    "x8b_json_extract",
+    "st3_sessionization",
+    "st7_session_window",
+    "st4_streaming_tumbling",
+    "st1_tumbling_window",
+    "st2_sliding_window",
+    "st6_streaming_dedup",
+    "st12_streaming_band_admission",
+    "ro1_hourly_rollup",
 ]
 
 

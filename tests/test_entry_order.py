@@ -15,58 +15,57 @@ def test_priority_names_all_registered():
 
 
 def test_stale_and_changed_queries_land_in_driver_window():
-    # Round-11 rotation under the STANDING RULE (VERDICT r6 "Next
-    # round" #1, stated in __spark_entry__): new/changed first (11 —
-    # qc1/txt14/qc2/cp5/cp6/ds3 NEW + cm1's cluster-split re-key +
-    # the cp1/cp2/cp4 lockstep recompositions + dc2's builder-rebuilt
-    # oracle), then all remaining slots oldest-verdict first: ALL 27
-    # remaining r7-era hash-checkable verdicts (VERDICT r10 #2) + the
-    # 12 oldest r8-era (rf12/rf11/dd1/dd8 = the boundary overflow).
-    # 11 + 27 + 12 = 50; after r11 no hash-checkable verdict predates
-    # r8.
-    # Overflow = r9/r10-green entries and the youngest r8 verdicts —
+    # Round-12 rotation under the STANDING RULE (VERDICT r6 "Next
+    # round" #1, stated in __spark_entry__): new/changed first (8 —
+    # cp7/cp8/tok1/km2/rf14/ds4 NEW + ds2/ds3 whose plan construction
+    # moved onto the shared epoch_membership/_ds3_tier builders), then
+    # all remaining slots oldest-verdict first: ALL 26 remaining
+    # r8-era hash-checkable verdicts (VERDICT r11 #3) + the 16 oldest
+    # r9-era in catalog order. 8 + 26 + 16 = 50; after r12 no
+    # hash-checkable verdict predates r9.
+    # Overflow = r10/r11-green entries and the youngest r9 verdicts —
     # asserted OUT so the window isn't silently wasted.
     first50 = list(entry.queries())[:50]
     for name in entry._DRIVER_PRIORITY:
         assert name in first50, f"{name} fell out of the driver's 50-slot window"
     for name in (
-        # r9/r10-green, untouched this round (the youngest verdicts
+        # r10/r11-green, untouched this round (the youngest verdicts
         # are the cheapest to defer, per the rule)
+        "qc1_model_quality_score",
+        "txt14_pii_scrub",
+        "qc2_quality_signal_ab",
+        "cp5_scrubbed_release",
+        "cp6_shard_integrity",
+        "cm1_corpus_manifest",
+        "dc2_fuzzy_decontaminate",
+        "cp1_curated_corpus",
+        "cp2_corpus_datacard",
+        "cp4_datacard_diff",
+        "st10_streaming_upsert",
+        "c13_sponsor_detector",
+        "rf1_lsh_topk_recall",
+        "a123_er_formulas",
+        "k1_top6_er",
         "dd10_keep_list_banded",
         "dd11_staged_keep_list",
-        "dd15_quality_survivor",
-        "dd16_banded_pair_eval",
-        "cm2_incremental_admission",
-        "cp3_incremental_release",
-        "mx1_temperature_mix",
-        "txt13_source_vocab_overlap",
-        "ro3_multigrain_rollup",
-        "sp1_hash_split",
-        "st12_streaming_band_admission",
         "sp4_cluster_split",
         "sp5_joint_cluster_split",
-        "dc4_split_leakage_eval",
-        "ds2_epoch_order",
-        "dp3_epoch_packing",
-        "dc3_semantic_decontaminate",
-        "km1_kmeans_assign",
         "dd13_semantic_keep_list",
-        "mx3_surprisal_weighted_mixture",
-        # r8-green past the cut (catalog order within the cohort
-        # decides it; rf12/rf11/dd1/dd8 are the boundary overflow)
-        "rf12_multiprobe_cell_recall",
-        "rf11_semdedup_cell_recall",
-        "dd1_exact_dedup",
-        "dd8_dedup_keep_list",
-        "dd12_repeated_span_trim",
-        "ann1_cosine_topk",
-        "txt2_quality_score",
-        "txt11_winnowing_fingerprint",
-        "dd14_winnowing_pairs",
-        "ii6_retrieval_eval",
-        "txt10_trigram_surprisal",
-        "mx2_epoch_budget",
-        "dp2_sequence_manifest",
+        "km1_kmeans_assign",
+        "dp3_epoch_packing",
+        # r9-green past the cut (catalog order within the cohort
+        # decides it; the st family's tail + scalar/report rows)
+        "c12_collab_status",
+        "rf8_approx_percentile_accuracy",
+        "a4_pricing_summary",
+        "j1_work_queue_anti_join",
+        "j3_users_posts_join",
+        "a7_frequency_map",
+        "a5_consistency_score",
+        "a11_post_gap_frequency",
+        "c1_size_buckets",
+        "f3_recent_flag",
+        "f4_category_filter",
         # no-oracle / rows-only exemption: verdicts the rotation can't
         # refresh; their rf floors are the refreshable signal
         "mm2_frame_sample",
@@ -77,9 +76,3 @@ def test_stale_and_changed_queries_land_in_driver_window():
         "dd4_simhash_pairs",
     ):
         assert name not in first50, f"{name} should be deliberate overflow"
-
-
-def test_oracles_reference_registered_queries():
-    qs = entry.queries()
-    for name in entry.oracle_sql():
-        assert name in qs
