@@ -71,10 +71,14 @@ from ig_etl_with_user_reports_2024_spark.plans import star_manifest  # noqa: F40
 # (plan: construction refactored onto the shared epoch_membership /
 # _ds3_tier builders ds4 reuses — semantics identical, ds2's oracle
 # text byte-identical, but the km1-r10 rule puts changed construction
-# in group 0); then (a) oldest-driver-verdict-first: ALL 26 remaining
+# in group 0), dp4/mx4 (NEW: dp1's packing and mx1's mixture re-run
+# at tok1's tokenizer grain — the budget-grain twins VERDICT r11 #2
+# asked the round to decide on; built because the answer IS the
+# artifact) and tok2 (NEW: the word-vs-subword budget 2×2, the qc2
+# convention); then (a) oldest-driver-verdict-first: ALL 26 remaining
 # r8-era hash-checkable verdicts (VERDICT r11 "Next round" #3 —
 # rf12/rf11/dd1/dd8 lead as the r11 boundary overflow), followed by
-# the 16 oldest r9-era in catalog order. 8 + 26 + 16 = 50 exactly;
+# the 13 oldest r9-era in catalog order. 11 + 26 + 13 = 50 exactly;
 # after this round no hash-checkable verdict predates r9.
 _DRIVER_PRIORITY = [
     # (0) new/changed oracle or plan in round 12 — first driver contact
@@ -86,6 +90,9 @@ _DRIVER_PRIORITY = [
     "ds4_epoch_curriculum",
     "ds2_epoch_order",
     "ds3_quality_curriculum",
+    "dp4_subword_packing",
+    "mx4_subword_mix",
+    "tok2_budget_grain_ab",
     # (a) oldest driver verdict first: ALL 26 remaining r8-era
     # entries, catalog order within the cohort
     "rf12_multiprobe_cell_recall",
@@ -114,7 +121,8 @@ _DRIVER_PRIORITY = [
     "ii7_fusion_eval",
     "ann4_portable_lsh_topk",
     "dd9_portable_simhash_pairs",
-    # (a cont.) the 16 oldest r9-era verdicts, catalog order
+    # (a cont.) the 13 oldest r9-era verdicts, catalog order (st6/
+    # st12/ro1 displaced by dp4/mx4/tok2 — they lead r13's cohort)
     "dq1a_column_profile_approx",
     "rj2_error_near_purchase",
     "sp1_hash_split",
@@ -128,9 +136,6 @@ _DRIVER_PRIORITY = [
     "st4_streaming_tumbling",
     "st1_tumbling_window",
     "st2_sliding_window",
-    "st6_streaming_dedup",
-    "st12_streaming_band_admission",
-    "ro1_hourly_rollup",
 ]
 
 

@@ -154,6 +154,17 @@ HEADLINE = [
     "qc1_model_quality_score",
     "txt14_pii_scrub",
     "ds3_quality_curriculum",
+    # r12 additions. The r11-comparable subset is everything above
+    # this comment. tok1 is a real new corpus pass (one token explode
+    # + ~21 codegen merge ops/token + one combine — the qc1 shape);
+    # km2 runs the full 2-round integer Lloyd loop (km1 prices the
+    # E-step alone); ds4 adds the per-epoch tiered decomposition over
+    # ds2's interleave (the ds3 precedent). cp7/cp8 and rf14 are
+    # deliberately NOT lines (cp4 precedent: cp7/cp8 re-run the
+    # cm2/cp3/txt14 chains plus a rollup; rf floors gate, not price).
+    "tok1_subword_token_count",
+    "km2_kmeans_train",
+    "ds4_epoch_curriculum",
 ]
 
 

@@ -2966,7 +2966,10 @@ def sql_shuffle_positions(
 
 
 def sql_temperature_mix(
-    rel: str, id_expr: str = "doc_id", order_expr: str | None = None
+    rel: str,
+    id_expr: str = "doc_id",
+    order_expr: str | None = None,
+    tokens_expr: str | None = None,
 ) -> str:
     """DuckDB twin of operators/sampling.temperature_mix (α=0.5,
     β=1/2, salt 'mix') over any relation providing (``id_expr``,
@@ -2974,8 +2977,13 @@ def sql_temperature_mix(
     (curated keep sets) and mx3 (which passes ``order_expr``, an
     INTEGER column on ``rel``, to prepend an admission priority to the
     per-source hash order — sampling.temperature_mix's ``order_col``).
-    All-BIGINT keep arithmetic — see mx1_temperature_mix's
-    docstring."""
+    ``tokens_expr`` (mx4) replaces the default whitespace-word token
+    metric with any INTEGER expression over ``rel``'s columns — the
+    budget GRAIN is a parameter of the builder, not a different
+    mixture (the Spark twin's ``tokens_col`` has always been one);
+    None keeps the historical word-count text byte-identical for
+    every existing oracle. All-BIGINT keep arithmetic — see
+    mx1_temperature_mix's docstring."""
     # COALESCE to Long.MAX exactly as the Spark side does (ADVICE r9):
     # sampling.temperature_mix coalesces a NULL order value to 2^63-1 so
     # NULLs admit last; DuckDB's ORDER BY defaults NULLS LAST, which
@@ -2990,10 +2998,11 @@ def sql_temperature_mix(
         else ""
     )
     qord = "qb, " if order_expr else ""
+    tok = tokens_expr if tokens_expr is not None else f"len({_WORDS_SQL})"
     return f"""
     WITH t AS (
         SELECT {id_expr} AS doc, source,
-               CAST(len({_WORDS_SQL}) AS BIGINT) AS n_tokens{qsel}
+               CAST({tok} AS BIGINT) AS n_tokens{qsel}
         FROM {rel}
     ), nz AS (
         SELECT * FROM t WHERE n_tokens > 0
@@ -3446,6 +3455,182 @@ def mx2_epoch_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 mx2_epoch_budget.__doc__ = mx2_epoch_budget.__doc__.format(
     _MX2_MULT=_MX2_MULT, _MX2_MAX_EPOCHS=_MX2_MAX_EPOCHS
 )
+
+
+# ---------------------------------------------------------------------------
+# DP4 / MX4 / TOK2 — tokenizer-grain budget twins (VERDICT r11 #2's
+# follow-up question, answered by building: every token budget rode
+# whitespace-word counts; these re-run the packing and mixture end
+# products with tok1's subword counts as the metered quantity, and
+# tok2 measures what the grain swap actually changes).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dp4_subword_packing",
+    f"""
+    WITH tk AS ({tx.sql_subword_token_counts("documents")}),
+    t AS (SELECT doc, n_subword_tokens AS n_tokens FROM tk)
+    {sql_pack_chop('t', 'doc', 'doc, n_tokens')}
+    """,
+)
+def dp4_subword_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dp1's concat-and-chop packing with the budget metered in TOK1
+    SUBWORD tokens — the grain a training run actually consumes
+    (L=2048 means 2048 tokenizer tokens, not 2048 whitespace words;
+    a packing manifest built at word grain under-fills every sequence
+    by the corpus's subword/word ratio, ~3.7× here: 13 → 48 sequences
+    at sf0.01, 488 of 500 docs change first_seq). Same pack_offsets
+    two-level prefix-sum operator, same oracle builder (sql_pack_chop)
+    — ONLY the n_tokens input changes, which is the point: the grain
+    is a parameter of the layout pass, not a new operator. Oracle
+    nests tok1's registered SQL (one builder, lockstep).
+
+    Scale shape: dp1's (per-bucket windows + broadcast bucket-offset
+    table) stacked on tok1's one token explode + map-side-combined
+    count — both already priced on their own bench lines; NOT a bench
+    line itself (cp4 precedent: dp1 prices the packing pass, tok1 the
+    tokenize pass; this entry re-runs both)."""
+    docs = load_table(spark, sf_dir, "documents")
+    counted = tx.subword_token_counts(docs, "doc_id", "text").select(
+        "doc", F.col("n_subword_tokens").alias("n_tokens")
+    )
+    return pk.pack_offsets(
+        counted, id_col="doc", tokens_col="n_tokens", seq_len=2048,
+        bucket_width=256,
+    )
+
+
+_MX4_SQL = f"""
+    WITH tk AS ({tx.sql_subword_token_counts("documents")}),
+    src AS (
+        SELECT d.doc_id, d.source, tk.n_subword_tokens
+        FROM documents d JOIN tk ON tk.doc = d.doc_id
+    ),
+    mix AS ({sql_temperature_mix('src', 'doc_id',
+                                 tokens_expr='n_subword_tokens')})
+    SELECT doc, source, n_tokens, kept FROM mix
+"""
+
+
+@query("mx4_subword_mix", _MX4_SQL)
+def mx4_subword_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mx1's temperature-weighted mixture (α=0.5, β=1/2, salt 'mix')
+    with per-source budgets and admission metered in TOK1 SUBWORD
+    tokens. Token grain changes BOTH sides of the keep decision — the
+    per-source budget (∝ floor(sqrt(Σ subword tokens))) and each
+    doc's contribution to the running sum — so sources whose docs
+    tokenize long (high subword/word ratio) spend their budget on
+    fewer docs. Admission order (salted md5) is grain-independent, so
+    any keep-set difference vs mx1 is purely the metric: 2 docs flip
+    each way at sf0.01 (tok2 measures this; non-vacuity pinned).
+    Domain note: tok1 emits no row for token-less docs and every
+    tokenized doc has n_subword_tokens >= n_words >= 1, so the inner
+    join keeps mx1's exact nz domain.
+
+    Spark side is sampling.temperature_mix with ``tokens_col`` bound
+    to tok1's count — the operator always took the metric as input;
+    the oracle side gains the same knob (sql_temperature_mix's
+    ``tokens_expr``), default untouched. NOT a bench line (cp4
+    precedent: tok1's tokenize pass and mx1's mixture pass are each
+    priced on their own lines)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = tx.subword_token_counts(docs, "doc_id", "text")
+    counted = docs.select(F.col("doc_id").alias("doc"), "source").join(
+        tk, "doc"
+    )
+    mix = sampling.temperature_mix(
+        counted, key="doc", stratum="source",
+        tokens_col="n_subword_tokens", beta_num=1, beta_den=2, salt="mix",
+    )
+    # the operator names the metric column after tokens_col; the
+    # mixture contract (mx1/cp1) calls it n_tokens whatever the grain
+    return mix.select(
+        "doc", "source",
+        F.col("n_subword_tokens").alias("n_tokens"), "kept",
+    )
+
+
+@query(
+    "tok2_budget_grain_ab",
+    None,  # placeholder — rebound just below (nests mx1's and mx4's
+    # registered oracles, both defined above in this module)
+)
+def tok2_budget_grain_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The word-grain vs tokenizer-grain budget A/B — the qc2/dd16
+    convention applied to the grain swap dp4/mx4 enable: before a
+    pipeline re-meters its mixture in real tokenizer tokens, it reads
+    ONE row of integers saying what the swap changes. Joins mx1's and
+    mx4's keep verdicts on their (identical) tokenized-doc domain and
+    emits the 2×2 agreement table plus the kept-token mass under each
+    grain's own metric: n_docs / n_both_keep / n_both_drop /
+    n_word_only_keep / n_subword_only_keep / kept_word_tokens (mx1's
+    kept mass, word grain) / kept_subword_tokens (mx4's kept mass,
+    subword grain). Off-diagonals measured 2 / 2 at sf0.01 — the
+    mixture is NEARLY grain-stable on this corpus (the synthetic
+    sources tokenize uniformly; skewed real corpora are exactly where
+    the table earns its keep). All-BIGINT one-row output, hash-exact.
+
+    Scale shape: two doc-grain unique-keyed verdict columns joined +
+    one 1-row aggregate — at 100 TB both verdicts are checkpointed
+    columns of the curation table and this is a metadata pass. NOT a
+    bench line (cp4 precedent)."""
+    w = QUERIES["mx1_temperature_mix"].fn(spark, sf_dir).select(
+        "doc", F.col("n_tokens").alias("w_tokens"),
+        F.col("kept").alias("w_kept"),
+    )
+    s = QUERIES["mx4_subword_mix"].fn(spark, sf_dir).select(
+        "doc", F.col("n_tokens").alias("s_tokens"),
+        F.col("kept").alias("s_kept"),
+    )
+    both = w.join(s, "doc")
+    return both.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(
+            (F.col("w_kept") & F.col("s_kept")).cast("bigint")
+        ).alias("n_both_keep"),
+        F.sum(
+            (~F.col("w_kept") & ~F.col("s_kept")).cast("bigint")
+        ).alias("n_both_drop"),
+        F.sum(
+            (F.col("w_kept") & ~F.col("s_kept")).cast("bigint")
+        ).alias("n_word_only_keep"),
+        F.sum(
+            (~F.col("w_kept") & F.col("s_kept")).cast("bigint")
+        ).alias("n_subword_only_keep"),
+        F.sum(
+            F.when(F.col("w_kept"), F.col("w_tokens")).otherwise(F.lit(0))
+        ).cast("bigint").alias("kept_word_tokens"),
+        F.sum(
+            F.when(F.col("s_kept"), F.col("s_tokens")).otherwise(F.lit(0))
+        ).cast("bigint").alias("kept_subword_tokens"),
+    )
+
+
+def _bind_tok2_oracle() -> None:
+    """tok2 nests mx1's and mx4's registered oracles verbatim — the
+    driver's verdict covers both mixtures plus the 2×2 rollup."""
+    QUERIES["tok2_budget_grain_ab"].oracle = f"""
+    WITH w AS ({QUERIES["mx1_temperature_mix"].oracle}),
+    s AS ({_MX4_SQL})
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN w.kept AND s.kept THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_both_keep,
+           CAST(SUM(CASE WHEN NOT w.kept AND NOT s.kept THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_both_drop,
+           CAST(SUM(CASE WHEN w.kept AND NOT s.kept THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_word_only_keep,
+           CAST(SUM(CASE WHEN NOT w.kept AND s.kept THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_subword_only_keep,
+           CAST(SUM(CASE WHEN w.kept THEN w.n_tokens ELSE 0 END)
+               AS BIGINT) AS kept_word_tokens,
+           CAST(SUM(CASE WHEN s.kept THEN s.n_tokens ELSE 0 END)
+               AS BIGINT) AS kept_subword_tokens
+    FROM w JOIN s ON w.doc = s.doc
+    """
+
+
+_bind_tok2_oracle()
 
 
 # ds2's MEMBERSHIP CTE chain (budgets → full/frac epochs → reservoir →

@@ -326,3 +326,34 @@ def test_epoch_tiered_positions_reference_and_plan(spark):
     assert plan.count("Exchange SinglePartition") <= 1, plan
     assert "Exchange hashpartitioning(_e" in plan, plan
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_dp4_subword_grain_recompute_and_nonvacuity(spark, sf_oracle):
+    """dp4's layout must equal a pure-Python concat-and-chop over
+    tok1's subword counts (the mx3/dp1 recompute convention), and the
+    grain swap must be REAL (the txt8 non-vacuity rule): the corpus
+    needs more L=2048 sequences at subword grain than dp1 built at
+    word grain, and doc offsets actually move."""
+    import __spark_entry__ as em
+
+    qs = em.queries()
+    tok = {r.doc: r.n_subword_tokens
+           for r in qs["tok1_subword_token_count"](spark, sf_oracle).collect()}
+    got = {r.doc: (r.n_tokens, r.start_off, r.first_seq, r.last_seq, r.n_seqs)
+           for r in qs["dp4_subword_packing"](spark, sf_oracle).collect()}
+    assert set(got) == {d for d, n in tok.items() if n > 0}
+    cum, L = 0, 2048
+    for d in sorted(tok):
+        n = tok[d]
+        if n <= 0:
+            continue
+        start = cum
+        cum += n
+        first, last = start // L, (cum - 1) // L
+        assert got[d] == (n, start, first, last, last - first + 1), d
+    dp1 = {r.doc: (r.first_seq, r.last_seq)
+           for r in qs["dp1_sequence_packing"](spark, sf_oracle).collect()}
+    assert max(r[1] for r in got.values()) > max(r[1] for r in dp1.values()), \
+        "subword grain did not add sequences — vacuous"
+    moved = sum(1 for d in got if d in dp1 and got[d][2] != dp1[d][0])
+    assert moved > 0, "no doc changed first_seq — vacuous"

@@ -666,3 +666,84 @@ def test_ds4_is_a_per_epoch_block_permutation_of_ds2(spark, sf_oracle):
     assert [(r.doc, r.epoch) for r in ds4s] != [
         (r.doc, r.epoch) for r in sorted(ds2, key=lambda r: r.pos)
     ]
+
+
+def test_mx4_grain_swap_real_and_budget_faithful(spark, sf_oracle):
+    """mx4's contract: (1) same n_tokens>0 universe as mx1 (every
+    tokenized doc has >= 1 subword token, so the grain swap cannot
+    shrink the domain); (2) its metric column IS tok1's subword count
+    per doc; (3) non-vacuity — the keep set differs from mx1's at
+    sf0.01 (the grain moves real docs across the budget boundary);
+    (4) budget-faithful in ITS OWN grain: per source, kept subword
+    tokens <= a Python-recomputed floor(sqrt) budget, and the first
+    rejected doc in admission order would overflow it (the reservoir
+    fills exactly)."""
+    import hashlib
+    import math
+
+    import __spark_entry__ as em
+
+    qs = em.queries()
+    mx1 = {r.doc: r for r in qs["mx1_temperature_mix"](spark, sf_oracle).collect()}
+    mx4 = {r.doc: r for r in qs["mx4_subword_mix"](spark, sf_oracle).collect()}
+    tok = {r.doc: r.n_subword_tokens
+           for r in qs["tok1_subword_token_count"](spark, sf_oracle).collect()}
+    assert set(mx1) == set(mx4)
+    assert all(mx4[d].n_tokens == tok[d] for d in mx4)
+    assert {d for d, r in mx4.items() if r.kept} != \
+        {d for d, r in mx1.items() if r.kept}, "grain swap vacuous"
+    by_src: dict = {}
+    for d, r in mx4.items():
+        by_src.setdefault(r.source, []).append(r)
+    isq = {s: math.isqrt(sum(r.n_tokens for r in rows))
+           for s, rows in by_src.items()}
+    total = sum(sum(r.n_tokens for r in rows) for rows in by_src.values())
+    denom = sum(isq.values())
+    for s, rows in by_src.items():
+        budget = (total // (2 * denom)) * isq[s] \
+            + ((total % (2 * denom)) * isq[s]) // (2 * denom)
+        order = sorted(
+            rows,
+            key=lambda r: (
+                hashlib.md5(f"mix:{r.doc}".encode()).hexdigest(), r.doc
+            ),
+        )
+        cum, kept = 0, []
+        for r in order:
+            cum += r.n_tokens
+            kept.append(cum <= budget)
+        assert kept == [r.kept for r in order], f"{s}: admission mismatch"
+
+
+def test_tok2_cells_match_component_recompute(spark, sf_oracle):
+    """tok2's 2x2 must equal a recompute from mx1's and mx4's own
+    outputs (the qc2 convention), and BOTH off-diagonals must be
+    non-empty at sf0.01 — otherwise the grain A/B certifies nothing
+    (measured 2 / 2 at registration)."""
+    import __spark_entry__ as em
+
+    qs = em.queries()
+    mx1 = {r.doc: r for r in qs["mx1_temperature_mix"](spark, sf_oracle).collect()}
+    mx4 = {r.doc: r for r in qs["mx4_subword_mix"](spark, sf_oracle).collect()}
+    row = qs["tok2_budget_grain_ab"](spark, sf_oracle).collect()[0]
+    assert row.n_docs == len(mx1) == len(mx4)
+    cells = dict(n_both_keep=0, n_both_drop=0,
+                 n_word_only_keep=0, n_subword_only_keep=0)
+    kw = ks = 0
+    for d, w in mx1.items():
+        s = mx4[d]
+        if w.kept and s.kept:
+            cells["n_both_keep"] += 1
+        elif not w.kept and not s.kept:
+            cells["n_both_drop"] += 1
+        elif w.kept:
+            cells["n_word_only_keep"] += 1
+        else:
+            cells["n_subword_only_keep"] += 1
+        kw += w.n_tokens if w.kept else 0
+        ks += s.n_tokens if s.kept else 0
+    for k, v in cells.items():
+        assert getattr(row, k) == v, k
+    assert row.kept_word_tokens == kw and row.kept_subword_tokens == ks
+    assert row.n_word_only_keep > 0 and row.n_subword_only_keep > 0, \
+        "an off-diagonal is empty — the A/B is vacuous on this corpus"
