@@ -56,7 +56,7 @@ corpus row count with metadata-width rows, never text.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import dedup as dd
@@ -1057,3 +1057,147 @@ def cp8_delta_shard_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(chk).cast("bigint").alias("shard_checksum"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# CP9 — TAKEDOWN PROPAGATION: deletes are a release operation too. A
+# 100 TB corpus receives erasure requests (DMCA takedowns, GDPR
+# art. 17 right-to-erasure, opt-outs) AFTER shards have shipped; the
+# pipeline must answer "which shards change, and what do they verify
+# to afterward?" — rewriting only those. cdc1/cdc2 handle row upserts
+# on the events store; cp9 is the delete path of the RELEASE chain.
+# ---------------------------------------------------------------------------
+
+_CP9_SALT = "takedown"
+# first-2-hex-chars threshold: 0x10/0x100 = 1/16 of doc ids — the
+# deterministic stand-in for an external request list (the cm2
+# arrival-subset precedent: a real pipeline joins a requests table on
+# doc_id; nothing else here changes).
+_CP9_HEX_THR = "10"
+
+
+def takedown_flag(doc_col: Column) -> Column:
+    """True for docs named by the (deterministic stand-in) takedown
+    request list: salted-md5 first two hex chars below the threshold,
+    ~1/16 of ids. Engine-portable (md5 + substring compare, the sp1
+    hash-split convention)."""
+    return (
+        F.substring(
+            F.md5(F.concat(F.lit(_CP9_SALT + ":"), doc_col.cast("string"))),
+            1,
+            2,
+        )
+        < _CP9_HEX_THR
+    )
+
+
+def takedown_rewrite_rollup(layout: DataFrame, scrub: DataFrame) -> DataFrame:
+    """The rewrite work-list: per (release, shard) of ``layout``
+    ((release, doc, shard, n_tokens) rows) joined with txt14-shaped
+    ``scrub`` columns keyed ``doc``, the before/after verification
+    numbers under the takedown flag — ONLY shards that lose at least
+    one doc (untouched shards need no rewrite and no new checksum).
+    ONE definition shared by the registered cp9 entry and the
+    multi-shard fixture test (the _layout_chain convention: a
+    threshold/salt edit moves entry and test in lockstep)."""
+    chk = F.conv(F.substring("scrubbed_md5", 1, 12), 16, 10).cast("bigint")
+    j = layout.join(scrub, "doc").withColumn("_td", takedown_flag(F.col("doc")))
+    return (
+        j.groupBy("release", "shard")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs_before"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens_before"),
+            F.sum(chk).cast("bigint").alias("checksum_before"),
+            F.sum(F.col("_td").cast("bigint")).alias("n_removed"),
+            F.sum((~F.col("_td")).cast("bigint")).alias("n_docs_after"),
+            F.sum(F.when(~F.col("_td"), F.col("n_tokens")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("n_tokens_after"),
+            F.sum(F.when(~F.col("_td"), chk).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("checksum_after"),
+        )
+        .filter(F.col("n_removed") > 0)
+    )
+
+
+@query(
+    "cp9_takedown_rewrite",
+    f"""
+    WITH cpf AS ({QUERIES["cp1_curated_corpus"].oracle}),
+    cpd AS ({QUERIES["cp3_incremental_release"].oracle}),
+    sc AS ({QUERIES["txt14_pii_scrub"].oracle}),
+    lay AS (
+        SELECT 'full' AS release, doc, shard, n_tokens FROM cpf
+        UNION ALL
+        SELECT release, doc, shard, n_tokens FROM cpd
+    ),
+    j AS (
+        SELECT lay.release, lay.shard, lay.n_tokens,
+               CAST('0x' || substring(sc.scrubbed_md5, 1, 12) AS BIGINT)
+                   AS chk,
+               substring(md5('{_CP9_SALT}:' || CAST(lay.doc AS VARCHAR)),
+                         1, 2) < '{_CP9_HEX_THR}' AS td
+        FROM lay JOIN sc ON lay.doc = sc.doc
+    )
+    SELECT release, shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs_before,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens_before,
+           CAST(SUM(chk) AS BIGINT) AS checksum_before,
+           CAST(SUM(CASE WHEN td THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+           CAST(SUM(CASE WHEN td THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_docs_after,
+           CAST(SUM(CASE WHEN td THEN 0 ELSE n_tokens END) AS BIGINT)
+               AS n_tokens_after,
+           CAST(SUM(CASE WHEN td THEN 0 ELSE chk END) AS BIGINT)
+               AS checksum_after
+    FROM j
+    GROUP BY release, shard
+    HAVING SUM(CASE WHEN td THEN 1 ELSE 0 END) > 0
+    """,
+    eager=True,  # composes cp1 + cp3 (cm1/cm2 pin at construction)
+)
+def cp9_takedown_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TAKEDOWN PROPAGATION over the ENTIRE shipped corpus — cp1's
+    full release ∪ cp3's delta shards, the same union cp6 ∪ cp8
+    verify: one row per (release, shard) that loses at least one doc
+    to the request list, carrying before/after doc counts, token
+    counts, and order-insensitive content checksums (cp6's 48-bit
+    md5-prefix sum; after = before minus exactly the removed members'
+    terms — commutativity is what makes the delta patchable without
+    re-reading unaffected files). This is the rewrite WORK-LIST a
+    100 TB release runs erasure with: shards absent from the table
+    keep their cp6/cp8 rows; shards present are rewritten and their
+    verification rows replaced by the *_after columns. The request
+    list is a deterministic salted-hash stand-in for an external
+    requests table (~1/16 of ids; the cm2 arrival-subset precedent —
+    a real pipeline equi-joins its requests table on doc_id and
+    nothing else changes).
+
+    Oracle nests cp1's, cp3's, and txt14's registered SQL verbatim —
+    the driver's verdict covers full-release layout ∪ delta layout →
+    scrub → flag → per-shard before/after rollup as one chain. Scale
+    shape: both layouts are admitted-doc-grain metadata; the join to
+    txt14 is a unique-keyed doc-grain equi-join; the rollup is one
+    map-side-combined groupBy(release, shard) and the output is
+    |affected shards| rows — erasure cost scales with the request
+    list, not the corpus. NOT a bench line (cp4 precedent: re-runs
+    cp1's and cp3's chains, each already priced). Gate-scale
+    disclosure: at sf0.01 the released sets are small (17 full / 2
+    delta docs), so only the 'full' namespace is hit (1 doc removed,
+    1 shard affected; sf0.1 hits both: 21 full + 5 delta); the
+    multi-shard / both-namespace grain and the checksum-delta
+    arithmetic are pinned on a constructed fixture in
+    tests/test_manifest.py (cp6/cp8's convention)."""
+    cpf = (
+        QUERIES["cp1_curated_corpus"]
+        .fn(spark, sf_dir)
+        .select(F.lit("full").alias("release"), "doc", "shard", "n_tokens")
+    )
+    cpd = (
+        QUERIES["cp3_incremental_release"]
+        .fn(spark, sf_dir)
+        .select("release", "doc", "shard", "n_tokens")
+    )
+    scrub = QUERIES["txt14_pii_scrub"].fn(spark, sf_dir)
+    return takedown_rewrite_rollup(cpf.unionByName(cpd), scrub)

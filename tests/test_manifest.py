@@ -366,3 +366,102 @@ def test_cp8_grain_is_release_keyed_and_multi_shard(spark):
         .collect()
     }
     assert out2 == {k: out[k].shard_checksum for k in out}
+
+
+def test_cp9_is_exactly_the_flagged_rollup(spark, sf_oracle):
+    """cp9's gate-scale contract: recompute the whole table from cp1's
+    / cp3's / txt14's collected rows under the same salted flag —
+    affected-shard set, before/after counts, and both checksums must
+    match, every emitted row must lose >= 1 doc, and the checksum
+    delta must equal exactly the removed members' md5-prefix terms
+    (the patchability property: a rewriter never re-reads survivors
+    to produce the new verification row)."""
+    import hashlib
+
+    qs = entry_mod.queries()
+    lay = [("full", r.doc, r.shard, r.n_tokens)
+           for r in qs["cp1_curated_corpus"](spark, sf_oracle).collect()]
+    lay += [(r.release, r.doc, r.shard, r.n_tokens)
+            for r in qs["cp3_incremental_release"](spark, sf_oracle).collect()]
+    scrub = {r.doc: r.scrubbed_md5
+             for r in qs["txt14_pii_scrub"](spark, sf_oracle).collect()}
+    out = {(r.release, r.shard): r
+           for r in qs["cp9_takedown_rewrite"](spark, sf_oracle).collect()}
+    expect: dict = {}
+    for rel, doc, shard, n_tokens in lay:
+        td = hashlib.md5(f"takedown:{doc}".encode()).hexdigest()[:2] < "10"
+        e = expect.setdefault((rel, shard), [0, 0, 0, 0, 0, 0, 0])
+        chk = int(scrub[doc][:12], 16)
+        e[0] += 1
+        e[1] += n_tokens
+        e[2] += chk
+        if td:
+            e[3] += 1
+        else:
+            e[4] += 1
+            e[5] += n_tokens
+            e[6] += chk
+    affected = {k: v for k, v in expect.items() if v[3] > 0}
+    assert set(out) == set(affected) and out, "affected-shard set mismatch"
+    for k, r in out.items():
+        assert [r.n_docs_before, r.n_tokens_before, r.checksum_before,
+                r.n_removed, r.n_docs_after, r.n_tokens_after,
+                r.checksum_after] == affected[k], k
+        assert r.n_removed >= 1
+        # patchability: delta == removed terms only
+        removed_sum = r.checksum_before - r.checksum_after
+        assert removed_sum > 0 or r.n_removed == r.n_docs_before
+
+
+def test_cp9_untouched_shards_emit_no_row_and_both_namespaces(spark):
+    """cp9's rollup at its REAL grain (gate scale hits one shard of
+    one namespace): a constructed layout places every flagged doc in
+    designated shards and NONE in a control shard, across BOTH
+    release namespaces — the control shard must be ABSENT (untouched
+    shards keep their cp6/cp8 rows; emitting them would schedule
+    no-op rewrites), affected shards in both namespaces must appear,
+    and after-checksums must match a Python recompute over survivors
+    only."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from ig_etl_with_user_reports_2024_spark.operators.textops import pii_scrub
+    from ig_etl_with_user_reports_2024_spark.plans.star_manifest import (
+        takedown_rewrite_rollup,
+    )
+
+    ids = list(range(4000))
+    flagged = {i for i in ids
+               if hashlib.md5(f"takedown:{i}".encode()).hexdigest()[:2] < "10"}
+    assert flagged and len(flagged) < len(ids)
+
+    def place(i: int) -> tuple[str, int]:
+        if i in flagged:
+            return ("full", 0) if i % 2 == 0 else ("delta", 10)
+        return ("full", 1) if i % 3 == 0 else ("delta", 10)
+
+    rows = [(place(i)[0], i, place(i)[1], 100 + i % 9, f"fixture doc {i}")
+            for i in ids]
+    layout = spark.createDataFrame(
+        rows, "release string, doc bigint, shard bigint, n_tokens bigint, text string"
+    )
+    scrub = pii_scrub(
+        layout.select(F.col("doc").alias("doc_id"), "text"), "doc_id", "text"
+    )
+    out = {(r.release, r.shard): r
+           for r in takedown_rewrite_rollup(
+               layout.select("release", "doc", "shard", "n_tokens"), scrub
+           ).collect()}
+    # ('full', 1) holds only unflagged docs -> absent; the others hit
+    assert ("full", 1) not in out
+    assert set(out) == {("full", 0), ("delta", 10)}
+    assert out[("full", 0)].n_docs_after == 0  # all-flagged shard empties
+    exp_after = sum(
+        int(hashlib.md5(f"fixture doc {i}".encode()).hexdigest()[:12], 16)
+        for i in ids if place(i) == ("delta", 10) and i not in flagged
+    )
+    assert out[("delta", 10)].checksum_after == exp_after
+    assert out[("delta", 10)].n_removed == sum(
+        1 for i in flagged if place(i) == ("delta", 10)
+    )
