@@ -178,3 +178,101 @@ def profile_columns_approx_gated(
             )
         )
     return row.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
+
+
+def expectation_counts(
+    df: DataFrame,
+    table: str,
+    violations: list,
+    unique: list[str] = (),
+) -> DataFrame:
+    """Declarative EXPECTATION VALIDATION (the Deequ / Great
+    Expectations shape, Schelter et al. 2018 "Automating Large-Scale
+    Data Quality Verification": a suite of named constraints compiles
+    into ONE aggregation pass per table, not one scan per check):
+    ``violations`` is [(expectation_name, is_violation boolean
+    Column)] — the caller states each predicate NULL-SAFE (a NULL
+    verdict is a violation, stated explicitly with isNull()/coalesce
+    so Spark and the SQL twin agree) — and ``unique`` adds uniqueness
+    expectations (violations = non-null occurrences beyond the first:
+    count(c) - count(distinct c); NULLs belong to a not_null
+    expectation, not here). Exact distincts ride the dq1 Expand
+    (never mixed with sketch aggs — the r6 rule); at 100 TB swap
+    approx_count_distinct under an rf7-style gate exactly as dq1a
+    does.
+
+    Returns one row per expectation:
+    (table_name, expectation, n_rows, n_violations, passed) — all
+    BIGINT + BOOLEAN, hash-exact. The unpivot explodes a 1-row
+    aggregate, metadata work (profile_columns' convention)."""
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for name, cond in violations:
+        aggs.append(F.sum(cond.cast("long")).alias(f"{name}__v"))
+    for c in unique:
+        aggs.append(F.count(F.col(c)).alias(f"{c}__cnt"))
+        aggs.append(F.countDistinct(F.col(c)).alias(f"{c}__nd"))
+    row = df.agg(*aggs)
+    structs = []
+    for name, _ in violations:
+        structs.append(
+            F.struct(
+                F.lit(table).alias("table_name"),
+                F.lit(name).alias("expectation"),
+                F.col("_n").cast("bigint").alias("n_rows"),
+                F.coalesce(F.col(f"{name}__v"), F.lit(0))
+                .cast("bigint")
+                .alias("n_violations"),
+            )
+        )
+    for c in unique:
+        structs.append(
+            F.struct(
+                F.lit(table).alias("table_name"),
+                F.lit(f"{c}_unique").alias("expectation"),
+                F.col("_n").cast("bigint").alias("n_rows"),
+                (F.col(f"{c}__cnt") - F.col(f"{c}__nd"))
+                .cast("bigint")
+                .alias("n_violations"),
+            )
+        )
+    return (
+        row.select(F.explode(F.array(*structs)).alias("p"))
+        .select("p.*")
+        .withColumn("passed", F.col("n_violations") == 0)
+    )
+
+
+def referential_orphans(
+    child: DataFrame,
+    child_key: str,
+    parent: DataFrame,
+    parent_key: str,
+    table: str,
+    expectation: str,
+) -> DataFrame:
+    """The referential-integrity expectation (orders.o_custkey ∈
+    customer.c_custkey): one row in expectation_counts' schema with
+    n_violations = child rows whose key has no parent (NULL keys are
+    orphans — a reference that names nothing). LEFT JOIN against the
+    distinct parent keys + one 1-row aggregate; the parent side is a
+    key column only, so at dim scale it broadcasts and at fact scale
+    it is one equi-join shuffle of narrow rows — either way the check
+    never carries payload columns."""
+    hit = parent.select(F.col(parent_key).alias("_pk")).distinct()
+    j = child.select(F.col(child_key).alias("_ck")).join(
+        hit, F.col("_ck") == F.col("_pk"), "left"
+    )
+    return j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.col("_pk").isNull().cast("long"))
+        .cast("bigint")
+        .alias("n_violations"),
+    ).select(
+        F.lit(table).alias("table_name"),
+        F.lit(expectation).alias("expectation"),
+        "n_rows",
+        F.coalesce(F.col("n_violations"), F.lit(0).cast("bigint")).alias(
+            "n_violations"
+        ),
+        (F.coalesce(F.col("n_violations"), F.lit(0)) == 0).alias("passed"),
+    )

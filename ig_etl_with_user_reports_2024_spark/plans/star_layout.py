@@ -409,3 +409,191 @@ def dq2_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(True),
         ).alias("drift_flag"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DQ3 — expectation-suite validation: dq1 profiles, dq2 compares
+# batches; dq3 is the CONTRACT check a pipeline gates ingest on — a
+# declarative suite of named constraints with violation counts (the
+# Deequ / Great Expectations shape; operators/profiling.py).
+# ---------------------------------------------------------------------------
+
+
+def _dq3_row(
+    table: str, name: str, viol_sql: str, n_rows_sql: str = "COUNT(*)"
+) -> str:
+    v = f"CAST({viol_sql} AS BIGINT)"
+    return f"""
+    SELECT '{table}' AS table_name, '{name}' AS expectation,
+           CAST({n_rows_sql} AS BIGINT) AS n_rows,
+           {v} AS n_violations,
+           {v} = 0 AS passed
+    FROM {table}"""
+
+
+_DQ3_ORACLE = " UNION ALL ".join(
+    [
+        _dq3_row(
+            "orders", "o_orderkey_not_null",
+            "SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)",
+        ),
+        _dq3_row(
+            "orders", "o_orderkey_unique",
+            "COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey)",
+        ),
+        _dq3_row(
+            "orders", "o_orderstatus_in_set",
+            "SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')"
+            " OR o_orderstatus IS NULL THEN 1 ELSE 0 END)",
+        ),
+        _dq3_row(
+            "orders", "o_totalprice_positive",
+            "SUM(CASE WHEN NOT (o_totalprice > 0)"
+            " OR o_totalprice IS NULL THEN 1 ELSE 0 END)",
+        ),
+        """
+    SELECT 'orders' AS table_name,
+           'o_custkey_in_customer' AS expectation,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN c._pk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violations,
+           CAST(SUM(CASE WHEN c._pk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               = 0 AS passed
+    FROM orders o
+    LEFT JOIN (SELECT DISTINCT c_custkey AS _pk FROM customer) c
+      ON o.o_custkey = c._pk""",
+        """
+    SELECT 'lineitem' AS table_name,
+           'l_orderkey_in_orders' AS expectation,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN o._pk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violations,
+           CAST(SUM(CASE WHEN o._pk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               = 0 AS passed
+    FROM lineitem l
+    LEFT JOIN (SELECT DISTINCT o_orderkey AS _pk FROM orders) o
+      ON l.l_orderkey = o._pk""",
+        _dq3_row(
+            "lineitem", "l_quantity_le_40",
+            "SUM(CASE WHEN NOT (l_quantity <= 40)"
+            " OR l_quantity IS NULL THEN 1 ELSE 0 END)",
+        ),
+        _dq3_row(
+            "events", "event_id_unique",
+            "COUNT(event_id) - COUNT(DISTINCT event_id)",
+        ),
+        _dq3_row(
+            "documents", "n_chars_matches_text",
+            "SUM(CASE WHEN n_chars IS DISTINCT FROM length(text)"
+            " THEN 1 ELSE 0 END)",
+        ),
+        _dq3_row(
+            "documents", "n_chars_le_480",
+            "SUM(CASE WHEN NOT (n_chars <= 480)"
+            " OR n_chars IS NULL THEN 1 ELSE 0 END)",
+        ),
+        _dq3_row(
+            "documents", "lang_in_whitelist",
+            "SUM(CASE WHEN lang NOT IN ('en', 'de', 'fr', 'es')"
+            " OR lang IS NULL THEN 1 ELSE 0 END)",
+        ),
+    ]
+)
+
+
+@query("dq3_expectation_suite", _DQ3_ORACLE)
+def dq3_expectation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXPECTATION-SUITE validation (Deequ / Great Expectations,
+    Schelter et al. 2018 — dq1 records stats, dq2 compares batches;
+    dq3 is the declarative CONTRACT an ingest gate enforces): eleven
+    named constraints over four tables — not-null, uniqueness,
+    value-set, positivity, two referential-integrity checks
+    (orders→customer, lineitem→orders), a derived-column consistency
+    check (documents.n_chars must equal length(text)), and three
+    distribution expectations whose thresholds deliberately straddle
+    the corpus (the txt8 rule: l_quantity ≤ 40 fails ~20% of rows,
+    n_chars ≤ 480 and the 4-language whitelist fail real documents at
+    every sf — a suite that only ever passes pins nothing about the
+    violation-counting path). One row per expectation:
+    (table_name, expectation, n_rows, n_violations, passed), all
+    BIGINT + BOOLEAN, hash-exact.
+
+    Plan shape: per-table predicate expectations compile into ONE
+    aggregation pass per table (operators/profiling.expectation_counts
+    — the Deequ insight; violation predicates are stated NULL-safe so
+    both engines agree), uniqueness rides the same pass via the dq1
+    Expand, and each referential check is one LEFT JOIN against the
+    distinct parent keys carrying no payload columns (broadcast at
+    dim scale, narrow-row shuffle at fact scale —
+    profiling.referential_orphans). Union of 1-row/row-per-check
+    aggregates — metadata-sized output."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    events = load_table(spark, sf_dir, "events")
+    documents = load_table(spark, sf_dir, "documents")
+    parts = [
+        profiling.expectation_counts(
+            orders,
+            "orders",
+            [
+                ("o_orderkey_not_null", F.col("o_orderkey").isNull()),
+                (
+                    "o_orderstatus_in_set",
+                    ~F.col("o_orderstatus").isin("O", "F", "P")
+                    | F.col("o_orderstatus").isNull(),
+                ),
+                (
+                    "o_totalprice_positive",
+                    ~(F.col("o_totalprice") > 0)
+                    | F.col("o_totalprice").isNull(),
+                ),
+            ],
+            unique=["o_orderkey"],
+        ),
+        profiling.referential_orphans(
+            orders, "o_custkey", customer, "c_custkey",
+            "orders", "o_custkey_in_customer",
+        ),
+        profiling.referential_orphans(
+            lineitem, "l_orderkey", orders, "o_orderkey",
+            "lineitem", "l_orderkey_in_orders",
+        ),
+        profiling.expectation_counts(
+            lineitem,
+            "lineitem",
+            [
+                (
+                    "l_quantity_le_40",
+                    ~(F.col("l_quantity") <= 40)
+                    | F.col("l_quantity").isNull(),
+                ),
+            ],
+        ),
+        profiling.expectation_counts(
+            events, "events", [], unique=["event_id"]
+        ),
+        profiling.expectation_counts(
+            documents,
+            "documents",
+            [
+                (
+                    "n_chars_matches_text",
+                    ~F.col("n_chars").eqNullSafe(F.length("text")),
+                ),
+                (
+                    "n_chars_le_480",
+                    ~(F.col("n_chars") <= 480) | F.col("n_chars").isNull(),
+                ),
+                (
+                    "lang_in_whitelist",
+                    ~F.col("lang").isin("en", "de", "fr", "es")
+                    | F.col("lang").isNull(),
+                ),
+            ],
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -199,3 +199,96 @@ def test_zo2_zorder_prunes_linear_does_not(spark, sf_oracle):
     assert zo.rows_touched <= 0.25 * zo.rows_total
     # both layouts cover the same corpus
     assert lin.rows_total == zo.rows_total
+
+
+def test_dq3_suite_recompute_and_both_branches(spark, sf_oracle):
+    """dq3's contract: every cell recomputed from the raw tables in
+    Python (duckdb-free, engine-third-opinion), the suite exercises
+    BOTH branches (the txt8 rule — a suite that only passes pins
+    nothing about violation counting), and the failing set is exactly
+    the three deliberately-straddling distribution expectations —
+    uniqueness/referential/consistency must genuinely hold on the
+    corpus, not vacuously."""
+    import duckdb  # noqa: F401  (not used — recompute is pure Python)
+
+    import __spark_entry__ as em
+
+    qs = em.queries()
+    out = {(r.table_name, r.expectation): r
+           for r in qs["dq3_expectation_suite"](spark, sf_oracle).collect()}
+    assert len(out) == 11
+    assert all(r.passed == (r.n_violations == 0) for r in out.values())
+    failing = {k for k, r in out.items() if not r.passed}
+    assert failing == {
+        ("lineitem", "l_quantity_le_40"),
+        ("documents", "n_chars_le_480"),
+        ("documents", "lang_in_whitelist"),
+    }
+
+    docs = spark.read.parquet(f"{sf_oracle}/documents.parquet").collect()
+    li = spark.read.parquet(f"{sf_oracle}/lineitem.parquet") \
+        .select("l_orderkey", "l_quantity").collect()
+    orders = spark.read.parquet(f"{sf_oracle}/orders.parquet") \
+        .select("o_orderkey", "o_custkey", "o_orderstatus",
+                "o_totalprice").collect()
+    cust = {r.c_custkey for r in spark.read.parquet(
+        f"{sf_oracle}/customer.parquet").select("c_custkey").collect()}
+
+    r = out[("lineitem", "l_quantity_le_40")]
+    assert r.n_rows == len(li)
+    assert r.n_violations == sum(
+        1 for x in li if x.l_quantity is None or not x.l_quantity <= 40)
+    r = out[("documents", "n_chars_le_480")]
+    assert r.n_violations == sum(
+        1 for d in docs if d.n_chars is None or not d.n_chars <= 480)
+    r = out[("documents", "lang_in_whitelist")]
+    assert r.n_violations == sum(
+        1 for d in docs if d.lang not in ("en", "de", "fr", "es"))
+    r = out[("documents", "n_chars_matches_text")]
+    assert r.n_violations == sum(
+        1 for d in docs if d.n_chars != len(d.text or ""))
+    r = out[("orders", "o_orderkey_unique")]
+    keys = [o.o_orderkey for o in orders if o.o_orderkey is not None]
+    assert r.n_violations == len(keys) - len(set(keys))
+    r = out[("orders", "o_custkey_in_customer")]
+    assert r.n_rows == len(orders)
+    assert r.n_violations == sum(
+        1 for o in orders if o.o_custkey not in cust)
+    ok = {o.o_orderkey for o in orders}
+    r = out[("lineitem", "l_orderkey_in_orders")]
+    assert r.n_violations == sum(1 for x in li if x.l_orderkey not in ok)
+
+
+def test_dq3_violation_branch_counts_dirty_rows(spark):
+    """The violation-counting path on genuinely dirty data (the gate
+    corpus is clean on the pass-branch expectations): a constructed
+    table with NULL keys, duplicate keys, and orphan references must
+    produce the exact violation counts — including the NULL-verdict-
+    is-a-violation convention every predicate states explicitly."""
+    from pyspark.sql import functions as F
+
+    from ig_etl_with_user_reports_2024_spark.operators.profiling import (
+        expectation_counts,
+        referential_orphans,
+    )
+
+    rows = [(1, 10.0), (2, -5.0), (2, None), (None, 3.0), (4, 0.0)]
+    df = spark.createDataFrame(rows, "k bigint, v double")
+    out = {r.expectation: r for r in expectation_counts(
+        df, "t",
+        [
+            ("k_not_null", F.col("k").isNull()),
+            ("v_positive", ~(F.col("v") > 0) | F.col("v").isNull()),
+        ],
+        unique=["k"],
+    ).collect()}
+    assert out["k_not_null"].n_violations == 1
+    assert out["v_positive"].n_violations == 3   # -5, NULL, 0
+    assert out["k_unique"].n_violations == 1     # the second k=2
+    assert all(r.n_rows == 5 for r in out.values())
+    assert not out["v_positive"].passed and not out["k_unique"].passed
+
+    parent = spark.createDataFrame([(1,), (2,)], "pk bigint")
+    r = referential_orphans(df, "k", parent, "pk", "t", "k_in_parent") \
+        .collect()[0]
+    assert (r.n_rows, r.n_violations, r.passed) == (5, 2, False)  # NULL + 4
