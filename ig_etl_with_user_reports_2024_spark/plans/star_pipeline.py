@@ -5044,3 +5044,110 @@ def _bind_sp5_oracle() -> None:
 _bind_dd13_oracle()
 _bind_dc4_oracle()
 _bind_sp5_oracle()
+
+
+# ---------------------------------------------------------------------------
+# MM6 — interleaved multimodal packing: the layout pass of a
+# vision-language pretraining run. Each document is an (image, text)
+# pair; its sequence cost is patch tokens + subword tokens, and the
+# corpus packs into L=2048 sequences over the COMBINED stream.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "mm6_interleaved_packing",
+    f"""
+    WITH tk AS ({tx.sql_subword_token_counts("documents")}),
+    meta AS (
+        SELECT doc_id,
+               CAST('0x' || substring(md5(text), 1, 6) AS BIGINT)
+                   % 448 + 64 AS height,
+               CAST('0x' || substring(md5(text), 7, 6) AS BIGINT)
+                   % 448 + 64 AS width
+        FROM documents
+    ),
+    t AS (
+        SELECT m.doc_id AS doc,
+               CAST(((m.height - 1) // 32 + 1) * ((m.width - 1) // 32 + 1)
+                   AS BIGINT) AS n_patch_tokens,
+               CAST(COALESCE(tk.n_subword_tokens, 0) AS BIGINT)
+                   AS n_text_tokens,
+               CAST(((m.height - 1) // 32 + 1) * ((m.width - 1) // 32 + 1)
+                   + COALESCE(tk.n_subword_tokens, 0) AS BIGINT) AS n_tokens
+        FROM meta m LEFT JOIN tk ON tk.doc = m.doc_id
+    )
+    {sql_pack_chop('t', 'doc',
+                   'doc, n_patch_tokens, n_text_tokens, n_tokens')}
+    """,
+)
+def mm6_interleaved_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERLEAVED MULTIMODAL packing — the sequence layout a
+    vision-language pretraining run feeds its dataloader (each doc is
+    an [image patches][text tokens] span in one concatenated stream;
+    Flamingo/LLaVA-style interleaved corpora train exactly on this):
+    per-doc sequence cost = mm5's NaViT patch-grid size (⌈H/32⌉·⌈W/32⌉
+    over the SAME md5-derived (height, width) metadata — lockstep
+    pinned against mm5's exploded grid in tests/test_sampling.py) plus
+    tok1's subword token count, chopped into L=2048 sequences by the
+    shared pack_offsets/sql_pack_chop machinery. Emits the modality
+    split alongside the offsets: (doc, n_patch_tokens, n_text_tokens,
+    n_tokens, start_off, first_seq, last_seq, n_seqs).
+
+    Unlike dp1/dp4, the domain is ALL documents — a doc with no text
+    still trains its image (n_text_tokens coalesces to 0; every image
+    is ≥ 4 patches, so no row drops) — the multimodal-corpus
+    convention, test-pinned. Oracle nests tok1's registered SQL and
+    restates mm5's two metadata hash exprs verbatim.
+
+    Scale shape: tok1's one token explode + one map-side-combined
+    count; the patch arithmetic is a zero-shuffle projection (the
+    GRID SIZE needs no explode — mm5's per-tile rows are for the
+    encoder, the packer only needs the count); one doc-grain LEFT
+    join; then dp1's two-level prefix sum and a final unique-keyed
+    doc-grain join to re-attach the modality split. NOT a bench line
+    (cp4 precedent: tok1 and dp1 price the passes; the patch
+    projection is sub-second work)."""
+    docs = load_table(spark, sf_dir, "documents")
+    h1 = F.conv(F.substring(F.md5(F.col("text")), 1, 6), 16, 10).cast(
+        "bigint"
+    )
+    h2 = F.conv(F.substring(F.md5(F.col("text")), 7, 6), 16, 10).cast(
+        "bigint"
+    )
+    meta = docs.select(
+        F.col("doc_id").alias("doc"),
+        (h1 % 448 + 64).alias("height"),
+        (h2 % 448 + 64).alias("width"),
+    )
+    n_patches = F.expr(
+        "((height - 1) div 32 + 1) * ((width - 1) div 32 + 1)"
+    ).cast("bigint")
+    tk = tx.subword_token_counts(docs, "doc_id", "text").select(
+        "doc", "n_subword_tokens"
+    )
+    t = (
+        meta.join(tk, "doc", "left")
+        .select(
+            "doc",
+            n_patches.alias("n_patch_tokens"),
+            F.coalesce(F.col("n_subword_tokens"), F.lit(0))
+            .cast("bigint")
+            .alias("n_text_tokens"),
+        )
+        .withColumn(
+            "n_tokens",
+            (F.col("n_patch_tokens") + F.col("n_text_tokens")).cast(
+                "bigint"
+            ),
+        )
+    )
+    packed = pk.pack_offsets(
+        t, id_col="doc", tokens_col="n_tokens", seq_len=2048,
+        bucket_width=256,
+    )
+    return packed.join(
+        t.select("doc", "n_patch_tokens", "n_text_tokens"), "doc"
+    ).select(
+        "doc", "n_patch_tokens", "n_text_tokens", "n_tokens",
+        "start_off", "first_seq", "last_seq", "n_seqs",
+    )

@@ -747,3 +747,36 @@ def test_tok2_cells_match_component_recompute(spark, sf_oracle):
     assert row.kept_word_tokens == kw and row.kept_subword_tokens == ks
     assert row.n_word_only_keep > 0 and row.n_subword_only_keep > 0, \
         "an off-diagonal is empty — the A/B is vacuous on this corpus"
+
+
+def test_mm6_patch_text_split_and_full_domain(spark, sf_oracle):
+    """mm6's contract: (1) LOCKSTEP with mm5 — n_patch_tokens equals
+    the SIZE of mm5's exploded patch grid per doc (mm6 restates mm5's
+    md5 metadata exprs; this pin is what keeps them from drifting);
+    (2) n_text_tokens equals tok1's subword count (0 where tok1 has
+    no row); (3) the domain is ALL documents (unlike dp1/dp4 — a
+    text-less doc still trains its image); (4) the layout equals a
+    pure-Python concat-and-chop over the combined costs."""
+    import __spark_entry__ as em
+
+    qs = em.queries()
+    mm6 = {r.doc: r for r in
+           qs["mm6_interleaved_packing"](spark, sf_oracle).collect()}
+    grid: dict = {}
+    for r in qs["mm5_image_patches"](spark, sf_oracle).collect():
+        grid[r.doc_id] = grid.get(r.doc_id, 0) + 1
+    tok = {r.doc: r.n_subword_tokens
+           for r in qs["tok1_subword_token_count"](spark, sf_oracle).collect()}
+    n_docs = spark.read.parquet(f"{sf_oracle}/documents.parquet").count()
+    assert len(mm6) == n_docs, "a document dropped from the packing"
+    for d, r in mm6.items():
+        assert r.n_patch_tokens == grid[d], d
+        assert r.n_text_tokens == tok.get(d, 0), d
+        assert r.n_tokens == r.n_patch_tokens + r.n_text_tokens
+    cum, L = 0, 2048
+    for d in sorted(mm6):
+        r = mm6[d]
+        start = cum
+        cum += r.n_tokens
+        assert (r.start_off, r.first_seq, r.last_seq) == (
+            start, start // L, (cum - 1) // L), d
