@@ -21,7 +21,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 MEDIA_META_SCHEMA = (
@@ -210,3 +210,21 @@ def image_patch_plan(decoded: DataFrame, patch: int = 16) -> DataFrame:
             ).cast("long").alias("x1"),
         )
     )
+
+
+def md5_image_meta(text_col: str = "text") -> tuple[Column, Column]:
+    """The gate-scale stand-in image metadata — (height, width) derived
+    from two md5 prefixes of the payload column, H, W ∈ [64, 512) —
+    stated ONCE for every consumer (mm5's per-tile grid and mm6's
+    interleaved packer must agree tile-for-tile; review finding: the
+    exprs were restated in four places guarded only by a lockstep
+    test). The SQL twins necessarily restate this as text in their
+    oracles; the per-entry hash gate plus the mm5↔mm6 lockstep test
+    catch any twin drift."""
+    h1 = F.conv(
+        F.substring(F.md5(F.col(text_col)), 1, 6), 16, 10
+    ).cast("bigint")
+    h2 = F.conv(
+        F.substring(F.md5(F.col(text_col)), 7, 6), 16, 10
+    ).cast("bigint")
+    return (h1 % 448 + 64).alias("height"), (h2 % 448 + 64).alias("width")

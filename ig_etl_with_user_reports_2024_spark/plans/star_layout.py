@@ -422,7 +422,10 @@ def dq2_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _dq3_row(
     table: str, name: str, viol_sql: str, n_rows_sql: str = "COUNT(*)"
 ) -> str:
-    v = f"CAST({viol_sql} AS BIGINT)"
+    # COALESCE matches the Spark side's empty-table convention (review
+    # finding: expectation_counts coalesces SUM-over-nothing to 0 /
+    # passed=true, so the twin must state the same instead of NULL)
+    v = f"CAST(COALESCE({viol_sql}, 0) AS BIGINT)"
     return f"""
     SELECT '{table}' AS table_name, '{name}' AS expectation,
            CAST({n_rows_sql} AS BIGINT) AS n_rows,
@@ -455,10 +458,10 @@ _DQ3_ORACLE = " UNION ALL ".join(
     SELECT 'orders' AS table_name,
            'o_custkey_in_customer' AS expectation,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
-           CAST(SUM(CASE WHEN c._pk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_violations,
-           CAST(SUM(CASE WHEN c._pk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-               = 0 AS passed
+           CAST(COALESCE(SUM(CASE WHEN c._pk IS NULL THEN 1 ELSE 0 END), 0)
+               AS BIGINT) AS n_violations,
+           CAST(COALESCE(SUM(CASE WHEN c._pk IS NULL THEN 1 ELSE 0 END), 0)
+               AS BIGINT) = 0 AS passed
     FROM orders o
     LEFT JOIN (SELECT DISTINCT c_custkey AS _pk FROM customer) c
       ON o.o_custkey = c._pk""",
@@ -466,10 +469,10 @@ _DQ3_ORACLE = " UNION ALL ".join(
     SELECT 'lineitem' AS table_name,
            'l_orderkey_in_orders' AS expectation,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
-           CAST(SUM(CASE WHEN o._pk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_violations,
-           CAST(SUM(CASE WHEN o._pk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-               = 0 AS passed
+           CAST(COALESCE(SUM(CASE WHEN o._pk IS NULL THEN 1 ELSE 0 END), 0)
+               AS BIGINT) AS n_violations,
+           CAST(COALESCE(SUM(CASE WHEN o._pk IS NULL THEN 1 ELSE 0 END), 0)
+               AS BIGINT) = 0 AS passed
     FROM lineitem l
     LEFT JOIN (SELECT DISTINCT o_orderkey AS _pk FROM orders) o
       ON l.l_orderkey = o._pk""",

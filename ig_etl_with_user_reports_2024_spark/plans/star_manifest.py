@@ -860,6 +860,17 @@ def cp5_scrubbed_release(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+
+def _md5_prefix_checksum() -> Column:
+    """The ONE Spark expression for the order-insensitive 48-bit
+    md5-prefix checksum term cp6 / cp8 / cp9 all sum — the merged
+    verification table only works if every namespace computes the
+    same term, so the width/base live here (review finding: three
+    inline copies; the SQL twins necessarily restate it as text, and
+    the per-entry hash gate catches any twin drift)."""
+    return F.conv(F.substring("scrubbed_md5", 1, 12), 16, 10).cast("bigint")
+
+
 @query(
     "cp6_shard_integrity",
     f"""
@@ -904,7 +915,7 @@ def cp6_shard_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc", "shard", "n_tokens")
     )
     sc = QUERIES["txt14_pii_scrub"].fn(spark, sf_dir)
-    chk = F.conv(F.substring("scrubbed_md5", 1, 12), 16, 10).cast("bigint")
+    chk = _md5_prefix_checksum()
     return (
         cp.join(sc, "doc")
         .groupBy("shard")
@@ -1042,7 +1053,7 @@ def cp8_delta_shard_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("release", "doc", "shard", "n_tokens")
     )
     sc = QUERIES["txt14_pii_scrub"].fn(spark, sf_dir)
-    chk = F.conv(F.substring("scrubbed_md5", 1, 12), 16, 10).cast("bigint")
+    chk = _md5_prefix_checksum()
     return (
         cp.join(sc, "doc")
         .groupBy("release", "shard")
@@ -1100,7 +1111,7 @@ def takedown_rewrite_rollup(layout: DataFrame, scrub: DataFrame) -> DataFrame:
     ONE definition shared by the registered cp9 entry and the
     multi-shard fixture test (the _layout_chain convention: a
     threshold/salt edit moves entry and test in lockstep)."""
-    chk = F.conv(F.substring("scrubbed_md5", 1, 12), 16, 10).cast("bigint")
+    chk = _md5_prefix_checksum()
     j = layout.join(scrub, "doc").withColumn("_td", takedown_flag(F.col("doc")))
     return (
         j.groupBy("release", "shard")

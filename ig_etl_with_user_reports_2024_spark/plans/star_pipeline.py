@@ -3716,6 +3716,20 @@ def ds2_epoch_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     times per its source's budget, and per-source emitted tokens
     equal ``capped_tokens`` to within one boundary doc
     (tests/test_sampling.py)."""
+    counted, budgets = _epoch_counted_budgets(spark, sf_dir)
+    return sampling.epoch_interleave(
+        counted, key="doc", stratum="source", tokens_col="n_tokens",
+        budgets=budgets,
+    )
+
+
+
+def _epoch_counted_budgets(spark: SparkSession, sf_dir: str):
+    """ds2/ds4's shared input stanza: the (doc, source, n_tokens)
+    frame plus its mx2-constant epoch budgets — ONE construction so a
+    token-metric or budget-parameter change moves both orders in
+    lockstep (review finding: the membership BUILDERS were shared in
+    r12 but this input stanza was still copy-pasted)."""
     docs = load_table(spark, sf_dir, "documents")
     counted = docs.select(
         F.col("doc_id").alias("doc"),
@@ -3726,10 +3740,7 @@ def ds2_epoch_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         counted, "source", "n_tokens",
         budget_mult=_MX2_MULT, max_epochs=_MX2_MAX_EPOCHS,
     )
-    return sampling.epoch_interleave(
-        counted, key="doc", stratum="source", tokens_col="n_tokens",
-        budgets=budgets,
-    )
+    return counted, budgets
 
 
 ds2_epoch_order.__doc__ = ds2_epoch_order.__doc__.format(
@@ -3800,16 +3811,7 @@ def ds4_epoch_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     metadata rows (plan-asserted under a deliberately skewed tier in
     tests/test_packing.py). No data-sized SinglePartition
     anywhere."""
-    docs = load_table(spark, sf_dir, "documents")
-    counted = docs.select(
-        F.col("doc_id").alias("doc"),
-        "source",
-        F.size(tx.normalized_words(F.col("text"))).alias("n_tokens"),
-    )
-    budgets = sampling.epoch_budget(
-        counted, "source", "n_tokens",
-        budget_mult=_MX2_MULT, max_epochs=_MX2_MAX_EPOCHS,
-    )
+    counted, budgets = _epoch_counted_budgets(spark, sf_dir)
     member = sampling.epoch_membership(
         counted, key="doc", stratum="source", tokens_col="n_tokens",
         budgets=budgets,
@@ -5093,10 +5095,16 @@ def mm6_interleaved_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     split alongside the offsets: (doc, n_patch_tokens, n_text_tokens,
     n_tokens, start_off, first_seq, last_seq, n_seqs).
 
-    Unlike dp1/dp4, the domain is ALL documents — a doc with no text
-    still trains its image (n_text_tokens coalesces to 0; every image
-    is ≥ 4 patches, so no row drops) — the multimodal-corpus
-    convention, test-pinned. Oracle nests tok1's registered SQL and
+    Unlike dp1/dp4, the domain is every document WITH A PAYLOAD — a
+    doc whose text tokenizes to nothing still trains its image
+    (n_text_tokens coalesces to 0; every image is ≥ 4 patches), the
+    multimodal-corpus convention, test-pinned. A NULL-text doc has no
+    payload at all in this stand-in data model (text doubles as the
+    media bytes — mm1/mm5's convention), so its md5 metadata, patch
+    count, and n_tokens all go NULL and the row drops IDENTICALLY in
+    both engines under the shared n_tokens > 0 packing guard (review
+    finding, stated rather than patched: a content-less doc occupies
+    no stream position). Oracle nests tok1's registered SQL and
     restates mm5's two metadata hash exprs verbatim.
 
     Scale shape: tok1's one token explode + one map-side-combined
@@ -5108,17 +5116,8 @@ def mm6_interleaved_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cp4 precedent: tok1 and dp1 price the passes; the patch
     projection is sub-second work)."""
     docs = load_table(spark, sf_dir, "documents")
-    h1 = F.conv(F.substring(F.md5(F.col("text")), 1, 6), 16, 10).cast(
-        "bigint"
-    )
-    h2 = F.conv(F.substring(F.md5(F.col("text")), 7, 6), 16, 10).cast(
-        "bigint"
-    )
-    meta = docs.select(
-        F.col("doc_id").alias("doc"),
-        (h1 % 448 + 64).alias("height"),
-        (h2 % 448 + 64).alias("width"),
-    )
+    height, width = mm.md5_image_meta("text")
+    meta = docs.select(F.col("doc_id").alias("doc"), height, width)
     n_patches = F.expr(
         "((height - 1) div 32 + 1) * ((width - 1) div 32 + 1)"
     ).cast("bigint")

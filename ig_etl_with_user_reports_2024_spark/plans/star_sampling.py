@@ -239,14 +239,11 @@ def mm5_image_patches(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-checked."""
     from ..operators.multimodal import image_patch_plan
 
+    from ..operators.multimodal import md5_image_meta
+
     docs = load_table(spark, sf_dir, "documents")
-    h1 = F.conv(F.substring(F.md5(F.col("text")), 1, 6), 16, 10).cast("bigint")
-    h2 = F.conv(F.substring(F.md5(F.col("text")), 7, 6), 16, 10).cast("bigint")
-    decoded = docs.select(
-        "doc_id",
-        (h1 % 448 + 64).alias("height"),
-        (h2 % 448 + 64).alias("width"),
-    )
+    height, width = md5_image_meta("text")
+    decoded = docs.select("doc_id", height, width)
     return image_patch_plan(decoded, patch=32)
 
 

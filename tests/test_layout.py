@@ -209,8 +209,6 @@ def test_dq3_suite_recompute_and_both_branches(spark, sf_oracle):
     the three deliberately-straddling distribution expectations —
     uniqueness/referential/consistency must genuinely hold on the
     corpus, not vacuously."""
-    import duckdb  # noqa: F401  (not used — recompute is pure Python)
-
     import __spark_entry__ as em
 
     qs = em.queries()
@@ -245,8 +243,12 @@ def test_dq3_suite_recompute_and_both_branches(spark, sf_oracle):
     assert r.n_violations == sum(
         1 for d in docs if d.lang not in ("en", "de", "fr", "es"))
     r = out[("documents", "n_chars_matches_text")]
+    # IS DISTINCT FROM semantics (review finding): a NULL on exactly
+    # one side is a violation, NULL on both sides is not
     assert r.n_violations == sum(
-        1 for d in docs if d.n_chars != len(d.text or ""))
+        1 for d in docs
+        if (d.n_chars is None) != (d.text is None)
+        or (d.n_chars is not None and d.n_chars != len(d.text)))
     r = out[("orders", "o_orderkey_unique")]
     keys = [o.o_orderkey for o in orders if o.o_orderkey is not None]
     assert r.n_violations == len(keys) - len(set(keys))

@@ -292,8 +292,6 @@ def test_cp8_rolls_up_exactly_the_delta_release(spark, sf_oracle):
     (release, shard) set equals cp3's layout, and each shard's counts
     and checksum are a Python recompute over cp3 ⋈ txt14's collected
     rows — the rollup is exact, not just hash-green."""
-    import hashlib  # noqa: F401  (checksum recomputed from txt14's md5s)
-
     qs = entry_mod.queries()
     cp3 = qs["cp3_incremental_release"](spark, sf_oracle).collect()
     scrub = {r.doc: r for r in qs["txt14_pii_scrub"](spark, sf_oracle).collect()}

@@ -353,7 +353,10 @@ def test_dp4_subword_grain_recompute_and_nonvacuity(spark, sf_oracle):
         assert got[d] == (n, start, first, last, last - first + 1), d
     dp1 = {r.doc: (r.first_seq, r.last_seq)
            for r in qs["dp1_sequence_packing"](spark, sf_oracle).collect()}
-    assert max(r[1] for r in got.values()) > max(r[1] for r in dp1.values()), \
+    # got values are (n_tokens, start_off, first_seq, LAST_SEQ, n_seqs):
+    # compare sequence indices to sequence indices (review finding —
+    # start_off vs last_seq was vacuously true)
+    assert max(r[3] for r in got.values()) > max(r[1] for r in dp1.values()), \
         "subword grain did not add sequences — vacuous"
     moved = sum(1 for d in got if d in dp1 and got[d][2] != dp1[d][0])
     assert moved > 0, "no doc changed first_seq — vacuous"

@@ -754,8 +754,10 @@ def test_mm6_patch_text_split_and_full_domain(spark, sf_oracle):
     the SIZE of mm5's exploded patch grid per doc (mm6 restates mm5's
     md5 metadata exprs; this pin is what keeps them from drifting);
     (2) n_text_tokens equals tok1's subword count (0 where tok1 has
-    no row); (3) the domain is ALL documents (unlike dp1/dp4 — a
-    text-less doc still trains its image); (4) the layout equals a
+    no row); (3) the domain is every PAYLOAD-BEARING document (all
+    500 here — NULL-text docs would drop in both engines, the
+    documented convention; unlike dp1/dp4 a doc whose text tokenizes
+    to nothing still trains its image); (4) the layout equals a
     pure-Python concat-and-chop over the combined costs."""
     import __spark_entry__ as em
 
@@ -767,8 +769,9 @@ def test_mm6_patch_text_split_and_full_domain(spark, sf_oracle):
         grid[r.doc_id] = grid.get(r.doc_id, 0) + 1
     tok = {r.doc: r.n_subword_tokens
            for r in qs["tok1_subword_token_count"](spark, sf_oracle).collect()}
-    n_docs = spark.read.parquet(f"{sf_oracle}/documents.parquet").count()
-    assert len(mm6) == n_docs, "a document dropped from the packing"
+    docs_df = spark.read.parquet(f"{sf_oracle}/documents.parquet")
+    n_payload = docs_df.filter("text IS NOT NULL").count()
+    assert len(mm6) == n_payload, "a payload-bearing document dropped"
     for d, r in mm6.items():
         assert r.n_patch_tokens == grid[d], d
         assert r.n_text_tokens == tok.get(d, 0), d
