@@ -79,13 +79,15 @@ from ig_etl_with_user_reports_2024_spark.plans import star_manifest  # noqa: F40
 # the per-(release, shard) before/after rewrite work-list over cp1's
 # full ∪ cp3's delta layouts), dq3 (NEW: Deequ-shape expectation
 # suite — 11 named constraints over 4 tables, one agg pass per
-# table), and mm6 (NEW: interleaved multimodal packing — mm5's patch
-# grid + tok1's subword counts chopped into L=2048 VLM sequences);
-# then (a) oldest-driver-verdict-first: ALL 26 remaining r8-era
-# hash-checkable verdicts (VERDICT r11 "Next round" #3 —
-# rf12/rf11/dd1/dd8 lead as the r11 boundary overflow), followed by
-# the 10 oldest r9-era in catalog order. 14 + 26 + 10 = 50 exactly;
-# after this round no hash-checkable verdict predates r9.
+# table), mm6 (NEW: interleaved multimodal packing — mm5's patch
+# grid + tok1's subword counts chopped into L=2048 VLM sequences),
+# and tok3 (NEW: tok1's vocabulary-memoized 100 TB shape, result-
+# identical by shared expression — the sk1/sk2 convention); then (a)
+# oldest-driver-verdict-first: ALL 26 remaining r8-era hash-checkable
+# verdicts (VERDICT r11 "Next round" #3 — rf12/rf11/dd1/dd8 lead as
+# the r11 boundary overflow), followed by the 9 oldest r9-era in
+# catalog order. 15 + 26 + 9 = 50 exactly; after this round no
+# hash-checkable verdict predates r9.
 _DRIVER_PRIORITY = [
     # (0) new/changed oracle or plan in round 12 — first driver contact
     "cp7_scrubbed_delta_store",
@@ -102,6 +104,7 @@ _DRIVER_PRIORITY = [
     "cp9_takedown_rewrite",
     "dq3_expectation_suite",
     "mm6_interleaved_packing",
+    "tok3_memoized_token_count",
     # (a) oldest driver verdict first: ALL 26 remaining r8-era
     # entries, catalog order within the cohort
     "rf12_multiprobe_cell_recall",
@@ -130,9 +133,9 @@ _DRIVER_PRIORITY = [
     "ii7_fusion_eval",
     "ann4_portable_lsh_topk",
     "dd9_portable_simhash_pairs",
-    # (a cont.) the 10 oldest r9-era verdicts, catalog order (st6/
-    # st12/ro1/st2/st1/st4 displaced by dp4/mx4/tok2/cp9/dq3/mm6 —
-    # they lead r13's cohort)
+    # (a cont.) the 9 oldest r9-era verdicts, catalog order (st6/
+    # st12/ro1/st2/st1/st4/st7 displaced by dp4/mx4/tok2/cp9/dq3/mm6/
+    # tok3 — they lead r13's cohort)
     "dq1a_column_profile_approx",
     "rj2_error_near_purchase",
     "sp1_hash_split",
@@ -142,7 +145,6 @@ _DRIVER_PRIORITY = [
     "x10_c7_argmax_priority",
     "x8b_json_extract",
     "st3_sessionization",
-    "st7_session_window",
 ]
 
 

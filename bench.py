@@ -165,6 +165,9 @@ HEADLINE = [
     "tok1_subword_token_count",
     "km2_kmeans_train",
     "ds4_epoch_curriculum",
+    # tok3 is tok1's memoized execution shape — priced on its own
+    # line exactly as the sk1/sk2 alternative shapes are.
+    "tok3_memoized_token_count",
 ]
 
 

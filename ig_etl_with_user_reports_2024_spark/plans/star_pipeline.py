@@ -1357,6 +1357,24 @@ def tok1_subword_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.subword_token_counts(docs, "doc_id", "text")
 
 
+@query("tok3_memoized_token_count", tx.sql_subword_token_counts("documents"))
+def tok3_memoized_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tok1's 100 TB execution shape, registered (the sk1/sk2
+    convention — the oracle is tok1's own SQL, so the driver asserts
+    RESULT IDENTITY and the entry's value is the plan): tokenize the
+    DISTINCT vocabulary once, broadcast the per-word counts back onto
+    the token stream, aggregate per doc. Zipf makes this ~1/TTR-th of
+    tok1's string work (type-token ratio ~0.01-0.1 on natural text);
+    the broadcast join also sidesteps hot-word skew entirely — 'the'
+    never shuffles anywhere (operators/textops.
+    memoized_subword_token_counts; BroadcastHashJoin + merge-cascade-
+    on-the-vocab-side plan shape asserted in tests/test_textops.py).
+    ONE per-word expression (subword_count_col) is shared with tok1,
+    so the two paths cannot drift."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.memoized_subword_token_counts(docs, "doc_id", "text")
+
+
 @query(
     "txt4_content_fingerprint",
     f"""

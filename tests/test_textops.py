@@ -803,3 +803,37 @@ def test_subword_counts_are_not_the_regex_counts(spark, sf_oracle):
     # subword count bounded by [n_words, n_word_chars] per doc
     for r in j:
         assert r.n_words <= r.n_subword_tokens <= r.n_word_chars
+
+
+def test_tok3_memoized_equals_tok1_and_plan_shape(spark, sf_oracle):
+    """tok3's whole value is the PLAN (its oracle is tok1's SQL — the
+    sk1/sk2 result-identity convention), so pin both halves: (1)
+    row-for-row equality with tok1 at sf0.01; (2) the plan broadcasts
+    the vocabulary back onto the token stream (BroadcastHashJoin — the
+    skew-free shape: hot words never shuffle) and runs the ~21-op
+    merge cascade on the DISTINCT side only — the cascade's replace
+    chain must appear exactly once in the physical plan, below the
+    vocab aggregate, not once per occurrence stream."""
+    import __spark_entry__ as em
+
+    qs = em.queries()
+    t1 = {r.doc: (r.n_words, r.n_subword_tokens)
+          for r in qs["tok1_subword_token_count"](spark, sf_oracle).collect()}
+    t3 = {r.doc: (r.n_words, r.n_subword_tokens)
+          for r in qs["tok3_memoized_token_count"](spark, sf_oracle).collect()}
+    assert t3 == t1
+
+    plan = (
+        qs["tok3_memoized_token_count"](spark, sf_oracle)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("BroadcastHashJoin") == 1, plan
+    # the vocab is a real distinct on the word key...
+    assert "Exchange hashpartitioning(w#" in plan, plan
+    # ...and the cascade output (n_sub) is produced BY the vocab-grain
+    # aggregate (the memoization), not projected on the token stream
+    # (expression bodies are elided in executedPlan strings, so pin
+    # the structure: the w-keyed HashAggregate emits n_sub)
+    vocab_aggs = [ln for ln in plan.split("\n")
+                  if "HashAggregate(keys=[w#" in ln and "n_sub" in ln]
+    assert vocab_aggs, plan
