@@ -5067,17 +5067,18 @@ _bind_sp5_oracle()
 
 
 # ---------------------------------------------------------------------------
-# MM6 — interleaved multimodal packing: the layout pass of a
-# vision-language pretraining run. Each document is an (image, text)
-# pair; its sequence cost is patch tokens + subword tokens, and the
-# corpus packs into L=2048 sequences over the COMBINED stream.
+# MM6 / MX5 — the multimodal COST model and its two consumers: each
+# document is an (image, text) pair whose sequence cost is patch
+# tokens + subword tokens; mm6 packs the combined stream into L=2048
+# sequences, mx5 budgets the temperature mixture in the same
+# combined grain. ONE cost definition (the SQL CTE fragment below +
+# the _mm_token_costs Spark helper) feeds both, so the packer and
+# the mixture can never meter different corpora.
 # ---------------------------------------------------------------------------
 
-
-@query(
-    "mm6_interleaved_packing",
-    f"""
-    WITH tk AS ({tx.sql_subword_token_counts("documents")}),
+# CTEs tk/meta/mmcost: per payload-bearing doc, the modality-split
+# token costs (mmcost carries source for the mixture consumer).
+_MM_COST_CTES = f"""tk AS ({tx.sql_subword_token_counts("documents")}),
     meta AS (
         SELECT doc_id,
                CAST('0x' || substring(md5(text), 1, 6) AS BIGINT)
@@ -5086,15 +5087,61 @@ _bind_sp5_oracle()
                    % 448 + 64 AS width
         FROM documents
     ),
-    t AS (
-        SELECT m.doc_id AS doc,
+    mmcost AS (
+        SELECT m.doc_id AS doc, d.source,
                CAST(((m.height - 1) // 32 + 1) * ((m.width - 1) // 32 + 1)
                    AS BIGINT) AS n_patch_tokens,
                CAST(COALESCE(tk.n_subword_tokens, 0) AS BIGINT)
                    AS n_text_tokens,
                CAST(((m.height - 1) // 32 + 1) * ((m.width - 1) // 32 + 1)
                    + COALESCE(tk.n_subword_tokens, 0) AS BIGINT) AS n_tokens
-        FROM meta m LEFT JOIN tk ON tk.doc = m.doc_id
+        FROM meta m
+        JOIN documents d ON d.doc_id = m.doc_id
+        LEFT JOIN tk ON tk.doc = m.doc_id
+    )"""
+
+
+def _mm_token_costs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark twin of _MM_COST_CTES' mmcost: (doc, source,
+    n_patch_tokens, n_text_tokens, n_tokens) per payload-bearing doc
+    — mm5's patch-grid size (shared md5_image_meta metadata) plus
+    tok1's subword count. One construction for mm6 and mx5."""
+    docs = load_table(spark, sf_dir, "documents")
+    height, width = mm.md5_image_meta("text")
+    meta = docs.select(
+        F.col("doc_id").alias("doc"), "source", height, width
+    )
+    n_patches = F.expr(
+        "((height - 1) div 32 + 1) * ((width - 1) div 32 + 1)"
+    ).cast("bigint")
+    tk = tx.subword_token_counts(docs, "doc_id", "text").select(
+        "doc", "n_subword_tokens"
+    )
+    return (
+        meta.join(tk, "doc", "left")
+        .select(
+            "doc",
+            "source",
+            n_patches.alias("n_patch_tokens"),
+            F.coalesce(F.col("n_subword_tokens"), F.lit(0))
+            .cast("bigint")
+            .alias("n_text_tokens"),
+        )
+        .withColumn(
+            "n_tokens",
+            (F.col("n_patch_tokens") + F.col("n_text_tokens")).cast(
+                "bigint"
+            ),
+        )
+    )
+
+
+@query(
+    "mm6_interleaved_packing",
+    f"""
+    WITH {_MM_COST_CTES},
+    t AS (
+        SELECT doc, n_patch_tokens, n_text_tokens, n_tokens FROM mmcost
     )
     {sql_pack_chop('t', 'doc',
                    'doc, n_patch_tokens, n_text_tokens, n_tokens')}
@@ -5122,8 +5169,8 @@ def mm6_interleaved_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     count, and n_tokens all go NULL and the row drops IDENTICALLY in
     both engines under the shared n_tokens > 0 packing guard (review
     finding, stated rather than patched: a content-less doc occupies
-    no stream position). Oracle nests tok1's registered SQL and
-    restates mm5's two metadata hash exprs verbatim.
+    no stream position). Oracle nests tok1's registered SQL inside the
+    shared _MM_COST_CTES fragment (one cost definition with mx5).
 
     Scale shape: tok1's one token explode + one map-side-combined
     count; the patch arithmetic is a zero-shuffle projection (the
@@ -5133,31 +5180,7 @@ def mm6_interleaved_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc-grain join to re-attach the modality split. NOT a bench line
     (cp4 precedent: tok1 and dp1 price the passes; the patch
     projection is sub-second work)."""
-    docs = load_table(spark, sf_dir, "documents")
-    height, width = mm.md5_image_meta("text")
-    meta = docs.select(F.col("doc_id").alias("doc"), height, width)
-    n_patches = F.expr(
-        "((height - 1) div 32 + 1) * ((width - 1) div 32 + 1)"
-    ).cast("bigint")
-    tk = tx.subword_token_counts(docs, "doc_id", "text").select(
-        "doc", "n_subword_tokens"
-    )
-    t = (
-        meta.join(tk, "doc", "left")
-        .select(
-            "doc",
-            n_patches.alias("n_patch_tokens"),
-            F.coalesce(F.col("n_subword_tokens"), F.lit(0))
-            .cast("bigint")
-            .alias("n_text_tokens"),
-        )
-        .withColumn(
-            "n_tokens",
-            (F.col("n_patch_tokens") + F.col("n_text_tokens")).cast(
-                "bigint"
-            ),
-        )
-    )
+    t = _mm_token_costs(spark, sf_dir)
     packed = pk.pack_offsets(
         t, id_col="doc", tokens_col="n_tokens", seq_len=2048,
         bucket_width=256,
@@ -5168,3 +5191,43 @@ def mm6_interleaved_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc", "n_patch_tokens", "n_text_tokens", "n_tokens",
         "start_off", "first_seq", "last_seq", "n_seqs",
     )
+
+
+
+@query(
+    "mx5_multimodal_mix",
+    f"""
+    WITH {_MM_COST_CTES},
+    mix AS ({sql_temperature_mix('mmcost', 'doc',
+                                 tokens_expr='n_tokens')})
+    SELECT doc, source, n_tokens, kept FROM mix
+    """,
+)
+def mx5_multimodal_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODALITY-AWARE temperature mixture (the HANDOFF r13 mm7 idea,
+    built in r12): mx1's α=0.5 per-source budgets and deterministic
+    lowest-hash admission, metered in the COMBINED multimodal grain —
+    mm6's patch + subword token cost, the quantity a vision-language
+    run actually consumes per doc. Sources whose documents carry
+    large images spend budget on fewer docs; the mixture and the
+    packer (mm6) now meter the SAME corpus by construction (ONE cost
+    definition: _MM_COST_CTES / _mm_token_costs). Non-vacuity probed
+    before registration: the keep set differs from mx4's (6/7 docs
+    flip at sf0.01) and from mx1's (5/6) — the image mass moves real
+    docs across budget boundaries. Domain note: unlike mx1/mx4, a
+    doc whose text tokenizes to nothing still participates (its
+    image is its cost — every patch grid is >= 4 tokens), the
+    multimodal-corpus convention mm6 set.
+
+    Scale shape: exactly mx1's (the metric was always an input —
+    tokens_expr on the oracle side, tokens_col on the Spark side):
+    one groupBy(source) budget pass + the two-level per-source
+    hash-prefix cumsum; the cost construction adds tok1's one token
+    explode and a zero-shuffle patch projection, both priced on
+    their own lines. NOT a bench line (cp4 precedent)."""
+    costs = _mm_token_costs(spark, sf_dir)
+    mix = sampling.temperature_mix(
+        costs, key="doc", stratum="source", tokens_col="n_tokens",
+        beta_num=1, beta_den=2, salt="mix",
+    )
+    return mix.select("doc", "source", "n_tokens", "kept")

@@ -783,3 +783,51 @@ def test_mm6_patch_text_split_and_full_domain(spark, sf_oracle):
         cum += r.n_tokens
         assert (r.start_off, r.first_seq, r.last_seq) == (
             start, start // L, (cum - 1) // L), d
+
+
+def test_mx5_multimodal_grain_and_budget_faithful(spark, sf_oracle):
+    """mx5's contract: (1) its metric IS mm6's combined cost per doc
+    (one construction — this pin catches any de-coupling of the
+    mixture from the packer); (2) the domain is every payload-bearing
+    doc (mm6's convention — image-only docs participate); (3)
+    non-vacuity — the keep set differs from BOTH mx1's word grain and
+    mx4's subword grain at sf0.01 (probed 5/6 and 6/7 flips at
+    registration); (4) budget-faithful in its own grain: per-source
+    admission equals a full Python recompute of the floor(sqrt)
+    reservoir, mx4's test convention."""
+    import hashlib
+    import math
+
+    import __spark_entry__ as em
+
+    qs = em.queries()
+    mx5 = {r.doc: r for r in qs["mx5_multimodal_mix"](spark, sf_oracle).collect()}
+    mm6 = {r.doc: r for r in
+           qs["mm6_interleaved_packing"](spark, sf_oracle).collect()}
+    assert set(mx5) == set(mm6)
+    assert all(mx5[d].n_tokens == mm6[d].n_tokens for d in mx5)
+    k5 = {d for d, r in mx5.items() if r.kept}
+    for other in ("mx1_temperature_mix", "mx4_subword_mix"):
+        ko = {r.doc for r in qs[other](spark, sf_oracle).collect() if r.kept}
+        assert k5 != ko, f"grain swap vacuous vs {other}"
+    by_src: dict = {}
+    for d, r in mx5.items():
+        by_src.setdefault(r.source, []).append(r)
+    isq = {s: math.isqrt(sum(r.n_tokens for r in rows))
+           for s, rows in by_src.items()}
+    total = sum(sum(r.n_tokens for r in rows) for rows in by_src.values())
+    denom = sum(isq.values())
+    for s, rows in by_src.items():
+        budget = (total // (2 * denom)) * isq[s] \
+            + ((total % (2 * denom)) * isq[s]) // (2 * denom)
+        order = sorted(
+            rows,
+            key=lambda r: (
+                hashlib.md5(f"mix:{r.doc}".encode()).hexdigest(), r.doc
+            ),
+        )
+        cum, kept = 0, []
+        for r in order:
+            cum += r.n_tokens
+            kept.append(cum <= budget)
+        assert kept == [r.kept for r in order], f"{s}: admission mismatch"
