@@ -84,12 +84,13 @@ from ig_etl_with_user_reports_2024_spark.plans import star_manifest  # noqa: F40
 # tok3 (NEW: tok1's vocabulary-memoized 100 TB shape, result-
 # identical by shared expression — the sk1/sk2 convention), and mx5
 # (NEW: the modality-aware mixture — mx1's budgets metered in mm6's
-# combined patch+text grain, one shared cost definition); then (a)
-# oldest-driver-verdict-first: ALL 26 remaining r8-era hash-checkable
-# verdicts (VERDICT r11 "Next round" #3 — rf12/rf11/dd1/dd8 lead as
-# the r11 boundary overflow), followed by the 8 oldest r9-era in
-# catalog order. 16 + 26 + 8 = 50 exactly; after this round no
-# hash-checkable verdict predates r9.
+# combined patch+text grain, one shared cost definition), and dq4
+# (NEW: dq3's contract check at dq2's batch grain with the integer
+# milli-rate drift alarm); then (a) oldest-driver-verdict-first: ALL
+# 26 remaining r8-era hash-checkable verdicts (VERDICT r11 "Next
+# round" #3 — rf12/rf11/dd1/dd8 lead as the r11 boundary overflow),
+# followed by the 7 oldest r9-era in catalog order. 17 + 26 + 7 = 50
+# exactly; after this round no hash-checkable verdict predates r9.
 _DRIVER_PRIORITY = [
     # (0) new/changed oracle or plan in round 12 — first driver contact
     "cp7_scrubbed_delta_store",
@@ -108,6 +109,7 @@ _DRIVER_PRIORITY = [
     "mm6_interleaved_packing",
     "tok3_memoized_token_count",
     "mx5_multimodal_mix",
+    "dq4_batch_expectation_drift",
     # (a) oldest driver verdict first: ALL 26 remaining r8-era
     # entries, catalog order within the cohort
     "rf12_multiprobe_cell_recall",
@@ -136,9 +138,9 @@ _DRIVER_PRIORITY = [
     "ii7_fusion_eval",
     "ann4_portable_lsh_topk",
     "dd9_portable_simhash_pairs",
-    # (a cont.) the 8 oldest r9-era verdicts, catalog order (st6/
-    # st12/ro1/st2/st1/st4/st7/st3 displaced by dp4/mx4/tok2/cp9/dq3/
-    # mm6/tok3/mx5 — they lead r13's cohort)
+    # (a cont.) the 7 oldest r9-era verdicts, catalog order (st6/
+    # st12/ro1/st2/st1/st4/st7/st3/x8b displaced by dp4/mx4/tok2/cp9/
+    # dq3/mm6/tok3/mx5/dq4 — they lead r13's cohort)
     "dq1a_column_profile_approx",
     "rj2_error_near_purchase",
     "sp1_hash_split",
@@ -146,7 +148,6 @@ _DRIVER_PRIORITY = [
     "sp3_k_per_stratum",
     "mm5_image_patches",
     "x10_c7_argmax_priority",
-    "x8b_json_extract",
 ]
 
 

@@ -185,6 +185,7 @@ def expectation_counts(
     table: str,
     violations: list,
     unique: list[str] = (),
+    group_by: str | None = None,
 ) -> DataFrame:
     """Declarative EXPECTATION VALIDATION (the Deequ / Great
     Expectations shape, Schelter et al. 2018 "Automating Large-Scale
@@ -211,7 +212,10 @@ def expectation_counts(
     for c in unique:
         aggs.append(F.count(F.col(c)).alias(f"{c}__cnt"))
         aggs.append(F.countDistinct(F.col(c)).alias(f"{c}__nd"))
-    row = df.agg(*aggs)
+    # with group_by the suite runs per group in the SAME single pass
+    # (profile_columns' convention — the per-ingest-batch shape dq4
+    # validates on); the group column leads the output
+    row = df.groupBy(group_by).agg(*aggs) if group_by else df.agg(*aggs)
     structs = []
     for name, _ in violations:
         structs.append(
@@ -235,9 +239,10 @@ def expectation_counts(
                 .alias("n_violations"),
             )
         )
+    head = [F.col(group_by)] if group_by else []
     return (
-        row.select(F.explode(F.array(*structs)).alias("p"))
-        .select("p.*")
+        row.select(*head, F.explode(F.array(*structs)).alias("p"))
+        .select(*head, "p.*")
         .withColumn("passed", F.col("n_violations") == 0)
     )
 

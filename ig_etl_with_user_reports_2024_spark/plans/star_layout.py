@@ -600,3 +600,144 @@ def dq3_expectation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# ---------------------------------------------------------------------------
+# DQ4 — per-batch expectation deltas: dq3's contract check at dq2's
+# batch grain, with the violation-rate drift alarm an ingest gate
+# actually pages on.
+# ---------------------------------------------------------------------------
+
+_DQ4_EXPECTATIONS = [
+    (
+        "event_id_not_null",
+        "SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END)",
+    ),
+    (
+        "user_id_not_null",
+        "SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)",
+    ),
+    (
+        "event_type_in_set",
+        "SUM(CASE WHEN event_type NOT IN"
+        " ('click', 'signup', 'error', 'view', 'purchase')"
+        " OR event_type IS NULL THEN 1 ELSE 0 END)",
+    ),
+    (
+        "value_le_100",
+        "SUM(CASE WHEN NOT (value <= 100)"
+        " OR value IS NULL THEN 1 ELSE 0 END)",
+    ),
+]
+
+# milli-rate drift threshold: |rate_b - rate_a| > 5 per-mille. The
+# straddling value_le_100 expectation alarms at sf0.001/0.01 (the two
+# random halves genuinely differ by ~10-20 per-mille) and NOT at
+# sf0.1 (50k-row batches converge to a 2 per-mille gap) — exactly the
+# sampling behavior a per-batch alarm should show; the zero-violation
+# expectations never alarm. Both branches occur at the sf0.01 gate.
+_DQ4_ALARM_MILLI = 5
+
+_DQ4_PROFILE_SQL = " UNION ALL ".join(
+    f"""
+    SELECT batch, '{name}' AS expectation,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COALESCE({viol}, 0) AS BIGINT) AS n_violations
+    FROM base GROUP BY batch"""
+    for name, viol in _DQ4_EXPECTATIONS
+)
+
+
+@query(
+    "dq4_batch_expectation_drift",
+    f"""
+    WITH base AS (
+        SELECT *, event_id % 2 AS batch FROM events
+    ), p AS (
+        {_DQ4_PROFILE_SQL}
+    )
+    SELECT a.expectation,
+           a.n_rows AS n_rows_a, b.n_rows AS n_rows_b,
+           a.n_violations AS n_violations_a,
+           b.n_violations AS n_violations_b,
+           CAST((1000 * a.n_violations) // a.n_rows AS BIGINT)
+               AS rate_milli_a,
+           CAST((1000 * b.n_violations) // b.n_rows AS BIGINT)
+               AS rate_milli_b,
+           ABS((1000 * b.n_violations) // b.n_rows
+               - (1000 * a.n_violations) // a.n_rows)
+               > {_DQ4_ALARM_MILLI} AS drift_alarm
+    FROM p a JOIN p b
+      ON a.expectation = b.expectation AND a.batch = 0 AND b.batch = 1
+    """,
+)
+def dq4_batch_expectation_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-BATCH expectation deltas (dq3 × dq2 — the alarm a 100 TB
+    ingest actually pages on: not "is the corpus clean" but "did THIS
+    batch's violation rates move"): dq3's contract check run per
+    ingest batch (batch = event_id % 2 stands in for yesterday/today,
+    dq2's convention) in ONE grouped aggregation pass
+    (expectation_counts' group_by — the suite never scans twice),
+    then batch-vs-batch integer milli-rates with a drift alarm at
+    > {_DQ4_ALARM_MILLI} per-mille. All-integer rates (floor-division
+    milli — no float rate arithmetic anywhere), BOOLEAN alarm,
+    hash-exact.
+
+    The suite straddles deliberately (the txt8/dq3 rule):
+    value_le_100 fails ~13% of each batch so its rate delta is live
+    sampling noise — it alarms at sf0.001/0.01 and legitimately NOT
+    at sf0.1 where 50k-row batches converge (threshold comment
+    above); the not-null/value-set expectations hold and never alarm.
+    Both verdict branches occur at the sf0.01 gate.
+
+    Scale shape: one scan + one grouped aggregate (2×|suite| metadata
+    rows), then a |suite|-row self-join — at 100 TB each batch's
+    profile row comes from its own incremental ingest scan and the
+    drift join is a metadata pass (dq2's statement, expectation-
+    grain)."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "batch", F.col("event_id") % 2
+    )
+    prof = profiling.expectation_counts(
+        ev,
+        "events",
+        [
+            ("event_id_not_null", F.col("event_id").isNull()),
+            ("user_id_not_null", F.col("user_id").isNull()),
+            (
+                "event_type_in_set",
+                ~F.col("event_type").isin(
+                    "click", "signup", "error", "view", "purchase"
+                )
+                | F.col("event_type").isNull(),
+            ),
+            (
+                "value_le_100",
+                ~(F.col("value") <= 100) | F.col("value").isNull(),
+            ),
+        ],
+        group_by="batch",
+    )
+    a = prof.filter(F.col("batch") == 0).select(
+        "expectation",
+        F.col("n_rows").alias("n_rows_a"),
+        F.col("n_violations").alias("n_violations_a"),
+    )
+    b = prof.filter(F.col("batch") == 1).select(
+        "expectation",
+        F.col("n_rows").alias("n_rows_b"),
+        F.col("n_violations").alias("n_violations_b"),
+    )
+    j = a.join(b, "expectation")
+    rate_a = F.expr("(1000 * n_violations_a) div n_rows_a")
+    rate_b = F.expr("(1000 * n_violations_b) div n_rows_b")
+    return j.select(
+        "expectation",
+        "n_rows_a",
+        "n_rows_b",
+        "n_violations_a",
+        "n_violations_b",
+        rate_a.cast("bigint").alias("rate_milli_a"),
+        rate_b.cast("bigint").alias("rate_milli_b"),
+        (F.abs(rate_b - rate_a) > _DQ4_ALARM_MILLI).alias("drift_alarm"),
+    )

@@ -16,13 +16,13 @@ def test_priority_names_all_registered():
 
 def test_stale_and_changed_queries_land_in_driver_window():
     # Round-12 rotation under the STANDING RULE (VERDICT r6 "Next
-    # round" #1, stated in __spark_entry__): new/changed first (16 —
-    # cp7/cp8/tok1/km2/rf14/ds4/dp4/mx4/tok2/cp9/dq3/mm6/tok3/mx5
-    # NEW + ds2/ds3 whose plan construction moved onto the shared
+    # round" #1, stated in __spark_entry__): new/changed first (17 —
+    # cp7/cp8/tok1/km2/rf14/ds4/dp4/mx4/tok2/cp9/dq3/mm6/tok3/mx5/
+    # dq4 NEW + ds2/ds3 whose plan construction moved onto the shared
     # epoch_membership/_ds3_tier builders), then all remaining slots
     # oldest-verdict first: ALL 26 remaining r8-era hash-checkable
-    # verdicts (VERDICT r11 #3) + the 8 oldest r9-era in catalog
-    # order. 16 + 26 + 8 = 50; after r12 no hash-checkable verdict
+    # verdicts (VERDICT r11 #3) + the 7 oldest r9-era in catalog
+    # order. 17 + 26 + 7 = 50; after r12 no hash-checkable verdict
     # predates r9.
     # Overflow = r10/r11-green entries and the youngest r9 verdicts —
     # asserted OUT so the window isn't silently wasted.
@@ -67,8 +67,8 @@ def test_stale_and_changed_queries_land_in_driver_window():
         "c1_size_buckets",
         "f3_recent_flag",
         "f4_category_filter",
-        # r9-green displaced by dp4/mx4/tok2/cp9/dq3/mm6/tok3/mx5 —
-        # lead r13's cohort
+        # r9-green displaced by dp4/mx4/tok2/cp9/dq3/mm6/tok3/mx5/
+        # dq4 — lead r13's cohort
         "st6_streaming_dedup",
         "st12_streaming_band_admission",
         "ro1_hourly_rollup",
@@ -77,6 +77,7 @@ def test_stale_and_changed_queries_land_in_driver_window():
         "st4_streaming_tumbling",
         "st7_session_window",
         "st3_sessionization",
+        "x8b_json_extract",
         # no-oracle / rows-only exemption: verdicts the rotation can't
         # refresh; their rf floors are the refreshable signal
         "mm2_frame_sample",

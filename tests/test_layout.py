@@ -294,3 +294,47 @@ def test_dq3_violation_branch_counts_dirty_rows(spark):
     r = referential_orphans(df, "k", parent, "pk", "t", "k_in_parent") \
         .collect()[0]
     assert (r.n_rows, r.n_violations, r.passed) == (5, 2, False)  # NULL + 4
+
+
+def test_dq4_batch_recompute_and_alarm_branches(spark, sf_oracle):
+    """dq4's contract: every cell recomputed from the raw events rows
+    in pure Python (per-batch counts, floor-division milli-rates, the
+    alarm inequality), and BOTH alarm branches occur at the gate scale
+    — value_le_100's sampling noise between the two random halves
+    trips the 5-per-mille threshold while the clean expectations never
+    do (the straddle rule; at sf0.1 the batches legitimately converge
+    — disclosed in the entry)."""
+    import __spark_entry__ as em
+
+    qs = em.queries()
+    out = {r.expectation: r
+           for r in qs["dq4_batch_expectation_drift"](spark, sf_oracle).collect()}
+    assert len(out) == 4
+    ev = spark.read.parquet(f"{sf_oracle}/events.parquet").select(
+        "event_id", "user_id", "event_type", "value").collect()
+    types = {"click", "signup", "error", "view", "purchase"}
+    exp = {}
+    for name, pred in [
+        ("event_id_not_null", lambda e: e.event_id is None),
+        ("user_id_not_null", lambda e: e.user_id is None),
+        ("event_type_in_set", lambda e: e.event_type not in types),
+        ("value_le_100",
+         lambda e: e.value is None or not e.value <= 100),
+    ]:
+        cells = {0: [0, 0], 1: [0, 0]}
+        for e in ev:
+            b = e.event_id % 2
+            cells[b][0] += 1
+            cells[b][1] += pred(e)
+        exp[name] = cells
+    for name, cells in exp.items():
+        r = out[name]
+        (na, va), (nb, vb) = cells[0], cells[1]
+        ra, rb = 1000 * va // na, 1000 * vb // nb
+        assert [r.n_rows_a, r.n_rows_b, r.n_violations_a,
+                r.n_violations_b, r.rate_milli_a, r.rate_milli_b,
+                r.drift_alarm] == [na, nb, va, vb, ra, rb,
+                                   abs(rb - ra) > 5], name
+    assert out["value_le_100"].drift_alarm, "straddle never alarmed"
+    assert not any(out[n].drift_alarm for n in out
+                   if n != "value_le_100"), "clean expectation alarmed"
