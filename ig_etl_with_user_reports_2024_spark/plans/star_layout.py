@@ -632,10 +632,26 @@ _DQ4_EXPECTATIONS = [
 
 # milli-rate drift threshold: |rate_b - rate_a| > 5 per-mille. The
 # straddling value_le_100 expectation alarms at sf0.001/0.01 (the two
-# random halves genuinely differ by ~10-20 per-mille) and NOT at
-# sf0.1 (50k-row batches converge to a 2 per-mille gap) — exactly the
-# sampling behavior a per-batch alarm should show; the zero-violation
-# expectations never alarm. Both branches occur at the sf0.01 gate.
+# nearest-second-parity halves differ by 18 / 7 per-mille — measured)
+# and NOT at sf0.1 (50k-row batches converge to a 4 per-mille gap) —
+# exactly the sampling behavior a per-batch alarm should show; the
+# zero-violation expectations never alarm. Both branches occur at the
+# sf0.01 gate.
+#
+# The batch key is the parity of the event's NEAREST epoch second —
+# deliberately INDEPENDENT of every column the suite null-checks
+# (r12 shipped batch = event_id % 2, which silently dropped NULL
+# event_ids into batch NULL before the 0/1 join, making
+# event_id_not_null structurally unable to fire — the ADVICE r12
+# finding). Stated in PURE INTEGER arithmetic over epoch
+# microseconds — (us + 500000) floor-div 1000000 — because the float
+# second boundary is an engine trap: DuckDB's CAST(epoch(ts) AS
+# BIGINT) rounds while Spark's unix_timestamp truncates, and the two
+# keys disagree on every row past the half-second (caught by the
+# gate on first contact). unix_micros (Spark; the parquet column is
+# TIMESTAMP_NTZ, cast to LTZ under the UTC session tz first) and
+# epoch_us (DuckDB) are both exact BIGINTs and div/// truncate
+# identically on the positive domain.
 _DQ4_ALARM_MILLI = 5
 
 _DQ4_PROFILE_SQL = " UNION ALL ".join(
@@ -652,7 +668,8 @@ _DQ4_PROFILE_SQL = " UNION ALL ".join(
     "dq4_batch_expectation_drift",
     f"""
     WITH base AS (
-        SELECT *, event_id % 2 AS batch FROM events
+        SELECT *, ((epoch_us(ts) + 500000) // 1000000) % 2 AS batch
+        FROM events
     ), p AS (
         {_DQ4_PROFILE_SQL}
     )
@@ -675,8 +692,14 @@ def dq4_batch_expectation_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PER-BATCH expectation deltas (dq3 × dq2 — the alarm a 100 TB
     ingest actually pages on: not "is the corpus clean" but "did THIS
     batch's violation rates move"): dq3's contract check run per
-    ingest batch (batch = event_id % 2 stands in for yesterday/today,
-    dq2's convention) in ONE grouped aggregation pass
+    ingest batch (batch = nearest-epoch-second parity of ts stands in
+    for yesterday/today — time-keyed like a real ingest, and
+    independent of every null-checked column so no expectation is
+    structurally vacuous; dq2's event_id parity would silently
+    exclude NULL event_ids from both batches — the ADVICE r12
+    finding; all-integer over epoch micros, see the threshold comment
+    for the float-boundary engine trap) in ONE grouped aggregation
+    pass
     (expectation_counts' group_by — the suite never scans twice),
     then batch-vs-batch integer milli-rates with a drift alarm at
     > {_DQ4_ALARM_MILLI} per-mille. All-integer rates (floor-division
@@ -696,7 +719,7 @@ def dq4_batch_expectation_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     drift join is a metadata pass (dq2's statement, expectation-
     grain)."""
     ev = load_table(spark, sf_dir, "events").withColumn(
-        "batch", F.col("event_id") % 2
+        "batch", F.expr("((unix_micros(cast(ts AS timestamp)) + 500000) div 1000000) % 2")
     )
     prof = profiling.expectation_counts(
         ev,

@@ -4,6 +4,8 @@ the write-side layout, single-pass profiler correctness."""
 
 from __future__ import annotations
 
+import calendar
+
 from pyspark.sql import functions as F
 
 from ig_etl_with_user_reports_2024_spark.operators.graph import pagerank
@@ -311,7 +313,7 @@ def test_dq4_batch_recompute_and_alarm_branches(spark, sf_oracle):
            for r in qs["dq4_batch_expectation_drift"](spark, sf_oracle).collect()}
     assert len(out) == 4
     ev = spark.read.parquet(f"{sf_oracle}/events.parquet").select(
-        "event_id", "user_id", "event_type", "value").collect()
+        "event_id", "user_id", "event_type", "value", "ts").collect()
     types = {"click", "signup", "error", "view", "purchase"}
     exp = {}
     for name, pred in [
@@ -323,7 +325,15 @@ def test_dq4_batch_recompute_and_alarm_branches(spark, sf_oracle):
     ]:
         cells = {0: [0, 0], 1: [0, 0]}
         for e in ev:
-            b = e.event_id % 2
+            # batch key = nearest-epoch-second parity of ts
+            # (independent of every null-checked column — the ADVICE
+            # r12 fix); driver TZ and session TZ are both UTC, so the
+            # collected naive datetime's timegm IS the epoch second
+            # Spark/DuckDB compute, and the integer micro arithmetic
+            # matches the entry's (us + 500000) // 1000000 exactly.
+            us = calendar.timegm(e.ts.timetuple()) * 1_000_000 \
+                + e.ts.microsecond
+            b = ((us + 500_000) // 1_000_000) % 2
             cells[b][0] += 1
             cells[b][1] += pred(e)
         exp[name] = cells
