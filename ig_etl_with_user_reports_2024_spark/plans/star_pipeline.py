@@ -3415,12 +3415,16 @@ _MX2_MULT = 3
 _MX2_MAX_EPOCHS = 3
 
 
-@query(
-    "mx2_epoch_budget",
-    f"""
-    WITH t AS (
-        SELECT source, CAST(len({_WORDS_SQL}) AS BIGINT) AS n_tokens
-        FROM documents
+def _epoch_budget_sql(pre: str, t_body: str) -> str:
+    """mx2's epoch-budget SQL with the token SOURCE as the parameter —
+    ONE budget-arithmetic text shared by mx2 (word grain, the default
+    body below reproduces mx2's original oracle byte-identically) and
+    mx6 (tok1's subword grain): the sqrt weights, the exact
+    remainder-splitting division, and the epoch cap can never drift
+    between grains (the sql_temperature_mix/tokens_expr convention)."""
+    return f"""
+    WITH {pre}t AS (
+        {t_body}
     ), nz AS (
         SELECT * FROM t WHERE n_tokens > 0
     ), tot AS (
@@ -3449,8 +3453,14 @@ _MX2_MAX_EPOCHS = 3
                > LEAST(budget_tokens, {_MX2_MAX_EPOCHS} * source_tokens)
                AS capped
     FROM b
-    """,
-)
+    """
+
+
+_MX2_T_BODY = f"""SELECT source, CAST(len({_WORDS_SQL}) AS BIGINT) AS n_tokens
+        FROM documents"""
+
+
+@query("mx2_epoch_budget", _epoch_budget_sql("", _MX2_T_BODY))
 def mx2_epoch_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The data-constrained planning table above mx1: per-source token
     budgets for a {_MX2_MULT}x-corpus training run under the same α=0.5
@@ -3649,6 +3659,60 @@ def _bind_tok2_oracle() -> None:
 
 
 _bind_tok2_oracle()
+
+
+@query(
+    "mx6_subword_epoch_budget",
+    _epoch_budget_sql(
+        f"tk AS ({tx.sql_subword_token_counts('documents')}),\n    ",
+        """SELECT d.source, tk.n_subword_tokens AS n_tokens
+        FROM documents d JOIN tk ON tk.doc = d.doc_id""",
+    ),
+)
+def mx6_subword_epoch_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mx2's data-constrained epoch-budget planning table metered in
+    TOK1 SUBWORD tokens — the last word-grain budget family closed
+    (VERDICT r12 "Next round" #6: dp4 measured the packing manifest
+    off by the corpus's ~3.7× subword/word ratio; the multi-epoch
+    budget arithmetic was still planned in words). Same
+    operators/sampling.epoch_budget pass, same 3×-corpus budget and
+    3-epoch cap; ONLY the token metric changes — source_tokens /
+    budget_tokens / capped_tokens scale by each source's subword
+    ratio, and epochs_milli + the cap verdict move only where sources
+    tokenize unevenly (measured before registration: per-source
+    subword/word ratios span 3.59–3.71, epochs_milli shifts up to
+    ±47‰ and the cap verdict FLIPS on 2 of 20 sources at sf0.01
+    (src9/src3) — real planning deltas even on this near-uniform
+    corpus; skewed real corpora are where the grain matters, which is
+    exactly what this table plans for).
+    Oracle = the SAME _epoch_budget_sql text as mx2 with tok1's
+    registered-builder CTE as the token source — the budget
+    arithmetic cannot drift between grains. Both cap branches occur
+    at every sf (mx2's straddle property, re-probed at this grain
+    before registration).
+
+    The multi-epoch ORDER at tok grain (the ds5 idea) stays a knob,
+    not an entry: epoch_interleave/epoch_membership take the metric
+    as input (ds2), dp4 pins the tok-grain thread through packing,
+    and this table pins it through the budget arithmetic — an order
+    entry would re-prove twice-proved machinery (decision note in
+    ARCHITECTURE.md).
+
+    Scale shape: tok1's one token explode + map-side-combined count,
+    a doc-grain unique-keyed join, then epoch_budget's one
+    groupBy(source) + broadcast 1-row global — no new shuffle class.
+    NOT a bench line (cp4 precedent: tok1 and mx2 price the passes)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = tx.subword_token_counts(docs, "doc_id", "text")
+    counted = (
+        docs.select(F.col("doc_id").alias("doc"), "source")
+        .join(tk, "doc")
+        .select("source", F.col("n_subword_tokens").alias("n_tokens"))
+    )
+    return sampling.epoch_budget(
+        counted, "source", "n_tokens",
+        budget_mult=_MX2_MULT, max_epochs=_MX2_MAX_EPOCHS,
+    )
 
 
 # ds2's MEMBERSHIP CTE chain (budgets → full/frac epochs → reservoir →
