@@ -1212,3 +1212,304 @@ def cp9_takedown_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scrub = QUERIES["txt14_pii_scrub"].fn(spark, sf_dir)
     return takedown_rewrite_rollup(cpf.unionByName(cpd), scrub)
+
+
+# ---------------------------------------------------------------------------
+# DQ5 — the expectation suite a RELEASE CONSUMER runs (VERDICT r12
+# "Next round" #5: dq3 validates ingest; nothing validated what
+# SHIPS). Contract checks over the shipped artifacts themselves —
+# store, layout, integrity tables, full and delta — completing the dq
+# arc ingest → release.
+# ---------------------------------------------------------------------------
+
+
+def release_expectation_suite(
+    layout_full: DataFrame,
+    store_full: DataFrame,
+    integrity_full: DataFrame,
+    layout_delta: DataFrame,
+    store_delta: DataFrame,
+    integrity_delta: DataFrame,
+) -> DataFrame:
+    """The dq5 suite as ONE definition over the six release artifacts
+    (cp1/cp5/cp6 full, cp3/cp7/cp8 delta) — shared by the registered
+    entry and the tampered-artifact fixture in tests/test_manifest.py
+    (the takedown_rewrite_rollup convention: the fixture is the only
+    place the consistency expectations' RED branches can occur, since
+    the real chain derives store and integrity from the same keep set
+    — disclosed in the entry docstring). Layout frames carry
+    (doc, shard, n_tokens) (+release for delta); store frames carry
+    (doc_id, n_redactions, scrubbed_md5); integrity frames are
+    cp6/cp8-shaped. Returns dq3's exact row schema:
+    (table_name, expectation, n_rows, n_violations, passed)."""
+    from ..operators import profiling
+
+    def _row(table: str, name: str, n_rows: Column, n_viol: Column):
+        return F.struct(
+            F.lit(table).alias("table_name"),
+            F.lit(name).alias("expectation"),
+            n_rows.cast("bigint").alias("n_rows"),
+            n_viol.cast("bigint").alias("n_violations"),
+        )
+
+    parts = [
+        # 1/2 — referential: every doc the shipped shards reference
+        # must exist in the scrubbed store it points into
+        profiling.referential_orphans(
+            layout_full, "doc", store_full, "doc_id",
+            "release_full", "layout_docs_in_store",
+        ),
+        profiling.referential_orphans(
+            layout_delta, "doc", store_delta, "doc_id",
+            "release_delta", "layout_docs_in_store",
+        ),
+        # 3 — the store ships each doc exactly once
+        profiling.expectation_counts(
+            store_full, "release_full", [], unique=["doc_id"]
+        ),
+        # 7 — scrub columns a consumer reads are present and sane
+        profiling.expectation_counts(
+            store_full.select("n_redactions", "scrubbed_md5").unionByName(
+                store_delta.select("n_redactions", "scrubbed_md5")
+            ),
+            "release_merged",
+            [
+                (
+                    "scrub_columns_sane",
+                    ~(F.col("n_redactions") >= 0)
+                    | F.col("n_redactions").isNull()
+                    | F.col("scrubbed_md5").isNull(),
+                ),
+            ],
+        ),
+    ]
+    # 4 — merged-store uniqueness: the full store and the delta store
+    # must not ship the same doc twice (scalar-counter convention:
+    # two 1-row aggregates cross-joined)
+    tot = (
+        store_full.select("doc_id")
+        .unionByName(store_delta.select("doc_id"))
+        .agg(F.count("*").alias("_n"))
+    )
+    ov = (
+        store_full.select("doc_id")
+        .join(store_delta.select("doc_id"), "doc_id")
+        .agg(F.count("*").alias("_v"))
+    )
+    parts.append(
+        tot.crossJoin(ov)
+        .select(
+            _row(
+                "release_merged", "full_delta_disjoint",
+                F.col("_n"), F.coalesce(F.col("_v"), F.lit(0)),
+            ).alias("p")
+        )
+        .select("p.*")
+        .withColumn("passed", F.col("n_violations") == 0)
+    )
+    # 5/6 — integrity-table consistency: recompute each shard's
+    # verification row from layout ⋈ store and compare to the
+    # PUBLISHED integrity table (full outer — a shard missing from
+    # either side is a violation too)
+    for keys, lay, st, integ, table in (
+        (["shard"], layout_full, store_full, integrity_full,
+         "release_full"),
+        (["release", "shard"], layout_delta, store_delta,
+         integrity_delta, "release_delta"),
+    ):
+        rec = (
+            lay.join(st.withColumnRenamed("doc_id", "doc"), "doc")
+            .groupBy(*keys)
+            .agg(
+                F.count("*").cast("bigint").alias("_nd"),
+                F.sum("n_tokens").cast("bigint").alias("_nt"),
+                F.sum("n_redactions").cast("bigint").alias("_nr"),
+                F.sum(_md5_prefix_checksum()).cast("bigint").alias("_ck"),
+            )
+        )
+        j = rec.join(integ, keys, "full")
+        ok = (
+            F.col("_nd").eqNullSafe(F.col("n_docs"))
+            & F.col("_nt").eqNullSafe(F.col("n_tokens"))
+            & F.col("_nr").eqNullSafe(F.col("n_redactions"))
+            & F.col("_ck").eqNullSafe(F.col("shard_checksum"))
+        )
+        parts.append(
+            j.agg(
+                F.count(F.lit(1)).alias("_n"),
+                F.sum((~ok).cast("long")).alias("_v"),
+            )
+            .select(
+                _row(
+                    table, "shard_integrity_consistent",
+                    F.col("_n"), F.coalesce(F.col("_v"), F.lit(0)),
+                ).alias("p")
+            )
+            .select("p.*")
+            .withColumn("passed", F.col("n_violations") == 0)
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# The six artifact CTEs are AS MATERIALIZED: each is referenced by
+# several expectations, and DuckDB's inlining heuristic re-evaluated
+# the whole nested cp chain PER REFERENCE (measured >600s at the
+# sf0.01 gate vs 141s materialized — the references share one
+# evaluation, which is also what the Spark side does via .fn reuse).
+_DQ5_SQL = f"""
+    WITH dq5_lf AS MATERIALIZED ({{cp1}}),
+    dq5_sf AS MATERIALIZED ({{cp5}}),
+    dq5_if AS MATERIALIZED ({{cp6}}),
+    dq5_ld AS MATERIALIZED ({{cp3}}),
+    dq5_sd AS MATERIALIZED ({{cp7}}),
+    dq5_id AS MATERIALIZED ({{cp8}}),
+    dq5_parts AS (
+        SELECT 'release_full' AS table_name,
+               'layout_docs_in_store' AS expectation,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COALESCE(SUM(CASE WHEN s.doc_id IS NULL
+                   THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_violations
+        FROM dq5_lf l LEFT JOIN dq5_sf s ON l.doc = s.doc_id
+        UNION ALL
+        SELECT 'release_delta', 'layout_docs_in_store',
+               CAST(COUNT(*) AS BIGINT),
+               CAST(COALESCE(SUM(CASE WHEN s.doc_id IS NULL
+                   THEN 1 ELSE 0 END), 0) AS BIGINT)
+        FROM dq5_ld l LEFT JOIN dq5_sd s ON l.doc = s.doc_id
+        UNION ALL
+        SELECT 'release_full', 'doc_id_unique',
+               CAST(COUNT(*) AS BIGINT),
+               CAST(COUNT(doc_id) - COUNT(DISTINCT doc_id) AS BIGINT)
+        FROM dq5_sf
+        UNION ALL
+        SELECT 'release_merged', 'scrub_columns_sane',
+               CAST(COUNT(*) AS BIGINT),
+               CAST(COALESCE(SUM(CASE WHEN NOT (n_redactions >= 0)
+                   OR n_redactions IS NULL OR scrubbed_md5 IS NULL
+                   THEN 1 ELSE 0 END), 0) AS BIGINT)
+        FROM (SELECT n_redactions, scrubbed_md5 FROM dq5_sf
+              UNION ALL
+              SELECT n_redactions, scrubbed_md5 FROM dq5_sd)
+        UNION ALL
+        SELECT 'release_merged', 'full_delta_disjoint',
+               (SELECT CAST(COUNT(*) AS BIGINT)
+                FROM (SELECT doc_id FROM dq5_sf
+                      UNION ALL SELECT doc_id FROM dq5_sd)),
+               (SELECT CAST(COUNT(*) AS BIGINT)
+                FROM dq5_sf f JOIN dq5_sd d ON f.doc_id = d.doc_id)
+        UNION ALL
+        SELECT 'release_full', 'shard_integrity_consistent',
+               CAST(COUNT(*) AS BIGINT),
+               CAST(COALESCE(SUM(CASE WHEN NOT (
+                   r._nd IS NOT DISTINCT FROM i.n_docs
+                   AND r._nt IS NOT DISTINCT FROM i.n_tokens
+                   AND r._nr IS NOT DISTINCT FROM i.n_redactions
+                   AND r._ck IS NOT DISTINCT FROM i.shard_checksum)
+                   THEN 1 ELSE 0 END), 0) AS BIGINT)
+        FROM (
+            SELECT l.shard,
+                   CAST(COUNT(*) AS BIGINT) AS _nd,
+                   CAST(SUM(l.n_tokens) AS BIGINT) AS _nt,
+                   CAST(SUM(s.n_redactions) AS BIGINT) AS _nr,
+                   CAST(SUM(CAST('0x' || substring(s.scrubbed_md5, 1, 12)
+                       AS BIGINT)) AS BIGINT) AS _ck
+            FROM dq5_lf l JOIN dq5_sf s ON l.doc = s.doc_id
+            GROUP BY l.shard
+        ) r FULL JOIN dq5_if i ON r.shard = i.shard
+        UNION ALL
+        SELECT 'release_delta', 'shard_integrity_consistent',
+               CAST(COUNT(*) AS BIGINT),
+               CAST(COALESCE(SUM(CASE WHEN NOT (
+                   r._nd IS NOT DISTINCT FROM i.n_docs
+                   AND r._nt IS NOT DISTINCT FROM i.n_tokens
+                   AND r._nr IS NOT DISTINCT FROM i.n_redactions
+                   AND r._ck IS NOT DISTINCT FROM i.shard_checksum)
+                   THEN 1 ELSE 0 END), 0) AS BIGINT)
+        FROM (
+            SELECT l.release, l.shard,
+                   CAST(COUNT(*) AS BIGINT) AS _nd,
+                   CAST(SUM(l.n_tokens) AS BIGINT) AS _nt,
+                   CAST(SUM(s.n_redactions) AS BIGINT) AS _nr,
+                   CAST(SUM(CAST('0x' || substring(s.scrubbed_md5, 1, 12)
+                       AS BIGINT)) AS BIGINT) AS _ck
+            FROM dq5_ld l JOIN dq5_sd s ON l.doc = s.doc_id
+            GROUP BY l.release, l.shard
+        ) r FULL JOIN dq5_id i
+            ON r.release = i.release AND r.shard = i.shard
+    )
+    SELECT table_name, expectation, n_rows, n_violations,
+           n_violations = 0 AS passed
+    FROM dq5_parts
+"""
+
+
+@query(
+    "dq5_release_expectations",
+    _DQ5_SQL.format(
+        cp1=QUERIES["cp1_curated_corpus"].oracle,
+        cp5=QUERIES["cp5_scrubbed_release"].oracle,
+        cp6=QUERIES["cp6_shard_integrity"].oracle,
+        cp3=QUERIES["cp3_incremental_release"].oracle,
+        cp7=QUERIES["cp7_scrubbed_delta_store"].oracle,
+        cp8=QUERIES["cp8_delta_shard_integrity"].oracle,
+    ),
+    eager=True,  # composes the cp chain (cm1/cm2 pin at construction)
+)
+def dq5_release_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The expectation suite a RELEASE CONSUMER runs (dq3's shape over
+    what SHIPS, completing the dq arc ingest → release — VERDICT r12
+    "Next round" #5): seven named contracts over the six shipped
+    artifacts — cp1/cp5/cp6 (full layout / store / integrity) and
+    cp3/cp7/cp8 (delta) — in dq3's exact row schema:
+
+      - layout_docs_in_store (full, delta): every doc a shipped shard
+        references exists in the scrubbed store its offsets point
+        into (referential, LEFT JOIN — the check that catches a
+        store/layout publish race);
+      - doc_id_unique (full store): the release ships each doc once;
+      - scrub_columns_sane (merged): n_redactions present and ≥ 0,
+        scrubbed_md5 present, on every store row;
+      - full_delta_disjoint (merged): no doc ships in BOTH the full
+        store and a delta — THE red row at gate scale: cm2's arriving
+        batch is a hash-slice of the same documents table cm1
+        curates (the stand-in fictions overlap, disclosed on cm2), so
+        admitted docs also in cm1's keep set ship twice and the
+        violation-counting path runs on REAL rows at every sf (the
+        txt8 rule's purpose — a suite that only passes pins nothing);
+      - shard_integrity_consistent (full, delta): recompute each
+        shard's (n_docs, n_tokens, n_redactions, checksum) from
+        layout ⋈ store and compare against the PUBLISHED cp6/cp8
+        rows, full-outer so missing/extra shards violate too — the
+        consumer's download-verification loop. Green on the real
+        chain by shared ancestry (store and integrity derive from one
+        keep set); the RED branches are pinned on tampered artifacts
+        in tests/test_manifest.py via the shared
+        release_expectation_suite builder (takedown_rewrite_rollup's
+        fixture convention).
+
+    Oracle nests all six registered cp oracles verbatim (dq5_-prefixed
+    outer CTEs — the SCALE_r10 §7 rule: never shadow a nested
+    recursive body's CTE names). Scale shape: every check is a
+    doc-grain unique-keyed join or a |shards|-grain rollup over
+    already-checkpointed release artifacts — at 100 TB the suite is
+    one metadata pass per artifact, batch-proportional on the delta
+    side. NOT a bench line (cp4 precedent: re-runs the cp chains,
+    each already priced)."""
+    lf = QUERIES["cp1_curated_corpus"].fn(spark, sf_dir).select(
+        "doc", "shard", "n_tokens"
+    )
+    sf_ = QUERIES["cp5_scrubbed_release"].fn(spark, sf_dir).select(
+        "doc_id", "n_redactions", "scrubbed_md5"
+    )
+    if_ = QUERIES["cp6_shard_integrity"].fn(spark, sf_dir)
+    ld = QUERIES["cp3_incremental_release"].fn(spark, sf_dir).select(
+        "release", "doc", "shard", "n_tokens"
+    )
+    sd = QUERIES["cp7_scrubbed_delta_store"].fn(spark, sf_dir).select(
+        "doc_id", "n_redactions", "scrubbed_md5"
+    )
+    id_ = QUERIES["cp8_delta_shard_integrity"].fn(spark, sf_dir)
+    return release_expectation_suite(lf, sf_, if_, ld, sd, id_)

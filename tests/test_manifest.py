@@ -463,3 +463,122 @@ def test_cp9_untouched_shards_emit_no_row_and_both_namespaces(spark):
     assert out[("delta", 10)].n_removed == sum(
         1 for i in flagged if place(i) == ("delta", 10)
     )
+
+
+def test_dq5_suite_green_on_consistent_fixture_and_red_on_tampered(spark):
+    """dq5's contract at its REAL grain: on a constructed, internally
+    consistent six-artifact release every expectation passes except
+    full_delta_disjoint's honest overlap (here constructed disjoint →
+    all seven green); then each artifact is tampered in turn and
+    exactly the matching expectation goes red — the only place the
+    consistency expectations' violation branches can occur, since the
+    registered chain derives store and integrity from one keep set
+    (the entry's disclosure)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from ig_etl_with_user_reports_2024_spark.plans.star_manifest import (
+        release_expectation_suite,
+    )
+
+    def md5(s: str) -> str:
+        return hashlib.md5(s.encode()).hexdigest()
+
+    full_ids = list(range(2500))
+    delta_ids = list(range(10_000, 10_300))
+    lf = spark.createDataFrame(
+        [(i, i // 1000, 100 + i % 9) for i in full_ids],
+        "doc bigint, shard bigint, n_tokens bigint",
+    )
+    sf_ = spark.createDataFrame(
+        [(i, 0, md5(f"t{i}")) for i in full_ids],
+        "doc_id bigint, n_redactions bigint, scrubbed_md5 string",
+    )
+    ld = spark.createDataFrame(
+        [("r1", i, 10 + (i - 10_000) // 200, 50 + i % 5)
+         for i in delta_ids],
+        "release string, doc bigint, shard bigint, n_tokens bigint",
+    )
+    sd = spark.createDataFrame(
+        [(i, 0, md5(f"t{i}")) for i in delta_ids],
+        "doc_id bigint, n_redactions bigint, scrubbed_md5 string",
+    )
+
+    def integ(layout, keys):
+        chk = F.conv(F.substring("scrubbed_md5", 1, 12), 16, 10).cast(
+            "bigint"
+        )
+        return (
+            layout.join(
+                (sf_ if keys == ["shard"] else sd).withColumnRenamed(
+                    "doc_id", "doc"
+                ),
+                "doc",
+            )
+            .groupBy(*keys)
+            .agg(
+                F.count("*").cast("bigint").alias("n_docs"),
+                F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+                F.sum("n_redactions").cast("bigint").alias("n_redactions"),
+                F.sum(chk).cast("bigint").alias("shard_checksum"),
+            )
+        )
+
+    if_ = integ(lf, ["shard"])
+    id_ = integ(ld, ["release", "shard"])
+
+    def run(lf=lf, sf__=sf_, if__=None, ld=ld, sd__=sd, id__=None):
+        out = release_expectation_suite(
+            lf, sf__, if_ if if__ is None else if__,
+            ld, sd__, id_ if id__ is None else id__,
+        ).collect()
+        assert len(out) == 7
+        return {(r.table_name, r.expectation): r for r in out}
+
+    base = run()
+    assert all(r.passed for r in base.values()), base
+    assert base[("release_full", "shard_integrity_consistent")].n_rows == 3
+    assert base[("release_delta", "shard_integrity_consistent")].n_rows == 2
+    assert base[("release_merged", "full_delta_disjoint")].n_rows == 2800
+
+    # 1 — store loses a doc the layout references
+    r = run(sf__=sf_.filter(F.col("doc_id") != 7))
+    assert not r[("release_full", "layout_docs_in_store")].passed
+    assert r[("release_full", "layout_docs_in_store")].n_violations == 1
+    # ...which also breaks that shard's published integrity row
+    assert not r[("release_full", "shard_integrity_consistent")].passed
+
+    # 2 — store ships a doc twice
+    r = run(sf__=sf_.unionByName(sf_.filter(F.col("doc_id") == 7)))
+    assert r[("release_full", "doc_id_unique")].n_violations == 1
+
+    # 3 — a delta doc also present in the full store
+    leak = sf_.filter(F.col("doc_id") == 7)
+    r = run(sd__=sd.unionByName(leak))
+    assert not r[("release_merged", "full_delta_disjoint")].passed
+    assert r[("release_merged", "full_delta_disjoint")].n_violations == 1
+
+    # 4 — tampered full-integrity checksum on one shard
+    bad_if = if_.withColumn(
+        "shard_checksum",
+        F.when(F.col("shard") == 1, F.col("shard_checksum") + 1).otherwise(
+            F.col("shard_checksum")
+        ),
+    )
+    r = run(if__=bad_if)
+    assert r[("release_full", "shard_integrity_consistent")].n_violations == 1
+
+    # 5 — delta integrity loses a shard row (full-outer catches it)
+    r = run(id__=id_.filter(F.col("shard") != 10))
+    assert not r[("release_delta", "shard_integrity_consistent")].passed
+
+    # 6 — negative redaction count in the delta store
+    bad_sd = sd.withColumn(
+        "n_redactions",
+        F.when(F.col("doc_id") == 10_001, F.lit(-1)).otherwise(
+            F.col("n_redactions")
+        ),
+    )
+    r = run(sd__=bad_sd)
+    assert r[("release_merged", "scrub_columns_sane")].n_violations == 1
