@@ -401,6 +401,7 @@ def ivf_topk(
     n_cells: int = 16,
     n_probe: int = 4,
     salt: str = "ann3",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF-style ANN: coarse-quantize the corpus into cells around sampled
     centroids, search only the query's n_probe nearest cells.
@@ -416,8 +417,15 @@ def ivf_topk(
     any scale. Cell assignment and probing are pure column expressions
     — the corpus is scanned once to build the cell index, and each
     query touches ~n_probe/n_cells of the corpus.
+
+    ``centroids`` (optional) swaps in an externally TRAINED codebook
+    (e.g. km2's Lloyd output, dequantized) for the seeded draw —
+    n_cells is then taken from its length. The registered ann3 entry
+    never passes it (verdict continuity, the dd13 note); it exists
+    for the trained-cells consequence measurement
+    (tools/trained_cells_probe.py, VERDICT r12 #7).
     """
-    cent_mat = [
+    cent_mat = centroids if centroids is not None else [
         [float(x) for x in r[vec_col]]
         for r in corpus.orderBy(
             F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
@@ -899,6 +907,7 @@ def ivfpq_topk(
     refine: int = 100,
     cell_salt: str = "ann3",
     pq_salt: str = "sq2",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF-PQ ANN with exact refine — the disk-resident serving path
     FAISS calls IVFPQ+refine, composed from this repo's two PORTABLE
@@ -938,9 +947,15 @@ def ivfpq_topk(
             .collect()
         ]
 
-    cent_mat = _draw(cell_salt, n_cells)
+    # optional externally-trained COARSE codebook (ivf_topk's knob —
+    # the PQ sub-codebooks keep their own draw: km2 trains the coarse
+    # partitioner, not the per-subspace quantizers)
+    cent_mat = centroids if centroids is not None else _draw(
+        cell_salt, n_cells
+    )
     if not cent_mat:
         raise ValueError("ivfpq_topk: empty corpus")
+    n_cells = len(cent_mat)
     dim = len(cent_mat[0])
     if dim % m != 0:
         raise ValueError(f"ivfpq_topk: dim {dim} not divisible by m={m}")
