@@ -826,10 +826,25 @@ def subword_token_counts(
     groupBy(doc). Linear in corpus tokens, one shuffle carrying
     (doc, int) rows, never text. At 100 TB the documented knob is
     vocabulary memoization — tokenize DISTINCT words once and join
-    counts back — which trades the per-occurrence string work for a
-    word-grain join whose hot keys ('the') need salting; the inline
-    form is the always-safe baseline. Token-less documents have no
-    row (txt8/qc1's convention; callers LEFT-join + coalesce).
+    counts back (tok3). Token-less documents have no row (txt8/qc1's
+    convention; callers LEFT-join + coalesce).
+
+    MERGE-TABLE SIZE LIMIT, measured (SCALE_r13 §5 — this paragraph
+    replaces the r12 claim that a real tokenizer's top-K merges are a
+    drop-in; they are NOT): the nested-Replace cascade blows the JVM
+    driver stack in Catalyst's Column→Expression conversion from
+    ~K=300 rules — nondeterministically, which is worse than a hard
+    limit — and the per-OCCURRENCE cost grows linearly in K besides.
+    A real 50k-rule vocabulary runs at tok3's vocab grain with either
+    (a) the chunked-barrier cascade (100 merges per projection, a
+    localCheckpoint barrier per chunk so CollapseProject cannot
+    re-nest the tree; vocab-sized intermediates) or (b) an
+    Arrow-batched pandas UDF applying the merge loop to DISTINCT
+    words only (the corpus side stays JVM; per-word Python BPE is
+    microseconds). Both measured bit-identical to this cascade
+    through K=2000 and flat in K (tools/tok_knee_probe.py); this
+    20-rule cascade remains the hash-checkable oracle-able stand-in
+    the catalog gates on.
 
     Returns (doc, n_words, n_subword_tokens)."""
     from .dedup import normalized_words

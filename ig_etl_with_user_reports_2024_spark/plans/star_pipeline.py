@@ -1339,8 +1339,11 @@ def tok1_subword_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged rule-by-rule with leftmost-first non-overlapping passes —
     emitting (doc, n_words, n_subword_tokens). The merge table is a
     LITERAL (a trained tokenizer ships its merges as data — the
-    km1/qc1 portable-parameter precedent: swapping in a real top-K
-    merge list changes nothing else), and the two-space symbol-string
+    km1/qc1 portable-parameter precedent; NOTE the r13 correction:
+    swapping in a real top-K list holds only to K≈300, where the
+    nested cascade starts blowing the driver stack — a 50k-rule vocab
+    runs at tok3's vocab grain via the measured chunked-barrier or
+    vocab-UDF fallback, SCALE_r13 §5), and the two-space symbol-string
     encoding makes every merge a literal string replace with identical
     semantics in Spark, DuckDB, and Python — hash-exact cross-engine
     and pinned against a pure-Python recompute (the txt11 convention;
