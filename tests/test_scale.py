@@ -450,3 +450,68 @@ def test_r10_split_and_epoch_families_at_8x(spark, big_sf):
         b = budgets[src]
         full = b.capped_tokens // b.source_tokens
         assert n in (full, full + 1)
+
+
+def test_daily_path_row_bearing_at_8x_fresh_docs(spark):
+    """The cm2-at-scale gap closed (VERDICT r12 #1/#3): on a
+    clone-replicated dir every arriving doc duplicates the store, cm2
+    admits nothing, and the daily path's scale verdicts were 0-row.
+    The fresh-docs recipe (tools/scale_probe.build(fresh_docs=True) —
+    replica text is a (doc_id, rep)-seeded word PERMUTATION, so
+    word-3-gram shingles are destroyed while txt8's quality stats are
+    preserved) makes replicas genuinely NEW documents: admission is
+    row-bearing, the delta release packs MULTIPLE shards, and dp2's
+    fullness invariant holds on the merged release."""
+    import shutil
+
+    import __spark_entry__ as entry_mod
+    from tests.test_curated_corpus import _seq_token_fill
+    from tools.scale_probe import build
+
+    qs = entry_mod.queries()
+    # 16x, not the suite's 8x: the mixture releases ~107 docs per
+    # replica here, so 8x lands at 854 — just under the 1000-doc shard
+    # boundary; 16x gives the multi-shard branch real rows
+    big = build(
+        spark, "/root/testdata/sf0.1", 2 * REPLICATION,
+        tables=["documents"], fresh_docs=True,
+    )
+    try:
+        cm2 = qs["cm2_incremental_admission"](spark, big)
+        acts = {r.action: r["count"] for r in cm2.groupBy("action").count().collect()}
+        # row-bearing: thousands admitted, near-dup and quality drops
+        # both present (the recipe must not sterilize the cascade)
+        assert acts.get("admit", 0) > 1000, acts
+        assert acts.get("drop_quality", 0) > 0, acts
+        assert acts.get("drop_near", 0) > 0, acts
+
+        cp3 = qs["cp3_incremental_release"](spark, big).collect()
+        assert len(cp3) > 1000, "mixture admitted too few for multi-shard"
+        shards = {r.shard for r in cp3}
+        assert len(shards) > 1, "delta release packs one shard — vacuous"
+        # shard grain: every non-final shard holds exactly shard_size
+        from collections import Counter
+        per_shard = Counter(r.shard for r in cp3)
+        for s in sorted(shards)[:-1]:
+            assert per_shard[s] == 1000, (s, per_shard[s])
+
+        # dp2's fullness invariant on the delta tape at this scale
+        fill = _seq_token_fill(cp3)
+        last = max(fill)
+        assert last >= 1, "delta spans one sequence — vacuous here"
+        for s in range(last):
+            assert fill[s] == 2048, f"non-final seq {s}: {fill[s]}"
+        assert 0 < fill[last] <= 2048
+
+        # the scrubbed delta store covers the admitted set exactly,
+        # and cp8's integrity rows recompute from store ∪ layout
+        cp7 = qs["cp7_scrubbed_delta_store"](spark, big)
+        assert cp7.count() == acts["admit"]
+        cp8 = {r.shard: r for r in
+               qs["cp8_delta_shard_integrity"](spark, big).collect()}
+        assert set(cp8) == shards
+        ndocs = {s: per_shard[s] for s in shards}
+        for s, r in cp8.items():
+            assert r.n_docs == ndocs[s], (s, r.n_docs, ndocs[s])
+    finally:
+        shutil.rmtree(big, ignore_errors=True)

@@ -41,13 +41,67 @@ REKEY = {
 PLAIN = ("customer", "part", "supplier", "nation", "region")
 
 
-def build(spark, src: str, rep: int, tables: list[str] | None = None) -> str:
+def _fresh_doc_text(text, doc_id, rep):
+    """A replica-seeded WORD PERMUTATION of ``text`` — the new-doc
+    replication recipe (VERDICT r12 "Next round" #3): a clone-replicated
+    documents dir makes every arriving doc an exact/near dup of the
+    store, so cm2 admits nothing and the daily path (cp3/cp7/cp8) gets
+    0-row scale verdicts. Permuting each replica's words by a
+    (doc_id, rep)-seeded hash destroys essentially every word-3-gram
+    shingle (dedup.word_shingles' grain) while preserving the word
+    MULTISET — so txt8's quality stats (token counts, stopword ratios,
+    length) are unchanged and the replica is a genuinely NEW document
+    to both the digest store (different md5) and the band store
+    (disjoint shingles), not a quality-filter casualty. Deterministic:
+    sort key is md5(doc_id:rep:pos) with pos as tiebreak, so the same
+    dir rebuilds bit-identically for the Spark-vs-DuckDB exactness
+    sweep. Docs with <2 words permute to themselves (those replicas
+    stay clones — disclosed, a handful of rows)."""
+    arr = F.filter(
+        F.split(F.trim(text), r"\s+"), lambda t: t != F.lit("")
+    )
+    idx = F.sequence(F.lit(1), F.size(arr))
+    keyed = F.transform(
+        idx,
+        lambda i: F.struct(
+            F.md5(
+                F.concat_ws(
+                    ":", doc_id.cast("string"), rep.cast("string"),
+                    i.cast("string"),
+                )
+            ).alias("h"),
+            i.alias("i"),
+        ),
+    )
+    perm = F.array_join(
+        F.transform(
+            F.array_sort(keyed), lambda s: F.element_at(arr, s["i"])
+        ),
+        " ",
+    )
+    return F.when(text.isNull(), F.lit(None).cast("string")).otherwise(perm)
+
+
+def build(
+    spark,
+    src: str,
+    rep: int,
+    tables: list[str] | None = None,
+    fresh_docs: bool = False,
+) -> str:
     """Replicate the base tables into a temp dir. ``tables`` restricts
     which tables are replicated/copied (default: all) — a 128× probe of
     a documents-only plan need not write 128× lineitem. Replication is
     a crossJoin with spark.range(rep): O(1) plan size, where the old
     rep-branch unionByName built a plan that at rep=128 crashed the
-    optimizer/codegen before the first row was written."""
+    optimizer/codegen before the first row was written.
+
+    ``fresh_docs=True`` additionally re-keys each documents replica's
+    TEXT (replica 0 keeps the original corpus verbatim — it is the
+    store) via :func:`_fresh_doc_text`, and recomputes n_chars from
+    the rewritten text so the n_chars==length(text) contract holds on
+    the built dir. Use for daily-path (cm2/cp3/cp7/cp8) scale probes,
+    where clone replicas would be rejected wholesale at admission."""
     from ig_etl_with_user_reports_2024_spark.sources.readers import load_table
 
     out = tempfile.mkdtemp(prefix=f"sfx{rep}_")
@@ -58,9 +112,22 @@ def build(spark, src: str, rep: int, tables: list[str] | None = None) -> str:
         if tables is not None and t not in tables:
             continue
         df = load_table(spark, src, t)
+        big = df.crossJoin(reps)
+        if fresh_docs and t == "documents":
+            fresh = _fresh_doc_text(
+                F.col("text"), F.col("doc_id"), F.col("_rep")
+            )
+            big = big.withColumn(
+                "text",
+                F.when(F.col("_rep") == 0, F.col("text")).otherwise(fresh),
+            ).withColumn(
+                "n_chars",
+                F.when(
+                    F.col("_rep") == 0, F.col("n_chars")
+                ).otherwise(F.length("text").cast("bigint")),
+            )
         big = (
-            df.crossJoin(reps)
-            .withColumn(
+            big.withColumn(
                 keycol,
                 F.col(keycol) + F.col("_rep").cast("long") * 1_000_000_000,
             )
@@ -85,6 +152,12 @@ def main() -> int:
         default=None,
         help="comma-separated subset of tables to replicate (default all)",
     )
+    ap.add_argument(
+        "--fresh-docs",
+        action="store_true",
+        help="re-key each documents replica's text via a seeded word "
+        "permutation (new-doc recipe for daily-path probes)",
+    )
     ap.add_argument("names", nargs="+")
     args = ap.parse_args()
 
@@ -94,7 +167,9 @@ def main() -> int:
     spark = get_spark("scale_probe")
     load_before = list(os.getloadavg())
     tables = args.tables.split(",") if args.tables else None
-    big = build(spark, args.sf, args.rep, tables=tables)
+    big = build(
+        spark, args.sf, args.rep, tables=tables, fresh_docs=args.fresh_docs
+    )
     qs = entry_mod.queries()
     rows: dict[str, int] = {}
     secs: dict[str, float] = {}
