@@ -58,96 +58,84 @@ from ig_etl_with_user_reports_2024_spark.plans import star_manifest  # noqa: F40
 # specific hashes, rf-floored) are likewise outside the hash-checkable
 # cohorts (the VERDICT r9 debt arithmetic counts 22 r6-era, not 25).
 #
-# Round-12 window: (0) the 8 new/changed entries — cp7 (NEW: the
-# scrubbed DELTA text store — cm2's admit set ⋈ txt14, cp5's twin on
-# the daily path — VERDICT r11 #1), cp8 (NEW: release-keyed per-shard
-# integrity for cp3's delta layout, cp6's twin — VERDICT r11 #1),
-# tok1 (NEW: tokenizer-grain subword counts via a portable fixed-merge
-# BPE apply — VERDICT r11 #2), km2 (NEW: full Lloyd k-means training
-# in scaled-long integer arithmetic — VERDICT r11 #4), rf14 (NEW:
-# km2's convergence gate on the exact integer inertia trajectory),
-# ds4 (NEW: per-epoch quality curriculum — ds3's tiers composed with
-# ds2's epoch interleave, HANDOFF r12's designed idea), ds2/ds3
-# (plan: construction refactored onto the shared epoch_membership /
-# _ds3_tier builders ds4 reuses — semantics identical, ds2's oracle
-# text byte-identical, but the km1-r10 rule puts changed construction
-# in group 0), dp4/mx4 (NEW: dp1's packing and mx1's mixture re-run
-# at tok1's tokenizer grain — the budget-grain twins VERDICT r11 #2
-# asked the round to decide on; built because the answer IS the
-# artifact) and tok2 (NEW: the word-vs-subword budget 2×2, the qc2
-# convention), and cp9 (NEW: takedown/right-to-erasure propagation —
-# the per-(release, shard) before/after rewrite work-list over cp1's
-# full ∪ cp3's delta layouts), dq3 (NEW: Deequ-shape expectation
-# suite — 11 named constraints over 4 tables, one agg pass per
-# table), mm6 (NEW: interleaved multimodal packing — mm5's patch
-# grid + tok1's subword counts chopped into L=2048 VLM sequences),
-# tok3 (NEW: tok1's vocabulary-memoized 100 TB shape, result-
-# identical by shared expression — the sk1/sk2 convention), and mx5
-# (NEW: the modality-aware mixture — mx1's budgets metered in mm6's
-# combined patch+text grain, one shared cost definition), and dq4
-# (NEW: dq3's contract check at dq2's batch grain with the integer
-# milli-rate drift alarm); then (a) oldest-driver-verdict-first: ALL
-# 26 remaining r8-era hash-checkable verdicts (VERDICT r11 "Next
-# round" #3 — rf12/rf11/dd1/dd8 lead as the r11 boundary overflow),
-# followed by the 7 oldest r9-era in catalog order. 17 + 26 + 7 = 50
-# exactly; after this round no hash-checkable verdict predates r9.
+# Round-13 window: (0) the 6 new/changed entries — dq5 (NEW: the
+# release-consumer expectation suite over the six shipped artifacts,
+# VERDICT r12 #5), mx6 (NEW: mx2's epoch-budget planning table at
+# tok1's subword grain — the last word-grain budget family, VERDICT
+# r12 #6), tok4 (NEW: the 500-rule real-scale merge table through the
+# measured chunked-barrier fallback plan with a recursive-CTE oracle —
+# the r13 knee finding made an operator, VERDICT r12 #4), dq4
+# (plan+oracle changed: batch key re-keyed from
+# event_id%2 to epoch-second parity of ts so the not-null
+# expectations are no longer structurally vacuous — the ADVICE r12
+# finding), mx2 (oracle construction refactored onto the shared
+# _epoch_budget_sql builder mx6 reuses — text byte-identical, but the
+# km1-r10 rule puts changed construction in group 0), and cp6 (the
+# ADVICE r12 catch-up: its r12 construction moved onto the shared
+# _md5_prefix_checksum helper but it never got a window slot — the
+# km1-r10 rule applied one round late); then (a)
+# oldest-driver-verdict-first: ALL 35 remaining r9-era hash-checkable
+# verdicts (the VERDICT r12 #2 cohort — st6/st12/ro1/st2/st1/st4/
+# st7/st3/x8b lead as the r12 displacement overflow), followed by the
+# 10 oldest r10-era in catalog order. 5 + 35 + 10 = 50 exactly; after
+# this round no hash-checkable verdict predates r10. (6 + 35 + 9 =
+# 50 after tok4 joined group 0 — k4 returns to the r14 cohort.)
 _DRIVER_PRIORITY = [
-    # (0) new/changed oracle or plan in round 12 — first driver contact
-    "cp7_scrubbed_delta_store",
-    "cp8_delta_shard_integrity",
-    "tok1_subword_token_count",
-    "km2_kmeans_train",
-    "rf14_int_lloyd_convergence",
-    "ds4_epoch_curriculum",
-    "ds2_epoch_order",
-    "ds3_quality_curriculum",
-    "dp4_subword_packing",
-    "mx4_subword_mix",
-    "tok2_budget_grain_ab",
-    "cp9_takedown_rewrite",
-    "dq3_expectation_suite",
-    "mm6_interleaved_packing",
-    "tok3_memoized_token_count",
-    "mx5_multimodal_mix",
+    # (0) new/changed oracle or plan in round 13 — first driver contact
+    "dq5_release_expectations",
+    "mx6_subword_epoch_budget",
+    "tok4_real_vocab_token_count",
     "dq4_batch_expectation_drift",
-    # (a) oldest driver verdict first: ALL 26 remaining r8-era
-    # entries, catalog order within the cohort
-    "rf12_multiprobe_cell_recall",
-    "rf11_semdedup_cell_recall",
-    "dd1_exact_dedup",
-    "dd8_dedup_keep_list",
-    "dd12_repeated_span_trim",
-    "ann1_cosine_topk",
-    "txt2_quality_score",
-    "txt11_winnowing_fingerprint",
-    "dd14_winnowing_pairs",
-    "txt8_filter_verdict",
-    "txt10_trigram_surprisal",
-    "ii1_inverted_index",
-    "dd7_ngram_contamination",
-    "dp1_sequence_packing",
-    "dp2_sequence_manifest",
-    "ds1_corpus_shuffle",
     "mx2_epoch_budget",
-    "pr1_pagerank",
-    "ii2_bm25_topk",
-    "ii3_bm25_log_idf",
-    "ii4_prf_rerank",
-    "ii5_rrf_fusion",
-    "ii6_retrieval_eval",
-    "ii7_fusion_eval",
-    "ann4_portable_lsh_topk",
-    "dd9_portable_simhash_pairs",
-    # (a cont.) the 7 oldest r9-era verdicts, catalog order (st6/
-    # st12/ro1/st2/st1/st4/st7/st3/x8b displaced by dp4/mx4/tok2/cp9/
-    # dq3/mm6/tok3/mx5/dq4 — they lead r13's cohort)
-    "dq1a_column_profile_approx",
-    "rj2_error_near_purchase",
-    "sp1_hash_split",
-    "sp2_stratified_sample",
-    "sp3_k_per_stratum",
-    "mm5_image_patches",
-    "x10_c7_argmax_priority",
+    "cp6_shard_integrity",
+    # (a) oldest driver verdict first: ALL 35 remaining r9-era
+    # entries, catalog order within the cohort
+    "x8b_json_extract",
+    "st3_sessionization",
+    "st7_session_window",
+    "st4_streaming_tumbling",
+    "st1_tumbling_window",
+    "st2_sliding_window",
+    "st6_streaming_dedup",
+    "st12_streaming_band_admission",
+    "ro1_hourly_rollup",
+    "st8_stream_static_join",
+    "st9_stream_stream_join",
+    "c12_collab_status",
+    "rf8_approx_percentile_accuracy",
+    "a4_pricing_summary",
+    "j1_work_queue_anti_join",
+    "j3_users_posts_join",
+    "a7_frequency_map",
+    "a5_consistency_score",
+    "a11_post_gap_frequency",
+    "c1_size_buckets",
+    "f3_recent_flag",
+    "f4_category_filter",
+    "f7_recent20_mixed_window",
+    "dd10_keep_list_banded",
+    "dd11_staged_keep_list",
+    "dd16_banded_pair_eval",
+    "dd15_quality_survivor",
+    "txt13_source_vocab_overlap",
+    "sq1_int8_quantize",
+    "ro3_multigrain_rollup",
+    "mx1_temperature_mix",
+    "sk1_salted_distinct_users",
+    "sk2_salted_join_segment",
+    "cm2_incremental_admission",
+    "cp3_incremental_release",
+    # (a cont.) the 10 oldest r10-era verdicts, catalog order (the
+    # r10 remainder leads r14's cohort)
+    "zo1_zorder_stats",
+    "zo2_pruning_effectiveness",
+    "aj1_asof_click_purchase",
+    "rj1_views_before_purchase",
+    "fn1_user_funnel",
+    "fn2_conversion_window_funnel",
+    "mm4_audio_chunks",
+    "k2_latest6_pivot",
+    "k3_top10_tokens",
 ]
 
 

@@ -160,3 +160,143 @@ def pricing_dim(spark: SparkSession) -> DataFrame:
 
 def platform_dim(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(PLATFORM_DOMAINS, "platform string, domain string")
+
+
+# ---------------------------------------------------------------------------
+# tok4's REAL-SCALE merge table: 500 ordered BPE merges learned with the
+# standard greedy trainer (Sennrich et al. 2016) from the deterministic
+# 20k-type syllable-structured Zipf corpus in tools/tok_knee_probe.py
+# (synth_word / learn_merges — rerunning that recipe reproduces this
+# list bit-identically; ties break lexically). A table this size CANNOT
+# ride tok1's nested-replace cascade: the Column tree blows the JVM
+# driver stack from ~K=300 and DuckDB's parser dies at the same depth
+# ("memory exhausted", measured SCALE_r13 §5) — tok4 exists to run a
+# real-scale table through the measured fallback plan (chunked-barrier
+# cascade at vocab grain) against a recursive-CTE oracle.
+# Symbols never contain spaces or quotes (asserted at generation).
+BPE_MERGES_500 = [
+    ("s","t"), ("e","a"), ("a","i"), ("o","u"),
+    ("n","g"), ("ea","t"), ("t","r"), ("n","d"),
+    ("a","r"), ("e","st"), ("k","eat"), ("z","est"),
+    ("s","ar"), ("zest","keat"), ("sar","zestkeat"), ("i","s"),
+    ("f","ou"), ("o","s"), ("ai","s"), ("o","t"),
+    ("ai","n"), ("u","r"), ("e","r"), ("a","t"),
+    ("ng","m"), ("e","s"), ("st","os"), ("is","stos"),
+    ("fou","ngm"), ("foungm","isstos"), ("u","st"), ("ai","t"),
+    ("ai","r"), ("e","nd"), ("i","r"), ("u","n"),
+    ("a","n"), ("o","n"), ("ou","t"), ("st","e"),
+    ("s","ain"), ("l","ais"), ("a","s"), ("sain","lais"),
+    ("ea","n"), ("ou","n"), ("ai","ng"), ("e","t"),
+    ("e","l"), ("i","st"), ("u","s"), ("i","t"),
+    ("ea","r"), ("i","n"), ("e","n"), ("t","end"),
+    ("o","r"), ("tend","ste"), ("u","t"), ("ou","s"),
+    ("u","ng"), ("ea","ng"), ("ou","r"), ("tr","ai"),
+    ("z","o"), ("ea","s"), ("i","nd"), ("f","eat"),
+    ("ea","l"), ("n","ust"), ("m","er"), ("ai","nd"),
+    ("ou","l"), ("u","feat"), ("nust","ufeat"), ("ea","st"),
+    ("ea","nd"), ("o","st"), ("s","eat"), ("ai","l"),
+    ("i","ng"), ("e","ng"), ("a","st"), ("tr","es"),
+    ("f","ot"), ("fou","r"), ("ou","ng"), ("z","at"),
+    ("a","l"), ("tres","fot"), ("tresfot","four"), ("tresfotfour","zo"),
+    ("ou","st"), ("u","nd"), ("p","on"), ("l","ot"),
+    ("ai","st"), ("a","nd"), ("u","l"), ("z","un"),
+    ("trai","mer"), ("traimer","ur"), ("pon","traimerur"), ("o","l"),
+    ("s","ur"), ("o","ng"), ("p","is"), ("i","l"),
+    ("ou","nd"), ("lot","pis"), ("a","ng"), ("f","ust"),
+    ("d","ir"), ("b","aing"), ("seat","baing"), ("seatbaing","zun"),
+    ("l","el"), ("g","ais"), ("st","ur"), ("o","nd"),
+    ("ot","d"), ("u","tr"), ("r","ain"), ("lel","ait"),
+    ("dir","lelait"), ("an","s"), ("n","o"), ("g","o"),
+    ("stur","rain"), ("gais","sturrain"), ("tr","ung"), ("ist","r"),
+    ("sur","at"), ("end","m"), ("zat","st"), ("es","r"),
+    ("b","a"), ("ans","ais"), ("zatst","otd"), ("zatstotd","ansais"),
+    ("r","e"), ("g","ot"), ("ea","m"), ("g","endm"),
+    ("istr","as"), ("gendm","istras"), ("k","ind"), ("f","air"),
+    ("n","ait"), ("k","utr"), ("kutr","ir"), ("fust","kutrir"),
+    ("m","u"), ("s","er"), ("ost","v"), ("no","keat"),
+    ("kind","v"), ("p","ai"), ("t","air"), ("m","esr"),
+    ("mesr","et"), ("ur","n"), ("n","a"), ("seat","aing"),
+    ("st","ai"), ("b","i"), ("r","out"), ("est","t"),
+    ("z","ar"), ("it","p"), ("kindv","ing"), ("kindving","got"),
+    ("kindvinggot","fair"), ("g","el"), ("un","n"), ("b","estt"),
+    ("oul","nait"), ("n","at"), ("bestt","oulnait"), ("a","tr"),
+    ("z","er"), ("sur","na"), ("surna","zat"), ("gel","surnazat"),
+    ("l","a"), ("f","e"), ("k","ai"), ("ea","p"),
+    ("k","is"), ("tr","air"), ("tr","ostv"), ("trostv","und"),
+    ("n","u"), ("z","us"), ("ait","b"), ("our","v"),
+    ("r","ot"), ("f","et"), ("os","b"), ("trung","oun"),
+    ("t","ait"), ("st","ar"), ("z","eang"), ("t","ou"),
+    ("n","eang"), ("l","ir"), ("z","ear"), ("v","ea"),
+    ("trung","rout"), ("bi","trungrout"), ("st","eat"), ("k","oung"),
+    ("g","al"), ("tr","e"), ("oun","pai"), ("fust","ounpai"),
+    ("f","u"), ("b","eng"), ("z","et"), ("n","ar"),
+    ("ean","re"), ("v","unn"), ("vunn","eanre"), ("v","ist"),
+    ("r","air"), ("t","is"), ("stai","zeang"), ("itp","an"),
+    ("d","out"), ("p","oun"), ("g","ait"), ("i","m"),
+    ("b","and"), ("f","ail"), ("z","oung"), ("mer","fet"),
+    ("itpan","merfet"), ("g","itpanmerfet"), ("k","eang"), ("f","it"),
+    ("k","eam"), ("n","out"), ("keam","a"), ("n","east"),
+    ("n","ind"), ("t","en"), ("t","ai"), ("f","er"),
+    ("fe","f"), ("p","aind"), ("urn","el"), ("fef","urnel"),
+    ("k","eand"), ("p","o"), ("tr","us"), ("st","eand"),
+    ("n","ourv"), ("z","ain"), ("p","e"), ("nourv","eal"),
+    ("kis","nourveal"), ("band","kisnourveal"), ("z","es"), ("b","ai"),
+    ("r","es"), ("keang","gal"), ("ea","k"), ("z","ou"),
+    ("r","oung"), ("l","an"), ("f","ait"), ("b","out"),
+    ("tr","o"), ("v","oust"), ("zear","beng"), ("zearbeng","fail"),
+    ("zat","zearbengfail"), ("d","es"), ("b","an"), ("ste","t"),
+    ("l","ean"), ("s","en"), ("s","as"), ("z","ai"),
+    ("koung","zer"), ("b","at"), ("n","eand"), ("m","ou"),
+    ("st","ais"), ("ea","d"), ("p","er"), ("d","ai"),
+    ("n","aind"), ("zar","go"), ("ear","r"), ("r","or"),
+    ("k","ous"), ("tr","at"), ("l","ast"), ("paind","neast"),
+    ("f","ai"), ("v","e"), ("v","o"), ("aitb","ong"),
+    ("k","at"), ("f","un"), ("z","i"), ("n","e"),
+    ("zes","star"), ("zesstar","fou"), ("v","an"), ("m","eat"),
+    ("l","o"), ("st","est"), ("d","o"), ("ser","naind"),
+    ("neand","nar"), ("neandnar","sernaind"), ("n","ail"), ("f","eng"),
+    ("st","it"), ("k","u"), ("p","eat"), ("roung","trair"),
+    ("z","ir"), ("s","est"), ("b","air"), ("v","oun"),
+    ("m","ais"), ("ung","l"), ("s","ean"), ("rot","trai"),
+    ("b","en"), ("m","o"), ("d","a"), ("i","k"),
+    ("v","eas"), ("f","es"), ("l","e"), ("st","o"),
+    ("f","o"), ("eap","ean"), ("b","oun"), ("nind","tou"),
+    ("s","ous"), ("k","un"), ("z","on"), ("tr","ind"),
+    ("g","un"), ("fu","kai"), ("k","our"), ("tr","est"),
+    ("z","in"), ("v","ou"), ("r","ir"), ("m","ot"),
+    ("ten","is"), ("tenis","lan"), ("rair","tenislan"), ("v","or"),
+    ("z","ous"), ("z","ust"), ("zoung","t"), ("z","out"),
+    ("z","a"), ("zoungt","eapean"), ("lir","zoungteapean"), ("b","end"),
+    ("on","v"), ("r","ean"), ("eal","d"), ("tr","oust"),
+    ("d","ait"), ("tr","eas"), ("s","air"), ("f","as"),
+    ("ba","poun"), ("r","i"), ("n","ous"), ("f","ear"),
+    ("ste","ng"), ("tr","or"), ("p","in"), ("p","eal"),
+    ("l","u"), ("b","et"), ("tait","tair"), ("tr","ul"),
+    ("z","u"), ("st","oun"), ("vist","ast"), ("vistast","fait"),
+    ("vistastfait","vea"), ("b","aind"), ("st","er"), ("s","o"),
+    ("g","aind"), ("f","a"), ("nail","nu"), ("tr","ir"),
+    ("g","ou"), ("g","ar"), ("b","ing"), ("zun","tai"),
+    ("m","ain"), ("tr","eat"), ("m","air"), ("s","aist"),
+    ("z","and"), ("tr","ut"), ("a","v"), ("m","ea"),
+    ("ost","fit"), ("tr","ur"), ("k","aitbong"), ("kaitbong","ostfit"),
+    ("b","in"), ("z","ean"), ("r","ea"), ("k","ou"),
+    ("ist","l"), ("f","osb"), ("t","e"), ("s","aing"),
+    ("r","eas"), ("t","eat"), ("t","out"), ("s","ail"),
+    ("mu","ban"), ("st","es"), ("p","a"), ("v","en"),
+    ("s","our"), ("oul","re"), ("v","eat"), ("b","ea"),
+    ("trind","baind"), ("st","air"), ("z","air"), ("k","a"),
+    ("l","ou"), ("r","eat"), ("m","eng"), ("l","ai"),
+    ("s","out"), ("p","i"), ("fosb","ut"), ("n","as"),
+    ("m","ean"), ("s","e"), ("k","ol"), ("k","air"),
+    ("g","in"), ("k","ar"), ("voust","la"), ("voustla","des"),
+    ("k","ain"), ("tr","ou"), ("d","ean"), ("t","earr"),
+    ("r","ou"), ("n","aing"), ("n","ai"), ("k","as"),
+    ("tr","ean"), ("tearr","en"), ("m","is"), ("g","east"),
+    ("b","ou"), ("n","er"), ("p","ean"), ("g","et"),
+    ("b","on"), ("fou","n"), ("f","or"), ("z","or"),
+    ("s","ou"), ("g","ir"), ("troust","res"), ("st","ou"),
+    ("p","ast"), ("lot","troustres"), ("tr","an"), ("v","as"),
+    ("st","an"), ("f","ain"), ("tr","ait"), ("k","und"),
+    ("p","u"), ("z","as"), ("stais","lean"), ("staislean","ba"),
+    ("k","en"), ("d","ung"), ("p","ind"), ("b","ous"),
+    ("zust","as"), ("tis","zustas"), ("nat","tiszustas"), ("tr","ot"),]

@@ -964,3 +964,134 @@ def sql_subword_token_counts(
                AS BIGINT) AS n_subword_tokens
     FROM sym GROUP BY doc
     """
+
+
+def chunked_subword_token_counts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: list[tuple[str, str]],
+    chunk: int = 100,
+) -> DataFrame:
+    """tok4 — the REAL-SCALE tokenize plan (SCALE_r13 §5's measured
+    fallback, promoted to an operator): apply an arbitrarily long
+    ordered merge table at VOCAB grain with the cascade cut into
+    ``chunk``-deep projection segments separated by localCheckpoint
+    barriers. Two limits force this shape for real vocabularies
+    (measured, tools/tok_knee_probe.py): the single nested-Replace
+    Column tree blows the JVM driver stack nondeterministically from
+    ~300 rules (and DuckDB's parser dies at the same depth), and the
+    per-OCCURRENCE cascade cost is linear in table size. The barrier
+    materializes a VOCAB-sized (word, symbols) intermediate — never
+    corpus rows — and stops Catalyst's CollapseProject from re-nesting
+    the full K-deep tree; the per-word counts then broadcast back
+    onto the token stream exactly like tok3 (one exchange carrying
+    (doc, int), hot words never shuffle).
+
+    Same two-space symbol encoding and per-merge literal replace as
+    :func:`subword_count_col` (identical leftmost-first semantics in
+    Spark/DuckDB/Python), so the result is hash-checkable and pinnable
+    against a pure-Python recompute at ANY table size — the oracle
+    states the same ordered application as ONE recursive CTE over a
+    merge VALUES table (:func:`sql_chunked_subword_token_counts`),
+    sidestepping both parser knees.
+
+    Returns (doc, n_words, n_subword_tokens) — tok1's exact contract
+    (token-less docs have no row)."""
+    from .dedup import normalized_words
+
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(normalized_words(F.col(text_col))).alias("w"),
+    )
+    enc = F.concat(
+        F.lit("  "), F.regexp_replace(F.col("w"), "(.)", "$1  ")
+    )
+    cur = toks.select("w").distinct().select("w", enc.alias("s"))
+    for lo in range(0, len(merges), chunk):
+        s = F.col("s")
+        for a, b in merges[lo : lo + chunk]:
+            s = F.replace(s, F.lit(f" {a}  {b} "), F.lit(f" {a}{b} "))
+        cur = cur.select("w", s.alias("s"))
+        if lo + chunk < len(merges):
+            # lazy barrier: materialized on first downstream action,
+            # vocab-sized rows only
+            cur = cur.localCheckpoint(eager=False)
+    n_sub = (
+        F.shiftright(
+            F.length("s")
+            - F.length(F.replace(F.col("s"), F.lit(" "), F.lit(""))),
+            1,
+        )
+        - 1
+    ).cast("long")
+    vocab = cur.select("w", n_sub.alias("n_sub"))
+    return (
+        toks.join(F.broadcast(vocab), "w")
+        .groupBy("doc")
+        .agg(
+            F.count("*").cast("bigint").alias("n_words"),
+            F.sum("n_sub").cast("bigint").alias("n_subword_tokens"),
+        )
+    )
+
+
+def sql_chunked_subword_token_counts(
+    merges: list[tuple[str, str]],
+    rel: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`chunked_subword_token_counts`: the ordered
+    merge table as a VALUES relation, applied rule-by-rule with ONE
+    recursive CTE over the distinct vocabulary (iteration i applies
+    merge i — the same leftmost-first literal replace). Depth = table
+    size over vocab-sized rows; no K-deep expression anywhere, so the
+    parser knee never applies. CTE names are tok4_-prefixed (the
+    SCALE_r10 §7 rule: a future oracle nesting this body must not
+    shadow them)."""
+    from .dedup import sql_words
+
+    vals = ", ".join(
+        f"({i}, '{a}', '{b}')" for i, (a, b) in enumerate(merges)
+    )
+    return f"""
+    WITH RECURSIVE tok4_toks AS (
+        SELECT {id_col} AS doc, unnest({sql_words(text_col)}) AS w
+        FROM {rel}
+    ),
+    tok4_vocab AS (SELECT DISTINCT w FROM tok4_toks),
+    tok4_merges (i, a, b) AS (VALUES {vals}),
+    tok4_steps AS (
+        SELECT w, '  ' || regexp_replace(w, '(.)', '\\1  ', 'g') AS s,
+               0 AS i
+        FROM tok4_vocab
+        UNION ALL
+        SELECT st.w,
+               replace(st.s, ' ' || m.a || '  ' || m.b || ' ',
+                       ' ' || m.a || m.b || ' '),
+               st.i + 1
+        FROM tok4_steps st JOIN tok4_merges m ON m.i = st.i
+    ),
+    tok4_counts AS (
+        SELECT w,
+               (length(s) - length(replace(s, ' ', ''))) // 2 - 1 AS n_sub
+        FROM tok4_steps WHERE i = {len(merges)}
+    )
+    SELECT doc,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(n_sub) AS BIGINT) AS n_subword_tokens
+    FROM tok4_toks JOIN tok4_counts USING (w)
+    GROUP BY doc
+    """
+
+
+def chunked_subword_tokenize_py(
+    word: str, merges: list[tuple[str, str]]
+) -> int:
+    """Pure-Python recompute target for tok4 (the txt11 convention) —
+    the same ordered literal-replace application at any table size."""
+    s = "  " + "".join(ch + "  " for ch in word)
+    for a, b in merges:
+        s = s.replace(f" {a}  {b} ", f" {a}{b} ")
+    return (len(s) - len(s.replace(" ", ""))) // 2 - 1

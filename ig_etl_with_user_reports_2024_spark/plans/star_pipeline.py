@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from .. import dims
 from ..operators import dedup as dd
 from ..operators import multimodal as mm
 from ..operators import packing as pk
@@ -1376,6 +1377,50 @@ def tok3_memoized_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the two paths cannot drift."""
     docs = load_table(spark, sf_dir, "documents")
     return tx.memoized_subword_token_counts(docs, "doc_id", "text")
+
+
+@query(
+    "tok4_real_vocab_token_count",
+    tx.sql_chunked_subword_token_counts(dims.BPE_MERGES_500),
+)
+def tok4_real_vocab_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL-SCALE merge table, running (the r13 knee finding made
+    an operator): tok1's cascade holds to ~K=300 rules — the nested
+    Column tree blows the JVM driver stack nondeterministically, and
+    DuckDB's parser dies at the same depth ('memory exhausted'), both
+    measured in SCALE_r13 §5 — so a real tokenizer's table (50k rules)
+    can never ride a single expression in EITHER engine. This entry
+    runs dims.BPE_MERGES_500 (500 ordered merges learned by the
+    standard greedy BPE trainer from the deterministic 20k-type
+    syllable Zipf recipe in tools/tok_knee_probe.py) through the
+    measured fallback plan: the chunked-barrier cascade at VOCAB
+    grain — 100 merges per projection, a localCheckpoint barrier per
+    chunk (stops CollapseProject re-nesting the K-deep tree;
+    intermediates are vocab-sized, never corpus rows), per-word
+    counts broadcast back exactly like tok3. The oracle states the
+    same ordered application as ONE recursive CTE over a merge VALUES
+    table (depth = |table| over vocab rows — no deep expression, so
+    the parser knee never applies; tok4_-prefixed CTE names per the
+    SCALE_r10 §7 shadowing rule).
+
+    Same two-space encoding + literal-replace semantics as tok1 (ONE
+    counting contract, three engines), so the result is hash-exact
+    and pinned against a pure-Python recompute
+    (chunked_subword_tokenize_py, tests/test_textops.py).
+    Non-vacuity: counts differ from tok1's 20-rule counts on 500/500
+    gate docs (different learned vocabulary), and the table's deep
+    rules demonstrably fire (K=100→500 changes driver-vocab counts —
+    measured before registration).
+
+    NOT a bench line: at the driver corpus's 31-type vocabulary the
+    line would price five fixed localCheckpoint barriers (~10s) and
+    nothing else; the shape was priced on the 20k-vocab probe corpus
+    instead (flat 2.3–5.7s through K=2000, tools/tok_knee_probe.py —
+    SCALE_r13 §5's table, the honest-pricing convention)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.chunked_subword_token_counts(
+        docs, "doc_id", "text", dims.BPE_MERGES_500
+    )
 
 
 @query(

@@ -837,3 +837,62 @@ def test_tok3_memoized_equals_tok1_and_plan_shape(spark, sf_oracle):
     vocab_aggs = [ln for ln in plan.split("\n")
                   if "HashAggregate(keys=[w#" in ln and "n_sub" in ln]
     assert vocab_aggs, plan
+
+
+def test_tok4_chunked_real_vocab_recompute_and_nonvacuity(spark, sf_oracle):
+    """tok4's contract: the 500-rule chunked-barrier apply is
+    bit-identical to a pure-Python recompute of the same ordered
+    literal replaces (the txt11 convention), genuinely differs from
+    tok1's 20-rule counts (different learned vocabulary), and the DEEP
+    rules fire — truncating the table at 100 changes counts, so the
+    entry cannot silently degrade into a short-table twin. Also pins
+    the chunk-boundary semantics: chunk sizes 100 and 37 (rules
+    split mid-cascade) give identical results."""
+    import __spark_entry__ as em
+    from ig_etl_with_user_reports_2024_spark.dims import BPE_MERGES_500
+    from ig_etl_with_user_reports_2024_spark.operators import textops as tx
+    from ig_etl_with_user_reports_2024_spark.sources.readers import load_table
+
+    qs = em.queries()
+    t4 = {r.doc: (r.n_words, r.n_subword_tokens)
+          for r in qs["tok4_real_vocab_token_count"](spark, sf_oracle).collect()}
+    t1 = {r.doc: (r.n_words, r.n_subword_tokens)
+          for r in qs["tok1_subword_token_count"](spark, sf_oracle).collect()}
+    assert set(t4) == set(t1)
+    n_diff = sum(1 for k in t4 if t4[k][1] != t1[k][1])
+    assert n_diff > len(t4) // 2, f"only {n_diff} docs differ from tok1"
+
+    docs = load_table(spark, sf_oracle, "documents")
+    rows = docs.select("doc_id", "text").collect()
+    import re as _re
+    memo: dict = {}
+    for r in rows[:100]:
+        ws = [w for w in _re.split(r"\s+", (r.text or "").strip().lower())
+              if w]
+        if not ws:
+            assert r.doc_id not in t4
+            continue
+        n = 0
+        for w in ws:
+            if w not in memo:
+                memo[w] = tx.chunked_subword_tokenize_py(w, BPE_MERGES_500)
+            n += memo[w]
+        assert t4[r.doc_id] == (len(ws), n), r.doc_id
+
+    # deep rules fire: the K=100 prefix gives different counts
+    t4_100 = {
+        r.doc: r.n_subword_tokens
+        for r in tx.chunked_subword_token_counts(
+            docs, "doc_id", "text", BPE_MERGES_500[:100]
+        ).collect()
+    }
+    assert any(t4_100[k] != t4[k][1] for k in t4), "rules 101-500 never fire"
+
+    # chunk boundary invariance (barrier placement must be semantics-free)
+    t4_37 = {
+        r.doc: (r.n_words, r.n_subword_tokens)
+        for r in tx.chunked_subword_token_counts(
+            docs, "doc_id", "text", BPE_MERGES_500, chunk=37
+        ).collect()
+    }
+    assert t4_37 == t4
