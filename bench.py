@@ -115,6 +115,10 @@ HEADLINE = [
     # paying the composition twice per bench adds noise, not signal
     "st11_rocksdb_dedup",
     "st12_streaming_band_admission",
+    # st13 prices the streaming expectation-suite shape (one grouped
+    # agg, 2-key state) — dq4's batch twin re-runs a scan the dq3 line
+    # already prices, so the STREAMING side is the one worth a line
+    "st13_streaming_expectation_drift",
     "cm2_incremental_admission",
     "txt11_winnowing_fingerprint",
     "ii6_retrieval_eval",

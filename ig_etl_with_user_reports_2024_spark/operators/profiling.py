@@ -281,3 +281,37 @@ def referential_orphans(
         ),
         (F.coalesce(F.col("n_violations"), F.lit(0)) == 0).alias("passed"),
     )
+
+
+def batch_drift(
+    prof: DataFrame, alarm_milli: int, batch_col: str = "batch"
+) -> DataFrame:
+    """dq4's drift tail as ONE definition (shared by the batch entry
+    and st13's streaming twin — the _layout_chain convention): given a
+    per-batch expectation profile (``batch_col`` ∈ {0, 1}, expectation,
+    n_rows, n_violations), emit the batch-vs-batch integer milli-rates
+    and the > ``alarm_milli`` per-mille drift alarm. All-integer
+    (floor-division milli), metadata-sized self-join."""
+    a = prof.filter(F.col(batch_col) == 0).select(
+        "expectation",
+        F.col("n_rows").alias("n_rows_a"),
+        F.col("n_violations").alias("n_violations_a"),
+    )
+    b = prof.filter(F.col(batch_col) == 1).select(
+        "expectation",
+        F.col("n_rows").alias("n_rows_b"),
+        F.col("n_violations").alias("n_violations_b"),
+    )
+    j = a.join(b, "expectation")
+    rate_a = F.expr("(1000 * n_violations_a) div n_rows_a")
+    rate_b = F.expr("(1000 * n_violations_b) div n_rows_b")
+    return j.select(
+        "expectation",
+        "n_rows_a",
+        "n_rows_b",
+        "n_violations_a",
+        "n_violations_b",
+        rate_a.cast("bigint").alias("rate_milli_a"),
+        rate_b.cast("bigint").alias("rate_milli_b"),
+        (F.abs(rate_b - rate_a) > alarm_milli).alias("drift_alarm"),
+    )

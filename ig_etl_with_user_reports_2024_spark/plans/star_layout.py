@@ -630,6 +630,33 @@ _DQ4_EXPECTATIONS = [
     ),
 ]
 
+# dq4's batch key and predicate suite as ONE definition each — shared
+# with st13's streaming twin (star_streaming), which must profile the
+# IDENTICAL suite over the identical batch key or the result-identity
+# oracle is meaningless.
+DQ4_BATCH_EXPR = (
+    "((unix_micros(cast(ts AS timestamp)) + 500000) div 1000000) % 2"
+)
+
+
+def dq4_expectation_preds() -> list:
+    return [
+        ("event_id_not_null", F.col("event_id").isNull()),
+        ("user_id_not_null", F.col("user_id").isNull()),
+        (
+            "event_type_in_set",
+            ~F.col("event_type").isin(
+                "click", "signup", "error", "view", "purchase"
+            )
+            | F.col("event_type").isNull(),
+        ),
+        (
+            "value_le_100",
+            ~(F.col("value") <= 100) | F.col("value").isNull(),
+        ),
+    ]
+
+
 # milli-rate drift threshold: |rate_b - rate_a| > 5 per-mille. The
 # straddling value_le_100 expectation alarms at sf0.001/0.01 (the two
 # nearest-second-parity halves differ by 18 / 7 per-mille — measured)
@@ -719,48 +746,9 @@ def dq4_batch_expectation_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     drift join is a metadata pass (dq2's statement, expectation-
     grain)."""
     ev = load_table(spark, sf_dir, "events").withColumn(
-        "batch", F.expr("((unix_micros(cast(ts AS timestamp)) + 500000) div 1000000) % 2")
+        "batch", F.expr(DQ4_BATCH_EXPR)
     )
     prof = profiling.expectation_counts(
-        ev,
-        "events",
-        [
-            ("event_id_not_null", F.col("event_id").isNull()),
-            ("user_id_not_null", F.col("user_id").isNull()),
-            (
-                "event_type_in_set",
-                ~F.col("event_type").isin(
-                    "click", "signup", "error", "view", "purchase"
-                )
-                | F.col("event_type").isNull(),
-            ),
-            (
-                "value_le_100",
-                ~(F.col("value") <= 100) | F.col("value").isNull(),
-            ),
-        ],
-        group_by="batch",
+        ev, "events", dq4_expectation_preds(), group_by="batch"
     )
-    a = prof.filter(F.col("batch") == 0).select(
-        "expectation",
-        F.col("n_rows").alias("n_rows_a"),
-        F.col("n_violations").alias("n_violations_a"),
-    )
-    b = prof.filter(F.col("batch") == 1).select(
-        "expectation",
-        F.col("n_rows").alias("n_rows_b"),
-        F.col("n_violations").alias("n_violations_b"),
-    )
-    j = a.join(b, "expectation")
-    rate_a = F.expr("(1000 * n_violations_a) div n_rows_a")
-    rate_b = F.expr("(1000 * n_violations_b) div n_rows_b")
-    return j.select(
-        "expectation",
-        "n_rows_a",
-        "n_rows_b",
-        "n_violations_a",
-        "n_violations_b",
-        rate_a.cast("bigint").alias("rate_milli_a"),
-        rate_b.cast("bigint").alias("rate_milli_b"),
-        (F.abs(rate_b - rate_a) > _DQ4_ALARM_MILLI).alias("drift_alarm"),
-    )
+    return profiling.batch_drift(prof, _DQ4_ALARM_MILLI)

@@ -464,3 +464,69 @@ def st9_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_interval_join(
         spark, os.path.join(sf_dir, "events.parquet")
     )
+
+
+def _st13_oracle() -> str:
+    """st13 hash-checks against dq4's registered SQL VERBATIM — the
+    st4/st1 stream-batch parity convention: the entry's value is the
+    streaming plan, the result is dq4's."""
+    from .registry import QUERIES
+
+    return QUERIES["dq4_batch_expectation_drift"].oracle
+
+
+@query(
+    "st13_streaming_expectation_drift",
+    None,  # rebound below from dq4's registered oracle (import order:
+    # star_layout registers dq4 before this module loads)
+    eager=True,  # awaitTermination at construction
+)
+def st13_streaming_expectation_drift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """dq4's ingest-gate alarm as the STREAMING job a 100 TB pipeline
+    actually deploys (the dq arc's last surface: dq3 validates the
+    corpus, dq4 the batch, dq5 the release — st13 is dq4 running where
+    ingest happens): readStream over the events parquet → the
+    IDENTICAL expectation suite over the IDENTICAL nearest-second
+    batch key (both shared from star_layout — DQ4_BATCH_EXPR /
+    dq4_expectation_preds, one definition each) compiled into ONE
+    streaming grouped aggregation under AvailableNow → memory sink →
+    the shared profiling.batch_drift tail (dq4's own). Hash-checked
+    against dq4's registered SQL verbatim, proving stream/batch
+    result parity for the whole contract-validation path (the st4/st1
+    convention).
+
+    State shape: the streaming store holds |batches| × |suite|
+    counters — metadata regardless of event volume (the cheapest
+    stateful query in the family; state_partitions=2 because the key
+    space is 2). A production gate runs the same plan in update mode
+    and pages on drift_alarm per micro-batch."""
+    from ..streaming.events import streaming_expectation_profile
+    from .star_layout import (
+        _DQ4_ALARM_MILLI,
+        DQ4_BATCH_EXPR,
+        dq4_expectation_preds,
+    )
+    from ..operators import profiling
+
+    prof = streaming_expectation_profile(
+        spark,
+        os.path.join(sf_dir, "events.parquet"),
+        DQ4_BATCH_EXPR,
+        dq4_expectation_preds(),
+    )
+    # the drift tail self-joins the profile; a memory-sink view reuses
+    # the same expression IDs on both join sides (INTERNAL_ERROR:
+    # conflicting references) — break lineage first. |batches|×|suite|
+    # rows: metadata.
+    return profiling.batch_drift(prof.localCheckpoint(), _DQ4_ALARM_MILLI)
+
+
+def _bind_st13_oracle() -> None:
+    from .registry import QUERIES
+
+    QUERIES["st13_streaming_expectation_drift"].oracle = _st13_oracle()
+
+
+_bind_st13_oracle()

@@ -465,3 +465,38 @@ def streaming_minhash_admission(
         F.coalesce(F.col("adm"), F.lit(True)).alias("admitted"),
         F.coalesce(F.col("owned"), F.lit(0)).cast("bigint").alias("owned_bands"),
     )
+
+
+def streaming_expectation_profile(
+    spark: SparkSession,
+    events_path: str,
+    batch_expr: str,
+    expectations: list,
+) -> DataFrame:
+    """st13's streaming half: readStream over the events parquet →
+    dq4's per-batch expectation suite as ONE streaming grouped
+    aggregation (profiling.expectation_counts' group_by compiles the
+    whole suite into a single agg over groupBy(batch) — two state rows
+    total, the cheapest stateful query in the family) → memory sink
+    under AvailableNow, complete mode. The struct-array unpivot rides
+    AFTER the aggregation (project + generate on the aggregated rows —
+    streaming-legal in complete mode, no second aggregation).
+
+    Returns the materialized (batch, table_name, expectation, n_rows,
+    n_violations, passed) profile — identical rows to the batch
+    expectation_counts on the same data, which is what lets st13's
+    drift output hash-check against dq4's registered SQL (the st4/st1
+    stream-batch parity convention). State shape at 100 TB: the store
+    holds |batches| × |suite| counters — metadata, regardless of
+    event volume; a production gate runs the same plan in update mode
+    per micro-batch."""
+    from ..operators.profiling import expectation_counts
+
+    stream = _events_stream(spark, events_path).withColumn(
+        "batch", F.expr(batch_expr)
+    )
+    prof = expectation_counts(stream, "events", expectations, group_by="batch")
+    # 2-row aggregate → 2 state partitions is already generous
+    return _run_to_memory_sink(
+        spark, prof, "expectprof_", "complete", state_partitions=2
+    )
