@@ -128,8 +128,8 @@ _DRIVER_PRIORITY = [
     "sk2_salted_join_segment",
     "cm2_incremental_admission",
     "cp3_incremental_release",
-    # (a cont.) the 10 oldest r10-era verdicts, catalog order (the
-    # r10 remainder leads r14's cohort)
+    # (a cont.) the 8 oldest r10-era verdicts, catalog order (the
+    # r10 remainder — k3/k4 first — leads r14's cohort)
     "zo1_zorder_stats",
     "zo2_pruning_effectiveness",
     "aj1_asof_click_purchase",

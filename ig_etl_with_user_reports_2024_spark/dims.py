@@ -300,3 +300,11 @@ BPE_MERGES_500 = [
     ("p","u"), ("z","as"), ("stais","lean"), ("staislean","ba"),
     ("k","en"), ("d","ung"), ("p","ind"), ("b","ous"),
     ("zust","as"), ("tis","zustas"), ("nat","tiszustas"), ("tr","ot"),]
+
+# enforced, not just claimed (review finding r13): tok4's SQL twin
+# interpolates these symbols into a VALUES list and into literal
+# replace patterns — a quote would break the oracle text, a space
+# would break the two-space encoding's separator invariant.
+assert all(
+    "'" not in a + b and " " not in a + b for a, b in BPE_MERGES_500
+), "BPE_MERGES_500 symbols must not contain quotes or spaces"

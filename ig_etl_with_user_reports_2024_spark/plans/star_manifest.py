@@ -1263,9 +1263,17 @@ def release_expectation_suite(
             layout_delta, "doc", store_delta, "doc_id",
             "release_delta", "layout_docs_in_store",
         ),
-        # 3 — the store ships each doc exactly once
+        # 3 — each store ships each doc exactly once (the delta-side
+        # uniqueness also GUARDS the referential checks' shape: both
+        # engines join distinct store keys — Spark via
+        # referential_orphans, the SQL twin via an explicit DISTINCT
+        # subquery — so a duplicated store key can never fan the
+        # layout rows out asymmetrically; review finding r13)
         profiling.expectation_counts(
             store_full, "release_full", [], unique=["doc_id"]
+        ),
+        profiling.expectation_counts(
+            store_delta, "release_delta", [], unique=["doc_id"]
         ),
         # 7 — scrub columns a consumer reads are present and sane
         profiling.expectation_counts(
@@ -1372,18 +1380,25 @@ _DQ5_SQL = f"""
                CAST(COUNT(*) AS BIGINT) AS n_rows,
                CAST(COALESCE(SUM(CASE WHEN s.doc_id IS NULL
                    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_violations
-        FROM dq5_lf l LEFT JOIN dq5_sf s ON l.doc = s.doc_id
+        FROM dq5_lf l LEFT JOIN (SELECT DISTINCT doc_id FROM dq5_sf) s
+          ON l.doc = s.doc_id
         UNION ALL
         SELECT 'release_delta', 'layout_docs_in_store',
                CAST(COUNT(*) AS BIGINT),
                CAST(COALESCE(SUM(CASE WHEN s.doc_id IS NULL
                    THEN 1 ELSE 0 END), 0) AS BIGINT)
-        FROM dq5_ld l LEFT JOIN dq5_sd s ON l.doc = s.doc_id
+        FROM dq5_ld l LEFT JOIN (SELECT DISTINCT doc_id FROM dq5_sd) s
+          ON l.doc = s.doc_id
         UNION ALL
         SELECT 'release_full', 'doc_id_unique',
                CAST(COUNT(*) AS BIGINT),
                CAST(COUNT(doc_id) - COUNT(DISTINCT doc_id) AS BIGINT)
         FROM dq5_sf
+        UNION ALL
+        SELECT 'release_delta', 'doc_id_unique',
+               CAST(COUNT(*) AS BIGINT),
+               CAST(COUNT(doc_id) - COUNT(DISTINCT doc_id) AS BIGINT)
+        FROM dq5_sd
         UNION ALL
         SELECT 'release_merged', 'scrub_columns_sane',
                CAST(COUNT(*) AS BIGINT),
@@ -1461,7 +1476,7 @@ _DQ5_SQL = f"""
 def dq5_release_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The expectation suite a RELEASE CONSUMER runs (dq3's shape over
     what SHIPS, completing the dq arc ingest → release — VERDICT r12
-    "Next round" #5): seven named contracts over the six shipped
+    "Next round" #5): eight named contracts over the six shipped
     artifacts — cp1/cp5/cp6 (full layout / store / integrity) and
     cp3/cp7/cp8 (delta) — in dq3's exact row schema:
 
@@ -1469,7 +1484,9 @@ def dq5_release_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         references exists in the scrubbed store its offsets point
         into (referential, LEFT JOIN — the check that catches a
         store/layout publish race);
-      - doc_id_unique (full store): the release ships each doc once;
+      - doc_id_unique (full AND delta store): each store ships each
+        doc once — also the guard that keeps both engines' referential
+        joins (distinct store keys) equivalent to the raw store;
       - scrub_columns_sane (merged): n_redactions present and ≥ 0,
         scrubbed_md5 present, on every store row;
       - full_delta_disjoint (merged): no doc ships in BOTH the full

@@ -524,6 +524,11 @@ def st13_streaming_expectation_drift(
 
 
 def _bind_st13_oracle() -> None:
+    # importing star_layout (not just reading QUERIES) keeps THIS
+    # module importable standalone — without it, dq4 is only
+    # registered when __spark_entry__'s import order ran first
+    # (review finding r13)
+    from . import star_layout  # noqa: F401
     from .registry import QUERIES
 
     QUERIES["st13_streaming_expectation_drift"].oracle = _st13_oracle()

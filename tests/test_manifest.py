@@ -533,7 +533,7 @@ def test_dq5_suite_green_on_consistent_fixture_and_red_on_tampered(spark):
             lf, sf__, if_ if if__ is None else if__,
             ld, sd__, id_ if id__ is None else id__,
         ).collect()
-        assert len(out) == 7
+        assert len(out) == 8
         return {(r.table_name, r.expectation): r for r in out}
 
     base = run()
@@ -549,9 +549,14 @@ def test_dq5_suite_green_on_consistent_fixture_and_red_on_tampered(spark):
     # ...which also breaks that shard's published integrity row
     assert not r[("release_full", "shard_integrity_consistent")].passed
 
-    # 2 — store ships a doc twice
+    # 2 — store ships a doc twice (each store has its own uniqueness
+    # expectation; the delta twin also guards the referential joins'
+    # distinct-key shape)
     r = run(sf__=sf_.unionByName(sf_.filter(F.col("doc_id") == 7)))
     assert r[("release_full", "doc_id_unique")].n_violations == 1
+    r = run(sd__=sd.unionByName(sd.filter(F.col("doc_id") == 10_001)))
+    assert r[("release_delta", "doc_id_unique")].n_violations == 1
+    assert r[("release_delta", "layout_docs_in_store")].passed
 
     # 3 — a delta doc also present in the full store
     leak = sf_.filter(F.col("doc_id") == 7)

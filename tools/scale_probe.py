@@ -79,7 +79,11 @@ def _fresh_doc_text(text, doc_id, rep):
         ),
         " ",
     )
-    return F.when(text.isNull(), F.lit(None).cast("string")).otherwise(perm)
+    # <2 words (INCLUDING empty/whitespace-only text): keep the
+    # original — there is nothing to permute, and ANSI would throw on
+    # sequence(1, 0)'s descending [1, 0] feeding element_at (review
+    # finding r13; the CLAUDE.md possibly-empty-array rule)
+    return F.when(F.size(arr) < 2, text).otherwise(perm)
 
 
 def build(

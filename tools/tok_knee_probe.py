@@ -238,7 +238,12 @@ def main() -> int:
         # (~chunk-deep) expression, the barrier stops Catalyst's
         # CollapseProject from re-nesting the full K-deep tree, and the
         # materialized intermediate is VOCAB-sized (tok3's point: the
-        # corpus never pays K)
+        # corpus never pays K). Inline (not via
+        # textops.chunked_subword_token_counts, which is the CANONICAL
+        # form tok4 registers) because the probe works from an
+        # already-exploded token frame; a semantics change must edit
+        # the operator and this block together — the operator's
+        # chunk-invariance test is the drift guard
         t0 = time.time()
         enc = F.concat(
             F.lit("  "), F.regexp_replace(F.col("w"), "(.)", "$1  ")
@@ -268,12 +273,15 @@ def main() -> int:
         from pyspark.sql.functions import pandas_udf
 
         mk_local = list(mk)
+        from ig_etl_with_user_reports_2024_spark.operators.textops import (
+            chunked_subword_tokenize_py,
+        )
 
         def _one(w: str) -> int:
-            s = "  " + "".join(ch + "  " for ch in w)
-            for a, b in mk_local:
-                s = s.replace(f" {a}  {b} ", f" {a}{b} ")
-            return (len(s) - len(s.replace(" ", ""))) // 2 - 1
+            # the SHIPPED recompute (textops), not a local twin — the
+            # probe must measure the same semantics tok4 registers
+            # (review finding r13)
+            return chunked_subword_tokenize_py(w, mk_local)
 
         # lambda form: the module-level `from __future__ import
         # annotations` turns hints into strings pandas_udf can't parse

@@ -48,8 +48,6 @@ def main() -> int:
     )
     from ig_etl_with_user_reports_2024_spark.plans.star_recall import (
         clustered_embeddings,
-        rf2_diag,
-        rf10_diag,
     )
     from ig_etl_with_user_reports_2024_spark.session import get_spark
     from ig_etl_with_user_reports_2024_spark.sources.readers import load_table
