@@ -57,6 +57,12 @@ SHOWCASE = [
     ("sp5_joint_cluster_split", "joint-modality split → dd11 star edges ∪ 2-probe τ-pair edges through ONE pointer-doubling CC + split projection (r10)"),
     ("qc1_model_quality_score", "linear-classifier inference → token explode, two codegen md5s per row (no HOF lambda), ONE map-side-combined exchange carrying (doc, int) (r11)"),
     ("txt14_pii_scrub", "PII redaction → ONE codegen Project (3 counts + 3 replaces per row), ZERO exchanges (r11)"),
+    ("tok1_subword_token_count", "BPE apply → token explode + ~21 codegen string ops/token (no HOF lambda), ONE map-side-combined exchange of (doc, int) (r12)"),
+    ("tok3_memoized_token_count", "memoized tokenize → cascade on the DISTINCT vocab side only, BroadcastHashJoin back (hot words never shuffle) (r12)"),
+    ("km2_kmeans_train", "integer Lloyd → assignment = column expr vs codebook literal (no shuffle); M-step = posexplode + map-side-combined groupBy, k×dim metadata rows (r12)"),
+    ("tok4_real_vocab_token_count", "500-rule table → chunked-barrier cascade at vocab grain (localCheckpoint per 100 merges; no K-deep expression), broadcast join-back (r13)"),
+    ("st13_streaming_expectation_drift", "streaming expectation suite → ONE streaming grouped agg (2-key state), unpivot after agg, metadata drift self-join (r13)"),
+    ("mx6_subword_epoch_budget", "subword epoch budgets → tok1 explode+combine feeding ONE groupBy(source) + broadcast 1-row global (r13)"),
 ]
 
 
