@@ -58,7 +58,7 @@ from ig_etl_with_user_reports_2024_spark.plans import star_manifest  # noqa: F40
 # specific hashes, rf-floored) are likewise outside the hash-checkable
 # cohorts (the VERDICT r9 debt arithmetic counts 22 r6-era, not 25).
 #
-# Round-13 window: (0) the 7 new/changed entries — dq5 (NEW: the
+# Round-13 window: (0) the 8 new/changed entries — dq5 (NEW: the
 # release-consumer expectation suite over the six shipped artifacts,
 # VERDICT r12 #5), mx6 (NEW: mx2's epoch-budget planning table at
 # tok1's subword grain — the last word-grain budget family, VERDICT
@@ -66,7 +66,10 @@ from ig_etl_with_user_reports_2024_spark.plans import star_manifest  # noqa: F40
 # measured chunked-barrier fallback plan with a recursive-CTE oracle —
 # the r13 knee finding made an operator, VERDICT r12 #4), st13 (NEW:
 # dq4's drift as the streaming job an ingest gate deploys, hash-checked
-# against dq4's SQL verbatim — the st4/st1 parity convention), dq4
+# against dq4's SQL verbatim — the st4/st1 parity convention), ii8
+# (NEW: BM25 length-normalized at tok1's subword grain — registered
+# because the decision probe showed the grain SWAP reorders rankings,
+# 0/5 stable top-10 orders), dq4
 # (plan+oracle changed: batch key re-keyed from
 # event_id%2 to epoch-second parity of ts so the not-null
 # expectations are no longer structurally vacuous — the ADVICE r12
@@ -80,14 +83,16 @@ from ig_etl_with_user_reports_2024_spark.plans import star_manifest  # noqa: F40
 # verdicts (the VERDICT r12 #2 cohort — st6/st12/ro1/st2/st1/st4/
 # st7/st3/x8b lead as the r12 displacement overflow), followed by the
 # 10 oldest r10-era in catalog order. 5 + 35 + 10 = 50 exactly; after
-# this round no hash-checkable verdict predates r10. (7 + 35 + 8 =
-# 50 after tok4/st13 joined group 0 — k3/k4 return to the r14 cohort.)
+# this round no hash-checkable verdict predates r10. (8 + 35 + 7 =
+# 50 after tok4/st13/ii8 joined group 0 — k2/k3/k4 return to the r14
+# cohort.)
 _DRIVER_PRIORITY = [
     # (0) new/changed oracle or plan in round 13 — first driver contact
     "dq5_release_expectations",
     "mx6_subword_epoch_budget",
     "tok4_real_vocab_token_count",
     "st13_streaming_expectation_drift",
+    "ii8_subword_bm25_topk",
     "dq4_batch_expectation_drift",
     "mx2_epoch_budget",
     "cp6_shard_integrity",
@@ -128,8 +133,8 @@ _DRIVER_PRIORITY = [
     "sk2_salted_join_segment",
     "cm2_incremental_admission",
     "cp3_incremental_release",
-    # (a cont.) the 8 oldest r10-era verdicts, catalog order (the
-    # r10 remainder — k3/k4 first — leads r14's cohort)
+    # (a cont.) the 7 oldest r10-era verdicts, catalog order (the
+    # r10 remainder — k2/k3/k4 first — leads r14's cohort)
     "zo1_zorder_stats",
     "zo2_pruning_effectiveness",
     "aj1_asof_click_purchase",
@@ -137,7 +142,6 @@ _DRIVER_PRIORITY = [
     "fn1_user_funnel",
     "fn2_conversion_window_funnel",
     "mm4_audio_chunks",
-    "k2_latest6_pivot",
 ]
 
 

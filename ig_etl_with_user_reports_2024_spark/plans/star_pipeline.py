@@ -4164,7 +4164,12 @@ _BM25_VALUES_SQL = ", ".join(
 
 
 def _bm25_sql(
-    log_idf: bool, k: int = 5, with_score: bool = True, lucene: bool = False
+    log_idf: bool,
+    k: int = 5,
+    with_score: bool = True,
+    lucene: bool = False,
+    pre: str = "",
+    dl_body: str = "SELECT doc_id, len(ws) AS dl FROM ws",
 ) -> str:
     """DuckDB twin of :func:`_bm25_topk` — ONE definition of the BM25
     oracle text, shared by ii2 (pre-log ratio idf, with score), ii3
@@ -4172,7 +4177,10 @@ def _bm25_sql(
     ii6's ranking stage (``lucene=True``: ln(1 + ratio), the
     production clamp that keeps idf positive for df > N/2 terms —
     ii6's eval measured the unclamped form ranking every
-    high-tf-relevant doc LAST on this stopword-dense corpus)."""
+    high-tf-relevant doc LAST on this stopword-dense corpus), and ii8
+    (``dl_body``/``pre``: the document-length CTE as a parameter —
+    tok1's subword counts instead of len(ws); defaults reproduce the
+    prior text byte-identically)."""
     idf = "((t.n_docs - d.doc_freq + 0.5) / (d.doc_freq + 0.5))"
     if lucene:
         idf = f"ln(1 + {idf})"
@@ -4181,8 +4189,8 @@ def _bm25_sql(
     score_col = ",\n           score" if with_score else ""
     return f"""
     WITH qterms(query_id, token) AS (VALUES {_BM25_VALUES_SQL}),
-    ws AS (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents),
-    dl AS (SELECT doc_id, len(ws) AS dl FROM ws),
+    {pre}ws AS (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents),
+    dl AS ({dl_body}),
     tot AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_len FROM dl),
     tok AS (SELECT doc_id, unnest(ws) AS token FROM ws),
     tf AS (
@@ -4857,6 +4865,67 @@ QUERIES["ii7_fusion_eval"].oracle = QUERIES["ii7_fusion_eval"].oracle.format(
         + f') WHERE "rank" <= 10'
     )
 )
+
+
+@query(
+    "ii8_subword_bm25_topk",
+    _bm25_sql(
+        log_idf=False,
+        k=5,
+        with_score=True,
+        pre=f"tk AS ({tx.sql_subword_token_counts('documents')}),\n    ",
+        dl_body="SELECT doc AS doc_id, n_subword_tokens AS dl FROM tk",
+    ),
+)
+def ii8_subword_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 with LENGTH NORMALIZATION AT THE TOKENIZER GRAIN — the
+    retrieval side of the r12/r13 grain program (dp4 re-metered
+    packing, mx4/mx6 the mixtures/budgets; BM25's b·dl/avgdl penalty
+    was the last consumer still normalizing by whitespace words).
+    Same queries, same term matching, same pre-log RSJ idf and
+    canonical token-order fold as ii2 — ONLY dl/avgdl (and their
+    n_docs domain) come from tok1's subword counts, exactly what a
+    pipeline that budgets in tokenizer tokens should also rank with.
+
+    DECIDED BY MEASUREMENT, not presumption (the ds5 discipline —
+    HANDOFF r13 guessed this was "probably a knob"): the probe said
+    otherwise — 0/5 queries keep their top-10 ORDER at either sf,
+    7/25 top-5 positions change at sf0.01 and 14/25 at sf0.1, because
+    per-doc subword/word ratios vary enough (3.59–3.71 across sources,
+    wider per doc) to reorder the length penalty even on this
+    near-uniform corpus. A ranking consumer switching budget grains
+    silently changes its rankings; this entry pins by how much.
+
+    Oracle = the SAME _bm25_sql text as ii2 with the dl CTE bound to
+    tok1's registered builder (dl_body/pre parameters, ii2–ii7 texts
+    byte-identical after the refactor — asserted). Domain note: dl
+    (and n_docs/total_len) range over TOKENIZED docs (tok1 emits no
+    row for token-less docs); scoring is unaffected — a token-less
+    doc can never match a term — and the pre-log idf shifts only if
+    the corpus carries token-less docs.
+
+    Scale shape: ii2's exactly (broadcast term-dim prune before the
+    (token, doc) count, pinned tf, one top-k window per query) plus
+    tok1's one token explode + map-side-combined count and a
+    doc-grain unique-keyed dl join. NOT a bench line (cp4 precedent:
+    ii2 prices the ranking pass, tok1 the tokenize pass)."""
+    qterms, tf, _ = _bm25_relations(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    sub = tx.subword_token_counts(docs, "doc_id", "text")
+    tf_sub = tf.drop("dl").join(
+        sub.select(
+            F.col("doc").alias("doc_id"),
+            F.col("n_subword_tokens").alias("dl"),
+        ),
+        "doc_id",
+    )
+    tot_sub = sub.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_subword_tokens").cast("bigint").alias("total_len"),
+    )
+    return _bm25_topk(
+        spark, sf_dir, log_idf=False, k=5, rels=(qterms, tf_sub, tot_sub)
+    )
 
 
 # ---------------------------------------------------------------------------

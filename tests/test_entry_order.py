@@ -16,14 +16,15 @@ def test_priority_names_all_registered():
 
 def test_stale_and_changed_queries_land_in_driver_window():
     # Round-13 rotation under the STANDING RULE (VERDICT r6 "Next
-    # round" #1, stated in __spark_entry__): new/changed first (7 —
-    # dq5/mx6/tok4/st13 NEW, dq4 re-keyed, mx2's oracle construction
-    # refactored onto the shared _epoch_budget_sql builder, cp6's
-    # km1-r10 catch-up from the r12 _md5_prefix_checksum lift), then
-    # all remaining slots oldest-verdict first: ALL 35 remaining
-    # r9-era hash-checkable verdicts (VERDICT r12 #2) + the 8 oldest
-    # r10-era in catalog order. 7 + 35 + 8 = 50; after r13 no
-    # hash-checkable verdict predates r10.
+    # round" #1, stated in __spark_entry__): new/changed first (8 —
+    # dq5/mx6/tok4/st13/ii8 NEW, dq4 re-keyed, mx2's oracle
+    # construction refactored onto the shared _epoch_budget_sql
+    # builder, cp6's km1-r10 catch-up from the r12
+    # _md5_prefix_checksum lift), then all remaining slots
+    # oldest-verdict first: ALL 35 remaining r9-era hash-checkable
+    # verdicts (VERDICT r12 #2) + the 7 oldest r10-era in catalog
+    # order. 8 + 35 + 7 = 50; after r13 no hash-checkable verdict
+    # predates r10.
     # Overflow = r11/r12-green entries and the youngest r10 verdicts —
     # asserted OUT so the window isn't silently wasted.
     first50 = list(entry.queries())[:50]
@@ -52,7 +53,8 @@ def test_stale_and_changed_queries_land_in_driver_window():
         "cm1_corpus_manifest",
         "cp1_curated_corpus",
         # r10-green past the cut (catalog order within the cohort
-        # decides it — k3/k4 lead r14's cohort)
+        # decides it — k2/k3/k4 lead r14's cohort)
+        "k2_latest6_pivot",
         "k3_top10_tokens",
         "k4_c5_modal_hour",
         "k6_priority_cascade",

@@ -380,3 +380,36 @@ def test_ro3_one_scan_four_grains(spark, sf_oracle):
         assert r.n_events == sum(
             v.n_events for (_, dd), v in fine.items() if dd == d
         )
+
+
+def test_ii8_subword_grain_moves_rankings(spark, sf_oracle):
+    """ii8's registration rationale, pinned (the entry was DECIDED by
+    this measurement — HANDOFF r13 presumed the grain was a knob):
+    with identical queries, terms, and idf, swapping BM25's dl/avgdl
+    to tok1's subword grain must genuinely reorder results — the
+    top-5 doc sequence differs from ii2's for most queries — while
+    both entries remain individually hash-exact vs their oracles.
+    Also pins the domain note: every ii8 hit is a tokenized doc."""
+    import __spark_entry__ as em
+    from pyspark.sql import functions as F
+
+    qs = em.queries()
+    a = {(r.query_id, r.rank): r.doc_id
+         for r in qs["ii2_bm25_topk"](spark, sf_oracle).collect()}
+    b = {(r.query_id, r.rank): r.doc_id
+         for r in qs["ii8_subword_bm25_topk"](spark, sf_oracle).collect()}
+    queries = sorted({q for q, _ in a})
+    assert sorted({q for q, _ in b}) == queries
+    changed = sum(
+        1 for q in queries
+        if [a[(q, r)] for r in range(1, 6)] != [b[(q, r)] for r in range(1, 6)]
+    )
+    assert changed >= 2, f"grain swap reordered only {changed}/5 queries"
+
+    from ig_etl_with_user_reports_2024_spark.operators import textops as tx
+    from ig_etl_with_user_reports_2024_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_oracle, "documents")
+    tokenized = {r.doc for r in tx.subword_token_counts(
+        docs, "doc_id", "text").select("doc").collect()}
+    assert all(d in tokenized for d in b.values())
