@@ -41,8 +41,8 @@ REKEY = {
 PLAIN = ("customer", "part", "supplier", "nation", "region")
 
 
-def _fresh_doc_text(text, doc_id, rep):
-    """A replica-seeded WORD PERMUTATION of ``text`` — the new-doc
+def _permuted_texts(big):
+    """Replica-seeded WORD PERMUTATIONS of ``text`` — the new-doc
     replication recipe (VERDICT r12 "Next round" #3): a clone-replicated
     documents dir makes every arriving doc an exact/near dup of the
     store, so cm2 admits nothing and the daily path (cp3/cp7/cp8) gets
@@ -52,38 +52,61 @@ def _fresh_doc_text(text, doc_id, rep):
     MULTISET — so txt8's quality stats (token counts, stopword ratios,
     length) are unchanged and the replica is a genuinely NEW document
     to both the digest store (different md5) and the band store
-    (disjoint shingles), not a quality-filter casualty. Deterministic:
-    sort key is md5(doc_id:rep:pos) with pos as tiebreak, so the same
-    dir rebuilds bit-identically for the Spark-vs-DuckDB exactness
-    sweep. Docs with <2 words permute to themselves (those replicas
-    stay clones — disclosed, a handful of rows)."""
-    arr = F.filter(
-        F.split(F.trim(text), r"\s+"), lambda t: t != F.lit("")
+    (disjoint shingles), not a quality-filter casualty.
+
+    Takes the replicated frame (doc_id, _rep, text, ...) and returns
+    (doc_id, _rep, _perm, _nw): the permuted text and its word count
+    (docs with zero words yield NO row — the caller's left join + <2
+    guard keeps those replicas as clones, disclosed, a handful of
+    rows). Shape is the codegen explode+groupBy form (ADVICE r13 — the
+    old per-element F.md5 inside an F.transform lambda ran interpreted,
+    the CLAUDE.md r6 HOF rule, paid per word of every replica at
+    --rep 128): posexplode → one codegen md5 projection →
+    groupBy(doc_id, _rep) with array_sort(collect_list(...)). The
+    permutation is BIT-IDENTICAL to the old HOF form (verified on
+    rebuild): the hash input keeps the 1-based position string, and the
+    sort struct's leading (h, i) fields are unique per element, so the
+    appended word field can never be consulted by the sort —
+    collect_list's nondeterministic order is fully normalized."""
+    words = big.select(
+        "doc_id",
+        "_rep",
+        F.posexplode(
+            F.filter(
+                F.split(F.trim(F.col("text")), r"\s+"),
+                lambda t: t != F.lit(""),
+            )
+        ).alias("pos", "w"),
     )
-    idx = F.sequence(F.lit(1), F.size(arr))
-    keyed = F.transform(
-        idx,
-        lambda i: F.struct(
-            F.md5(
-                F.concat_ws(
-                    ":", doc_id.cast("string"), rep.cast("string"),
-                    i.cast("string"),
-                )
-            ).alias("h"),
-            i.alias("i"),
-        ),
+    h = F.md5(
+        F.concat_ws(
+            ":",
+            F.col("doc_id").cast("string"),
+            F.col("_rep").cast("string"),
+            (F.col("pos") + 1).cast("string"),
+        )
     )
-    perm = F.array_join(
-        F.transform(
-            F.array_sort(keyed), lambda s: F.element_at(arr, s["i"])
-        ),
-        " ",
+    return (
+        words.select(
+            "doc_id",
+            "_rep",
+            F.struct(
+                h.alias("h"),
+                (F.col("pos") + 1).alias("i"),
+                F.col("w").alias("w"),
+            ).alias("kw"),
+        )
+        .groupBy("doc_id", "_rep")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("kw")), lambda s: s["w"]
+                ),
+                " ",
+            ).alias("_perm"),
+            F.count("*").alias("_nw"),
+        )
     )
-    # <2 words (INCLUDING empty/whitespace-only text): keep the
-    # original — there is nothing to permute, and ANSI would throw on
-    # sequence(1, 0)'s descending [1, 0] feeding element_at (review
-    # finding r13; the CLAUDE.md possibly-empty-array rule)
-    return F.when(F.size(arr) < 2, text).otherwise(perm)
 
 
 def build(
@@ -102,7 +125,7 @@ def build(
 
     ``fresh_docs=True`` additionally re-keys each documents replica's
     TEXT (replica 0 keeps the original corpus verbatim — it is the
-    store) via :func:`_fresh_doc_text`, and recomputes n_chars from
+    store) via :func:`_permuted_texts`, and recomputes n_chars from
     the rewritten text so the n_chars==length(text) contract holds on
     the built dir. Use for daily-path (cm2/cp3/cp7/cp8) scale probes,
     where clone replicas would be rejected wholesale at admission."""
@@ -118,17 +141,28 @@ def build(
         df = load_table(spark, src, t)
         big = df.crossJoin(reps)
         if fresh_docs and t == "documents":
-            fresh = _fresh_doc_text(
-                F.col("text"), F.col("doc_id"), F.col("_rep")
+            # left join: zero-word docs have no permutation row (and
+            # sequence(1,0)-style empties never arise — the old ANSI
+            # trap is structurally gone in the explode form); <2 words
+            # keeps the original, as before
+            keep = (
+                (F.col("_rep") == 0)
+                | F.col("_nw").isNull()
+                | (F.col("_nw") < 2)
             )
-            big = big.withColumn(
-                "text",
-                F.when(F.col("_rep") == 0, F.col("text")).otherwise(fresh),
-            ).withColumn(
-                "n_chars",
-                F.when(
-                    F.col("_rep") == 0, F.col("n_chars")
-                ).otherwise(F.length("text").cast("bigint")),
+            big = (
+                big.join(_permuted_texts(big), ["doc_id", "_rep"], "left")
+                .withColumn(
+                    "text",
+                    F.when(keep, F.col("text")).otherwise(F.col("_perm")),
+                )
+                .withColumn(
+                    "n_chars",
+                    F.when(
+                        F.col("_rep") == 0, F.col("n_chars")
+                    ).otherwise(F.length("text").cast("bigint")),
+                )
+                .drop("_perm", "_nw")
             )
         big = (
             big.withColumn(
