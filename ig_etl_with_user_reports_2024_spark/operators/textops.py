@@ -966,6 +966,18 @@ def sql_subword_token_counts(
     """
 
 
+def _check_merge_table(merges: list[tuple[str, str]]) -> None:
+    """Guard every merge-table consumer, not only the shipped literals
+    (ADVICE r13): the SQL twins interpolate symbols into string
+    literals and a VALUES list — a quote breaks the oracle text, a
+    space breaks the two-space encoding's separator invariant, and an
+    empty table makes the VALUES clause a parse error."""
+    assert merges, "merge table must be non-empty"
+    assert all(
+        "'" not in a + b and " " not in a + b for a, b in merges
+    ), "merge symbols must not contain quotes or spaces"
+
+
 def chunked_subword_token_counts(
     df: DataFrame,
     id_col: str,
@@ -1000,6 +1012,7 @@ def chunked_subword_token_counts(
     (token-less docs have no row)."""
     from .dedup import normalized_words
 
+    _check_merge_table(merges)
     toks = df.select(
         F.col(id_col).alias("doc"),
         F.explode(normalized_words(F.col(text_col))).alias("w"),
@@ -1041,47 +1054,52 @@ def sql_chunked_subword_token_counts(
     rel: str = "documents",
     id_col: str = "doc_id",
     text_col: str = "text",
+    prefix: str = "tok4_",
 ) -> str:
-    """DuckDB twin of :func:`chunked_subword_token_counts`: the ordered
-    merge table as a VALUES relation, applied rule-by-rule with ONE
-    recursive CTE over the distinct vocabulary (iteration i applies
-    merge i — the same leftmost-first literal replace). Depth = table
-    size over vocab-sized rows; no K-deep expression anywhere, so the
-    parser knee never applies. CTE names are tok4_-prefixed (the
-    SCALE_r10 §7 rule: a future oracle nesting this body must not
-    shadow them)."""
+    """DuckDB twin of :func:`chunked_subword_token_counts` (and of
+    :func:`udf_subword_token_counts` — the three apply paths share one
+    counting contract): the ordered merge table as a VALUES relation,
+    applied rule-by-rule with ONE recursive CTE over the distinct
+    vocabulary (iteration i applies merge i — the same leftmost-first
+    literal replace). Depth = table size over vocab-sized rows; no
+    K-deep expression anywhere, so the parser knee never applies. CTE
+    names carry ``prefix`` (default tok4_, tok5 passes tok5_ — the
+    SCALE_r10 §7 rule: two registered oracles, or a future oracle
+    nesting this body, must not shadow each other's names)."""
     from .dedup import sql_words
 
+    _check_merge_table(merges)
     vals = ", ".join(
         f"({i}, '{a}', '{b}')" for i, (a, b) in enumerate(merges)
     )
+    p = prefix
     return f"""
-    WITH RECURSIVE tok4_toks AS (
+    WITH RECURSIVE {p}toks AS (
         SELECT {id_col} AS doc, unnest({sql_words(text_col)}) AS w
         FROM {rel}
     ),
-    tok4_vocab AS (SELECT DISTINCT w FROM tok4_toks),
-    tok4_merges (i, a, b) AS (VALUES {vals}),
-    tok4_steps AS (
+    {p}vocab AS (SELECT DISTINCT w FROM {p}toks),
+    {p}merges (i, a, b) AS (VALUES {vals}),
+    {p}steps AS (
         SELECT w, '  ' || regexp_replace(w, '(.)', '\\1  ', 'g') AS s,
                0 AS i
-        FROM tok4_vocab
+        FROM {p}vocab
         UNION ALL
         SELECT st.w,
                replace(st.s, ' ' || m.a || '  ' || m.b || ' ',
                        ' ' || m.a || m.b || ' '),
                st.i + 1
-        FROM tok4_steps st JOIN tok4_merges m ON m.i = st.i
+        FROM {p}steps st JOIN {p}merges m ON m.i = st.i
     ),
-    tok4_counts AS (
+    {p}counts AS (
         SELECT w,
                (length(s) - length(replace(s, ' ', ''))) // 2 - 1 AS n_sub
-        FROM tok4_steps WHERE i = {len(merges)}
+        FROM {p}steps WHERE i = {len(merges)}
     )
     SELECT doc,
            CAST(COUNT(*) AS BIGINT) AS n_words,
            CAST(SUM(n_sub) AS BIGINT) AS n_subword_tokens
-    FROM tok4_toks JOIN tok4_counts USING (w)
+    FROM {p}toks JOIN {p}counts USING (w)
     GROUP BY doc
     """
 
@@ -1090,8 +1108,74 @@ def chunked_subword_tokenize_py(
     word: str, merges: list[tuple[str, str]]
 ) -> int:
     """Pure-Python recompute target for tok4 (the txt11 convention) —
-    the same ordered literal-replace application at any table size."""
+    the same ordered literal-replace application at any table size.
+    Also the per-word body of :func:`udf_subword_token_counts`: tok5's
+    UDF IS the recompute, evaluated distributed."""
     s = "  " + "".join(ch + "  " for ch in word)
     for a, b in merges:
         s = s.replace(f" {a}  {b} ", f" {a}{b} ")
     return (len(s) - len(s.replace(" ", ""))) // 2 - 1
+
+
+def udf_subword_token_counts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: list[tuple[str, str]],
+) -> DataFrame:
+    """tok5 — the PRODUCTION shape for a real (50k-rule) vocabulary
+    (SCALE_r13 §5's measured fallback B, registered): apply the ordered
+    merge table with an Arrow-batched pandas UDF over the DISTINCT
+    vocabulary only, then broadcast the per-word counts back onto the
+    token stream exactly like tok3/tok4. The corpus side never leaves
+    the JVM — the UDF touches ~|vocab| rows and a per-word Python BPE
+    apply is microseconds, measured flat 1.4–3.5s through K=2000 on
+    the 20k-type probe corpus while the chunked-barrier built-in path
+    pays K/chunk sequential barrier passes (tok4's trade: pure
+    built-ins + oracle-able in-engine, vs one declared Python surface
+    + flat cost in K).
+
+    This is the package's FOURTH declared Python surface (after the
+    pyround compat shim, the mm2 decode stub, and st5's sessionizer —
+    the mm2/st5 convention): Arrow-batched, vocab-grain only, and the
+    per-word body is literally :func:`chunked_subword_tokenize_py`, so
+    the recompute pin is the identity function of the implementation.
+    Semantics are the same two-space-encoded ordered literal replaces
+    as tok1/tok4 (ONE counting contract, three engines), so the result
+    stays hash-checkable against the recursive-CTE oracle
+    (:func:`sql_chunked_subword_token_counts`) at ANY table size.
+
+    Returns (doc, n_words, n_subword_tokens) — tok1's exact contract
+    (token-less docs have no row)."""
+    from pyspark.sql.functions import pandas_udf
+
+    from .dedup import normalized_words
+
+    _check_merge_table(merges)
+    mk = [(str(a), str(b)) for a, b in merges]
+
+    def _one(w: str) -> int:
+        return chunked_subword_tokenize_py(w, mk)
+
+    # lambda form: this module's `from __future__ import annotations`
+    # turns hints into strings pandas_udf can't parse (the
+    # tok_knee_probe note)
+    count_one = pandas_udf(lambda ws: ws.map(_one), "long")
+
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(normalized_words(F.col(text_col))).alias("w"),
+    )
+    vocab = (
+        toks.select("w")
+        .distinct()
+        .select("w", count_one(F.col("w")).alias("n_sub"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "w")
+        .groupBy("doc")
+        .agg(
+            F.count("*").cast("bigint").alias("n_words"),
+            F.sum("n_sub").cast("bigint").alias("n_subword_tokens"),
+        )
+    )

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from .. import dims
+from .. import dims_bpe
 from ..operators import dedup as dd
 from ..operators import multimodal as mm
 from ..operators import packing as pk
@@ -1420,6 +1421,51 @@ def tok4_real_vocab_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return tx.chunked_subword_token_counts(
         docs, "doc_id", "text", dims.BPE_MERGES_500
+    )
+
+
+@query(
+    "tok5_vocab_udf_token_count",
+    tx.sql_chunked_subword_token_counts(
+        dims_bpe.BPE_MERGES_2000, prefix="tok5_"
+    ),
+)
+def tok5_vocab_udf_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 50k-SCALE tokenizer representative, registered (VERDICT r13
+    "Next round" #3 — tok4 proves the chunked-barrier shape at K=500;
+    this entry registers the measured PRODUCTION answer for a real
+    50k-rule vocabulary): a 2000-rule learned merge table
+    (dims_bpe.BPE_MERGES_2000 — the SAME trainer trajectory as tok4's
+    table, prefix-closure asserted at import; regenerate via
+    tools/gen_bpe_merges.py) applied by an Arrow-batched pandas UDF
+    over the DISTINCT vocabulary only (operators/textops.
+    udf_subword_token_counts — SCALE_r13 §5's fallback B, measured
+    flat 1.4–3.5s through K=2000 where the chunked-barrier path pays
+    K/chunk sequential vocab passes). The corpus side never leaves the
+    JVM: the UDF touches ~|vocab| rows, per-word counts broadcast back
+    exactly like tok3/tok4, hot words never shuffle.
+
+    The per-word UDF body IS the pure-Python recompute
+    (chunked_subword_tokenize_py), and the semantics are tok1/tok4's
+    two-space-encoded ordered literal replaces — ONE counting contract
+    — so despite being a declared Python surface (the package's
+    fourth: pyround, mm2 decode, st5 sessionizer) the entry is fully
+    HASH-CHECKED against the recursive-CTE oracle at K=2000 (tok5_-
+    prefixed CTE names; recursion depth 2000 over vocab-sized rows
+    measured 0.73s single-threaded at the sf0.01 gate — SCALE_r14 §2).
+
+    Non-vacuity (probed BEFORE registration, SCALE_r14 §2): 16 of the
+    driver corpus's 31 vocabulary types change their subword counts
+    between the K=500 and K=2000 tables, so this entry's results
+    genuinely differ from tok4's — rules 501–2000 fire at the gate.
+
+    NOT a bench line (tok4's precedent): at the driver corpus's
+    31-type vocabulary the line would price one 31-row Arrow batch and
+    nothing else; the shape is priced on the 20k-vocab probe corpus
+    (SCALE_r13 §5's table, the honest-pricing convention)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.udf_subword_token_counts(
+        docs, "doc_id", "text", dims_bpe.BPE_MERGES_2000
     )
 
 

@@ -896,3 +896,67 @@ def test_tok4_chunked_real_vocab_recompute_and_nonvacuity(spark, sf_oracle):
         ).collect()
     }
     assert t4_37 == t4
+
+
+def test_tok5_udf_vocab_path_identity_and_nonvacuity(spark, sf_oracle):
+    """tok5's contract: the Arrow-batched UDF vocab-grain apply of the
+    2000-rule table is (a) bit-identical to the pure-built-in
+    chunked-barrier path on the SAME table (the two fallbacks of
+    SCALE_r13 §5 agree in-engine, not only on the probe corpus), (b)
+    pinned against the pure-Python recompute (trivially — the UDF body
+    IS chunked_subword_tokenize_py — but asserted through the full
+    explode/join/agg plan), and (c) non-vacuous against tok4: rules
+    501–2000 fire on the driver vocabulary, so the K=2000 entry cannot
+    silently degrade into a 500-rule twin. Also guards the merge-table
+    input checks ADVICE r13 asked for."""
+    import re as _re
+
+    import pytest
+
+    import __spark_entry__ as em
+    from ig_etl_with_user_reports_2024_spark.dims_bpe import BPE_MERGES_2000
+    from ig_etl_with_user_reports_2024_spark.operators import textops as tx
+    from ig_etl_with_user_reports_2024_spark.sources.readers import load_table
+
+    qs = em.queries()
+    t5 = {r.doc: (r.n_words, r.n_subword_tokens)
+          for r in qs["tok5_vocab_udf_token_count"](spark, sf_oracle).collect()}
+    t4 = {r.doc: (r.n_words, r.n_subword_tokens)
+          for r in qs["tok4_real_vocab_token_count"](spark, sf_oracle).collect()}
+    assert set(t5) == set(t4)
+    assert all(t5[k][0] == t4[k][0] for k in t5)  # n_words independent of K
+    n_diff = sum(1 for k in t5 if t5[k][1] != t4[k][1])
+    assert n_diff > len(t5) // 2, f"only {n_diff} docs differ from tok4"
+
+    docs = load_table(spark, sf_oracle, "documents")
+    # (a) UDF path == chunked-barrier path on the same 2000-rule table
+    t5_chunked = {
+        r.doc: (r.n_words, r.n_subword_tokens)
+        for r in tx.chunked_subword_token_counts(
+            docs, "doc_id", "text", BPE_MERGES_2000
+        ).collect()
+    }
+    assert t5_chunked == t5
+
+    # (b) recompute pin through the full plan
+    memo: dict = {}
+    for r in docs.select("doc_id", "text").collect()[:100]:
+        ws = [w for w in _re.split(r"\s+", (r.text or "").strip().lower())
+              if w]
+        if not ws:
+            assert r.doc_id not in t5
+            continue
+        n = 0
+        for w in ws:
+            if w not in memo:
+                memo[w] = tx.chunked_subword_tokenize_py(w, BPE_MERGES_2000)
+            n += memo[w]
+        assert t5[r.doc_id] == (len(ws), n), r.doc_id
+
+    # merge-table guards fire for ANY caller, not only the shipped
+    # literals (ADVICE r13)
+    for bad in ([], [("a", "b c")], [("a'", "b")]):
+        with pytest.raises(AssertionError):
+            tx.udf_subword_token_counts(docs, "doc_id", "text", bad)
+        with pytest.raises(AssertionError):
+            tx.sql_chunked_subword_token_counts(bad)
