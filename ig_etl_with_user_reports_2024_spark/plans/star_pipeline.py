@@ -2821,16 +2821,33 @@ def km1_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.kmeans_assign(emb, "vec_id", "embedding", k=8, salt="km1")
 
 
-def _km2_sql(iters: int = 2, k: int = 8, scale: int = 10_000) -> str:
-    """km2's oracle: the FIXED Lloyd CTE chain (the pr1 fixed-iteration
-    precedent) — xi (scaled-long components), c0 (km1's seeded draw in
-    ints), then per round r: s_r (integer squared L2 per (vec, cell)),
-    a_r (argmin with the (d2, cid) tie-break), c_{r+1} (truncating-
-    division means) — ending with the assignment under the final
-    codebook. ONE builder generates plan-matching SQL for any round
-    count, so an iters change moves plan and oracle in lockstep."""
+def _km2_ctes(
+    iters: int = 2,
+    k: int = 8,
+    scale: int = 10_000,
+    salt: str = "km1",
+    prefix: str = "",
+) -> list[str]:
+    """The FIXED Lloyd CTE chain (the pr1 fixed-iteration precedent) —
+    xi (scaled-long components), c0 (the seeded draw in ints), then per
+    round r: s_r (integer squared L2 per (vec, cell)), a_r (argmin with
+    the (d2, cid) tie-break), c_{r+1} (truncating-division means). ONE
+    builder generates plan-matching SQL for any round count, so an
+    iters change moves plan and oracle in lockstep. ``salt`` and
+    ``prefix`` parameterize the draw and the CTE names for composed
+    consumers (ann6 nests this chain at salt='ann3', prefix='ann6_' —
+    the SCALE_r10 §7 shadowing rule); km2's own oracle uses the
+    defaults, text byte-identical to the pre-refactor builder
+    (asserted in tests/test_similarity.py)."""
+    p = prefix
+    # with a prefix, prefixed relations are re-aliased to the bare
+    # names so every column reference stays identical; with the empty
+    # prefix the emitted text is byte-for-byte the pre-refactor km2
+    # builder's (asserted in tests/test_similarity.py)
+    xi_ref = f"{p}xi xi" if p else "xi"
+    dr_ref = f"{p}dr dr" if p else "dr"
     ctes = [
-        f"""xi AS (
+        f"""{p}xi AS (
         SELECT vec_id AS id, i - 1 AS d,
                CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * {scale}) AS BIGINT)
                    AS x
@@ -2838,38 +2855,45 @@ def _km2_sql(iters: int = 2, k: int = 8, scale: int = 10_000) -> str:
                      unnest(generate_series(1, len(embedding))) AS i
               FROM embeddings)
     )""",
-        f"""dr AS (
+        f"""{p}dr AS (
         SELECT vec_id, CAST(row_number() OVER (
-            ORDER BY md5('km1:' || CAST(vec_id AS VARCHAR))
+            ORDER BY md5('{salt}:' || CAST(vec_id AS VARCHAR))
         ) AS INTEGER) - 1 AS cid
         FROM embeddings
     )""",
-        f"""c0 AS (
+        f"""{p}c0 AS (
         SELECT dr.cid, xi.d, xi.x AS c
-        FROM dr JOIN xi ON dr.vec_id = xi.id
+        FROM {dr_ref} JOIN {xi_ref} ON dr.vec_id = xi.id
         WHERE dr.cid < {k}
     )""",
     ]
     for r in range(iters + 1):
-        ctes.append(f"""s{r} AS (
+        ctes.append(f"""{p}s{r} AS (
         SELECT xi.id, c.cid,
                CAST(SUM((xi.x - c.c) * (xi.x - c.c)) AS BIGINT) AS d2
-        FROM xi JOIN c{r} c ON xi.d = c.d
+        FROM {xi_ref} JOIN {p}c{r} c ON xi.d = c.d
         GROUP BY xi.id, c.cid
     )""")
-        ctes.append(f"""a{r} AS (
+        ctes.append(f"""{p}a{r} AS (
         SELECT id, cid, d2 FROM (
             SELECT *, row_number() OVER (
                 PARTITION BY id ORDER BY d2, cid
-            ) AS rn FROM s{r}
+            ) AS rn FROM {p}s{r}
         ) WHERE rn = 1
     )""")
         if r < iters:
-            ctes.append(f"""c{r + 1} AS (
+            ctes.append(f"""{p}c{r + 1} AS (
         SELECT a.cid, xi.d, CAST(SUM(xi.x) // COUNT(*) AS BIGINT) AS c
-        FROM a{r} a JOIN xi ON a.id = xi.id
+        FROM {p}a{r} a JOIN {xi_ref} ON a.id = xi.id
         GROUP BY a.cid, xi.d
     )""")
+    return ctes
+
+
+def _km2_sql(iters: int = 2, k: int = 8, scale: int = 10_000) -> str:
+    """km2's oracle: the Lloyd chain ending with the assignment under
+    the final codebook (see :func:`_km2_ctes`)."""
+    ctes = _km2_ctes(iters=iters, k=k, scale=scale)
     return (
         "WITH " + ",\n    ".join(ctes)
         + f"\n    SELECT id, cid AS cluster_id, d2 AS dist2 FROM a{iters}"
@@ -2914,6 +2938,116 @@ def km2_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return sim.kmeans_lloyd_train(
         emb, "vec_id", "embedding", k=8, salt="km1", iters=2
+    )
+
+
+# ann6's oracle: km2's integer Lloyd chain at (k=16, salt='ann3',
+# iters=2) producing the TRAINED coarse codebook, dequantized to
+# double lists, then ann3's IVF text against those centroids — all
+# CTEs ann6_-prefixed (the SCALE_r10 §7 shadowing rule; _km2_ctes
+# re-aliases the prefixed relations so column references are
+# unchanged).
+_ANN6_KM_CTES = ",\n    ".join(
+    _km2_ctes(iters=2, k=16, scale=sim.KM2_SCALE, salt="ann3", prefix="ann6_")
+)
+_ANN6_SQL = f"""
+    WITH {_ANN6_KM_CTES},
+    ann6_cb AS (
+        SELECT cid, list(c / {sim.KM2_SCALE}.0 ORDER BY d) AS c_vec
+        FROM ann6_c2 GROUP BY cid
+    ),
+    ann6_cent AS (
+        SELECT c_vec,
+               CAST(row_number() OVER (ORDER BY cid) AS INTEGER) - 1 AS cell
+        FROM ann6_cb
+    ),
+    ann6_base AS (
+        SELECT vec_id, embedding, {_NORM_SQL.format(a='embedding')} AS nrm
+        FROM embeddings
+        WHERE {_NORM_SQL.format(a='embedding')} > 0
+    ),
+    ann6_dots AS (
+        SELECT b.vec_id, b.embedding, b.nrm, c.cell,
+               {_DOT_SQL.format(a='b.embedding', b='c.c_vec')} AS dot
+        FROM ann6_base b CROSS JOIN ann6_cent c
+    ),
+    ann6_rcells AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY vec_id ORDER BY dot DESC, cell ASC
+        ) AS cr
+        FROM ann6_dots
+    ),
+    ann6_corp AS (
+        SELECT vec_id AS n_id, embedding AS n_vec, nrm AS n_norm, cell
+        FROM ann6_rcells WHERE cr = 1
+    ),
+    ann6_probes AS (
+        SELECT vec_id AS q_id, embedding AS q_vec, nrm AS q_norm, cell
+        FROM ann6_rcells WHERE vec_id < 10 AND cr <= 4
+    ),
+    ann6_scored AS (
+        SELECT p.q_id, c.n_id,
+               {_DOT_SQL.format(a='p.q_vec', b='c.n_vec')}
+                   / (p.q_norm * c.n_norm) AS cos_sim
+        FROM ann6_probes p JOIN ann6_corp c
+          ON p.cell = c.cell AND c.n_id <> p.q_id
+    ),
+    ann6_ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY q_id ORDER BY cos_sim DESC, n_id ASC
+        ) AS rank
+        FROM ann6_scored
+    )
+    SELECT q_id, n_id, cos_sim, rank FROM ann6_ranked WHERE rank <= 5
+"""
+
+
+@query(
+    "ann6_trained_ivf_topk",
+    _ANN6_SQL,
+    eager=True,  # Lloyd training + codebook dequantize collect at construction
+)
+def ann6_trained_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TRAINED-CELLS SERVING path (VERDICT r13 "Next round" #5 —
+    the r13 probe measured the consequence, rf2-setting recall
+    0.40→0.56 at the gate under km2's codebook, but every registered
+    ANN consumer stayed seeded for verdict continuity; this entry
+    registers the trained configuration as its own first-class
+    serving entry, leaving ann3 untouched): ann3's IVF top-5 (16
+    cells, 4 probes, vec_id < 10 queries) with the coarse codebook
+    TRAINED by km2's two integer Lloyd iterations
+    (kmeans_lloyd_codebooks at salt='ann3', k=16 — iteration 0 is
+    ann3's own seeded draw quantized, so seeded-vs-trained is
+    apples-to-apples) and dequantized by /KM2_SCALE.
+
+    HASH-EXACT end-to-end: the integer Lloyd trajectory is
+    bit-portable (km2's argument — floor quantization, BIGINT distance
+    folds, truncating-division means), the dequantization c/10000.0 is
+    one correctly-rounded double division in all three engines, and
+    the IVF stage is ann3's established exact machinery (max-dot cell
+    assignment with the (dot DESC, cell ASC) tie-break, sequential
+    cosine folds). The oracle nests km2's CTE chain at the trained
+    parameters (ann6_-prefixed) and maps cell index = row_number over
+    surviving cid order — exactly the sorted(by_cid) order the Spark
+    side's codebook list carries (empty cells drop in both, standard
+    Lloyd). rf15 floors the recall gain this entry exists for.
+
+    Scale shape: training is km2's (per iteration: one codebook-
+    literal column expression + one posexplode groupBy to k × dim
+    metadata rows); serving is ann3's (corpus scanned once for cell
+    assignment, candidate join carries only probed cells). NOT a bench
+    line (the cp4 honest-pricing precedent: km2 and ann3's shapes are
+    each already priced; this entry would re-price their sum)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = sim.kmeans_lloyd_codebooks(
+        emb, "vec_id", "embedding", k=16, salt="ann3", iters=2
+    )
+    cents = [
+        [c / float(sim.KM2_SCALE) for c in comps] for _, comps in books[-1]
+    ]
+    queries = emb.filter(F.col("vec_id") < 10)
+    return sim.ivf_topk(
+        queries, emb, "vec_id", "embedding", k=5, centroids=cents
     )
 
 

@@ -189,6 +189,42 @@ def rf2_ivf_topk_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _floor_only(rf2_diag(spark, sf_dir))
 
 
+def rf15_diag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full diagnostic row behind rf15 — rf2's exact setting (raw
+    embeddings corpus, IVF 16 cells / 4 probes, vec_id < 10 queries)
+    with km2's TRAINED coarse codebook (ann6's configuration) in place
+    of the seeded draw."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = sim.kmeans_lloyd_codebooks(
+        emb, "vec_id", "embedding", k=16, salt="ann3", iters=2
+    )
+    cents = [
+        [c / float(sim.KM2_SCALE) for c in comps] for _, comps in books[-1]
+    ]
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = sim.cosine_topk(queries, emb, "vec_id", "embedding", k=5)
+    approx = sim.ivf_topk(
+        queries, emb, "vec_id", "embedding", k=5, centroids=cents
+    )
+    return _recall_row(exact, approx, ["q_id", "n_id"], floor=0.5)
+
+
+@query("rf15_trained_ivf_recall", _floor_oracle(0.5), eager=True)
+def rf15_trained_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@5 of the TRAINED-cells IVF serving path (ann6: km2's
+    two-iteration integer Lloyd codebook at salt='ann3'/k=16) vs brute
+    force on the uniform embeddings corpus — floor 0.5, strictly above
+    everything the seeded configuration delivers at the gate (rf2:
+    floor 0.4, measured 0.40 at sf0.01). Measured 0.54 / 0.56 / 0.54
+    at sf0.001/0.01/0.1 (deterministic — no RNG anywhere in draw,
+    training, or assignment), reproducing the r13 consequence probe
+    (tools/trained_cells_probe.py, SCALE_r13 §7): training the coarse
+    cells is worth +0.06–0.16 absolute recall at identical
+    k/n_probe. A training regression that drops ann6 back into the
+    seeded regime flips this verdict."""
+    return _floor_only(rf15_diag(spark, sf_dir))
+
+
 def rf10_diag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full diagnostic row behind rf10.
 

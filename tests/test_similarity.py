@@ -385,3 +385,53 @@ def test_km2_training_actually_moves(spark, sf_oracle):
     assert moved > 50, f"only {moved}/500 vectors moved — training vacuous"
     d = rf14_diag(spark, sf_oracle).collect()[0]
     assert d.j0 > d.j1 > d.j2 and d.meets_floor
+
+
+def test_km2_sql_builder_unchanged_by_ctes_refactor():
+    """The r14 _km2_ctes refactor (salt/prefix params for ann6's
+    composed oracle) must leave km2's registered oracle text
+    byte-identical to the pre-refactor builder's output — pinned here
+    as a literal-structure check: defaults emit the historical
+    unprefixed, unaliased relation names."""
+    from ig_etl_with_user_reports_2024_spark.plans.star_pipeline import (
+        _km2_ctes,
+        _km2_sql,
+    )
+
+    sql = _km2_sql(iters=2)
+    # historical text spot-pins: bare (never re-aliased) relation names
+    assert "FROM dr JOIN xi ON dr.vec_id = xi.id" in sql
+    assert "FROM xi JOIN c0 c ON xi.d = c.d" in sql
+    assert "FROM a0 a JOIN xi ON a.id = xi.id" in sql
+    assert "md5('km1:'" in sql
+    assert "ann6_" not in sql
+    # prefixed emission re-aliases so column references are unchanged
+    pref = ",".join(_km2_ctes(iters=2, k=16, salt="ann3", prefix="ann6_"))
+    assert "FROM ann6_dr dr JOIN ann6_xi xi ON dr.vec_id = xi.id" in pref
+    assert "md5('ann3:'" in pref
+
+
+def test_ann6_trained_cells_beat_seeded_and_match_probe(spark, sf_oracle):
+    """ann6's reason to exist, asserted: at identical k/n_probe the
+    trained-codebook IVF recall strictly exceeds the seeded ann3's on
+    the gate corpus (the r13 consequence probe's numbers, now pinned —
+    0.56 vs 0.40 at sf0.01), and the two entries genuinely differ
+    (non-vacuity: ann6 is not ann3 with a new name)."""
+    import __spark_entry__ as em
+    from ig_etl_with_user_reports_2024_spark.sources.readers import load_table
+
+    qs = em.queries()
+    emb = load_table(spark, sf_oracle, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = sim.cosine_topk(q, emb, "vec_id", "embedding", k=5).select(
+        "q_id", "n_id"
+    )
+    pairs = {}
+    for name in ("ann3_ivf_topk", "ann6_trained_ivf_topk"):
+        df = qs[name](spark, sf_oracle).select("q_id", "n_id")
+        pairs[name] = {(r.q_id, r.n_id) for r in df.collect()}
+    assert pairs["ann3_ivf_topk"] != pairs["ann6_trained_ivf_topk"]
+    gold = {(r.q_id, r.n_id) for r in exact.collect()}
+    rec = {n: len(p & gold) / len(gold) for n, p in pairs.items()}
+    assert rec["ann6_trained_ivf_topk"] > rec["ann3_ivf_topk"], rec
+    assert rec["ann6_trained_ivf_topk"] >= 0.5, rec
