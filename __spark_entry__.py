@@ -58,90 +58,82 @@ from ig_etl_with_user_reports_2024_spark.plans import star_manifest  # noqa: F40
 # specific hashes, rf-floored) are likewise outside the hash-checkable
 # cohorts (the VERDICT r9 debt arithmetic counts 22 r6-era, not 25).
 #
-# Round-13 window: (0) the 8 new/changed entries — dq5 (NEW: the
-# release-consumer expectation suite over the six shipped artifacts,
-# VERDICT r12 #5), mx6 (NEW: mx2's epoch-budget planning table at
-# tok1's subword grain — the last word-grain budget family, VERDICT
-# r12 #6), tok4 (NEW: the 500-rule real-scale merge table through the
-# measured chunked-barrier fallback plan with a recursive-CTE oracle —
-# the r13 knee finding made an operator, VERDICT r12 #4), st13 (NEW:
-# dq4's drift as the streaming job an ingest gate deploys, hash-checked
-# against dq4's SQL verbatim — the st4/st1 parity convention), ii8
-# (NEW: BM25 length-normalized at tok1's subword grain — registered
-# because the decision probe showed the grain SWAP reorders rankings,
-# 0/5 stable top-10 orders), dq4
-# (plan+oracle changed: batch key re-keyed from
-# event_id%2 to epoch-second parity of ts so the not-null
-# expectations are no longer structurally vacuous — the ADVICE r12
-# finding), mx2 (oracle construction refactored onto the shared
-# _epoch_budget_sql builder mx6 reuses — text byte-identical, but the
-# km1-r10 rule puts changed construction in group 0), and cp6 (the
-# ADVICE r12 catch-up: its r12 construction moved onto the shared
-# _md5_prefix_checksum helper but it never got a window slot — the
-# km1-r10 rule applied one round late); then (a)
-# oldest-driver-verdict-first: ALL 35 remaining r9-era hash-checkable
-# verdicts (the VERDICT r12 #2 cohort — st6/st12/ro1/st2/st1/st4/
-# st7/st3/x8b lead as the r12 displacement overflow), followed by the
-# 10 oldest r10-era in catalog order. 5 + 35 + 10 = 50 exactly; after
-# this round no hash-checkable verdict predates r10. (8 + 35 + 7 =
-# 50 after tok4/st13/ii8 joined group 0 — k2/k3/k4 return to the r14
-# cohort.)
+# Round-14 window: (0) the 7 new/changed entries — tok5 (NEW: the
+# 50k-scale tokenizer representative, VERDICT r13 #3 — the 2000-rule
+# learned table through the Arrow-batched vocab-grain UDF path,
+# hash-checked against the recursive-CTE oracle at depth 2000), ann6
+# (NEW: the trained-cells IVF serving path, VERDICT r13 #5 — ann3's
+# chain under km2's integer-Lloyd codebook at salt ann3/k=16,
+# hash-exact via the composed Lloyd+IVF oracle), rf15 (NEW: ann6's
+# recall floor at 0.5 — strictly above the seeded gate regime), cp4
+# and cp9 (oracle changed: artifact-boundary CTEs AS MATERIALIZED —
+# VERDICT r13 #2, measured cost-neutral, regime insurance), tok4
+# (oracle construction: sql_chunked_subword_token_counts gained the
+# prefix param + in-function merge-table guards — text byte-identical,
+# but the km1-r10 rule puts changed construction in group 0), and km2
+# (oracle construction: _km2_sql refactored onto the salt/prefix
+# _km2_ctes builder ann6 nests — text byte-identical, same rule);
+# then (a) oldest-driver-verdict-first: ALL 42 remaining r10-era
+# hash-checkable verdicts in catalog order (k2/k3/k4 lead, exactly as
+# the r13 displacement predicted), then the single oldest r11-era in
+# catalog order (cdc1). 7 + 42 + 1 = 50 exactly; after this round no
+# hash-checkable verdict predates r11.
 _DRIVER_PRIORITY = [
-    # (0) new/changed oracle or plan in round 13 — first driver contact
-    "dq5_release_expectations",
-    "mx6_subword_epoch_budget",
+    # (0) new/changed oracle or plan in round 14 — first driver contact
+    "tok5_vocab_udf_token_count",
+    "ann6_trained_ivf_topk",
+    "rf15_trained_ivf_recall",
+    "cp4_datacard_diff",
+    "cp9_takedown_rewrite",
     "tok4_real_vocab_token_count",
-    "st13_streaming_expectation_drift",
-    "ii8_subword_bm25_topk",
-    "dq4_batch_expectation_drift",
-    "mx2_epoch_budget",
-    "cp6_shard_integrity",
-    # (a) oldest driver verdict first: ALL 35 remaining r9-era
+    "km2_kmeans_train",
+    # (a) oldest driver verdict first: ALL 42 remaining r10-era
     # entries, catalog order within the cohort
-    "x8b_json_extract",
-    "st3_sessionization",
-    "st7_session_window",
-    "st4_streaming_tumbling",
-    "st1_tumbling_window",
-    "st2_sliding_window",
-    "st6_streaming_dedup",
-    "st12_streaming_band_admission",
-    "ro1_hourly_rollup",
-    "st8_stream_static_join",
-    "st9_stream_stream_join",
-    "c12_collab_status",
-    "rf8_approx_percentile_accuracy",
-    "a4_pricing_summary",
-    "j1_work_queue_anti_join",
-    "j3_users_posts_join",
-    "a7_frequency_map",
-    "a5_consistency_score",
-    "a11_post_gap_frequency",
-    "c1_size_buckets",
-    "f3_recent_flag",
-    "f4_category_filter",
-    "f7_recent20_mixed_window",
-    "dd10_keep_list_banded",
-    "dd11_staged_keep_list",
-    "dd16_banded_pair_eval",
-    "dd15_quality_survivor",
-    "txt13_source_vocab_overlap",
-    "sq1_int8_quantize",
-    "ro3_multigrain_rollup",
-    "mx1_temperature_mix",
-    "sk1_salted_distinct_users",
-    "sk2_salted_join_segment",
-    "cm2_incremental_admission",
-    "cp3_incremental_release",
-    # (a cont.) the 7 oldest r10-era verdicts, catalog order (the
-    # r10 remainder — k2/k3/k4 first — leads r14's cohort)
-    "zo1_zorder_stats",
-    "zo2_pruning_effectiveness",
-    "aj1_asof_click_purchase",
-    "rj1_views_before_purchase",
-    "fn1_user_funnel",
-    "fn2_conversion_window_funnel",
-    "mm4_audio_chunks",
+    "k2_latest6_pivot",
+    "k3_top10_tokens",
+    "k4_c5_modal_hour",
+    "k6_priority_cascade",
+    "x1_regex_extract",
+    "x2_x4_string_ops",
+    "x5_date_parts",
+    "x6_c14_age_buckets",
+    "x7_bankers_rounding",
+    "x8_struct_to_json",
+    "st5_stateful_sessions",
+    "rf13_crosssplit_capture_floor",
+    "f8_stoplist_tokens",
+    "j2_first_match_theta_join",
+    "j4_a10_keyword_scores",
+    "j5_page_merge_dedup",
+    "so1_first_occurrence_dedup",
+    "f6_null_guard_filter",
+    "x3_substring_membership",
+    "c9_f9_niche_distribution",
+    "mj1_shipping_priority",
+    "mj2_region_volume",
+    "mj3_large_order_customers",
+    "dd2_ngram_jaccard_pairs",
+    "dd6_dup_clusters",
+    "sp4_cluster_split",
+    "dc4_split_leakage_eval",
+    "sp5_joint_cluster_split",
+    "dd13_semantic_keep_list",
+    "dc3_semantic_decontaminate",
+    "txt5_rolling_fingerprint",
+    "ann3_ivf_topk",
+    "a15_length_percentiles",
+    "txt6_vocab_top50",
+    "sq2_product_quantize",
+    "txt7_repetition_stats",
+    "txt9_bigram_surprisal",
+    "km1_kmeans_assign",
+    "a16_length_histogram",
+    "mx3_surprisal_weighted_mixture",
+    "dp3_epoch_packing",
+    "ann5_ivfpq_topk",
+    # (a cont.) the oldest r11-era verdict, catalog order (the r11
+    # cohort — 47 remaining — leads r15's rotation)
+    "cdc1_merge_upsert",
 ]
 
 

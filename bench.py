@@ -322,6 +322,22 @@ def main() -> None:
     spark.range(1000).mapInPandas(lambda it: it, "id long").write.format(
         "noop"
     ).mode("overwrite").save()
+    # sacrificial sf-scale warm of the first two headline lines
+    # (VERDICT r13 #4): the per-query warm pass below runs at sf0.001,
+    # so the first lines executed at sf_dir used to absorb shared
+    # cold-start — executor-thread spin-up, codegen infra, the footers
+    # of the tables they scan — into their TIMED numbers (driver
+    # artifacts: a4 10.12s vs 1.11-1.41s across five quiet takes, k1
+    # 0.79 vs 0.38). One untimed pass pays that once, outside every
+    # clock; later lines were never distorted (by their turn the JVM
+    # is globally warm) and keep their existing warm contract.
+    for _name in HEADLINE[:2]:
+        try:
+            qs[_name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except Exception:  # noqa: BLE001 — warm-up must never fail the bench
+            pass
     # compile-warm: immediately before timing each query, run the same
     # plan once at the smoke scale (sf0.001) so the timed number measures
     # data-proportional execution, not first-compile. Catalyst analysis +

@@ -678,7 +678,12 @@ def dq4_expectation_preds() -> list:
 # gate on first contact). unix_micros (Spark; the parquet column is
 # TIMESTAMP_NTZ, cast to LTZ under the UTC session tz first) and
 # epoch_us (DuckDB) are both exact BIGINTs and div/// truncate
-# identically on the positive domain.
+# identically on the positive domain. THE POSITIVE DOMAIN IS ENFORCED,
+# not assumed (ADVICE r13): Spark `div` truncates toward zero while
+# DuckDB `//` floors, so a pre-1970 ts would silently diverge the
+# batch key cross-engine — tests/test_layout.py pins ts >= epoch 0 on
+# every testdata scale; a corpus that ever carries pre-1970 events
+# must switch both sides to floor semantics first.
 _DQ4_ALARM_MILLI = 5
 
 _DQ4_PROFILE_SQL = " UNION ALL ".join(

@@ -15,56 +15,50 @@ def test_priority_names_all_registered():
 
 
 def test_stale_and_changed_queries_land_in_driver_window():
-    # Round-13 rotation under the STANDING RULE (VERDICT r6 "Next
-    # round" #1, stated in __spark_entry__): new/changed first (8 —
-    # dq5/mx6/tok4/st13/ii8 NEW, dq4 re-keyed, mx2's oracle
-    # construction refactored onto the shared _epoch_budget_sql
-    # builder, cp6's km1-r10 catch-up from the r12
-    # _md5_prefix_checksum lift), then all remaining slots
-    # oldest-verdict first: ALL 35 remaining r9-era hash-checkable
-    # verdicts (VERDICT r12 #2) + the 7 oldest r10-era in catalog
-    # order. 8 + 35 + 7 = 50; after r13 no hash-checkable verdict
-    # predates r10.
-    # Overflow = r11/r12-green entries and the youngest r10 verdicts —
-    # asserted OUT so the window isn't silently wasted.
+    # Round-14 rotation under the STANDING RULE (VERDICT r6 "Next
+    # round" #1, stated in __spark_entry__): new/changed first (7 —
+    # tok5/ann6/rf15 NEW, cp4/cp9 oracles MATERIALIZED, tok4/km2
+    # oracle construction refactored byte-identically, the km1-r10
+    # rule), then all remaining slots oldest-verdict first: ALL 42
+    # remaining r10-era hash-checkable verdicts (VERDICT r13 #1 —
+    # k2/k3/k4 lead) + the oldest r11-era in catalog order (cdc1).
+    # 7 + 42 + 1 = 50; after r14 no hash-checkable verdict predates
+    # r11.
+    # Overflow = r11/r12/r13-green entries — asserted OUT so the
+    # window isn't silently wasted.
     first50 = list(entry.queries())[:50]
     for name in entry._DRIVER_PRIORITY:
         assert name in first50, f"{name} fell out of the driver's 50-slot window"
     for name in (
-        # r11/r12-green, untouched this round (the youngest verdicts
-        # are the cheapest to defer, per the rule)
-        "cp7_scrubbed_delta_store",
-        "cp8_delta_shard_integrity",
+        # r13-green, untouched this round (the youngest verdicts are
+        # the cheapest to defer, per the rule)
+        "dq5_release_expectations",
+        "mx6_subword_epoch_budget",
+        "st13_streaming_expectation_drift",
+        "ii8_subword_bm25_topk",
+        "dq4_batch_expectation_drift",
+        "mx2_epoch_budget",
+        "cp6_shard_integrity",
+        "st1_tumbling_window",
+        "st3_sessionization",
+        "a4_pricing_summary",
+        "cm2_incremental_admission",
+        "cp3_incremental_release",
+        # r11/r12-green past the cut (only the oldest r11, cdc1, made
+        # the window; the 47-strong r11 cohort leads r15's rotation)
+        "cdc2_scd2_intervals",
+        "k1_top6_er",
+        "cp1_curated_corpus",
+        "cm1_corpus_manifest",
         "tok1_subword_token_count",
         "tok3_memoized_token_count",
-        "km2_kmeans_train",
         "rf14_int_lloyd_convergence",
-        "ds4_epoch_curriculum",
+        "txt14_pii_scrub",
+        "qc1_model_quality_score",
         "dp4_subword_packing",
         "mx4_subword_mix",
         "tok2_budget_grain_ab",
-        "cp9_takedown_rewrite",
         "dq3_expectation_suite",
-        "mm6_interleaved_packing",
-        "mx5_multimodal_mix",
-        "qc1_model_quality_score",
-        "txt14_pii_scrub",
-        "cp5_scrubbed_release",
-        "cm1_corpus_manifest",
-        "cp1_curated_corpus",
-        # r10-green past the cut (catalog order within the cohort
-        # decides it — k2/k3/k4 lead r14's cohort)
-        "k2_latest6_pivot",
-        "k3_top10_tokens",
-        "k4_c5_modal_hour",
-        "k6_priority_cascade",
-        "x1_regex_extract",
-        "km1_kmeans_assign",
-        "dp3_epoch_packing",
-        "sp4_cluster_split",
-        "sp5_joint_cluster_split",
-        "dd13_semantic_keep_list",
-        "st5_stateful_sessions",
         # no-oracle / rows-only exemption: verdicts the rotation can't
         # refresh; their rf floors are the refreshable signal
         "mm2_frame_sample",

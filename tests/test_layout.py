@@ -348,3 +348,21 @@ def test_dq4_batch_recompute_and_alarm_branches(spark, sf_oracle):
     assert out["value_le_100"].drift_alarm, "straddle never alarmed"
     assert not any(out[n].drift_alarm for n in out
                    if n != "value_le_100"), "clean expectation alarmed"
+
+
+def test_dq4_batch_key_positive_domain_enforced(spark):
+    """The dq4/st13 batch key's truncate-vs-floor agreement (Spark
+    `div` truncates toward zero, DuckDB `//` floors) holds only for
+    non-negative epoch micros — enforce the domain on every testdata
+    scale instead of assuming it (ADVICE r13). A pre-1970 events ts
+    would need both sides moved to floor semantics first."""
+    from pyspark.sql import functions as F
+
+    from ig_etl_with_user_reports_2024_spark.sources.readers import load_table
+
+    for sf in ("0.001", "0.01", "0.1"):
+        ev = load_table(spark, f"/root/testdata/sf{sf}", "events")
+        m = ev.agg(
+            F.min(F.unix_micros(F.col("ts").cast("timestamp"))).alias("lo")
+        ).collect()[0]
+        assert m.lo is not None and m.lo >= 0, (sf, m.lo)

@@ -587,3 +587,125 @@ def test_dq5_suite_green_on_consistent_fixture_and_red_on_tampered(spark):
     )
     r = run(sd__=bad_sd)
     assert r[("release_merged", "scrub_columns_sane")].n_violations == 1
+
+
+def test_cp10_verify_then_repair_worklist_restores_dq5_green(spark):
+    """cp10's verify-then-repair loop, pinned where it can actually
+    occur (VERDICT r13 "What's missing" #4 / HANDOFF r13: on the real
+    chain every integrity row is green, so a registered entry would be
+    0-row vacuity — the tampered-fixture-only treatment, cp9's
+    convention): given a release whose published integrity table has
+    drifted from store ∪ layout (one corrupted checksum, one lost
+    shard row), the repair work-list is EXACTLY the failing keys —
+    recomputed from the verified sources the dq5 suite itself uses —
+    and patching only those rows turns the suite's
+    shard_integrity_consistent expectations green again. Minimality is
+    the point (the cp9 untouched-shards principle): at 100 TB the
+    restore path rewrites |failing shards| verification rows, never
+    the corpus."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from ig_etl_with_user_reports_2024_spark.plans.star_manifest import (
+        release_expectation_suite,
+    )
+
+    def md5(s: str) -> str:
+        return hashlib.md5(s.encode()).hexdigest()
+
+    full_ids = list(range(2500))
+    delta_ids = list(range(10_000, 10_300))
+    lf = spark.createDataFrame(
+        [(i, i // 1000, 100 + i % 9) for i in full_ids],
+        "doc bigint, shard bigint, n_tokens bigint",
+    )
+    sf_ = spark.createDataFrame(
+        [(i, 0, md5(f"t{i}")) for i in full_ids],
+        "doc_id bigint, n_redactions bigint, scrubbed_md5 string",
+    )
+    ld = spark.createDataFrame(
+        [("r1", i, 10 + (i - 10_000) // 200, 50 + i % 5) for i in delta_ids],
+        "release string, doc bigint, shard bigint, n_tokens bigint",
+    )
+    sd = spark.createDataFrame(
+        [(i, 0, md5(f"t{i}")) for i in delta_ids],
+        "doc_id bigint, n_redactions bigint, scrubbed_md5 string",
+    )
+
+    def recompute(layout, store, keys):
+        chk = F.conv(F.substring("scrubbed_md5", 1, 12), 16, 10).cast(
+            "bigint"
+        )
+        return (
+            layout.join(store.withColumnRenamed("doc_id", "doc"), "doc")
+            .groupBy(*keys)
+            .agg(
+                F.count("*").cast("bigint").alias("n_docs"),
+                F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+                F.sum("n_redactions").cast("bigint").alias("n_redactions"),
+                F.sum(chk).cast("bigint").alias("shard_checksum"),
+            )
+        )
+
+    if_good = recompute(lf, sf_, ["shard"])
+    id_good = recompute(ld, sd, ["release", "shard"])
+
+    # published integrity drifts: full shard 1's checksum corrupted,
+    # delta shard 10's row lost entirely
+    if_bad = if_good.withColumn(
+        "shard_checksum",
+        F.when(
+            F.col("shard") == 1, F.col("shard_checksum") + 1
+        ).otherwise(F.col("shard_checksum")),
+    )
+    id_bad = id_good.filter(F.col("shard") != 10)
+
+    def suite(if__, id__):
+        out = release_expectation_suite(lf, sf_, if__, ld, sd, id__).collect()
+        return {(r.table_name, r.expectation): r for r in out}
+
+    red = suite(if_bad, id_bad)
+    assert red[("release_full", "shard_integrity_consistent")].n_violations == 1
+    assert red[("release_delta", "shard_integrity_consistent")].n_violations == 1
+
+    # VERIFY: the work-list = keys whose published row is missing or
+    # disagrees with the recompute (null-safe full-outer compare — the
+    # suite's own ok-predicate at key grain)
+    def worklist(good, bad, keys):
+        g = good.select(*keys, *(F.col(c).alias(f"_g_{c}") for c in
+                                 ("n_docs", "n_tokens", "n_redactions",
+                                  "shard_checksum")))
+        j = g.join(bad, keys, "left")
+        mismatch = ~(
+            F.col("_g_n_docs").eqNullSafe(F.col("n_docs"))
+            & F.col("_g_n_tokens").eqNullSafe(F.col("n_tokens"))
+            & F.col("_g_n_redactions").eqNullSafe(F.col("n_redactions"))
+            & F.col("_g_shard_checksum").eqNullSafe(F.col("shard_checksum"))
+        )
+        return j.filter(mismatch).select(*keys)
+
+    wl_full = {r.shard for r in worklist(if_good, if_bad, ["shard"]).collect()}
+    wl_delta = {(r.release, r.shard)
+                for r in worklist(id_good, id_bad, ["release", "shard"]).collect()}
+    assert wl_full == {1}, wl_full          # minimal: ONLY the tampered key
+    assert wl_delta == {("r1", 10)}, wl_delta
+
+    # REPAIR: replace exactly the work-list rows with recomputed ones
+    def repair(bad, good, wl_keys, keys):
+        keep = bad.join(wl_keys, keys, "left_anti")
+        fixed = good.join(wl_keys, keys, "inner")
+        return keep.unionByName(fixed)
+
+    if_fixed = repair(if_bad, if_good,
+                      worklist(if_good, if_bad, ["shard"]), ["shard"])
+    id_fixed = repair(id_bad, id_good,
+                      worklist(id_good, id_bad, ["release", "shard"]),
+                      ["release", "shard"])
+    green = suite(if_fixed, id_fixed)
+    assert green[("release_full", "shard_integrity_consistent")].passed
+    assert green[("release_delta", "shard_integrity_consistent")].passed
+    # and the repair changed nothing else in the suite
+    for k in red:
+        if k[1] != "shard_integrity_consistent":
+            assert green[k].n_violations == red[k].n_violations, k

@@ -960,3 +960,18 @@ def test_tok5_udf_vocab_path_identity_and_nonvacuity(spark, sf_oracle):
             tx.udf_subword_token_counts(docs, "doc_id", "text", bad)
         with pytest.raises(AssertionError):
             tx.sql_chunked_subword_token_counts(bad)
+
+    # plan shape (tok3's pins, plus the declared Python surface stays
+    # on the VOCAB side): one BroadcastHashJoin back onto the token
+    # stream, a real distinct on w, and exactly one Arrow-batched
+    # python eval — below the vocab distinct, never on the occurrence
+    # stream
+    plan = (
+        tx.udf_subword_token_counts(docs, "doc_id", "text", BPE_MERGES_2000)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("BroadcastHashJoin") == 1, plan
+    assert "Exchange hashpartitioning(w#" in plan, plan
+    assert plan.count("ArrowEvalPython") == 1, plan
+    # the python eval consumes the distinct vocab aggregate's output
+    assert "HashAggregate(keys=[w#" in plan, plan
