@@ -63,6 +63,8 @@ SHOWCASE = [
     ("tok4_real_vocab_token_count", "500-rule table → chunked-barrier cascade at vocab grain (localCheckpoint per 100 merges; no K-deep expression), broadcast join-back (r13)"),
     ("st13_streaming_expectation_drift", "streaming expectation suite → ONE streaming grouped agg (2-key state), unpivot after agg, metadata drift self-join (r13)"),
     ("mx6_subword_epoch_budget", "subword epoch budgets → tok1 explode+combine feeding ONE groupBy(source) + broadcast 1-row global (r13)"),
+    ("tok5_vocab_udf_token_count", "2000-rule UDF tokenize → ONE ArrowEvalPython below the vocab distinct (never on the occurrence stream), BroadcastHashJoin back (r14)"),
+    ("ann6_trained_ivf_topk", "trained-cells IVF → km2 training (codebook-literal assignment, k×dim metadata M-step) then ann3's serving shape: one corpus scan for cells, candidates carry probed cells only (r14)"),
 ]
 
 
