@@ -2946,7 +2946,12 @@ def km2_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 # double lists, then ann3's IVF text against those centroids — all
 # CTEs ann6_-prefixed (the SCALE_r10 §7 shadowing rule; _km2_ctes
 # re-aliases the prefixed relations so column references are
-# unchanged).
+# unchanged). ann6_rcells is AS MATERIALIZED (r14 review finding):
+# it is referenced by BOTH corp and probes and sits atop the entire
+# nested Lloyd chain — the exact multi-reference shape the CLAUDE.md
+# dq5 rule exists for, and DuckDB WAS re-evaluating it per reference:
+# plain vs materialized measured 0.4/0.6/1.5s vs 0.2/0.3/0.8s at
+# sf0.001/0.01/0.1 (~2× at every scale); results identical tri-scale.
 _ANN6_KM_CTES = ",\n    ".join(
     _km2_ctes(iters=2, k=16, scale=sim.KM2_SCALE, salt="ann3", prefix="ann6_")
 )
@@ -2971,7 +2976,7 @@ _ANN6_SQL = f"""
                {_DOT_SQL.format(a='b.embedding', b='c.c_vec')} AS dot
         FROM ann6_base b CROSS JOIN ann6_cent c
     ),
-    ann6_rcells AS (
+    ann6_rcells AS MATERIALIZED (
         SELECT *, row_number() OVER (
             PARTITION BY vec_id ORDER BY dot DESC, cell ASC
         ) AS cr

@@ -390,15 +390,35 @@ def test_km2_training_actually_moves(spark, sf_oracle):
 def test_km2_sql_builder_unchanged_by_ctes_refactor():
     """The r14 _km2_ctes refactor (salt/prefix params for ann6's
     composed oracle) must leave km2's registered oracle text
-    byte-identical to the pre-refactor builder's output — pinned here
-    as a literal-structure check: defaults emit the historical
-    unprefixed, unaliased relation names."""
+    byte-identical to the pre-refactor builder's output — the FULL
+    emitted text is md5-pinned (r14 review finding: spot-pinned
+    substrings alone would let an edit outside the pinned lines change
+    the registered oracle silently, defeating the km1-r10 rotation
+    rule that depends on knowing when construction changed; a
+    deliberate builder change must update this pin and take a group-0
+    slot). tok4's shared builder gets the same treatment."""
+    import hashlib
+
+    from ig_etl_with_user_reports_2024_spark.dims import BPE_MERGES_500
+    from ig_etl_with_user_reports_2024_spark.operators.textops import (
+        sql_chunked_subword_token_counts,
+    )
     from ig_etl_with_user_reports_2024_spark.plans.star_pipeline import (
         _km2_ctes,
         _km2_sql,
     )
 
     sql = _km2_sql(iters=2)
+    # full-text pin: the pre-refactor builder's exact output (verified
+    # against git HEAD~ at refactor time)
+    assert hashlib.md5(sql.encode()).hexdigest() == (
+        "b3d1d8333ba86d13604680399d4086b1"
+    ), "km2's registered oracle text changed — deliberate? update pin + rotation"
+    assert hashlib.md5(
+        sql_chunked_subword_token_counts(BPE_MERGES_500).encode()
+    ).hexdigest() == (
+        "a99315b1ba1dfba0e06bae910de33bcf"
+    ), "tok4's registered oracle text changed — deliberate? update pin + rotation"
     # historical text spot-pins: bare (never re-aliased) relation names
     assert "FROM dr JOIN xi ON dr.vec_id = xi.id" in sql
     assert "FROM xi JOIN c0 c ON xi.d = c.d" in sql

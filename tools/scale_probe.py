@@ -141,17 +141,36 @@ def build(
         df = load_table(spark, src, t)
         big = df.crossJoin(reps)
         if fresh_docs and t == "documents":
+            # PRECONDITION (r14 review finding): the permutation
+            # aggregates at (doc_id, _rep) grain, so a source dir with
+            # duplicate doc_ids would silently merge the duplicates'
+            # words into one permuted string on every copy — assert
+            # uniqueness loudly instead (one metadata-cheap pass on
+            # the base table; all driver testdata dirs satisfy it)
+            n, nd = df.select(
+                F.count("doc_id"), F.count_distinct("doc_id")
+            ).first()
+            assert n == nd, (
+                f"fresh_docs requires unique doc_id ({n} rows, "
+                f"{nd} distinct) — permutation grain would merge dups"
+            )
             # left join: zero-word docs have no permutation row (and
             # sequence(1,0)-style empties never arise — the old ANSI
             # trap is structurally gone in the explode form); <2 words
-            # keeps the original, as before
+            # keeps the original, as before. Replica 0 always keeps
+            # its text, so its permutation is never computed (r14
+            # review finding — the filter drops a third of the
+            # permutation work at rep=3, discarded before)
             keep = (
                 (F.col("_rep") == 0)
                 | F.col("_nw").isNull()
                 | (F.col("_nw") < 2)
             )
+            perm_src = big.filter(F.col("_rep") != 0)
             big = (
-                big.join(_permuted_texts(big), ["doc_id", "_rep"], "left")
+                big.join(
+                    _permuted_texts(perm_src), ["doc_id", "_rep"], "left"
+                )
                 .withColumn(
                     "text",
                     F.when(keep, F.col("text")).otherwise(F.col("_perm")),
