@@ -971,11 +971,12 @@ def _check_merge_table(merges: list[tuple[str, str]]) -> None:
     (ADVICE r13): the SQL twins interpolate symbols into string
     literals and a VALUES list — a quote breaks the oracle text, a
     space breaks the two-space encoding's separator invariant, and an
-    empty table makes the VALUES clause a parse error."""
-    assert merges, "merge table must be non-empty"
-    assert all(
-        "'" not in a + b and " " not in a + b for a, b in merges
-    ), "merge symbols must not contain quotes or spaces"
+    empty table makes the VALUES clause a parse error. Explicit raises,
+    not asserts — the guard must survive `python -O` (ADVICE r14)."""
+    if not merges:
+        raise ValueError("merge table must be non-empty")
+    if not all("'" not in a + b and " " not in a + b for a, b in merges):
+        raise ValueError("merge symbols must not contain quotes or spaces")
 
 
 def chunked_subword_token_counts(

@@ -2827,6 +2827,7 @@ def _km2_ctes(
     scale: int = 10_000,
     salt: str = "km1",
     prefix: str = "",
+    final_assignment: bool = True,
 ) -> list[str]:
     """The FIXED Lloyd CTE chain (the pr1 fixed-iteration precedent) —
     xi (scaled-long components), c0 (the seeded draw in ints), then per
@@ -2838,7 +2839,12 @@ def _km2_ctes(
     consumers (ann6 nests this chain at salt='ann3', prefix='ann6_' —
     the SCALE_r10 §7 shadowing rule); km2's own oracle uses the
     defaults, text byte-identical to the pre-refactor builder
-    (asserted in tests/test_similarity.py)."""
+    (asserted in tests/test_similarity.py).
+    ``final_assignment=False`` stops the chain at the trained codebook
+    c_iters, skipping the trailing s_iters/a_iters E-step — composed
+    consumers that read only the codebook (ann6) must not emit dead
+    CTEs a future MATERIALIZED sweep could start evaluating
+    (ADVICE r14)."""
     p = prefix
     # with a prefix, prefixed relations are re-aliased to the bare
     # names so every column reference stays identical; with the empty
@@ -2867,7 +2873,7 @@ def _km2_ctes(
         WHERE dr.cid < {k}
     )""",
     ]
-    for r in range(iters + 1):
+    for r in range(iters + 1 if final_assignment else iters):
         ctes.append(f"""{p}s{r} AS (
         SELECT xi.id, c.cid,
                CAST(SUM((xi.x - c.c) * (xi.x - c.c)) AS BIGINT) AS d2
@@ -2952,8 +2958,18 @@ def km2_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dq5 rule exists for, and DuckDB WAS re-evaluating it per reference:
 # plain vs materialized measured 0.4/0.6/1.5s vs 0.2/0.3/0.8s at
 # sf0.001/0.01/0.1 (~2× at every scale); results identical tri-scale.
+# final_assignment=False (ADVICE r14): ann6 consumes only the trained
+# codebook ann6_c2 — the trailing ann6_s2/ann6_a2 E-step would be dead
+# SQL a future MATERIALIZED sweep could accidentally start evaluating.
 _ANN6_KM_CTES = ",\n    ".join(
-    _km2_ctes(iters=2, k=16, scale=sim.KM2_SCALE, salt="ann3", prefix="ann6_")
+    _km2_ctes(
+        iters=2,
+        k=16,
+        scale=sim.KM2_SCALE,
+        salt="ann3",
+        prefix="ann6_",
+        final_assignment=False,
+    )
 )
 _ANN6_SQL = f"""
     WITH {_ANN6_KM_CTES},

@@ -429,6 +429,16 @@ def test_km2_sql_builder_unchanged_by_ctes_refactor():
     pref = ",".join(_km2_ctes(iters=2, k=16, salt="ann3", prefix="ann6_"))
     assert "FROM ann6_dr dr JOIN ann6_xi xi ON dr.vec_id = xi.id" in pref
     assert "md5('ann3:'" in pref
+    # final_assignment=False (ADVICE r14): the chain stops at the
+    # trained codebook — no dead trailing E-step CTEs in composed
+    # consumers; default-True emission is unchanged (pinned above)
+    cut = _km2_ctes(iters=2, k=16, salt="ann3", prefix="ann6_",
+                    final_assignment=False)
+    txt = ",".join(cut)
+    assert "ann6_c2 AS" in txt
+    assert "ann6_s2" not in txt and "ann6_a2" not in txt
+    assert len(cut) == len(_km2_ctes(iters=2, k=16, salt="ann3",
+                                     prefix="ann6_")) - 2
 
 
 def test_ann6_trained_cells_beat_seeded_and_match_probe(spark, sf_oracle):

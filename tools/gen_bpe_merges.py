@@ -25,7 +25,10 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+# tok_knee_probe lives in tools/ — direct script invocation happens to
+# put tools/ at sys.path[0], but `python -m tools.gen_bpe_merges` (or an
+# import of this module) needs it added explicitly (ADVICE r14).
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from tok_knee_probe import learn_merges, synth_word  # noqa: E402
 
