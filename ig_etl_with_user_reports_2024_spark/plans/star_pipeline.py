@@ -1470,6 +1470,53 @@ def tok5_vocab_udf_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "trn1_bpe_train",
+    tx.sql_bpe_train_merges(48),
+    eager=True,  # per-iteration argmax collects (km2's convention)
+)
+def trn1_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTED BPE TRAINING, registered (VERDICT r14 #2 — the last
+    'generated offline' family: every merge table feeding
+    tok1/tok3/tok4/tok5 came from tools/gen_bpe_merges.py, a
+    single-process driver-side Python trainer, the exact execution
+    model this repo exists to replace). 48 greedy iterations over the
+    documents corpus: corpus-wide adjacent-pair groupBy-sum → one-row
+    argmax collect with the trainer's exact tie-break (max count, then
+    max (a, b) — ORDER BY cnt DESC, a DESC, b DESC) → literal-replace
+    re-merge at VOCAB grain (operators/textops.bpe_train_merges; the
+    corpus is touched ONCE to build the frequency-weighted vocabulary,
+    then every iteration is vocab-grain — tok3/tok4/tok5's grain
+    argument). Output is the ORDERED learned merge table (i, a, b):
+    tok5's input contract, so training and apply compose end-to-end
+    in-engine.
+
+    Oracle: the loop UNROLLED as 48 MATERIALIZED (argmax, re-merge)
+    CTE pairs (sql_bpe_train_merges — the km2 fixed-iteration
+    precedent; every state CTE is referenced twice, the CLAUDE.md
+    multi-reference rule, and materialization is what prevents the
+    exponential re-evaluation cascade). Trajectory additionally pinned
+    BIT-IDENTICAL to the pure-Python trainer (tok_knee_probe.
+    learn_merges — the function that generated the shipped dims
+    tables) on the same corpus in tests/test_textops.py, so the
+    registered entry proves the cluster trainer reproduces the
+    generator's trajectory.
+
+    Non-vacuity (probed BEFORE registration, SCALE_r15): 29 of the 48
+    gate iterations have COUNT TIES among top pairs, and flipping the
+    tie-break to min diverges at rule 8 — the hash verdict genuinely
+    pins the argmax semantics, not just the pair counting. Exhaustion
+    (pairs run out before k) verified identical both sides at K=120:
+    both engines stop at the corpus's 89 learnable merges.
+
+    NOT a bench line (tok5's honest-pricing precedent): at the gate's
+    31-type vocabulary the line would price 48 × ~0.15s of local job
+    overhead, not the algorithm; the corpus-pass + vocab-grain shape
+    is the priced story and it is tok3/tok4/tok5's."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.bpe_train_merges(docs, "doc_id", "text", 48)
+
+
+@query(
     "txt4_content_fingerprint",
     f"""
     SELECT doc_id AS doc,

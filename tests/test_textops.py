@@ -975,3 +975,131 @@ def test_tok5_udf_vocab_path_identity_and_nonvacuity(spark, sf_oracle):
     assert plan.count("ArrowEvalPython") == 1, plan
     # the python eval consumes the distinct vocab aggregate's output
     assert "HashAggregate(keys=[w#" in plan, plan
+
+
+# trn1 — distributed BPE training (VERDICT r14 #2)
+
+
+def test_trn1_trajectory_matches_python_trainer(spark, sf_smoke):
+    """The cluster trainer reproduces the GENERATOR's trajectory
+    bit-identically on the same corpus: trn1's learned table equals
+    tok_knee_probe.learn_merges (the function that produced the
+    shipped dims/dims_bpe tables) over the identical frequency-
+    weighted vocabulary — training is no longer a 'generated offline'
+    family. Prefix-closure makes the equality exact rule-by-rule."""
+    from collections import Counter
+
+    from tools.tok_knee_probe import learn_merges
+
+    from ig_etl_with_user_reports_2024_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    got = [
+        (r.i, r.a, r.b)
+        for r in sorted(
+            tx.bpe_train_merges(docs, "doc_id", "text", 48).collect()
+        )
+    ]
+    wf: Counter = Counter()
+    for r in docs.select("text").collect():
+        wf.update((r.text or "").lower().split())
+    expect = [
+        (i, a, b) for i, (a, b) in enumerate(learn_merges(dict(wf), 48))
+    ]
+    assert got == expect
+
+
+def test_trn1_tiebreak_is_load_bearing(spark, sf_oracle):
+    """Non-vacuity for the registered entry's hash verdict: on the
+    sf0.01 gate corpus the greedy argmax hits COUNT TIES (29 of 48
+    iterations at registration time), and flipping the tie-break from
+    max-(a,b) to min-(a,b) changes the learned table — so the driver's
+    hash check pins the argmax semantics, not just pair counting."""
+    from collections import Counter
+
+    from ig_etl_with_user_reports_2024_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_oracle, "documents")
+    wf: Counter = Counter()
+    for r in docs.select("text").collect():
+        wf.update((r.text or "").lower().split())
+
+    def learn(word_freq, k, tie_max):
+        vocab = {tuple(w): c for w, c in word_freq.items() if w}
+        merges, ties = [], 0
+        for _ in range(k):
+            pairs: Counter = Counter()
+            for syms, c in vocab.items():
+                for i in range(len(syms) - 1):
+                    pairs[(syms[i], syms[i + 1])] += c
+            if not pairs:
+                break
+            mx = max(pairs.values())
+            cand = [p for p, c in pairs.items() if c == mx]
+            ties += len(cand) > 1
+            best = max(cand) if tie_max else min(cand)
+            merges.append(best)
+            a, b = best
+            nv: dict = {}
+            for syms, c in vocab.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if (
+                        i + 1 < len(syms)
+                        and syms[i] == a
+                        and syms[i + 1] == b
+                    ):
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                t = tuple(out)
+                nv[t] = nv.get(t, 0) + c
+            vocab = nv
+        return merges, ties
+
+    m_max, ties = learn(wf, 48, True)
+    m_min, _ = learn(wf, 48, False)
+    assert ties >= 10, f"only {ties} tied iterations — tie-break unexercised"
+    assert m_max != m_min, "tie-break flip changes nothing — check vacuous"
+
+
+def test_trn1_trained_table_feeds_apply_paths(spark, sf_smoke):
+    """Composition contract: trn1's output IS tok5's input — the
+    learned table passes the merge-table guard (symbols can never
+    contain quotes/spaces: words are whitespace-split) and, applied
+    through the registered UDF apply path on the training corpus,
+    the learned rules demonstrably fire (subword count strictly below
+    the character count wherever a merge applies)."""
+    from pyspark.sql import functions as F
+
+    from ig_etl_with_user_reports_2024_spark.operators.dedup import (
+        normalized_words,
+    )
+    from ig_etl_with_user_reports_2024_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    learned = [
+        (r.a, r.b)
+        for r in sorted(
+            tx.bpe_train_merges(docs, "doc_id", "text", 48).collect()
+        )
+    ]
+    assert len(learned) == 48
+    tx._check_merge_table(learned)  # tok4/tok5's guard accepts it
+    sub = tx.udf_subword_token_counts(docs, "doc_id", "text", learned)
+    chars = docs.select(
+        F.col("doc_id").alias("doc"),
+        F.aggregate(
+            F.transform(normalized_words(F.col("text")), F.length),
+            F.lit(0),
+            lambda a, x: a + x,
+        ).cast("bigint").alias("n_word_chars"),
+    )
+    j = sub.join(chars, "doc").collect()
+    assert j, "no docs"
+    fired = sum(1 for r in j if r.n_subword_tokens < r.n_word_chars)
+    assert fired == len(j), f"learned rules fired on {fired}/{len(j)} docs"
+    for r in j:
+        assert r.n_words <= r.n_subword_tokens <= r.n_word_chars
