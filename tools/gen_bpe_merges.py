@@ -30,7 +30,7 @@ import time
 # import of this module) needs it added explicitly (ADVICE r14).
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from tok_knee_probe import learn_merges, synth_word  # noqa: E402
+from tok_knee_probe import learn_merges, learn_merges_fast, synth_word  # noqa: E402
 
 
 def table_md5(merges: list[tuple[str, str]]) -> str:
@@ -44,12 +44,21 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--k", type=int, default=2000)
     ap.add_argument("--vocab", type=int, default=20_000)
+    ap.add_argument(
+        "--naive",
+        action="store_true",
+        help="use the reference O(K·corpus) trainer instead of the "
+        "trajectory-identical incremental one (learn_merges_fast "
+        "reproduces the pinned K=2000 md5 bit-exactly; the naive path "
+        "stays as the independent cross-check)",
+    )
     args = ap.parse_args()
 
     words = [synth_word(i) for i in range(args.vocab)]
     word_freq = {w: max(1, args.vocab // (r + 1)) for r, w in enumerate(words)}
     t0 = time.time()
-    merges = learn_merges(word_freq, args.k)
+    trainer = learn_merges if args.naive else learn_merges_fast
+    merges = trainer(word_freq, args.k)
     print(f"# trained {len(merges)} merges in {time.time() - t0:.1f}s",
           file=sys.stderr)
 

@@ -100,6 +100,111 @@ def learn_merges(word_freq: dict[str, int], k: int) -> list[tuple[str, str]]:
     return merges
 
 
+def _revkey(s: str) -> bytes:
+    """Order-REVERSING injection on strings: byte-complemented UTF-8
+    plus a 0xFF sentinel, so min-heap order on _revkey equals MAX
+    lexicographic order on the original (UTF-8 bytewise order equals
+    code-point order; complemented bytes are <= 254, so the sentinel
+    settles the a-is-a-prefix-of-b case the complement alone gets
+    backwards)."""
+    return bytes(255 - c for c in s.encode()) + b"\xff"
+
+
+def learn_merges_fast(
+    word_freq: dict[str, int], k: int
+) -> list[tuple[str, str]]:
+    """TRAJECTORY-IDENTICAL fast path for :func:`learn_merges` (the
+    standard incremental BPE trainer: maintain global pair counts and a
+    pair->words index, and on each merge re-derive pair deltas only for
+    the words that contain the winning pair — Sennrich's subword-nmt
+    optimization). The argmax rides a lazy max-heap keyed
+    (-count, _revkey(a), _revkey(b)) so ties break by MAX (a, b)
+    exactly like learn_merges' max(...) over (count, pair); stale heap
+    entries are skipped against the ground-truth counts. Identity with
+    the naive trainer is pinned at K=2000 on the shipped corpus via
+    dims_bpe.BPE_MERGES_2000_MD5 (tests/test_dims.py)."""
+    import heapq
+    from collections import defaultdict
+
+    syms_by_w: list[list[str]] = []
+    freqs: list[int] = []
+    for w, c in word_freq.items():
+        if w:
+            syms_by_w.append(list(w))
+            freqs.append(c)
+
+    counts: dict[tuple[str, str], int] = defaultdict(int)
+    where: dict[tuple[str, str], set[int]] = defaultdict(set)
+    for wi, syms in enumerate(syms_by_w):
+        f = freqs[wi]
+        for p in zip(syms, syms[1:]):
+            counts[p] += f
+            where[p].add(wi)
+
+    heap: list[tuple[int, bytes, bytes, str, str]] = [
+        (-c, _revkey(a), _revkey(b), a, b) for (a, b), c in counts.items()
+    ]
+    heapq.heapify(heap)
+
+    def push(p: tuple[str, str]) -> None:
+        heapq.heappush(
+            heap, (-counts[p], _revkey(p[0]), _revkey(p[1]), p[0], p[1])
+        )
+
+    merges: list[tuple[str, str]] = []
+    while len(merges) < k:
+        best = None
+        while heap:
+            negc, _, _, a, b = heap[0]
+            if -negc > 0 and counts.get((a, b), 0) == -negc:
+                best = (a, b)
+                break
+            heapq.heappop(heap)
+        if best is None:
+            break
+        merges.append(best)
+        a, b = best
+        ab = a + b
+        for wi in sorted(where.get(best, ())):
+            syms = syms_by_w[wi]
+            f = freqs[wi]
+            old = _pair_multiset(syms)
+            # leftmost-first non-overlapping merge — learn_merges' loop
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(ab)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms_by_w[wi] = out
+            new = _pair_multiset(out)
+            for p in set(old) | set(new):
+                d = new.get(p, 0) - old.get(p, 0)
+                if not d:
+                    continue
+                counts[p] += d * f
+                if counts[p] <= 0:
+                    del counts[p]
+                    where[p].discard(wi)
+                else:
+                    push(p)
+                if p in new:
+                    where[p].add(wi)
+                elif p in where:
+                    where[p].discard(wi)
+        where.pop(best, None)
+    return merges
+
+
+def _pair_multiset(syms: list[str]) -> dict[tuple[str, str], int]:
+    from collections import Counter
+
+    return dict(Counter(zip(syms, syms[1:])))
+
+
 def cascade_count_col(word_col: str, merges: list[tuple[str, str]]):
     """subword_count_col with a parameterized merge list — the same
     two-space encoding and replace cascade (one construction here, the
