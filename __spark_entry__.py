@@ -58,82 +58,76 @@ from ig_etl_with_user_reports_2024_spark.plans import star_manifest  # noqa: F40
 # specific hashes, rf-floored) are likewise outside the hash-checkable
 # cohorts (the VERDICT r9 debt arithmetic counts 22 r6-era, not 25).
 #
-# Round-14 window: (0) the 7 new/changed entries — tok5 (NEW: the
-# 50k-scale tokenizer representative, VERDICT r13 #3 — the 2000-rule
-# learned table through the Arrow-batched vocab-grain UDF path,
-# hash-checked against the recursive-CTE oracle at depth 2000), ann6
-# (NEW: the trained-cells IVF serving path, VERDICT r13 #5 — ann3's
-# chain under km2's integer-Lloyd codebook at salt ann3/k=16,
-# hash-exact via the composed Lloyd+IVF oracle), rf15 (NEW: ann6's
-# recall floor at 0.5 — strictly above the seeded gate regime), cp4
-# and cp9 (oracle changed: artifact-boundary CTEs AS MATERIALIZED —
-# VERDICT r13 #2, measured cost-neutral, regime insurance), tok4
-# (oracle construction: sql_chunked_subword_token_counts gained the
-# prefix param + in-function merge-table guards — text byte-identical,
-# but the km1-r10 rule puts changed construction in group 0), and km2
-# (oracle construction: _km2_sql refactored onto the salt/prefix
-# _km2_ctes builder ann6 nests — text byte-identical, same rule);
-# then (a) oldest-driver-verdict-first: ALL 42 remaining r10-era
-# hash-checkable verdicts in catalog order (k2/k3/k4 lead, exactly as
-# the r13 displacement predicted), then the single oldest r11-era in
-# catalog order (cdc1). 7 + 42 + 1 = 50 exactly; after this round no
-# hash-checkable verdict predates r11.
+# Round-15 window: (0) the 5 new/changed entries — trn1 (NEW: the
+# distributed BPE trainer, VERDICT r14 #2 — training itself is now a
+# registered hash-checked operator whose output table is a prefix of
+# the shipped dims tables' trajectory), tok6 (NEW: the full 50000-rule
+# learned vocabulary through tok5's UDF path against the depth-50000
+# recursive-CTE oracle, VERDICT r14 #3), tok4 and tok5 (oracle
+# changed: the merge tables were REGENERATED from the 100k-type grown
+# corpus so one trajectory reaches 50k rules — the builder-pin test's
+# "deliberate change takes a group-0 slot" contract), and ann6 (oracle
+# changed: final_assignment=False drops the dead trailing E-step CTEs,
+# ADVICE r14); then (a) oldest-driver-verdict-first: 45 of the 46
+# remaining r11-era hash-checkable verdicts in catalog order
+# (recomputed from the CORRECTNESS_r*.json union this round).
+# 5 + 45 = 50 exactly; deliberate overflow = cp5_scrubbed_release
+# (the youngest slot of the r11 cohort, catalog order) plus the
+# r12-era cohort — they lead r16.
 _DRIVER_PRIORITY = [
-    # (0) new/changed oracle or plan in round 14 — first driver contact
+    # (0) new/changed oracle or plan in round 15 — first driver contact
+    "trn1_bpe_train",
+    "tok6_full_vocab_token_count",
+    "tok4_real_vocab_token_count",
     "tok5_vocab_udf_token_count",
     "ann6_trained_ivf_topk",
-    "rf15_trained_ivf_recall",
-    "cp4_datacard_diff",
-    "cp9_takedown_rewrite",
-    "tok4_real_vocab_token_count",
-    "km2_kmeans_train",
-    # (a) oldest driver verdict first: ALL 42 remaining r10-era
-    # entries, catalog order within the cohort
-    "k2_latest6_pivot",
-    "k3_top10_tokens",
-    "k4_c5_modal_hour",
-    "k6_priority_cascade",
-    "x1_regex_extract",
-    "x2_x4_string_ops",
-    "x5_date_parts",
-    "x6_c14_age_buckets",
-    "x7_bankers_rounding",
-    "x8_struct_to_json",
-    "st5_stateful_sessions",
-    "rf13_crosssplit_capture_floor",
-    "f8_stoplist_tokens",
-    "j2_first_match_theta_join",
-    "j4_a10_keyword_scores",
-    "j5_page_merge_dedup",
-    "so1_first_occurrence_dedup",
-    "f6_null_guard_filter",
-    "x3_substring_membership",
-    "c9_f9_niche_distribution",
-    "mj1_shipping_priority",
-    "mj2_region_volume",
-    "mj3_large_order_customers",
-    "dd2_ngram_jaccard_pairs",
-    "dd6_dup_clusters",
-    "sp4_cluster_split",
-    "dc4_split_leakage_eval",
-    "sp5_joint_cluster_split",
-    "dd13_semantic_keep_list",
-    "dc3_semantic_decontaminate",
-    "txt5_rolling_fingerprint",
-    "ann3_ivf_topk",
-    "a15_length_percentiles",
-    "txt6_vocab_top50",
-    "sq2_product_quantize",
-    "txt7_repetition_stats",
-    "txt9_bigram_surprisal",
-    "km1_kmeans_assign",
-    "a16_length_histogram",
-    "mx3_surprisal_weighted_mixture",
-    "dp3_epoch_packing",
-    "ann5_ivfpq_topk",
-    # (a cont.) the oldest r11-era verdict, catalog order (the r11
-    # cohort — 47 remaining — leads r15's rotation)
-    "cdc1_merge_upsert",
+    # (a) oldest driver verdict first: 45 of the 46 r11-era entries,
+    # catalog order within the cohort
+    "cdc2_scd2_intervals",
+    "dq1_column_profile",
+    "dq2_schema_drift",
+    "ad1_rolling_zscore",
+    "mm3_frame_select",
+    "dc1_decontaminate",
+    "dc2_fuzzy_decontaminate",
+    "k7_top5_preview",
+    "st11_rocksdb_dedup",
+    "st10_streaming_upsert",
+    "c13_sponsor_detector",
+    "c10_personality_insights",
+    "rf1_lsh_topk_recall",
+    "rf2_ivf_topk_recall",
+    "rf10_ivfpq_recall",
+    "rf3_minhash_recall",
+    "rf4_simhash_recall",
+    "rf5_sketch_accuracy",
+    "rf6_pq_distortion",
+    "rf7_approx_distinct_accuracy",
+    "rf9_kmeans_lloyd_floor",
+    "a123_er_formulas",
+    "a6_viral_count",
+    "a8_distinct_diversity",
+    "a9_platform_stats",
+    "a12_split_half_trend",
+    "a13_class_means_pivot",
+    "a14_c6_fake_score",
+    "c2_type_tier",
+    "c3_pricing_dim",
+    "c8_account_type",
+    "k1_top6_er",
+    "f2_recent_window",
+    "txt1_lang_id",
+    "qc1_model_quality_score",
+    "txt14_pii_scrub",
+    "txt3_token_counts",
+    "txt4_content_fingerprint",
+    "mm1_binary_metadata",
+    "dd5_embedding_neardup",
+    "qc2_quality_signal_ab",
+    "sq3_matryoshka_truncate",
+    "cm1_corpus_manifest",
+    "cp1_curated_corpus",
+    "cp2_corpus_datacard",
 ]
 
 

@@ -165,9 +165,12 @@ def platform_dim(spark: SparkSession) -> DataFrame:
 # ---------------------------------------------------------------------------
 # tok4's REAL-SCALE merge table: 500 ordered BPE merges learned with the
 # standard greedy trainer (Sennrich et al. 2016) from the deterministic
-# 20k-type syllable-structured Zipf corpus in tools/tok_knee_probe.py
-# (synth_word / learn_merges — rerunning that recipe reproduces this
-# list bit-identically; ties break lexically). A table this size CANNOT
+# 100k-type syllable-structured Zipf corpus in tools/tok_knee_probe.py
+# (synth_word / learn_merges_fast — rerunning that recipe, `python
+# tools/gen_bpe_merges.py --k 500`, reproduces this list bit-identically;
+# ties break lexically; the corpus grew 20k→100k types in r15 so ONE
+# trajectory reaches 50k rules — tok6 — and all three shipped tables are
+# its prefixes, asserted in dims_bpe / dims_bpe50k). A table this size CANNOT
 # ride tok1's nested-replace cascade: the Column tree blows the JVM
 # driver stack from ~K=300 and DuckDB's parser dies at the same depth
 # ("memory exhausted", measured SCALE_r13 §5) — tok4 exists to run a
@@ -175,131 +178,131 @@ def platform_dim(spark: SparkSession) -> DataFrame:
 # cascade at vocab grain) against a recursive-CTE oracle.
 # Symbols never contain spaces or quotes (asserted at generation).
 BPE_MERGES_500 = [
-    ("s","t"), ("e","a"), ("a","i"), ("o","u"),
-    ("n","g"), ("ea","t"), ("t","r"), ("n","d"),
+    ("s","t"), ("a","i"), ("e","a"), ("o","u"),
+    ("n","g"), ("t","r"), ("n","d"), ("ea","t"),
     ("a","r"), ("e","st"), ("k","eat"), ("z","est"),
     ("s","ar"), ("zest","keat"), ("sar","zestkeat"), ("i","s"),
-    ("f","ou"), ("o","s"), ("ai","s"), ("o","t"),
-    ("ai","n"), ("u","r"), ("e","r"), ("a","t"),
-    ("ng","m"), ("e","s"), ("st","os"), ("is","stos"),
-    ("fou","ngm"), ("foungm","isstos"), ("u","st"), ("ai","t"),
-    ("ai","r"), ("e","nd"), ("i","r"), ("u","n"),
-    ("a","n"), ("o","n"), ("ou","t"), ("st","e"),
-    ("s","ain"), ("l","ais"), ("a","s"), ("sain","lais"),
-    ("ea","n"), ("ou","n"), ("ai","ng"), ("e","t"),
-    ("e","l"), ("i","st"), ("u","s"), ("i","t"),
-    ("ea","r"), ("i","n"), ("e","n"), ("t","end"),
-    ("o","r"), ("tend","ste"), ("u","t"), ("ou","s"),
-    ("u","ng"), ("ea","ng"), ("ou","r"), ("tr","ai"),
-    ("z","o"), ("ea","s"), ("i","nd"), ("f","eat"),
-    ("ea","l"), ("n","ust"), ("m","er"), ("ai","nd"),
-    ("ou","l"), ("u","feat"), ("nust","ufeat"), ("ea","st"),
-    ("ea","nd"), ("o","st"), ("s","eat"), ("ai","l"),
-    ("i","ng"), ("e","ng"), ("a","st"), ("tr","es"),
-    ("f","ot"), ("fou","r"), ("ou","ng"), ("z","at"),
-    ("a","l"), ("tres","fot"), ("tresfot","four"), ("tresfotfour","zo"),
-    ("ou","st"), ("u","nd"), ("p","on"), ("l","ot"),
-    ("ai","st"), ("a","nd"), ("u","l"), ("z","un"),
-    ("trai","mer"), ("traimer","ur"), ("pon","traimerur"), ("o","l"),
-    ("s","ur"), ("o","ng"), ("p","is"), ("i","l"),
-    ("ou","nd"), ("lot","pis"), ("a","ng"), ("f","ust"),
-    ("d","ir"), ("b","aing"), ("seat","baing"), ("seatbaing","zun"),
-    ("l","el"), ("g","ais"), ("st","ur"), ("o","nd"),
-    ("ot","d"), ("u","tr"), ("r","ain"), ("lel","ait"),
-    ("dir","lelait"), ("an","s"), ("n","o"), ("g","o"),
-    ("stur","rain"), ("gais","sturrain"), ("tr","ung"), ("ist","r"),
-    ("sur","at"), ("end","m"), ("zat","st"), ("es","r"),
-    ("b","a"), ("ans","ais"), ("zatst","otd"), ("zatstotd","ansais"),
-    ("r","e"), ("g","ot"), ("ea","m"), ("g","endm"),
-    ("istr","as"), ("gendm","istras"), ("k","ind"), ("f","air"),
-    ("n","ait"), ("k","utr"), ("kutr","ir"), ("fust","kutrir"),
-    ("m","u"), ("s","er"), ("ost","v"), ("no","keat"),
-    ("kind","v"), ("p","ai"), ("t","air"), ("m","esr"),
-    ("mesr","et"), ("ur","n"), ("n","a"), ("seat","aing"),
-    ("st","ai"), ("b","i"), ("r","out"), ("est","t"),
-    ("z","ar"), ("it","p"), ("kindv","ing"), ("kindving","got"),
-    ("kindvinggot","fair"), ("g","el"), ("un","n"), ("b","estt"),
-    ("oul","nait"), ("n","at"), ("bestt","oulnait"), ("a","tr"),
-    ("z","er"), ("sur","na"), ("surna","zat"), ("gel","surnazat"),
-    ("l","a"), ("f","e"), ("k","ai"), ("ea","p"),
-    ("k","is"), ("tr","air"), ("tr","ostv"), ("trostv","und"),
-    ("n","u"), ("z","us"), ("ait","b"), ("our","v"),
-    ("r","ot"), ("f","et"), ("os","b"), ("trung","oun"),
-    ("t","ait"), ("st","ar"), ("z","eang"), ("t","ou"),
-    ("n","eang"), ("l","ir"), ("z","ear"), ("v","ea"),
-    ("trung","rout"), ("bi","trungrout"), ("st","eat"), ("k","oung"),
-    ("g","al"), ("tr","e"), ("oun","pai"), ("fust","ounpai"),
-    ("f","u"), ("b","eng"), ("z","et"), ("n","ar"),
-    ("ean","re"), ("v","unn"), ("vunn","eanre"), ("v","ist"),
-    ("r","air"), ("t","is"), ("stai","zeang"), ("itp","an"),
-    ("d","out"), ("p","oun"), ("g","ait"), ("i","m"),
-    ("b","and"), ("f","ail"), ("z","oung"), ("mer","fet"),
-    ("itpan","merfet"), ("g","itpanmerfet"), ("k","eang"), ("f","it"),
-    ("k","eam"), ("n","out"), ("keam","a"), ("n","east"),
-    ("n","ind"), ("t","en"), ("t","ai"), ("f","er"),
-    ("fe","f"), ("p","aind"), ("urn","el"), ("fef","urnel"),
-    ("k","eand"), ("p","o"), ("tr","us"), ("st","eand"),
-    ("n","ourv"), ("z","ain"), ("p","e"), ("nourv","eal"),
-    ("kis","nourveal"), ("band","kisnourveal"), ("z","es"), ("b","ai"),
-    ("r","es"), ("keang","gal"), ("ea","k"), ("z","ou"),
-    ("r","oung"), ("l","an"), ("f","ait"), ("b","out"),
-    ("tr","o"), ("v","oust"), ("zear","beng"), ("zearbeng","fail"),
-    ("zat","zearbengfail"), ("d","es"), ("b","an"), ("ste","t"),
-    ("l","ean"), ("s","en"), ("s","as"), ("z","ai"),
-    ("koung","zer"), ("b","at"), ("n","eand"), ("m","ou"),
-    ("st","ais"), ("ea","d"), ("p","er"), ("d","ai"),
-    ("n","aind"), ("zar","go"), ("ear","r"), ("r","or"),
-    ("k","ous"), ("tr","at"), ("l","ast"), ("paind","neast"),
-    ("f","ai"), ("v","e"), ("v","o"), ("aitb","ong"),
-    ("k","at"), ("f","un"), ("z","i"), ("n","e"),
-    ("zes","star"), ("zesstar","fou"), ("v","an"), ("m","eat"),
-    ("l","o"), ("st","est"), ("d","o"), ("ser","naind"),
-    ("neand","nar"), ("neandnar","sernaind"), ("n","ail"), ("f","eng"),
-    ("st","it"), ("k","u"), ("p","eat"), ("roung","trair"),
-    ("z","ir"), ("s","est"), ("b","air"), ("v","oun"),
-    ("m","ais"), ("ung","l"), ("s","ean"), ("rot","trai"),
-    ("b","en"), ("m","o"), ("d","a"), ("i","k"),
-    ("v","eas"), ("f","es"), ("l","e"), ("st","o"),
-    ("f","o"), ("eap","ean"), ("b","oun"), ("nind","tou"),
-    ("s","ous"), ("k","un"), ("z","on"), ("tr","ind"),
-    ("g","un"), ("fu","kai"), ("k","our"), ("tr","est"),
-    ("z","in"), ("v","ou"), ("r","ir"), ("m","ot"),
-    ("ten","is"), ("tenis","lan"), ("rair","tenislan"), ("v","or"),
-    ("z","ous"), ("z","ust"), ("zoung","t"), ("z","out"),
-    ("z","a"), ("zoungt","eapean"), ("lir","zoungteapean"), ("b","end"),
-    ("on","v"), ("r","ean"), ("eal","d"), ("tr","oust"),
-    ("d","ait"), ("tr","eas"), ("s","air"), ("f","as"),
-    ("ba","poun"), ("r","i"), ("n","ous"), ("f","ear"),
-    ("ste","ng"), ("tr","or"), ("p","in"), ("p","eal"),
-    ("l","u"), ("b","et"), ("tait","tair"), ("tr","ul"),
-    ("z","u"), ("st","oun"), ("vist","ast"), ("vistast","fait"),
-    ("vistastfait","vea"), ("b","aind"), ("st","er"), ("s","o"),
-    ("g","aind"), ("f","a"), ("nail","nu"), ("tr","ir"),
-    ("g","ou"), ("g","ar"), ("b","ing"), ("zun","tai"),
-    ("m","ain"), ("tr","eat"), ("m","air"), ("s","aist"),
-    ("z","and"), ("tr","ut"), ("a","v"), ("m","ea"),
-    ("ost","fit"), ("tr","ur"), ("k","aitbong"), ("kaitbong","ostfit"),
-    ("b","in"), ("z","ean"), ("r","ea"), ("k","ou"),
-    ("ist","l"), ("f","osb"), ("t","e"), ("s","aing"),
-    ("r","eas"), ("t","eat"), ("t","out"), ("s","ail"),
-    ("mu","ban"), ("st","es"), ("p","a"), ("v","en"),
-    ("s","our"), ("oul","re"), ("v","eat"), ("b","ea"),
-    ("trind","baind"), ("st","air"), ("z","air"), ("k","a"),
-    ("l","ou"), ("r","eat"), ("m","eng"), ("l","ai"),
-    ("s","out"), ("p","i"), ("fosb","ut"), ("n","as"),
-    ("m","ean"), ("s","e"), ("k","ol"), ("k","air"),
-    ("g","in"), ("k","ar"), ("voust","la"), ("voustla","des"),
-    ("k","ain"), ("tr","ou"), ("d","ean"), ("t","earr"),
-    ("r","ou"), ("n","aing"), ("n","ai"), ("k","as"),
-    ("tr","ean"), ("tearr","en"), ("m","is"), ("g","east"),
-    ("b","ou"), ("n","er"), ("p","ean"), ("g","et"),
-    ("b","on"), ("fou","n"), ("f","or"), ("z","or"),
-    ("s","ou"), ("g","ir"), ("troust","res"), ("st","ou"),
-    ("p","ast"), ("lot","troustres"), ("tr","an"), ("v","as"),
-    ("st","an"), ("f","ain"), ("tr","ait"), ("k","und"),
-    ("p","u"), ("z","as"), ("stais","lean"), ("staislean","ba"),
-    ("k","en"), ("d","ung"), ("p","ind"), ("b","ous"),
-    ("zust","as"), ("tis","zustas"), ("nat","tiszustas"), ("tr","ot"),]
+    ("f","ou"), ("o","s"), ("o","t"), ("ai","s"),
+    ("u","r"), ("ai","n"), ("e","r"), ("a","t"),
+    ("e","s"), ("ai","t"), ("ng","m"), ("u","st"),
+    ("ai","r"), ("st","os"), ("i","r"), ("is","stos"),
+    ("fou","ngm"), ("foungm","isstos"), ("u","n"), ("e","nd"),
+    ("a","n"), ("o","n"), ("ou","t"), ("e","t"),
+    ("a","s"), ("ea","n"), ("ou","n"), ("u","s"),
+    ("ai","ng"), ("e","l"), ("s","ain"), ("i","st"),
+    ("e","n"), ("i","t"), ("ea","r"), ("l","ais"),
+    ("sain","lais"), ("o","r"), ("i","n"), ("u","t"),
+    ("ou","r"), ("ou","s"), ("st","e"), ("ea","s"),
+    ("u","ng"), ("ea","ng"), ("i","nd"), ("t","end"),
+    ("ea","l"), ("ai","nd"), ("tend","ste"), ("ea","st"),
+    ("z","o"), ("ai","l"), ("o","st"), ("ou","l"),
+    ("ea","nd"), ("a","st"), ("tr","ai"), ("i","ng"),
+    ("f","eat"), ("e","ng"), ("a","l"), ("ou","ng"),
+    ("n","ust"), ("m","er"), ("ou","st"), ("u","nd"),
+    ("u","feat"), ("nust","ufeat"), ("ai","st"), ("u","l"),
+    ("s","eat"), ("a","nd"), ("tr","es"), ("f","ot"),
+    ("fou","r"), ("o","l"), ("z","at"), ("i","l"),
+    ("o","ng"), ("tres","fot"), ("tresfot","four"), ("tresfotfour","zo"),
+    ("p","on"), ("ou","nd"), ("a","ng"), ("l","ot"),
+    ("z","un"), ("s","ur"), ("trai","mer"), ("traimer","ur"),
+    ("pon","traimerur"), ("o","nd"), ("p","is"), ("d","ir"),
+    ("lot","pis"), ("f","ust"), ("b","aing"), ("baing","zun"),
+    ("seat","baingzun"), ("u","tr"), ("g","ais"), ("st","ur"),
+    ("l","el"), ("r","ain"), ("ot","d"), ("an","s"),
+    ("lel","ait"), ("dir","lelait"), ("g","o"), ("ist","r"),
+    ("n","o"), ("tr","ung"), ("stur","rain"), ("gais","sturrain"),
+    ("b","a"), ("end","m"), ("sur","at"), ("es","r"),
+    ("zat","st"), ("r","e"), ("g","ot"), ("ans","ais"),
+    ("zatst","otd"), ("zatstotd","ansais"), ("f","air"), ("k","ind"),
+    ("n","ait"), ("g","endm"), ("istr","as"), ("gendm","istras"),
+    ("m","u"), ("s","er"), ("k","utr"), ("p","ai"),
+    ("kutr","ir"), ("fust","kutrir"), ("ost","v"), ("n","a"),
+    ("t","air"), ("b","i"), ("no","keat"), ("kind","v"),
+    ("ur","n"), ("m","esr"), ("st","ai"), ("r","out"),
+    ("z","ar"), ("mesr","et"), ("a","tr"), ("b","est"),
+    ("it","p"), ("seat","aing"), ("t","oul"), ("g","el"),
+    ("v","un"), ("f","e"), ("n","at"), ("k","ai"),
+    ("ing","got"), ("kindv","inggot"), ("kindvinggot","fair"), ("l","a"),
+    ("ea","p"), ("z","er"), ("n","ean"), ("k","is"),
+    ("n","u"), ("v","ea"), ("tr","air"), ("toul","nait"),
+    ("best","toulnait"), ("z","us"), ("f","et"), ("t","ou"),
+    ("z","ear"), ("sur","na"), ("surna","zat"), ("gel","surnazat"),
+    ("st","ar"), ("tr","e"), ("l","ir"), ("our","v"),
+    ("f","u"), ("t","ait"), ("ait","b"), ("z","eang"),
+    ("tr","ostv"), ("trostv","und"), ("n","eang"), ("st","eat"),
+    ("z","et"), ("g","al"), ("k","oung"), ("trung","oun"),
+    ("n","ar"), ("ea","m"), ("os","b"), ("b","eng"),
+    ("trung","rout"), ("bi","trungrout"), ("p","oun"), ("i","m"),
+    ("r","air"), ("t","is"), ("d","out"), ("r","ot"),
+    ("v","ist"), ("p","o"), ("oun","pai"), ("fust","ounpai"),
+    ("g","ait"), ("f","it"), ("f","er"), ("p","e"),
+    ("n","out"), ("nean","re"), ("t","ai"), ("vun","neanre"),
+    ("b","ai"), ("z","oung"), ("z","ou"), ("k","eang"),
+    ("b","and"), ("f","ail"), ("tr","us"), ("t","en"),
+    ("n","east"), ("stai","zeang"), ("tr","o"), ("itp","an"),
+    ("ea","k"), ("n","ind"), ("z","ain"), ("z","es"),
+    ("z","ai"), ("p","aind"), ("d","ai"), ("mer","fet"),
+    ("itpan","merfet"), ("g","itpanmerfet"), ("r","es"), ("m","ou"),
+    ("d","o"), ("k","eand"), ("b","out"), ("f","ait"),
+    ("st","eand"), ("d","es"), ("f","ai"), ("l","an"),
+    ("b","at"), ("v","e"), ("fe","f"), ("v","o"),
+    ("p","er"), ("z","i"), ("l","ean"), ("s","en"),
+    ("urn","el"), ("fef","urnel"), ("st","ais"), ("r","oung"),
+    ("v","oust"), ("tr","at"), ("k","u"), ("k","ous"),
+    ("r","i"), ("n","e"), ("r","or"), ("n","ourv"),
+    ("l","o"), ("nourv","eal"), ("kis","nourveal"), ("band","kisnourveal"),
+    ("k","at"), ("b","an"), ("r","en"), ("ea","d"),
+    ("v","an"), ("f","o"), ("l","e"), ("f","un"),
+    ("m","o"), ("keang","gal"), ("n","eand"), ("st","et"),
+    ("d","a"), ("n","aind"), ("l","ast"), ("b","air"),
+    ("t","ear"), ("s","as"), ("zear","beng"), ("zearbeng","fail"),
+    ("zat","zearbengfail"), ("v","ou"), ("st","o"), ("z","ir"),
+    ("b","en"), ("st","it"), ("v","oun"), ("st","est"),
+    ("tr","ot"), ("m","eat"), ("koung","zer"), ("m","ais"),
+    ("f","es"), ("b","oun"), ("z","a"), ("k","un"),
+    ("f","eng"), ("i","k"), ("n","ail"), ("p","eat"),
+    ("s","ous"), ("v","eas"), ("s","ean"), ("zar","go"),
+    ("z","on"), ("g","un"), ("r","ir"), ("k","our"),
+    ("z","ous"), ("z","u"), ("s","est"), ("f","ear"),
+    ("paind","neast"), ("tr","ind"), ("z","in"), ("v","or"),
+    ("l","u"), ("aitb","ong"), ("f","a"), ("k","ou"),
+    ("z","out"), ("tr","est"), ("g","ou"), ("star","fou"),
+    ("zes","starfou"), ("tr","or"), ("b","ea"), ("f","as"),
+    ("tr","eas"), ("s","air"), ("m","ea"), ("ser","naind"),
+    ("neand","nar"), ("neandnar","sernaind"), ("p","in"), ("d","ait"),
+    ("ung","l"), ("b","et"), ("s","o"), ("z","ust"),
+    ("m","ot"), ("tr","ur"), ("p","a"), ("roung","trair"),
+    ("tr","ou"), ("r","ean"), ("n","ous"), ("p","i"),
+    ("tr","ir"), ("p","eal"), ("tr","oust"), ("d","un"),
+    ("g","a"), ("rot","trai"), ("v","en"), ("t","e"),
+    ("s","e"), ("k","a"), ("m","ain"), ("b","end"),
+    ("st","er"), ("st","oun"), ("g","ar"), ("s","on"),
+    ("eap","ean"), ("l","ou"), ("tr","ut"), ("v","aind"),
+    ("m","air"), ("tr","ul"), ("nind","tou"), ("ste","ng"),
+    ("tr","eat"), ("b","in"), ("z","ean"), ("k","ar"),
+    ("l","ai"), ("b","ou"), ("s","ou"), ("r","ea"),
+    ("z","air"), ("fu","kai"), ("m","ean"), ("r","eas"),
+    ("tr","ean"), ("v","eat"), ("f","or"), ("st","es"),
+    ("s","our"), ("st","ou"), ("st","air"), ("p","u"),
+    ("n","ai"), ("r","ou"), ("is","lan"), ("eal","d"),
+    ("ten","islan"), ("rair","tenislan"), ("g","aind"), ("t","out"),
+    ("b","aind"), ("g","in"), ("n","as"), ("zoung","t"),
+    ("tr","ait"), ("m","e"), ("k","ain"), ("k","i"),
+    ("t","eat"), ("g","ir"), ("zoungt","eapean"), ("lir","zoungteapean"),
+    ("tr","ea"), ("b","on"), ("z","and"), ("b","ing"),
+    ("k","air"), ("s","aist"), ("m","is"), ("v","as"),
+    ("z","or"), ("s","out"), ("t","o"), ("p","ean"),
+    ("k","as"), ("v","i"), ("b","o"), ("ba","poun"),
+    ("z","e"), ("tr","a"), ("g","et"), ("f","ain"),
+    ("fou","n"), ("p","ou"), ("s","ail"), ("s","aing"),
+    ("m","ar"), ("k","en"), ("d","u"), ("z","as"),
+    ("tait","tair"), ("r","eat"), ("tr","u"), ("b","ar"),
+    ("f","i"), ("st","u"), ("b","ous"), ("tr","an"),
+    ("k","ol"), ("st","an"), ("d","ean"), ("st","oul"),
+    ("b","un"), ("z","eat"), ("v","in"), ("vist","ast"),
+    ("vistast","fait"), ("vistastfait","vea"), ("k","or"), ("b","ait"),
+    ("g","east"), ("ist","l"), ("v","u"), ("v","ai"),
+    ("k","o"), ("k","ait"), ("l","out"), ("m","eng"),]
 
 # enforced, not just claimed (review finding r13): tok4's SQL twin
 # interpolates these symbols into a VALUES list and into literal

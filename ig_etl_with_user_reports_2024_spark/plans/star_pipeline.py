@@ -16,6 +16,7 @@ from pyspark.sql.window import Window
 
 from .. import dims
 from .. import dims_bpe
+from .. import dims_bpe50k
 from ..operators import dedup as dd
 from ..operators import multimodal as mm
 from ..operators import packing as pk
@@ -1392,8 +1393,11 @@ def tok4_real_vocab_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     measured in SCALE_r13 §5 — so a real tokenizer's table (50k rules)
     can never ride a single expression in EITHER engine. This entry
     runs dims.BPE_MERGES_500 (500 ordered merges learned by the
-    standard greedy BPE trainer from the deterministic 20k-type
-    syllable Zipf recipe in tools/tok_knee_probe.py) through the
+    standard greedy BPE trainer from the deterministic 100k-type
+    syllable Zipf recipe in tools/tok_knee_probe.py — corpus grown
+    20k→100k in r15 so ONE trajectory reaches tok6's 50k rules;
+    table regenerated, pin + rotation updated per the pin contract)
+    through the
     measured fallback plan: the chunked-barrier cascade at VOCAB
     grain — 100 merges per projection, a localCheckpoint barrier per
     chunk (stops CollapseProject re-nesting the K-deep tree;
@@ -1409,9 +1413,10 @@ def tok4_real_vocab_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     and pinned against a pure-Python recompute
     (chunked_subword_tokenize_py, tests/test_textops.py).
     Non-vacuity: counts differ from tok1's 20-rule counts on 500/500
-    gate docs (different learned vocabulary), and the table's deep
-    rules demonstrably fire (K=100→500 changes driver-vocab counts —
-    measured before registration).
+    gate docs (different learned vocabulary; re-probed at the r15
+    regeneration — 15/31 driver vocab types differ from tok1's), and
+    the table's deep rules demonstrably fire (K=100→500 changes 8/31
+    driver-vocab types — re-measured at regeneration).
 
     NOT a bench line: at the driver corpus's 31-type vocabulary the
     line would price five fixed localCheckpoint barriers (~10s) and
@@ -1454,10 +1459,12 @@ def tok5_vocab_udf_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefixed CTE names; recursion depth 2000 over vocab-sized rows
     measured 0.73s single-threaded at the sf0.01 gate — SCALE_r14 §2).
 
-    Non-vacuity (probed BEFORE registration, SCALE_r14 §2): 16 of the
-    driver corpus's 31 vocabulary types change their subword counts
-    between the K=500 and K=2000 tables, so this entry's results
-    genuinely differ from tok4's — rules 501–2000 fire at the gate.
+    Non-vacuity (probed BEFORE registration, SCALE_r14 §2; re-probed
+    at the r15 table regeneration): 16 of the driver corpus's 31
+    vocabulary types change their subword counts between the K=500
+    and K=2000 tables (15/31 under the r15-regenerated 100k-corpus
+    trajectory), so this entry's results genuinely differ from
+    tok4's — rules 501–2000 fire at the gate.
 
     NOT a bench line (tok4's precedent): at the driver corpus's
     31-type vocabulary the line would price one 31-row Arrow batch and
@@ -1466,6 +1473,62 @@ def tok5_vocab_udf_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return tx.udf_subword_token_counts(
         docs, "doc_id", "text", dims_bpe.BPE_MERGES_2000
+    )
+
+
+@query(
+    "tok6_full_vocab_token_count",
+    tx.sql_chunked_subword_token_counts(
+        dims_bpe50k.BPE_MERGES_50000, prefix="tok6_"
+    ),
+)
+def tok6_full_vocab_token_count(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The FULL 50000-rule learned vocabulary, registered (VERDICT r14
+    "Next round" #3 closes the tokenizer arc: tok4 proved the
+    chunked-barrier shape at K=500, tok5 registered the production
+    shape at K=2000, this entry runs a REAL tokenizer's table size —
+    GPT-2's BPE ships 50k merges). dims_bpe50k.BPE_MERGES_50000 is the
+    SAME trainer trajectory as tok4/tok5's tables (the generator
+    corpus grew 20k→100k types in r15 so one run reaches 50k rules
+    before pair exhaustion; prefix-closure over both smaller tables
+    asserted at import; the table ships as an md5-pinned text
+    resource, not a ~12.5k-line literal — SCALE_r15 adjudicates the
+    trade VERDICT r14 asked about), applied through tok5's registered
+    production shape: Arrow-batched pandas UDF over the DISTINCT
+    vocabulary, broadcast join-back, corpus rows never leave the JVM.
+
+    Fully HASH-CHECKED against the depth-50000 recursive-CTE oracle —
+    the feasibility SCALE_r14 §7 measured (DuckDB recursion linear in
+    depth, ~70s single-threaded at the gate; the regime, not the
+    seconds, is the signal — the CLAUDE.md dq5 rule) — with tok6_-
+    prefixed CTE names per the SCALE_r10 §7 shadowing rule. The
+    per-word UDF body IS the pure-Python recompute, so the identity
+    argument is tok5's.
+
+    Non-vacuity (probed BEFORE registration, SCALE_r15): rules past
+    2000 fire on the driver vocabulary — 'stream' re-tokenizes at rule
+    2109 and 'customer' at rule 11655 (both ~top-frequency types, so
+    nearly every gate doc's count differs from tok5's); a table
+    truncated anywhere below rule 11655 is driver-detectable, and the
+    md5 pin + prefix-closure chain covers the undistinguishable tail
+    (the same epistemic split tok5's registration disclosed).
+
+    100 TB story: the O(K)-per-word ordered-replace UDF body is the
+    honest cost at K=50k (0.25s for the 31-type gate vocabulary,
+    measured); a production tokenizer's priority-queue merge apply
+    (O(len·log len) per word, independent of K) is a documented
+    drop-in INSIDE the UDF — plan shape, distribution grain, and
+    counting contract stay exactly as registered (tok5's docstring
+    carries the same note).
+
+    NOT a bench line (tok4/tok5's honest-pricing precedent): at the
+    driver corpus's 31-type vocabulary the line would price one
+    31-row Arrow batch."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.udf_subword_token_counts(
+        docs, "doc_id", "text", dims_bpe50k.BPE_MERGES_50000
     )
 
 

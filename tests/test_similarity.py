@@ -417,7 +417,11 @@ def test_km2_sql_builder_unchanged_by_ctes_refactor():
     assert hashlib.md5(
         sql_chunked_subword_token_counts(BPE_MERGES_500).encode()
     ).hexdigest() == (
-        "a99315b1ba1dfba0e06bae910de33bcf"
+        # r15: pin updated for the DELIBERATE merge-table regeneration
+        # (corpus 20k->100k types so one trajectory reaches tok6's 50k
+        # rules); construction unchanged, tok4/tok5/tok6 take group-0
+        # rotation slots exactly as this message orders
+        "61e416b2a2ca7a5f05eb68680718e7de"
     ), "tok4's registered oracle text changed — deliberate? update pin + rotation"
     # historical text spot-pins: bare (never re-aliased) relation names
     assert "FROM dr JOIN xi ON dr.vec_id = xi.id" in sql

@@ -954,11 +954,12 @@ def test_tok5_udf_vocab_path_identity_and_nonvacuity(spark, sf_oracle):
         assert t5[r.doc_id] == (len(ws), n), r.doc_id
 
     # merge-table guards fire for ANY caller, not only the shipped
-    # literals (ADVICE r13)
+    # literals (ADVICE r13); explicit ValueError so the guard survives
+    # `python -O` (ADVICE r14)
     for bad in ([], [("a", "b c")], [("a'", "b")]):
-        with pytest.raises(AssertionError):
+        with pytest.raises(ValueError):
             tx.udf_subword_token_counts(docs, "doc_id", "text", bad)
-        with pytest.raises(AssertionError):
+        with pytest.raises(ValueError):
             tx.sql_chunked_subword_token_counts(bad)
 
     # plan shape (tok3's pins, plus the declared Python surface stays
@@ -1123,3 +1124,57 @@ def test_fast_trainer_trajectory_identical_to_naive():
     fast = learn_merges_fast(dict(wf), 10_000)
     assert len(naive) < 10_000, "corpus did not exhaust — weak test"
     assert fast == naive
+
+
+def test_tok6_full_table_nonvacuity_and_recompute(spark, sf_oracle):
+    """tok6's contract: the 50000-rule table through tok5's registered
+    UDF path (a) genuinely differs from tok5's K=2000 counts at doc
+    grain (rules past 2000 fire — 'stream' at rule 2109, 'customer' at
+    11655, both top-frequency types), (b) is pinned against the
+    pure-Python recompute through the full plan, and (c) cannot
+    silently degrade into a 2000-rule twin (truncating at 2000
+    changes counts). The chunked-barrier cross-path identity tok5
+    asserts is NOT repeated at K=50k — 500 sequential barriers is the
+    shape SCALE_r14 §7 measured OUT; the shared-contract evidence is
+    tok5's (a) plus the deterministic per-word body being literally
+    chunked_subword_tokenize_py at every K."""
+    import re as _re
+
+    import __spark_entry__ as em
+    from ig_etl_with_user_reports_2024_spark.dims_bpe50k import (
+        BPE_MERGES_50000,
+    )
+    from ig_etl_with_user_reports_2024_spark.sources.readers import load_table
+
+    qs = em.queries()
+    t6 = {r.doc: (r.n_words, r.n_subword_tokens)
+          for r in qs["tok6_full_vocab_token_count"](spark, sf_oracle).collect()}
+    t5 = {r.doc: (r.n_words, r.n_subword_tokens)
+          for r in qs["tok5_vocab_udf_token_count"](spark, sf_oracle).collect()}
+    assert set(t6) == set(t5)
+    assert all(t6[k][0] == t5[k][0] for k in t6)  # n_words independent of K
+    n_diff = sum(1 for k in t6 if t6[k][1] != t5[k][1])
+    assert n_diff > len(t6) // 2, f"only {n_diff} docs differ from tok5"
+
+    # recompute pin through the full plan (memoized — 31 vocab types)
+    docs = load_table(spark, sf_oracle, "documents")
+    memo: dict = {}
+    for r in docs.select("doc_id", "text").collect()[:100]:
+        ws = [w for w in _re.split(r"\s+", (r.text or "").strip().lower())
+              if w]
+        if not ws:
+            assert r.doc_id not in t6
+            continue
+        n = 0
+        for w in ws:
+            if w not in memo:
+                memo[w] = tx.chunked_subword_tokenize_py(w, BPE_MERGES_50000)
+            n += memo[w]
+        assert t6[r.doc_id] == (len(ws), n), r.doc_id
+
+    # truncation detectability: the 2000-prefix is NOT this table on
+    # the driver vocabulary (pure-Python — no second cluster pass)
+    kinds = sorted(memo)
+    short = {w: tx.chunked_subword_tokenize_py(w, BPE_MERGES_50000[:2000])
+             for w in kinds}
+    assert any(short[w] != memo[w] for w in kinds), "rules 2001+ never fire"

@@ -1,20 +1,26 @@
 """Regenerate the checked-in BPE merge tables (dims.BPE_MERGES_500 /
-dims_bpe.BPE_MERGES_2000) from the deterministic recipe.
+dims_bpe.BPE_MERGES_2000 / dims_bpe50k's 50000-rule resource) from the
+deterministic recipe.
 
-The recipe is tools/tok_knee_probe.py's: a 20k-type syllable-structured
-vocabulary (synth_word), Zipf frequencies (freq ∝ 1/rank), and the
-standard greedy BPE trainer (learn_merges, Sennrich et al. 2016; ties
-lexical). One trainer run to K produces a PREFIX-CLOSED table — the
-500-rule table is literally the first 500 rows of the 2000-rule run,
-asserted in dims_bpe.py — so both checked-in literals regenerate
-bit-identically from this script and drift is impossible without a
-loud diff.
+The recipe is tools/tok_knee_probe.py's: a 100k-type
+syllable-structured vocabulary (synth_word; grown from 20k in r15 so
+one trajectory reaches 50k rules), Zipf frequencies (freq ∝ 1/rank),
+and the standard greedy BPE trainer (Sennrich et al. 2016; ties
+lexical) via the trajectory-identical incremental learn_merges_fast.
+One trainer run to K produces a PREFIX-CLOSED table — the 500- and
+2000-rule tables are literally the first rows of the 50000-rule run,
+asserted in dims_bpe.py / dims_bpe50k.py — so all checked-in tables
+regenerate bit-identically from this script and drift is impossible
+without a loud diff.
 
 Usage:
-    python tools/gen_bpe_merges.py --k 2000 [--vocab 20000]
+    python tools/gen_bpe_merges.py --k 2000 [--vocab 100000]
+    python tools/gen_bpe_merges.py --k 50000 --format txt \
+        > ig_etl_with_user_reports_2024_spark/data/bpe_merges_50000.txt
 
-Prints the Python literal (4 tuples per line, dims.py's layout) plus a
-trailer line with the table md5 (the checksum dims_bpe.py pins).
+Prints the Python literal (4 tuples per line, dims.py's layout) or the
+txt resource ("a b" per line), plus a stderr trailer with the table
+md5 (the checksum dims_bpe.py / dims_bpe50k.py pin).
 """
 
 from __future__ import annotations
@@ -43,7 +49,14 @@ def table_md5(merges: list[tuple[str, str]]) -> str:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--k", type=int, default=2000)
-    ap.add_argument("--vocab", type=int, default=20_000)
+    ap.add_argument("--vocab", type=int, default=100_000)
+    ap.add_argument(
+        "--format",
+        choices=("py", "txt"),
+        default="py",
+        help="py = dims.py literal layout; txt = one 'a b' pair per "
+        "line (dims_bpe50k's data resource)",
+    )
     ap.add_argument(
         "--naive",
         action="store_true",
@@ -62,11 +75,14 @@ def main() -> int:
     print(f"# trained {len(merges)} merges in {time.time() - t0:.1f}s",
           file=sys.stderr)
 
-    out = []
-    for i in range(0, len(merges), 4):
-        row = ", ".join(f'("{a}","{b}")' for a, b in merges[i : i + 4])
-        out.append(f"    {row},")
-    print("[\n" + "\n".join(out) + "\n]")
+    if args.format == "txt":
+        print("\n".join(f"{a} {b}" for a, b in merges))
+    else:
+        out = []
+        for i in range(0, len(merges), 4):
+            row = ", ".join(f'("{a}","{b}")' for a, b in merges[i : i + 4])
+            out.append(f"    {row},")
+        print("[\n" + "\n".join(out) + "\n]")
     print(f"# table_md5 = {table_md5(merges)}", file=sys.stderr)
     return 0
 
