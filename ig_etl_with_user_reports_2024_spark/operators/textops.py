@@ -1190,7 +1190,6 @@ def udf_subword_token_counts(
 
 def bpe_train_merges(
     df: DataFrame,
-    id_col: str,
     text_col: str,
     k: int,
     chunk: int = 16,
@@ -1293,7 +1292,6 @@ def bpe_train_merges(
 def sql_bpe_train_merges(
     k: int,
     rel: str = "documents",
-    id_col: str = "doc_id",
     text_col: str = "text",
     prefix: str = "trn1_",
 ) -> str:
@@ -1301,12 +1299,15 @@ def sql_bpe_train_merges(
     loop UNROLLED as chained CTEs (the km2 fixed-iteration precedent —
     recursive CTEs cannot aggregate over the recursive reference, so
     each iteration is its own (argmax, re-merge) CTE pair). Every
-    vocab-state CTE v_i is referenced twice (pair counts of round i+1
-    AND the next state) and every winner b_i twice (the re-merge AND
-    the final union) — the CLAUDE.md multi-reference rule — so both
-    are AS MATERIALIZED; without it DuckDB's inlining re-evaluates the
-    whole prefix chain per reference (the dq5 regime, exponential
-    here). v_k is never emitted (b_k is the last consumer — no dead
+    vocab-state CTE v_i except the last is referenced twice (pair
+    counts of round i+1 AND the next state) and every winner b_i
+    except the last twice (the re-merge AND the final union) — the
+    CLAUDE.md multi-reference rule — so the chain is AS MATERIALIZED;
+    without it DuckDB's inlining re-evaluates the whole prefix chain
+    per reference (the dq5 regime, exponential here). The final
+    v_{k-1}/b_k are single-reference and carry the hint anyway as
+    uniform boundary insurance (the cp4/cp9 precedent — measured
+    cost-neutral on single-reference shapes; r15 review finding). v_k is never emitted (b_k is the last consumer — no dead
     trailing SQL, the ADVICE-r14 ann6 rule). CTE names carry
     ``prefix`` (SCALE_r10 §7 shadowing rule)."""
     from .dedup import sql_words

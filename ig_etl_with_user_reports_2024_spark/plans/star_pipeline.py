@@ -1576,7 +1576,7 @@ def trn1_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     overhead, not the algorithm; the corpus-pass + vocab-grain shape
     is the priced story and it is tok3/tok4/tok5's."""
     docs = load_table(spark, sf_dir, "documents")
-    return tx.bpe_train_merges(docs, "doc_id", "text", 48)
+    return tx.bpe_train_merges(docs, "text", 48)
 
 
 @query(

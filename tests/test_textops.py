@@ -998,7 +998,7 @@ def test_trn1_trajectory_matches_python_trainer(spark, sf_smoke):
     got = [
         (r.i, r.a, r.b)
         for r in sorted(
-            tx.bpe_train_merges(docs, "doc_id", "text", 48).collect()
+            tx.bpe_train_merges(docs, "text", 48).collect()
         )
     ]
     wf: Counter = Counter()
@@ -1084,7 +1084,7 @@ def test_trn1_trained_table_feeds_apply_paths(spark, sf_smoke):
     learned = [
         (r.a, r.b)
         for r in sorted(
-            tx.bpe_train_merges(docs, "doc_id", "text", 48).collect()
+            tx.bpe_train_merges(docs, "text", 48).collect()
         )
     ]
     assert len(learned) == 48

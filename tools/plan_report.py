@@ -65,6 +65,8 @@ SHOWCASE = [
     ("mx6_subword_epoch_budget", "subword epoch budgets → tok1 explode+combine feeding ONE groupBy(source) + broadcast 1-row global (r13)"),
     ("tok5_vocab_udf_token_count", "2000-rule UDF tokenize → ONE ArrowEvalPython below the vocab distinct (never on the occurrence stream), BroadcastHashJoin back (r14)"),
     ("ann6_trained_ivf_topk", "trained-cells IVF → km2 training (codebook-literal assignment, k×dim metadata M-step) then ann3's serving shape: one corpus scan for cells, candidates carry probed cells only (r14)"),
+    ("tok6_full_vocab_token_count", "50000-rule learned table through tok5's UDF shape — plan identical in structure at 25x the rules: ONE ArrowEvalPython on the vocab distinct, broadcast join-back (r15)"),
+    ("trn1_bpe_train", "distributed BPE training → corpus touched ONCE (frequency-weighted vocab groupBy); each greedy iteration is vocab-grain: pair explode + map-side-combined count, 1-row argmax collect, literal-replace re-merge (r15)"),
 ]
 
 

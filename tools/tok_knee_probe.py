@@ -104,9 +104,15 @@ def _revkey(s: str) -> bytes:
     """Order-REVERSING injection on strings: byte-complemented UTF-8
     plus a 0xFF sentinel, so min-heap order on _revkey equals MAX
     lexicographic order on the original (UTF-8 bytewise order equals
-    code-point order; complemented bytes are <= 254, so the sentinel
-    settles the a-is-a-prefix-of-b case the complement alone gets
-    backwards)."""
+    code-point order; complemented bytes of NUL-free input are <= 254,
+    so the sentinel settles the a-is-a-prefix-of-b case the complement
+    alone gets backwards). A U+0000 in the input would complement to
+    0xFF and collide with the sentinel, breaking the injection for
+    prefix-tied symbols (r15 review finding) — guard loudly; symbols
+    here come from whitespace-split text and the ASCII synth corpus,
+    so the guard is a tripwire, not a path."""
+    if "\x00" in s:
+        raise ValueError("_revkey cannot encode symbols containing U+0000")
     return bytes(255 - c for c in s.encode()) + b"\xff"
 
 
