@@ -1118,11 +1118,61 @@ def chunked_subword_tokenize_py(
     return (len(s) - len(s.replace(" ", ""))) // 2 - 1
 
 
+def ranked_subword_tokenize_py(
+    word: str, ranks: dict[tuple[str, str], int]
+) -> int:
+    """The production tokenizer's APPLY (GPT-2/subword-nmt shape):
+    repeatedly merge the LOWEST-RANK adjacent pair present in the word
+    (leftmost-first, non-overlapping within a sweep) until none
+    applies. Cost is O(len² · merges-applied) on WORD length —
+    independent of table size K — vs the ordered-replace body's O(K)
+    per word; at K=50000 over a 20k-type vocabulary that is the
+    difference between ~33s and sub-second for the vocab pass
+    (measured, SCALE_r15 §9).
+
+    EQUIVALENCE to :func:`chunked_subword_tokenize_py` (the registered
+    oracle contract — rules applied once each, in order) is a TABLE
+    property, not a theorem for arbitrary rule lists: rank-priority
+    apply can re-visit an earlier rule whose adjacency a later rule
+    re-creates, which ordered-replace never does. That mechanism needs
+    either an operand symbol first created by a LATER rule, or two
+    rules creating the SAME symbol string. Both are excluded for the
+    shipped trajectory: greedy training only merges symbols that
+    already exist (prefix-closed), and the 50000 created strings are
+    pairwise distinct (probed at introduction) — and the equivalence
+    is additionally asserted empirically over every driver + probe
+    vocabulary type (tests/test_textops.py, SCALE_r15 §9). Callers
+    passing an UNTRAINED or hand-edited table must not assume
+    equality."""
+    syms = list(word)
+    while len(syms) > 1:
+        best_rank = None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank = r
+                a, b = syms[i], syms[i + 1]
+        if best_rank is None:
+            break
+        out: list[str] = []
+        i = 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return len(syms)
+
+
 def udf_subword_token_counts(
     df: DataFrame,
     id_col: str,
     text_col: str,
     merges: list[tuple[str, str]],
+    apply: str = "ordered",
 ) -> DataFrame:
     """tok5 — the PRODUCTION shape for a real (50k-rule) vocabulary
     (SCALE_r13 §5's measured fallback B, registered): apply the ordered
@@ -1142,11 +1192,17 @@ def udf_subword_token_counts(
     per-word body is literally :func:`chunked_subword_tokenize_py`, so
     the recompute pin is the identity function of the implementation.
     Honest cost note for a true 50k table: the ordered-replace body is
-    O(K) per word (measured fine through K=2000); a production
-    tokenizer's priority-queue merge apply (O(len·log len) per word,
-    independent of K) is a drop-in replacement INSIDE this UDF — the
-    plan shape, the distribution grain, and the counting contract all
-    stay exactly as registered.
+    O(K) per word (measured fine through K=2000; 33.3s for a 20k-type
+    vocabulary at K=50000 — SCALE_r15 §9); the production tokenizer's
+    rank-priority merge apply — K-independent per word — is
+    IMPLEMENTED as ``apply="ranked"`` (:func:`ranked_subword_
+    tokenize_py`; sub-second at the same 20k×50k point, equivalence
+    to the ordered contract a verified TABLE property, see that
+    docstring) — the plan shape, the distribution grain, and the
+    counting contract all stay exactly as registered. The REGISTERED
+    entries stay on the default ordered body: it is literally the
+    recompute function, which is the identity argument their hash
+    verdicts ride on.
     Semantics are the same two-space-encoded ordered literal replaces
     as tok1/tok4 (ONE counting contract, three engines), so the result
     stays hash-checkable against the recursive-CTE oracle
@@ -1159,10 +1215,20 @@ def udf_subword_token_counts(
     from .dedup import normalized_words
 
     _check_merge_table(merges)
+    if apply not in ("ordered", "ranked"):
+        raise ValueError(f"apply must be 'ordered' or 'ranked', got {apply!r}")
     mk = [(str(a), str(b)) for a, b in merges]
 
-    def _one(w: str) -> int:
-        return chunked_subword_tokenize_py(w, mk)
+    if apply == "ranked":
+        ranks = {p: i for i, p in enumerate(mk)}
+
+        def _one(w: str) -> int:
+            return ranked_subword_tokenize_py(w, ranks)
+
+    else:
+
+        def _one(w: str) -> int:
+            return chunked_subword_tokenize_py(w, mk)
 
     # lambda form: this module's `from __future__ import annotations`
     # turns hints into strings pandas_udf can't parse (the

@@ -1178,3 +1178,53 @@ def test_tok6_full_table_nonvacuity_and_recompute(spark, sf_oracle):
     short = {w: tx.chunked_subword_tokenize_py(w, BPE_MERGES_50000[:2000])
              for w in kinds}
     assert any(short[w] != memo[w] for w in kinds), "rules 2001+ never fire"
+
+
+def test_ranked_apply_equals_ordered_contract(spark, sf_oracle):
+    """The production rank-priority apply (apply="ranked" — GPT-2's
+    K-independent per-word loop) computes EXACTLY the registered
+    ordered-replace contract on the shipped trajectory: equality is a
+    table property (prefix-closed training + pairwise-distinct created
+    strings, both held by the shipped tables; 0 mismatches over all
+    19,998 probe+driver types at K=50000, 296x faster single-threaded
+    — SCALE_r15 §9), asserted here over the driver vocabulary plus a
+    probe-vocab sample at full K=50000, and through the full Spark
+    plan against the registered tok6 entry."""
+    import __spark_entry__ as em
+    from tools.tok_knee_probe import synth_word
+
+    from ig_etl_with_user_reports_2024_spark.dims_bpe50k import (
+        BPE_MERGES_50000,
+    )
+    from ig_etl_with_user_reports_2024_spark.sources.readers import load_table
+
+    ranks = {p: i for i, p in enumerate(BPE_MERGES_50000)}
+    dv = ["join", "hash", "customer", "stream", "window", "a", "the",
+          "dup", "query", "vector"]
+    sample = sorted(set(synth_word(i) for i in range(150)) | set(dv))
+    for w in sample:
+        assert tx.ranked_subword_tokenize_py(
+            w, ranks
+        ) == tx.chunked_subword_tokenize_py(w, BPE_MERGES_50000), w
+
+    docs = load_table(spark, sf_oracle, "documents")
+    got = {
+        r.doc: (r.n_words, r.n_subword_tokens)
+        for r in tx.udf_subword_token_counts(
+            docs, "doc_id", "text", BPE_MERGES_50000, apply="ranked"
+        ).collect()
+    }
+    want = {
+        r.doc: (r.n_words, r.n_subword_tokens)
+        for r in em.queries()["tok6_full_vocab_token_count"](
+            spark, sf_oracle
+        ).collect()
+    }
+    assert got == want
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        tx.udf_subword_token_counts(
+            docs, "doc_id", "text", BPE_MERGES_50000, apply="priority"
+        )
