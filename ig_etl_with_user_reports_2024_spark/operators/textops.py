@@ -1118,6 +1118,41 @@ def chunked_subword_tokenize_py(
     return (len(s) - len(s.replace(" ", ""))) // 2 - 1
 
 
+def _check_ranked_equivalence_properties(
+    merges: list[tuple[str, str]],
+) -> None:
+    """Enforce the two table properties that make rank-priority apply
+    equivalent to the ordered-replace contract (see
+    :func:`ranked_subword_tokenize_py` — without them the two orders
+    can genuinely diverge): (1) created strings are pairwise DISTINCT
+    (two rules creating the same string give that string two ranks);
+    (2) operand CLOSURE — every multi-character operand equals the
+    created string of an EARLIER rule (an operand first created later
+    lets ranked apply re-visit a rule ordered-replace already passed).
+    Greedy BPE training guarantees both by construction; a hand-edited
+    or adversarial table fails loudly here instead of silently
+    diverging (the _check_merge_table convention; explicit raises for
+    `python -O`). O(K) once per call site."""
+    created: set[str] = set()
+    for i, (a, b) in enumerate(merges):
+        for op in (a, b):
+            if len(op) > 1 and op not in created:
+                raise ValueError(
+                    f"rule {i} ({a!r},{b!r}): operand {op!r} is not the "
+                    "created string of any earlier rule — rank-priority "
+                    "apply is not equivalent to the ordered contract "
+                    "for this table; use apply='ordered'"
+                )
+        s = a + b
+        if s in created:
+            raise ValueError(
+                f"rule {i} ({a!r},{b!r}) re-creates {s!r} — duplicate "
+                "created strings break rank-priority equivalence; use "
+                "apply='ordered'"
+            )
+        created.add(s)
+
+
 def ranked_subword_tokenize_py(
     word: str, ranks: dict[tuple[str, str], int]
 ) -> int:
@@ -1128,7 +1163,7 @@ def ranked_subword_tokenize_py(
     independent of table size K — vs the ordered-replace body's O(K)
     per word; at K=50000 over a 20k-type vocabulary that is the
     difference between ~33s and sub-second for the vocab pass
-    (measured, SCALE_r15 §9).
+    (measured, SCALE_r15 §7).
 
     EQUIVALENCE to :func:`chunked_subword_tokenize_py` (the registered
     oracle contract — rules applied once each, in order) is a TABLE
@@ -1136,14 +1171,18 @@ def ranked_subword_tokenize_py(
     apply can re-visit an earlier rule whose adjacency a later rule
     re-creates, which ordered-replace never does. That mechanism needs
     either an operand symbol first created by a LATER rule, or two
-    rules creating the SAME symbol string. Both are excluded for the
-    shipped trajectory: greedy training only merges symbols that
-    already exist (prefix-closed), and the 50000 created strings are
-    pairwise distinct (probed at introduction) — and the equivalence
-    is additionally asserted empirically over every driver + probe
-    vocabulary type (tests/test_textops.py, SCALE_r15 §9). Callers
-    passing an UNTRAINED or hand-edited table must not assume
-    equality."""
+    rules creating the SAME symbol string. Both are EXCLUDED BY GUARD:
+    :func:`_check_ranked_equivalence_properties` enforces operand
+    closure + pairwise-distinct created strings on every
+    ``apply="ranked"`` call (r15 second review pass — enforced, not
+    just probed, the _check_merge_table convention), and they hold for
+    the shipped trajectory (greedy training only merges existing
+    symbols). Empirical cross-checks: 0 mismatches over all 19,998
+    probe+driver vocabulary types at K=50000 (the OFFLINE SCALE_r15
+    §7 sweep — rerun it after any regeneration) plus the suite's
+    standing sample + full-plan pin (tests/test_textops.py). Callers
+    passing an UNTRAINED or hand-edited table get the loud guard, not
+    silent divergence."""
     syms = list(word)
     while len(syms) > 1:
         best_rank = None
@@ -1193,7 +1232,7 @@ def udf_subword_token_counts(
     the recompute pin is the identity function of the implementation.
     Honest cost note for a true 50k table: the ordered-replace body is
     O(K) per word (measured fine through K=2000; 33.3s for a 20k-type
-    vocabulary at K=50000 — SCALE_r15 §9); the production tokenizer's
+    vocabulary at K=50000 — SCALE_r15 §7); the production tokenizer's
     rank-priority merge apply — K-independent per word — is
     IMPLEMENTED as ``apply="ranked"`` (:func:`ranked_subword_
     tokenize_py`; sub-second at the same 20k×50k point, equivalence
@@ -1220,6 +1259,7 @@ def udf_subword_token_counts(
     mk = [(str(a), str(b)) for a, b in merges]
 
     if apply == "ranked":
+        _check_ranked_equivalence_properties(mk)
         ranks = {p: i for i, p in enumerate(mk)}
 
         def _one(w: str) -> int:

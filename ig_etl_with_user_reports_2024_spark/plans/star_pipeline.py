@@ -1517,11 +1517,14 @@ def tok6_full_vocab_token_count(
 
     100 TB story: the O(K)-per-word ordered-replace UDF body is the
     honest cost at K=50k (0.25s for the 31-type gate vocabulary,
-    measured); a production tokenizer's priority-queue merge apply
-    (O(len·log len) per word, independent of K) is a documented
-    drop-in INSIDE the UDF — plan shape, distribution grain, and
-    counting contract stay exactly as registered (tok5's docstring
-    carries the same note).
+    measured; 23–33s for a 20k-type vocabulary); the production
+    tokenizer's rank-priority apply — K-independent per word — is
+    IMPLEMENTED as ``apply="ranked"`` on the same operator (296× the
+    ordered body over the full probe vocabulary; equivalence a
+    guard-enforced table property — SCALE_r15 §7), with plan shape,
+    distribution grain, and counting contract unchanged. THIS entry
+    stays on the ordered body: it is literally the recompute
+    function, the identity argument the hash verdict rides on.
 
     NOT a bench line (tok4/tok5's honest-pricing precedent): at the
     driver corpus's 31-type vocabulary the line would price one

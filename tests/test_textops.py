@@ -1187,7 +1187,7 @@ def test_ranked_apply_equals_ordered_contract(spark, sf_oracle):
     table property (prefix-closed training + pairwise-distinct created
     strings, both held by the shipped tables; 0 mismatches over all
     19,998 probe+driver types at K=50000, 296x faster single-threaded
-    — SCALE_r15 §9), asserted here over the driver vocabulary plus a
+    — SCALE_r15 §7), asserted here over the driver vocabulary plus a
     probe-vocab sample at full K=50000, and through the full Spark
     plan against the registered tok6 entry."""
     import __spark_entry__ as em
@@ -1228,3 +1228,14 @@ def test_ranked_apply_equals_ordered_contract(spark, sf_oracle):
         tx.udf_subword_token_counts(
             docs, "doc_id", "text", BPE_MERGES_50000, apply="priority"
         )
+
+    # the equivalence-property guard fires loudly on tables where
+    # rank-priority apply genuinely diverges from the ordered contract
+    # (enforced, not just documented — r15 second review pass)
+    with pytest.raises(ValueError, match="not the created string"):
+        tx._check_ranked_equivalence_properties([("a", "bc")])
+    with pytest.raises(ValueError, match="re-creates"):
+        tx._check_ranked_equivalence_properties(
+            [("b", "c"), ("a", "b"), ("a", "bc"), ("ab", "c")]
+        )
+    tx._check_ranked_equivalence_properties(BPE_MERGES_50000)  # shipped: ok
