@@ -1583,6 +1583,57 @@ def trn1_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "trn2_incremental_bpe_train",
+    tx.sql_bpe_train_merges(64, prefix="trn2_"),
+    eager=True,  # per-iteration argmax collects (trn1's convention)
+)
+def trn2_incremental_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL distributed BPE training (the production trainer
+    shape trn1's honest-cost note documented without implementing —
+    Sennrich's subword-nmt optimization, learn_merges_fast's exact
+    algorithm as DataFrame state): the global pair-count table is
+    MAINTAINED across iterations — argmax over the standing counts,
+    then a frequency-weighted pair-count DELTA computed from only the
+    words CONTAINING the winning pair — instead of trn1's full-vocab
+    re-count every round (operators/textops.
+    bpe_train_merges_incremental). Same one-corpus-pass vocabulary,
+    same two-space encoding, same literal leftmost-first re-merge,
+    same argmax tie-break (cnt DESC, a DESC, b DESC) — so the learned
+    trajectory is bit-identical to trn1's and to both pure-Python
+    trainers (pinned past pair exhaustion in tests/test_textops.py).
+
+    Registered at K=64 (trn1 is K=48, the corpus exhausts at 89):
+    the driver hash additionally pins rules 49-64 — never covered by
+    trn1's verdict — through the INCREMENTAL state arithmetic.
+    Non-vacuity (probed BEFORE registration): 39 of the 64 gate
+    iterations have count ties, 10 of them in the 49-64 extension,
+    and flipping the tie-break diverges at rule 8 — the verdict pins
+    the delta maintenance AND the argmax semantics, not just pair
+    counting.
+
+    Oracle: the SAME unrolled MATERIALIZED CTE trainer as trn1
+    (sql_bpe_train_merges at K=64, trn2_-prefixed CTE names per the
+    SCALE_r10 §7 shadowing rule) — the oracle recomputes every
+    iteration from scratch, so the hash check is exactly the
+    incremental-vs-recompute equivalence, per rule.
+
+    100 TB story: per-iteration work drops from O(all vocab pairs) to
+    O(affected pairs + |pc|) — on Zipfian text the winning pair's
+    support decays with rank, so the per-merge cost SHRINKS along the
+    trajectory instead of staying flat (26x measured driver-side at
+    K=2000, tok_knee_probe; the Spark twin's per-iteration delta is
+    the same arithmetic). The pair-count state re-materializes at
+    PAIR grain per iteration (the cdc1 keyed-state-in-batch idiom);
+    lazy localCheckpoints bound every argmax to ONE delta stage.
+
+    NOT a bench line (trn1's honest-pricing precedent: at the gate's
+    31-type vocabulary the line would price 64 x ~0.3s of local job
+    overhead, not the algorithm)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.bpe_train_merges_incremental(docs, "text", 64)
+
+
+@query(
     "txt4_content_fingerprint",
     f"""
     SELECT doc_id AS doc,

@@ -1106,6 +1106,93 @@ def test_trn1_trained_table_feeds_apply_paths(spark, sf_smoke):
         assert r.n_words <= r.n_subword_tokens <= r.n_word_chars
 
 
+# trn2 — incremental distributed BPE training (the learn_merges_fast
+# algorithm as DataFrame state)
+
+
+def test_trn2_trajectory_identical_to_trn1_past_exhaustion(
+    spark, sf_smoke
+):
+    """The INCREMENTAL trainer (standing pair-count state + affected-
+    words-only deltas) reproduces the full-recount trainer's
+    trajectory bit-identically THROUGH pair exhaustion: at K=120 the
+    smoke corpus exhausts at 89 learnable merges and both trainers
+    stop there with identical tables — exercising the delta
+    arithmetic (count decrements, zero-row deletion, re-created
+    pairs) and the empty-state stop, and transitively pinning trn2 to
+    the pure-Python generators via trn1's own trajectory test."""
+    from ig_etl_with_user_reports_2024_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    full = sorted(
+        (r.i, r.a, r.b)
+        for r in tx.bpe_train_merges(docs, "text", 120).collect()
+    )
+    inc = sorted(
+        (r.i, r.a, r.b)
+        for r in tx.bpe_train_merges_incremental(
+            docs, "text", 120
+        ).collect()
+    )
+    assert len(full) == 89, "corpus no longer exhausts at 89 — re-probe"
+    assert inc == full
+
+
+def test_trn2_extension_window_has_ties(sf_oracle):
+    """Non-vacuity for trn2's K=64 registration (trn1 covers rules
+    1-48; trn2's verdict extends to 49-64): the EXTENSION window must
+    itself contain count-tied iterations, or the longer trajectory
+    adds no tie-break information over trn1's. At registration: 39/64
+    tied iterations, 10 inside 49-64."""
+    from collections import Counter
+
+    import duckdb
+
+    con = duckdb.connect()
+    try:
+        rows = con.execute(
+            "SELECT text FROM read_parquet(?)",
+            [f"{sf_oracle}/documents.parquet"],
+        ).fetchall()
+    finally:
+        con.close()
+    wf: Counter = Counter()
+    for (t,) in rows:
+        wf.update((t or "").lower().split())
+    vocab = {tuple(w): c for w, c in wf.items() if w}
+    tie_iters = []
+    for it in range(64):
+        pairs: Counter = Counter()
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += c
+        if not pairs:
+            break
+        mx = max(pairs.values())
+        cand = [p for p, c in pairs.items() if c == mx]
+        if len(cand) > 1:
+            tie_iters.append(it)
+        a, b = max(cand)
+        nv: dict = {}
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            t = tuple(out)
+            nv[t] = nv.get(t, 0) + c
+        vocab = nv
+    ext = [t for t in tie_iters if t >= 48]
+    assert len(ext) >= 3, (
+        f"only {len(ext)} tied iterations in the 49-64 extension — "
+        "trn2's longer trajectory no longer adds tie-break coverage"
+    )
+
+
 def test_fast_trainer_trajectory_identical_to_naive():
     """tools.tok_knee_probe.learn_merges_fast (the incremental
     pair-count trainer that makes the 50k-rule table generable — the
