@@ -61,12 +61,23 @@ def connected_components(
     The returned DataFrame carries a ``last_rounds`` attribute (rounds
     executed, including the fixpoint-detection round) as a diagnostic.
     """
+    # Eager localCheckpoint, not a lazy persist (optimization r15,
+    # guide §5/§3.3 "materialise intermediates"): the pair subtree is
+    # referenced TWICE by the union and then once per round — a lazy
+    # cache left the whole (often expensive: LSH bands + verify) pair
+    # plan inside round 1's checkpoint action, where AQE materialises
+    # each cold cache leaf as its own job and recomputed the subtree
+    # per leaf (measured on dd11: the pinned shingle explode executed
+    # 12× inside round 0, ~4s of a 9s wall). Materialising the edge
+    # list ONCE up front truncates the lineage to a stored leaf; every
+    # round then reads blocks. Same fault-tolerance trade the per-round
+    # label checkpoints below already make; the 100 TB analog is the
+    # checkpointed edge table a production CC pass reads anyway.
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
-    )
-    edges.persist()
+    ).localCheckpoint(eager=True)
     labels = nodes.select(
         F.col(id_col).alias("id"), F.col(id_col).alias("label")
     ).localCheckpoint(eager=True)
@@ -81,7 +92,7 @@ def connected_components(
     converged = False
     rounds_used = 0
 
-    for _ in range(max_iter + 1):
+    for round_no in range(max_iter + 1):
         rounds_used += 1
         # merge-hint both per-round joins: the labels table is NODE-grain
         # — broadcasting it contradicts this operator's own |E| + 2|V|
@@ -90,9 +101,19 @@ def connected_components(
         # while the heap was already carrying the pair stage's pinned
         # shingle cache. Sort-merge keeps the round's memory footprint
         # streaming on both sides at any scale.
-        neighbor_labels = edges.join(
-            labels.hint("merge"), edges["src"] == labels["id"]
-        ).select(F.col("dst").alias("id"), "label")
+        if round_no == 0:
+            # round 1's join is the identity: labels(v) == v initially,
+            # so edges ⋈ labels on src == id yields exactly (dst, src).
+            # Projecting the edge list directly saves one |E|+|V|
+            # sort-merge join per CC invocation (optimization r15,
+            # guide §2.4 "remove shuffles outright"); bit-identical.
+            neighbor_labels = edges.select(
+                F.col("dst").alias("id"), F.col("src").alias("label")
+            )
+        else:
+            neighbor_labels = edges.join(
+                labels.hint("merge"), edges["src"] == labels["id"]
+            ).select(F.col("dst").alias("id"), "label")
         propagated = (
             labels.union(neighbor_labels).groupBy("id").agg(F.min("label").alias("label"))
         )
@@ -124,7 +145,6 @@ def connected_components(
             break
         prev_sum = new_sum
 
-    edges.unpersist()
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge within {max_iter} "

@@ -166,15 +166,17 @@ def cm1_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pins are the toy-scale stand-in for a checkpointed table.
     from ..operators.skew import salted_join
 
-    tagged = dd.pin_bounded(star_pipeline.digest_tagged(docs))
+    tagged = dd.pin_bounded(star_pipeline.digest_tagged(docs), eager=True)
     canon = tagged.filter(F.col("is_canon")).select("doc_id", "text")
-    sh_canon = dd.pin_bounded(dd.exploded_shingles(canon, "doc_id", "text"))
+    sh_canon = dd.pin_bounded(
+        dd.exploded_shingles(canon, "doc_id", "text"), eager=True
+    )
     # ONE 16-min signature pass feeds BOTH subtrees (r9): hash index i
     # is keyed independently, so sig16's m0..m7 ARE the 8-hash
     # signature — dd11's tuned (16,4) dedup bands and dc2's
     # recall-first (8,4) decontamination bands derive from this one
     # pinned table instead of two groupBy passes over sh_canon.
-    sig16 = dd.pin_bounded(dd.minhash_signature_table(sh_canon, 16))
+    sig16 = dd.pin_bounded(dd.minhash_signature_table(sh_canon, 16), eager=True)
     d = star_pipeline.staged_keep_list_plan(
         spark, docs, tagged=tagged, sh_canon=sh_canon, sig_canon=sig16
     ).select("doc_id", "cluster_id", "kept")
@@ -182,7 +184,7 @@ def cm1_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so near-dup members never straddle train/hold_out (sp4's
     # guarantee on the corpus the pipeline releases). Pinned because it
     # fans out to the final manifest join AND dc2's split side.
-    base = dd.pin_bounded(hash_split(d, key="cluster_id"))
+    base = dd.pin_bounded(hash_split(d, key="cluster_id"), eager=True)
     # tagged carries canon_id directly (r8 skew-safe digest stage), so
     # the band re-key is ONE canon-grain join — salted, because a
     # mega-cluster's docs all meet the same canon_id's bands.
@@ -200,6 +202,7 @@ def cm1_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         star_sampling.fuzzy_decontaminate_plan(
             spark,
             docs,
+            eager_pins=True,
             bands=bands_all,
             # the sweep runs against the SAME cluster-grain split the
             # manifest curates on (sql_fuzzy_decontaminate twin)
@@ -262,12 +265,13 @@ def _layout_chain(kept: DataFrame, release: str | None = None) -> DataFrame:
         beta_num=1, beta_den=2, salt="mix",
     )
     adm = dd.pin_bounded(
-        mix.filter(F.col("kept")).select("doc", "source", "n_tokens")
+        mix.filter(F.col("kept")).select("doc", "source", "n_tokens"),
+        eager=True,
     )
     shuf = pk.shuffle_positions(
         adm.select("doc"), id_col="doc", seed=42, shard_size=1000
     )
-    ordered = dd.pin_bounded(adm.join(shuf, "doc"))
+    ordered = dd.pin_bounded(adm.join(shuf, "doc"), eager=True)
     packed = pk.pack_offsets(
         ordered.select("pos", "n_tokens"),
         id_col="pos", tokens_col="n_tokens", seq_len=2048, bucket_width=256,
@@ -472,6 +476,11 @@ def _cm2_sql() -> str:
 @query(
     "cm2_incremental_admission",
     _cm2_sql().format(txt8=QUERIES["txt8_filter_verdict"].oracle),
+    # eager since optimization r15: the shared store pins materialize at
+    # CONSTRUCTION (pin_bounded eager=True) so the bench clock must
+    # start before fn — coverage is unchanged (the same work was timed
+    # inside the first action before), the flag just keeps it honest.
+    eager=True,
 )
 def cm2_incremental_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INCREMENTAL curation: admit an arriving batch of documents
@@ -521,7 +530,7 @@ def cm2_incremental_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id"), _CM2_SALT
     ) < sampling.hex_threshold(_CM2_ARRIVE_FRAC)
     tagged = dd.pin_bounded(
-        docs.select("doc_id", "text", arriving.alias("arriving"))
+        docs.select("doc_id", "text", arriving.alias("arriving")), eager=True
     )
     arrive = tagged.filter(F.col("arriving"))
     dg = F.coalesce(F.md5(F.col("text")), F.lit("<null>"))
@@ -558,7 +567,8 @@ def cm2_incremental_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     bt = dd.pin_bounded(
         bands.join(
             tagged.select(F.col("doc_id").alias("doc"), "arriving"), "doc"
-        )
+        ),
+        eager=True,
     )
     eb = (
         bt.filter(~F.col("arriving"))

@@ -154,7 +154,9 @@ def dd6_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import connected_components
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dd.shingle_pairs_jaccard(docs, "doc_id", "text", n=3, threshold=0.2)
+    pairs = dd.shingle_pairs_jaccard(
+        docs, "doc_id", "text", n=3, threshold=0.2, eager_pins=True
+    )
     return connected_components(docs.select("doc_id"), pairs)
 
 
@@ -204,7 +206,9 @@ def dd8_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import connected_components
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dd.shingle_pairs_jaccard(docs, "doc_id", "text", n=3, threshold=0.2)
+    pairs = dd.shingle_pairs_jaccard(
+        docs, "doc_id", "text", n=3, threshold=0.2, eager_pins=True
+    )
     cc = connected_components(docs.select("doc_id"), pairs)
     return dd.keep_list_with_sizes(cc)
 
@@ -255,7 +259,9 @@ def dd10_keep_list_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import connected_components
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dd.portable_minhash_pairs(docs, "doc_id", "text", threshold=0.2)
+    pairs = dd.portable_minhash_pairs(
+        docs, "doc_id", "text", threshold=0.2, eager_pins=True
+    )
     cc = connected_components(docs.select("doc_id"), pairs)
     return dd.keep_list_with_sizes(cc)
 
@@ -408,10 +414,12 @@ def staged_keep_list_plan(
         tagged = digest_tagged(docs)
     canon = tagged.filter(F.col("is_canon")).select("doc_id", "text")
     if sh_canon is None:
-        pairs = dd.portable_minhash_pairs(canon, "doc_id", "text", threshold=0.2)
+        pairs = dd.portable_minhash_pairs(
+            canon, "doc_id", "text", threshold=0.2, eager_pins=True
+        )
     else:
         pairs = dd.portable_minhash_pairs_from_shingles(
-            sh_canon, threshold=0.2, sig=sig_canon
+            sh_canon, threshold=0.2, sig=sig_canon, eager_pins=True
         )
     cc = connected_components(canon.select("doc_id"), pairs)
     # tagged already carries canon_id, so the digest→canon mapping join
@@ -593,7 +601,7 @@ def sp5_joint_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     lex_edges = kl.filter(F.col("doc_id") != F.col("cluster_id")).select(
         F.col("doc_id").alias("a_id"), F.col("cluster_id").alias("b_id")
     )
-    sem_edges = semantic_multiprobe_pairs(emb, tau=0.40, probes=2)
+    sem_edges = semantic_multiprobe_pairs(emb, tau=0.40, probes=2, eager_pins=True)
     joint = connected_components(
         docs.select("doc_id"), lex_edges.unionByName(sem_edges)
     )
@@ -709,7 +717,7 @@ def dd13_semantic_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment — pair via each vector's top-2 cells at ~2× pair-stage
     cost — documented here rather than registered as a second entry."""
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = semantic_cell_pairs(emb)
+    pairs = semantic_cell_pairs(emb, eager_pins=True)
     from ..operators.graph import connected_components
 
     cc = connected_components(emb.select("vec_id"), pairs, id_col="vec_id")
@@ -759,7 +767,11 @@ def _tau_pairs(
 
 
 def semantic_cell_pairs(
-    emb: DataFrame, tau: float = 0.40, k: int = 8, salt: str = "km1"
+    emb: DataFrame,
+    tau: float = 0.40,
+    k: int = 8,
+    salt: str = "km1",
+    eager_pins: bool = False,
 ) -> DataFrame:
     """dd13's pair stage: same-cell τ-pairs under :func:`_tau_pairs`'
     shared predicate. Factored out so rf11's cell-recall gate measures
@@ -773,6 +785,11 @@ def semantic_cell_pairs(
             sim.norm(F.col("embedding")).alias("nrm"),
         )
     )
+    if eager_pins:
+        # both τ-pair join sides (and the CC consumer's edge union)
+        # reference withv — checkpoint so the codebook assignment +
+        # norm fold run once (optimization r15, dedup.pin_bounded)
+        withv = dd.pin_bounded(withv, eager=True)
     return _tau_pairs(withv, tau, same_cell=True)
 
 
@@ -782,6 +799,7 @@ def semantic_multiprobe_pairs(
     k: int = 8,
     salt: str = "km1",
     probes: int = 2,
+    eager_pins: bool = False,
 ) -> DataFrame:
     """dd13's pair stage under MULTI-PROBE assignment (the production
     capture knob rf11's docstring names): each vector belongs to its
@@ -802,6 +820,11 @@ def semantic_multiprobe_pairs(
             sim.norm(F.col("embedding")).alias("nrm"),
         )
     )
+    if eager_pins:
+        # both τ-pair join sides (and the CC consumer's edge union)
+        # reference withv — checkpoint so the codebook assignment +
+        # norm fold run once (optimization r15, dedup.pin_bounded)
+        withv = dd.pin_bounded(withv, eager=True)
     return _tau_pairs(withv, tau, same_cell=True).distinct()
 
 
@@ -857,6 +880,7 @@ def semantic_cross_split_multiprobe_pairs(
     k: int = 8,
     salt: str = "km1",
     probes: int = 2,
+    eager_pins: bool = False,
 ) -> DataFrame:
     """dc3's pair stage at MULTI-PROBE assignment (VERDICT r9 "Next
     round" #2): each vector belongs to its ``probes`` nearest cells
@@ -881,6 +905,8 @@ def semantic_cross_split_multiprobe_pairs(
         )
     )
     withv = sampling.hash_split(withv, key="vec_id")
+    if eager_pins:
+        withv = dd.pin_bounded(withv, eager=True)  # see semantic_cell_pairs
     return _tau_pairs(withv, tau, same_cell=True, cross_split=True).distinct()
 
 
@@ -950,7 +976,7 @@ def dc3_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     fragment, rn <= 2 instead of rn = 1) and extends it with sp1's
     split fragment + the shared dot/norm folds."""
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = semantic_cross_split_multiprobe_pairs(emb)
+    pairs = semantic_cross_split_multiprobe_pairs(emb, eager_pins=True)
     return pairs.groupBy(F.col("a_id").alias("vec_id")).agg(
         F.count_distinct("b_id").alias("n_eval_matches"),
         F.min("b_id").alias("first_eval_match"),
@@ -1096,7 +1122,9 @@ def dd15_quality_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import connected_components
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dd.portable_minhash_pairs(docs, "doc_id", "text", threshold=0.2)
+    pairs = dd.portable_minhash_pairs(
+        docs, "doc_id", "text", threshold=0.2, eager_pins=True
+    )
     cc = connected_components(docs.select("doc_id"), pairs)
     quality = tx.quality_score(docs, "doc_id", "text").select(
         F.col("doc").alias("doc_id"), "quality_score"

@@ -370,6 +370,7 @@ def fuzzy_decontaminate_plan(
     docs: DataFrame,
     bands: DataFrame | None = None,
     split: DataFrame | None = None,
+    eager_pins: bool = False,
 ) -> DataFrame:
     """dc2's plan over an arbitrary documents DataFrame. ``bands`` —
     a (doc, band, bucket) table semantically equal to
@@ -402,7 +403,7 @@ def fuzzy_decontaminate_plan(
     # bucket, split) table; pinning it makes the 8-md5-per-shingle
     # signature stage compute ONCE, not once per join branch (the 100 TB
     # equivalent is a checkpointed signature table)
-    tagged = pin_bounded(bands.join(split, "doc"))
+    tagged = pin_bounded(bands.join(split, "doc"), eager=eager_pins)
     t = tagged.filter(F.col("split") == "train").alias("t")
     e = tagged.filter(F.col("split") != "train").alias("e")
     return (

@@ -136,7 +136,18 @@ def main() -> None:
                     a.get("Name"): a.get("Value")
                     for a in si.get("Accumulables", [])
                 }
+                scopes = []
+                for r in si.get("RDD Info", []):
+                    sc = r.get("Scope")
+                    if sc:
+                        try:
+                            nm = json.loads(sc).get("name", "")
+                        except Exception:  # noqa: BLE001
+                            nm = ""
+                        if nm and nm not in scopes:
+                            scopes.append(nm)
                 stages[sid] = {
+                    "scopes": scopes,
                     "name": si.get("Stage Name", ""),
                     "tasks": si.get("Number of Tasks", 0),
                     "ms": (si.get("Completion Time", 0) or 0)
@@ -177,7 +188,9 @@ def main() -> None:
                 for sid, s in sts[:3]
             )
             stage_names = " | ".join(
-                s["name"].split("\n")[0][:60] for _, s in sts[:2]
+                ",".join(s.get("scopes", [])[:5])[:110]
+                or s["name"].split("\n")[0][:40]
+                for _, s in sts[:2]
             )
             print(f"  job{jid:4d} {ms:6d}ms  [{head}]  {stage_names}")
 
