@@ -27,22 +27,60 @@ from .dedup import pin_bounded
 from .windows import top_k_per_group
 
 
+#: Codegen fast-path width for the vector folds below (optimization
+#: r15, guide §4.1/§1.2 "per-task work"): higher-order-function lambda
+#: bodies are INTERPRETED per element (the repo's own r6 md5 rule), so
+#: a 64-dim dot product inside a pair join costs 64 expression-tree
+#: walks per pair. An unrolled left-deep sum ``((0.0+p0)+p1)+…`` is the
+#: IDENTICAL float-addition order as the sequential ``aggregate`` fold
+#: — bit-identical by IEEE determinism — but whole-stage-codegen'd.
+#: Vectors of any other width (and NULL arrays) take the original fold
+#: branch via the size guard, so the operators stay fully general; the
+#: constant matches the engine's embedding corpus and costs nothing if
+#: wrong (the guard falls back). Measured on dd13's τ-pair stage
+#: before/after in OPTIMIZATION_r15.md.
+_UNROLL_DIM = 64
+
+
+def _unrolled_lr_sum(terms: list[Column]) -> Column:
+    """Left-deep ``((0.0 + t0) + t1) + …`` — the exact addition order of
+    ``F.aggregate(…, lit(0.0), lambda acc, x: acc + x)``."""
+    acc: Column = F.lit(0.0)
+    for t in terms:
+        acc = acc + t
+    return acc
+
+
 def _dot(a: Column, b: Column) -> Column:
-    """Sequential left-to-right dot-product fold (deterministic)."""
-    return F.aggregate(
+    """Sequential left-to-right dot-product fold (deterministic), with
+    a bit-identical unrolled codegen fast path at _UNROLL_DIM."""
+    fold = F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+    unrolled = _unrolled_lr_sum(
+        [
+            a[i].cast("double") * b[i].cast("double")
+            for i in range(_UNROLL_DIM)
+        ]
+    )
+    return F.when(
+        (F.size(a) == _UNROLL_DIM) & (F.size(b) == _UNROLL_DIM), unrolled
+    ).otherwise(fold)
 
 
 def _norm(a: Column) -> Column:
+    fold = F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    unrolled = _unrolled_lr_sum(
+        [a[i].cast("double") * a[i].cast("double") for i in range(_UNROLL_DIM)]
+    )
     return F.sqrt(
-        F.aggregate(
-            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+        F.when(F.size(a) == _UNROLL_DIM, unrolled).otherwise(fold)
     )
 
 

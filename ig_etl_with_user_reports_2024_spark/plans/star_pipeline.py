@@ -789,7 +789,7 @@ def semantic_cell_pairs(
         # both τ-pair join sides (and the CC consumer's edge union)
         # reference withv — checkpoint so the codebook assignment +
         # norm fold run once (optimization r15, dedup.pin_bounded)
-        withv = dd.pin_bounded(withv, eager=True)
+        withv = dd.pin_bounded(dd._spread_narrow_input(withv), eager=True)
     return _tau_pairs(withv, tau, same_cell=True)
 
 
@@ -824,7 +824,7 @@ def semantic_multiprobe_pairs(
         # both τ-pair join sides (and the CC consumer's edge union)
         # reference withv — checkpoint so the codebook assignment +
         # norm fold run once (optimization r15, dedup.pin_bounded)
-        withv = dd.pin_bounded(withv, eager=True)
+        withv = dd.pin_bounded(dd._spread_narrow_input(withv), eager=True)
     return _tau_pairs(withv, tau, same_cell=True).distinct()
 
 
@@ -906,7 +906,7 @@ def semantic_cross_split_multiprobe_pairs(
     )
     withv = sampling.hash_split(withv, key="vec_id")
     if eager_pins:
-        withv = dd.pin_bounded(withv, eager=True)  # see semantic_cell_pairs
+        withv = dd.pin_bounded(dd._spread_narrow_input(withv), eager=True)
     return _tau_pairs(withv, tau, same_cell=True, cross_split=True).distinct()
 
 
