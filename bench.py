@@ -304,6 +304,10 @@ def main() -> None:
     # be silently mistimed here.
     from ig_etl_with_user_reports_2024_spark.plans import QUERIES as _SPECS
 
+    from ig_etl_with_user_reports_2024_spark.operators.dedup import (
+        release_eager_pins,
+    )
+
     def run(name: str) -> float:
         eager = _SPECS[name].eager
         t0 = time.time() if eager else 0.0
@@ -311,7 +315,14 @@ def main() -> None:
         if not eager:
             t0 = time.time()
         df.write.format("noop").mode("overwrite").save()
-        return time.time() - t0
+        dt = time.time() - t0
+        # free this query's eager localCheckpoint blocks (r16, VERDICT
+        # r15 #3: bounded checkpoint storage). AFTER the clock stops
+        # and AFTER the noop write fully materialized the result, so
+        # nothing pending can read a freed block; cleanup cost is
+        # driver-side and untimed, exactly like the warm passes.
+        release_eager_pins()
+        return dt
 
     # warm-up: JIT + parquet footer caches on a small query, plus the
     # Python/Arrow worker pool (st5's applyInPandasWithState otherwise
@@ -395,12 +406,16 @@ def main() -> None:
         sf = -1.0
     total = round(sum(timings.values()), 3)
     load_after = _loadavg()
-    # Full per-query line first, compact summary LAST: the driver's
-    # tail-capture window parses the final stdout line, and at 66
-    # queries the full line outgrew it (BENCH_r06.json parsed: null —
-    # VERDICT r6 "Next round" #2). The summary line is bounded-size
-    # regardless of catalog growth; the per-query map survives on the
-    # preceding line and in the bench_queries.json sidecar.
+    # cpus = the HONORED core count (reporting bugfix, VERDICT r15 #5 /
+    # "Next round" #2): session.get_spark masters local[$SPARK_GRAFT_CPUS]
+    # and sizes shuffle partitions from the same env var, but this line
+    # used to stamp os.cpu_count() — so the driver's 8-core scaling run
+    # produced an artifact self-describing as cpus:32 and the scaling
+    # block could not be validated. Timing methodology unchanged.
+    try:
+        cpus = int(os.environ["SPARK_GRAFT_CPUS"])
+    except (KeyError, ValueError):
+        cpus = os.cpu_count()  # local[*] fallback, as in session.get_spark
     full = {
         "metric": "headline_queries_total_wall",
         "value": total,
@@ -409,7 +424,7 @@ def main() -> None:
         "sf": sf,
         "load_before": load_before,
         "load_after": load_after,
-        "cpus": os.cpu_count(),
+        "cpus": cpus,
     }
     try:
         here = os.path.dirname(os.path.abspath(__file__))
@@ -423,6 +438,16 @@ def main() -> None:
     summary = {k: v for k, v in full.items() if k != "queries"}
     summary["n_queries"] = len(timings)
     summary["queries_line"] = "previous stdout line + bench_queries.json"
+    # top20: the 20 most expensive lines, inside the BOUNDED final line
+    # (VERDICT r15 "Next round" #2): the full per-query stdout line
+    # outgrew the driver's tail-capture window, so PERF's per-query /
+    # geomean / scaling blocks came back empty every round. 20 entries
+    # is bounded regardless of catalog growth and covers >70% of total
+    # wall at the r15 close, enough for per-query deltas on every line
+    # an optimization round targets. ADDITIVE: nothing removed/renamed.
+    summary["top20"] = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:20]
+    )
     print(json.dumps(summary))
 
 

@@ -91,6 +91,41 @@ _PERSISTED_HANDLES: list[DataFrame] = []
 # Still a hard bound on the session-lifetime cache leak.
 _MAX_PINNED = 8
 
+# Eager localCheckpoint handles (optimization r16, VERDICT r15 #3/#9):
+# unlike the lazy FIFO above, an eager checkpoint's lineage is TRUNCATED
+# — evicting a still-referenced handle would make its consumers FAIL,
+# not recompute — so the bound here is per-QUERY release, not FIFO
+# eviction: harnesses call release_eager_pins() after each query's
+# result is fully materialized (bench.py per timed line, oracle_check
+# per compared entry). Concurrent live handles within one query are
+# bounded by composition depth (cp9, the deepest chain, holds ~14: cm1's
+# 5 + cm2's 2 + the layout-chain and dc2/band pins + CC's final labels).
+# A harness that never calls release degrades to the pre-r16 behavior —
+# blocks freed when the RDD is GC'd — never to wrong results.
+_EAGER_HANDLES: list[DataFrame] = []
+
+
+def _unpersist_local_checkpoint(df: DataFrame) -> None:
+    """Free a localCheckpoint'ed DataFrame's stored blocks NOW (the
+    analyzed plan of a checkpoint result is a LogicalRDD wrapping the
+    materialized RDD). Best-effort: a failure here only delays the free
+    to RDD garbage collection."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:  # noqa: BLE001 — cleanup must never fail a query
+        pass
+
+
+def release_eager_pins() -> None:
+    """Release every eager checkpoint pinned since the last call.
+
+    Callers must guarantee no pending plan still reads the handles
+    (i.e. the query's result has been fully materialized/collected) —
+    a localCheckpoint cannot be recomputed after its blocks are freed.
+    """
+    while _EAGER_HANDLES:
+        _unpersist_local_checkpoint(_EAGER_HANDLES.pop())
+
 
 def pin_bounded(df: DataFrame, eager: bool = False) -> DataFrame:
     """Pin a shared intermediate that feeds multiple consumers
@@ -109,11 +144,15 @@ def pin_bounded(df: DataFrame, eager: bool = False) -> DataFrame:
     stages (broadcast futures, multi-leaf self-joins) recomputes the
     subtree once per cold cache leaf — dd11's pinned shingle explode
     executed 12× inside the CC round-0 action. An eager checkpoint
-    makes every later reference a stored-block scan. Blocks are freed
-    when the RDD is garbage-collected; the 100 TB analog is the
+    makes every later reference a stored-block scan. Handles are
+    tracked in _EAGER_HANDLES for per-query release (see
+    :func:`release_eager_pins`); absent a release call, blocks are
+    freed when the RDD is garbage-collected. The 100 TB analog is the
     checkpointed shared table the docstrings already name."""
     if eager:
-        return df.localCheckpoint(eager=True)
+        ck = df.localCheckpoint(eager=True)
+        _EAGER_HANDLES.append(ck)
+        return ck
     while len(_PERSISTED_HANDLES) >= _MAX_PINNED:
         _PERSISTED_HANDLES.pop(0).unpersist()
     df = df.persist(StorageLevel.MEMORY_AND_DISK)

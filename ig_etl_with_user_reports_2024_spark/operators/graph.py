@@ -40,6 +40,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .dedup import _EAGER_HANDLES, _unpersist_local_checkpoint
+
 
 def connected_components(
     nodes: DataFrame,
@@ -60,6 +62,16 @@ def connected_components(
 
     The returned DataFrame carries a ``last_rounds`` attribute (rounds
     executed, including the fixpoint-detection round) as a diagnostic.
+
+    Contract for edges referencing ids OUTSIDE ``nodes`` (widened by
+    the r15 round-1 join elision, pinned in tests/test_graph.py): any
+    id appearing as an edge endpoint enters the output even when it is
+    absent from ``nodes`` — including (since r15) edges whose endpoints
+    are BOTH foreign, which the old round-1 inner join silently
+    dropped. Every current caller passes edges over the node id space
+    (embeddings vec_id == doc_id is itself test-pinned), so nothing
+    observable changed; callers with genuinely foreign edge ids must
+    semi-join ``pairs`` on ``nodes`` first.
     """
     # Eager localCheckpoint, not a lazy persist (optimization r15,
     # guide §5/§3.3 "materialise intermediates"): the pair subtree is
@@ -126,13 +138,18 @@ def connected_components(
         )
         # eager localCheckpoint both materializes the round (so the
         # convergence agg reads stored blocks, not lineage) and resets
-        # the plan to a leaf; old rounds' blocks are freed by Spark's
-        # ContextCleaner once the previous `labels` ref drops.
+        # the plan to a leaf. The PREVIOUS round's blocks are released
+        # explicitly right after the new round is fully stored (r16,
+        # VERDICT r15 #3: bounded checkpoint storage — at any moment CC
+        # holds edges + at most two label rounds, instead of leaving
+        # every round's blocks to the ContextCleaner's GC schedule).
+        prev_labels = labels
         labels = (
             propagated.join(parent.hint("merge"), "label", "left")
             .select("id", F.coalesce("_label2", "label").alias("label"))
             .localCheckpoint(eager=True)
         )
+        _unpersist_local_checkpoint(prev_labels)
         # decimal(38,0) accumulator: at the 100 TB / ~10^12-node target a
         # raw bigint sum of 64-bit ids (~10^24) overflows, which under
         # Spark 4 ANSI mode raises mid-iteration; decimal keeps the same
@@ -145,6 +162,13 @@ def connected_components(
             break
         prev_sum = new_sum
 
+    # the edge checkpoint has no consumer past the loop — free it NOW
+    # (r16, VERDICT r15 #3: CC releases its edge blocks on return). The
+    # FINAL labels checkpoint backs the returned DataFrame, so it joins
+    # the eager-pin registry and is freed by the harness's per-query
+    # release_eager_pins() once the result is materialized.
+    _unpersist_local_checkpoint(edges)
+    _EAGER_HANDLES.append(labels)
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge within {max_iter} "

@@ -85,3 +85,20 @@ def test_nonconvergence_raises(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(nodes, pairs, max_iter=2)
+
+
+def test_foreign_edge_ids_enter_output(spark):
+    # Widened contract pin (r16, ADVICE r15 #1): since the round-1 join
+    # elision, edge endpoints ABSENT from `nodes` enter the output —
+    # including fully-foreign edges the pre-r15 inner join dropped.
+    # Every shipped caller passes edges over the node id space, so this
+    # pins the operator-level behavior a future foreign-id caller gets.
+    nodes = spark.createDataFrame([(1,), (2,)], "doc_id bigint")
+    pairs = spark.createDataFrame(
+        [(1, 2), (10, 11)], "a_id bigint, b_id bigint"
+    )
+    got = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(nodes, pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 10: 10, 11: 10}

@@ -469,3 +469,59 @@ def test_ann6_trained_cells_beat_seeded_and_match_probe(spark, sf_oracle):
     rec = {n: len(p & gold) / len(gold) for n, p in pairs.items()}
     assert rec["ann6_trained_ivf_topk"] > rec["ann3_ivf_topk"], rec
     assert rec["ann6_trained_ivf_topk"] >= 0.5, rec
+
+
+def test_dot_norm_unrolled_equals_fold_all_widths(spark):
+    # Bit-identity pin for the _UNROLL_DIM=64 codegen fast path (r16,
+    # ADVICE r15 #3 / VERDICT r15 #3): the guarded _dot/_norm must equal
+    # the fold-only form EXACTLY (same IEEE addition order) on 64-dim
+    # rows, take the fold branch on every other width without tripping
+    # ANSI out-of-bounds on the unrolled a[i] terms, and propagate NULL
+    # arrays / null elements identically.
+    rows = []
+    for w, tag in [(63, "short"), (64, "exact"), (65, "long")]:
+        rows.append((tag, [float(i % 7) - 3.0 for i in range(1, w + 1)],
+                     [float((i * 3) % 5) - 2.0 for i in range(1, w + 1)]))
+    rows.append(("null_array", None, [1.0] * 64))
+    ne = [1.0] * 64
+    ne[17] = None
+    rows.append(("null_elem", ne, [2.0] * 64))
+    df = spark.createDataFrame(
+        rows, "tag string, a array<double>, b array<double>"
+    )
+
+    def fold_dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    def fold_norm(a):
+        return F.sqrt(
+            F.aggregate(
+                F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+
+    a, b = F.col("a"), F.col("b")
+    out = df.select(
+        "tag",
+        sim._dot(a, b).alias("d_fast"),
+        fold_dot(a, b).alias("d_ref"),
+        sim._norm(a).alias("n_fast"),
+        fold_norm(a).alias("n_ref"),
+    ).collect()
+    assert len(out) == 5
+    for r in out:
+        # exact equality including None — bit-identity, not tolerance
+        assert r.d_fast == r.d_ref or (r.d_fast is None and r.d_ref is None), (
+            r.tag, r.d_fast, r.d_ref)
+        assert r.n_fast == r.n_ref or (r.n_fast is None and r.n_ref is None), (
+            r.tag, r.n_fast, r.n_ref)
+    by_tag = {r.tag: r for r in out}
+    assert by_tag["null_array"].d_fast is None
+    assert by_tag["null_elem"].d_fast is None
+    assert by_tag["exact"].d_fast is not None

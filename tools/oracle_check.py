@@ -105,6 +105,10 @@ def main() -> int:
     import __spark_entry__ as entry_mod
     from ig_etl_with_user_reports_2024_spark.session import get_spark
 
+    from ig_etl_with_user_reports_2024_spark.operators.dedup import (
+        release_eager_pins,
+    )
+
     spark = get_spark("oracle_check")
     con = duck_connect(args.sf)
     qs = entry_mod.queries()
@@ -119,6 +123,11 @@ def main() -> int:
             print(f"FAIL  {name}: spark error: {e}")
             n_fail += 1
             continue
+        finally:
+            # result is fully collected (or failed) — free the query's
+            # eager localCheckpoint blocks so a 200-entry gate run does
+            # not accumulate every query's pinned stores on the heap
+            release_eager_pins()
         if name not in oracles:
             print(f"ROWS  {name}: {len(spdf)} rows (no oracle) [{time.time()-t0:.1f}s]")
             n_pass += 1

@@ -109,57 +109,56 @@ def main() -> None:
             with open(p) as fh:
                 yield from fh
 
-    if True:
-        for line in _lines():
-            ev = json.loads(line)
-            e = ev.get("Event")
-            if e == "SparkListenerJobStart":
-                jid = ev["Job ID"]
-                desc = (ev.get("Properties") or {}).get(
-                    "spark.job.description", ""
-                )
-                jobs[jid] = {
-                    "desc": desc,
-                    "t0": ev["Submission Time"],
-                    "stages": [
-                        s["Stage ID"] for s in ev.get("Stage Infos", [])
-                    ],
-                }
-            elif e == "SparkListenerJobEnd":
-                jid = ev["Job ID"]
-                if jid in jobs:
-                    jobs[jid]["t1"] = ev["Completion Time"]
-            elif e == "SparkListenerStageCompleted":
-                si = ev["Stage Info"]
-                sid = si["Stage ID"]
-                acc = {
-                    a.get("Name"): a.get("Value")
-                    for a in si.get("Accumulables", [])
-                }
-                scopes = []
-                for r in si.get("RDD Info", []):
-                    sc = r.get("Scope")
-                    if sc:
-                        try:
-                            nm = json.loads(sc).get("name", "")
-                        except Exception:  # noqa: BLE001
-                            nm = ""
-                        if nm and nm not in scopes:
-                            scopes.append(nm)
-                stages[sid] = {
-                    "scopes": scopes,
-                    "name": si.get("Stage Name", ""),
-                    "tasks": si.get("Number of Tasks", 0),
-                    "ms": (si.get("Completion Time", 0) or 0)
-                    - (si.get("Submission Time", 0) or 0),
-                    "sh_r": acc.get("internal.metrics.shuffle.read.remoteBytesRead", 0)
-                    or 0,
-                    "sh_rl": acc.get("internal.metrics.shuffle.read.localBytesRead", 0)
-                    or 0,
-                    "sh_w": acc.get("internal.metrics.shuffle.write.bytesWritten", 0)
-                    or 0,
-                    "out_rows": acc.get("number of output rows", 0) or 0,
-                }
+    for line in _lines():
+        ev = json.loads(line)
+        e = ev.get("Event")
+        if e == "SparkListenerJobStart":
+            jid = ev["Job ID"]
+            desc = (ev.get("Properties") or {}).get(
+                "spark.job.description", ""
+            )
+            jobs[jid] = {
+                "desc": desc,
+                "t0": ev["Submission Time"],
+                "stages": [
+                    s["Stage ID"] for s in ev.get("Stage Infos", [])
+                ],
+            }
+        elif e == "SparkListenerJobEnd":
+            jid = ev["Job ID"]
+            if jid in jobs:
+                jobs[jid]["t1"] = ev["Completion Time"]
+        elif e == "SparkListenerStageCompleted":
+            si = ev["Stage Info"]
+            sid = si["Stage ID"]
+            acc = {
+                a.get("Name"): a.get("Value")
+                for a in si.get("Accumulables", [])
+            }
+            scopes = []
+            for r in si.get("RDD Info", []):
+                scope_json = r.get("Scope")
+                if scope_json:
+                    try:
+                        nm = json.loads(scope_json).get("name", "")
+                    except Exception:  # noqa: BLE001
+                        nm = ""
+                    if nm and nm not in scopes:
+                        scopes.append(nm)
+            stages[sid] = {
+                "scopes": scopes,
+                "name": si.get("Stage Name", ""),
+                "tasks": si.get("Number of Tasks", 0),
+                "ms": (si.get("Completion Time", 0) or 0)
+                - (si.get("Submission Time", 0) or 0),
+                "sh_r": acc.get("internal.metrics.shuffle.read.remoteBytesRead", 0)
+                or 0,
+                "sh_rl": acc.get("internal.metrics.shuffle.read.localBytesRead", 0)
+                or 0,
+                "sh_w": acc.get("internal.metrics.shuffle.write.bytesWritten", 0)
+                or 0,
+                "out_rows": acc.get("number of output rows", 0) or 0,
+            }
 
     per_q: dict[str, list] = {}
     for jid in sorted(jobs):
