@@ -27,60 +27,37 @@ from .dedup import pin_bounded
 from .windows import top_k_per_group
 
 
-#: Codegen fast-path width for the vector folds below (optimization
-#: r15, guide §4.1/§1.2 "per-task work"): higher-order-function lambda
-#: bodies are INTERPRETED per element (the repo's own r6 md5 rule), so
-#: a 64-dim dot product inside a pair join costs 64 expression-tree
-#: walks per pair. An unrolled left-deep sum ``((0.0+p0)+p1)+…`` is the
-#: IDENTICAL float-addition order as the sequential ``aggregate`` fold
-#: — bit-identical by IEEE determinism — but whole-stage-codegen'd.
-#: Vectors of any other width (and NULL arrays) take the original fold
-#: branch via the size guard, so the operators stay fully general; the
-#: constant matches the engine's embedding corpus and costs nothing if
-#: wrong (the guard falls back). Measured on dd13's τ-pair stage
-#: before/after in OPTIMIZATION_r15.md.
-_UNROLL_DIM = 64
-
-
-def _unrolled_lr_sum(terms: list[Column]) -> Column:
-    """Left-deep ``((0.0 + t0) + t1) + …`` — the exact addition order of
-    ``F.aggregate(…, lit(0.0), lambda acc, x: acc + x)``."""
-    acc: Column = F.lit(0.0)
-    for t in terms:
-        acc = acc + t
-    return acc
+# NOTE (optimization r16, guide §1 "measure first"): the r15 snapshot
+# shipped an UNMEASURED 64-dim unrolled codegen fast path here
+# (when(size==64, ((0.0+a0*b0)+a1*b1)+…).otherwise(fold)). r16's A/B
+# under bench.py's exact contract showed it is a REGRESSION on every
+# consumer that fires it — ann1 0.63→0.42s, ann5 2.22→1.14s, dd13
+# 6.35→5.48s, dc3 3.70→2.82s, ii4 1.87→1.52s (fold-only minima; 3-take
+# mins, same session) — because BOTH branches land in the generated
+# code: 64 GetArrayItem+null-check terms per _dot/_norm call site
+# double the expression tree, blow the codegen size budget, and the
+# interpreted-HOF cost they were meant to remove is smaller than the
+# bloat. Reverted to the plain sequential folds (bit-identical results;
+# tests/test_similarity.py pins _dot/_norm ≡ fold across widths/NULLs).
 
 
 def _dot(a: Column, b: Column) -> Column:
-    """Sequential left-to-right dot-product fold (deterministic), with
-    a bit-identical unrolled codegen fast path at _UNROLL_DIM."""
-    fold = F.aggregate(
+    """Sequential left-to-right dot-product fold — deterministic IEEE
+    addition order, bit-reproducible under any partitioning."""
+    return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    unrolled = _unrolled_lr_sum(
-        [
-            a[i].cast("double") * b[i].cast("double")
-            for i in range(_UNROLL_DIM)
-        ]
-    )
-    return F.when(
-        (F.size(a) == _UNROLL_DIM) & (F.size(b) == _UNROLL_DIM), unrolled
-    ).otherwise(fold)
 
 
 def _norm(a: Column) -> Column:
-    fold = F.aggregate(
-        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    unrolled = _unrolled_lr_sum(
-        [a[i].cast("double") * a[i].cast("double") for i in range(_UNROLL_DIM)]
-    )
     return F.sqrt(
-        F.when(F.size(a) == _UNROLL_DIM, unrolled).otherwise(fold)
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
     )
 
 

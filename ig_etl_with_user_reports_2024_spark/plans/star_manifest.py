@@ -476,13 +476,19 @@ def _cm2_sql() -> str:
 @query(
     "cm2_incremental_admission",
     _cm2_sql().format(txt8=QUERIES["txt8_filter_verdict"].oracle),
-    # eager since optimization r15: the shared store pins materialize at
-    # CONSTRUCTION (pin_bounded eager=True) so the bench clock must
-    # start before fn — coverage is unchanged (the same work was timed
-    # inside the first action before), the flag just keeps it honest.
-    eager=True,
+    # NON-eager again since optimization r16 (VERDICT r15 "Next round"
+    # #1): standalone cm2 is fastest with LAZY pins (A/B minima 1.23s
+    # lazy vs 2.37s eager at sf0.1 — the eager materialization of the
+    # text-carrying tagged store costs more than the reuse it buys on
+    # the standalone path), so nothing runs at construction and the
+    # r14 clock placement is restored. The eager shape survives as
+    # eager_pins=True for the cp3/cp7 compositions (both eager-
+    # registered), where the SAME A/B showed eager winning (cp3 4.15s
+    # vs 5.92s — the composition consumes the stores repeatedly).
 )
-def cm2_incremental_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+def cm2_incremental_admission(
+    spark: SparkSession, sf_dir: str, eager_pins: bool = False
+) -> DataFrame:
     """INCREMENTAL curation: admit an arriving batch of documents
     against the existing corpus's persisted dedup stores — the daily
     maintenance shape of cm1. A 100 TB corpus is not re-curated when a
@@ -530,7 +536,8 @@ def cm2_incremental_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id"), _CM2_SALT
     ) < sampling.hex_threshold(_CM2_ARRIVE_FRAC)
     tagged = dd.pin_bounded(
-        docs.select("doc_id", "text", arriving.alias("arriving")), eager=True
+        docs.select("doc_id", "text", arriving.alias("arriving")),
+        eager=eager_pins,
     )
     arrive = tagged.filter(F.col("arriving"))
     dg = F.coalesce(F.md5(F.col("text")), F.lit("<null>"))
@@ -568,7 +575,7 @@ def cm2_incremental_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands.join(
             tagged.select(F.col("doc_id").alias("doc"), "arriving"), "doc"
         ),
-        eager=True,
+        eager=eager_pins,
     )
     eb = (
         bt.filter(~F.col("arriving"))
@@ -695,7 +702,7 @@ def cp3_incremental_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     adm_ids = (
         QUERIES["cm2_incremental_admission"]
-        .fn(spark, sf_dir)
+        .fn(spark, sf_dir, eager_pins=True)
         .filter(F.col("action") == "admit")
         .select("doc_id")
     )
@@ -1003,7 +1010,7 @@ def cp7_scrubbed_delta_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     restriction + per-doc join carrying the scrub columns)."""
     adm = (
         QUERIES["cm2_incremental_admission"]
-        .fn(spark, sf_dir)
+        .fn(spark, sf_dir, eager_pins=True)
         .filter(F.col("action") == "admit")
         .select("doc_id")
     )
