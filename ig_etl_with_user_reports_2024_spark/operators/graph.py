@@ -244,6 +244,14 @@ def pagerank(
     while len(_PERSISTED_HANDLES) >= _MAX_PINNED:
         _PERSISTED_HANDLES.pop(0).unpersist()
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    # LAZY persists, deliberately (r16 A/B, both variants measured at
+    # sf0.1 quiet, min-of-4): eagerly localCheckpoint-ing e + e_deg +
+    # nodes (the CC edge-checkpoint precedent) regresses pr1 2.79→4.80 s
+    # — the serialized checkpoint materializations stack on the critical
+    # path, while the lazy caches' concurrent cold-leaf builds overlap
+    # on otherwise-idle cores. CC's case differs: its pair subtree was
+    # recomputed 12× per round-0 action; here the caches are built once
+    # and the edge subtree is cheap relative to the checkpoint writes.
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     e_deg = e.join(outdeg, "src").persist()
     nodes = (
@@ -255,17 +263,35 @@ def pagerank(
     _PERSISTED_HANDLES.extend([e_deg, nodes])
     base = (100 - damping_pct) * PAGERANK_SCALE // 100
     ranks = nodes.select("id", F.lit(PAGERANK_SCALE).cast("long").alias("rank"))
-    for _ in range(iterations):
-        contrib = (
-            e_deg.join(ranks, e_deg["src"] == ranks["id"])
-            .select(
+    for it in range(iterations):
+        if it == 0:
+            # iteration 1's join is the identity (optimization r16, the
+            # CC round-1 precedent, guide §2.4): ranks(v) == SCALE for
+            # every node initially, and every src is a node by
+            # construction (nodes = edge endpoints), so
+            # e_deg ⋈ ranks on src == id carries rank == SCALE on every
+            # row. `rank div outdeg` is then `SCALE div outdeg` — a pure
+            # projection of e_deg, one fewer |E|+|V| sort-merge join per
+            # pagerank call; bit-identical (same floor division).
+            contrib_rows = e_deg.select(
+                F.col("dst"),
+                F.expr(f"{PAGERANK_SCALE} div outdeg").alias("c"),
+            )
+        else:
+            contrib_rows = e_deg.join(
+                ranks.hint("merge"), e_deg["src"] == ranks["id"]
+            ).select(
                 F.col("dst"),
                 F.expr("rank div outdeg").alias("c"),
             )
-            .groupBy("dst")
-            .agg(F.sum("c").alias("csum"))
-        )
-        ranks = nodes.join(contrib, nodes["id"] == contrib["dst"], "left").select(
+        contrib = contrib_rows.groupBy("dst").agg(F.sum("c").alias("csum"))
+        # merge-hint: contrib is NODE-grain (one row per in-edge target)
+        # — same invariant as the CC label joins above; broadcasting it
+        # cannot work at 10^12 nodes (locally plan-neutral: SMJ chosen
+        # either way at sf0.1, plans/r16/pr1_pagerank_before.txt).
+        ranks = nodes.join(
+            contrib.hint("merge"), nodes["id"] == contrib["dst"], "left"
+        ).select(
             "id",
             (
                 F.lit(base).cast("long")
