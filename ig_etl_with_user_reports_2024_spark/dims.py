@@ -16,6 +16,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from .functions.local_dim import local_dim
+
 # --- C9 niche categories — exact 20-category keyword table from the
 # reference (analyze_insta_enhanced.py:965-986), declaration order kept
 # as data for the Q9 argmax tie-break.
@@ -142,16 +144,17 @@ MENTION_STOPLIST = [
 
 def niche_dim(spark: SparkSession) -> DataFrame:
     rows = [(c, o, k) for c, o, ks in NICHE_KEYWORDS for k in ks]
-    return spark.createDataFrame(rows, "category string, cat_ord int, keyword string")
+    return local_dim(spark, rows, "category string, cat_ord int, keyword string")
 
 
 def gender_keyword_dim(spark: SparkSession) -> DataFrame:
     rows = [(g, p, k) for g, p, ks in GENDER_KEYWORDS for k in ks]
-    return spark.createDataFrame(rows, "gender string, gprio int, keyword string")
+    return local_dim(spark, rows, "gender string, gprio int, keyword string")
 
 
 def pricing_dim(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(
+    return local_dim(
+        spark,
         PRICING,
         "creator_type string, tier string, base_price double, roi string, "
         "impressions string",
@@ -159,7 +162,7 @@ def pricing_dim(spark: SparkSession) -> DataFrame:
 
 
 def platform_dim(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(PLATFORM_DOMAINS, "platform string, domain string")
+    return local_dim(spark, PLATFORM_DOMAINS, "platform string, domain string")
 
 
 # ---------------------------------------------------------------------------

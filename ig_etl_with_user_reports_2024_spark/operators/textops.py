@@ -10,6 +10,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.local_dim import local_dim
+
 from .dedup import normalized_words
 
 # n-gram-heuristic language ID: tiny per-language stopword lists with a
@@ -34,7 +36,7 @@ def lang_dim(spark: SparkSession) -> DataFrame:
         for lang, prio, words in LANG_STOPWORDS
         for word in words
     ]
-    return spark.createDataFrame(rows, "lang string, prio int, word string")
+    return local_dim(spark, rows, "lang string, prio int, word string")
 
 
 def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -1390,9 +1392,7 @@ def bpe_train_merges(
             )
             pend = F.col("s")
             n_pend = 0
-    return spark.createDataFrame(
-        merges, schema="i int, a string, b string"
-    )
+    return local_dim(spark, merges, "i int, a string, b string")
 
 
 def sql_bpe_train_merges(
@@ -1595,6 +1595,4 @@ def bpe_train_merges_incremental(
             )
             pend = F.col("s")
             n_pend = 0
-    return spark.createDataFrame(
-        merges, schema="i int, a string, b string"
-    )
+    return local_dim(spark, merges, "i int, a string, b string")

@@ -10,6 +10,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.local_dim import local_dim
+
 from ..operators.windows import top_k_per_group
 from ..sources.readers import load_table
 from .registry import query
@@ -119,8 +121,10 @@ def c3_pricing_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     join is a hash lookup and the table is maintainable data.
     """
     cust = c2_type_tier(spark, sf_dir)
-    dim = spark.createDataFrame(
-        _PRICING_DIM, "tier string, base_price double, roi string, impressions string"
+    dim = local_dim(
+        spark,
+        _PRICING_DIM,
+        "tier string, base_price double, roi string, impressions string",
     )
     base = F.col("base_price")
     return cust.join(F.broadcast(dim), "tier").select(
@@ -227,7 +231,7 @@ def c9_f9_niche_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-independent without the decimal detour.
     """
     part = load_table(spark, sf_dir, "part")
-    dim = spark.createDataFrame(_J4_DIM, "category string, kw string")
+    dim = local_dim(spark, _J4_DIM, "category string, kw string")
     # one scan: both token sources explode from a single combined array
     # (weight carried in the struct) instead of a two-branch union
     combined = F.concat(

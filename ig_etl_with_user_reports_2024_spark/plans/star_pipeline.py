@@ -12,6 +12,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from ..functions.local_dim import local_dim
 from pyspark.sql.window import Window
 
 from .. import dims
@@ -4629,7 +4631,8 @@ def _bm25_relations(
     corpus ONCE — the cm1 shared-intermediates discipline; at 100 TB
     this is the checkpointed postings table."""
     docs = load_table(spark, sf_dir, "documents")
-    qterms = spark.createDataFrame(
+    qterms = local_dim(
+        spark,
         [(qid, t) for qid, terms in _BM25_QUERIES for t in terms],
         "query_id int, token string",
     )

@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.local_dim import local_dim
+
 from ..config import AS_OF_ORDERS, AS_OF_ORDERS_SQL, RECENT_DAYS
 from ..functions import datetime_utils as dtu
 from ..functions.exact import (
@@ -625,7 +627,7 @@ def j2_first_match_theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     declaration-order column — same semantics, one pass, no driver loop.
     """
     part = load_table(spark, sf_dir, "part")
-    dim = spark.createDataFrame(_J2_KEYWORDS, "kw string, ord int")
+    dim = local_dim(spark, _J2_KEYWORDS, "kw string, ord int")
     joined = part.join(
         F.broadcast(dim), F.col("p_name").contains(F.col("kw")), "left"
     )
@@ -675,7 +677,7 @@ def j4_a10_keyword_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact binary fractions, so the double sum is order-independent.
     """
     part = load_table(spark, sf_dir, "part")
-    dim = spark.createDataFrame(_J4_DIM, "category string, kw string")
+    dim = local_dim(spark, _J4_DIM, "category string, kw string")
     # one scan: both token sources explode from a single combined array
     combined = F.concat(
         F.transform(

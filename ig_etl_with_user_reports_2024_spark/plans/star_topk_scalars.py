@@ -10,6 +10,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.local_dim import local_dim
+
 from ..config import AS_OF_ORDERS_SQL
 from ..operators.windows import top_k_per_group
 from ..sources.readers import load_table
@@ -551,7 +553,7 @@ def x10_c7_argmax_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning.
     """
     cust = load_table(spark, sf_dir, "customer")
-    prio = spark.createDataFrame(_X10_PRIORITY, "seg string, prio int")
+    prio = local_dim(spark, _X10_PRIORITY, "seg string, prio int")
     counts = cust.groupBy("c_nationkey", "c_mktsegment").agg(
         F.count("*").alias("cnt")
     )
